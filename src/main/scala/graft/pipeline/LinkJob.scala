@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import graft.link.DependencyLinker
+import graft.model.{DependencyLink, Span}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Admission semantics differ per reference backend and must be explicit
+  * (SURVEY §2.3): which spans/traces of the scanned data contribute to a day. */
+sealed trait Admission
+object Admission {
+  /** Cassandra path: a trace contributes only if every parentless span has a
+    * timestamp inside the window (SpansToDependencyLinks.java:36-42). */
+  case object RootInWindow extends Admission
+  /** MySQL path: per-span predicate start_ts BETWEEN lo AND hi
+    * (MySQLDependenciesJob.java:188-196) — pushed down before grouping. */
+  case object PerSpanWindow extends Admission
+  /** ES/OS path: the daily index IS the predicate; everything read is admitted
+    * (ElasticsearchDependenciesJob.java:173,180). */
+  case object IndexDay extends Admission
+}
+
+/** The end-to-end dependency-link pipeline, Spark-first (SURVEY §3.4):
+  * declarative scan → (pushed-down) day filter → typed island
+  * groupByKey(traceKey).flatMapGroups(linker) → relational
+  * groupBy(parent,child).agg(sum,sum) → day-partitioned overwrite sink.
+  *
+  * Scale notes (100 TB posture):
+  *  - the only wide ops are the trace shuffle and the tiny (|services|²)
+  *    link aggregation; the link agg gets map-side partial aggregation for
+  *    free from Catalyst (HashAggregate partial → Exchange → final).
+  *  - span-level filters/projections stay relational so Parquet pushdown and
+  *    column pruning apply before the typed island (verified via .explain —
+  *    see PipelineSpec).
+  *  - the result is persisted before reuse: the reference recomputed its whole
+  *    lineage twice (isEmpty + save, BASELINE.md); we do not.
+  */
+object LinkJob {
+
+  /** Read Zipkin JSON v2 span documents (one object per line) into the typed
+    * span projection. PERMISSIVE parse: corrupt records dropped (P9 —
+    * TraceIdAndJsonToDependencyLinks.java:35-44 logs & skips). */
+  def readJsonV2(spark: SparkSession, path: String): Dataset[Span] = {
+    val raw = spark.read.schema(Span.jsonV2Schema).json(path)
+    fromJsonV2Shape(raw)
+  }
+
+  /** Same projection from an already-loaded DataFrame in JSON v2 nested shape
+    * (e.g. parquet with localEndpoint/remoteEndpoint structs + tags map). */
+  def fromJsonV2Shape(df: DataFrame): Dataset[Span] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df
+      .where($"traceId".isNotNull && $"id".isNotNull)
+      .select(
+        lower($"traceId").as("traceId"),
+        lower($"parentId").as("parentId"),
+        lower($"id").as("id"),
+        upper($"kind").as("kind"),
+        $"timestamp",
+        $"duration",
+        coalesce($"shared", lit(false)).as("shared"),
+        $"localEndpoint.serviceName".as("localServiceName"),
+        $"remoteEndpoint.serviceName".as("remoteServiceName"),
+        // only the presence of the "error" tag is consumed (P7)
+        coalesce(map_contains_key($"tags", "error"), lit(false)).as("errorTag")
+      )
+      .withColumn("kind",
+        when($"kind".isin(Span.Client, Span.Server, Span.Producer, Span.Consumer), $"kind"))
+      .as[Span]
+  }
+
+  /** UTC day window [startMicros, endMicros] for a yyyy-MM-dd day string —
+    * day*1000_000 … +86399999999 (CassandraDependenciesJob.java:168-169). */
+  def dayWindowMicros(day: String): (Long, Long) = {
+    val d = java.time.LocalDate.parse(day)
+    val start = d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+    (start, start + 86399999999L)
+  }
+
+  /** Apply admission semantics for one day window. RootInWindow is expressed
+    * relationally (a groupBy-derived trace verdict joined back would shuffle;
+    * instead we compute the verdict inside the linker group where the trace is
+    * already co-located — zero extra shuffles). */
+  def admit(spans: Dataset[Span], admission: Admission, lo: Long, hi: Long): Dataset[Span] = {
+    val spark = spans.sparkSession
+    import spark.implicits._
+    admission match {
+      case Admission.PerSpanWindow =>
+        // pushed to the scan by Catalyst (PushedFilters on timestamp)
+        spans.filter($"timestamp".isNotNull && $"timestamp".between(lo, hi))
+      case _ => spans // RootInWindow is enforced per-trace in linkSpans
+    }
+  }
+
+  /** Core: spans → per-day dependency links.
+    *
+    * @param strict    group by stored traceId verbatim vs low-64 unification
+    * @param admission which spans/traces count toward the day
+    */
+  def linkSpans(
+      spans: Dataset[Span],
+      day: String,
+      admission: Admission = Admission.IndexDay,
+      strict: Boolean = false
+  ): Dataset[DependencyLink] = {
+    val spark = spans.sparkSession
+    import spark.implicits._
+    val (lo, hi) = dayWindowMicros(day)
+    val admitted = admit(spans, admission, lo, hi)
+    val rootWindow = admission == Admission.RootInWindow
+
+    // typed island: one shuffle on traceKey, then the per-trace graph walk.
+    // RootInWindow is enforced here, where the trace is already co-located
+    // (any parentless span with a missing/out-of-window timestamp drops the
+    // whole trace — SpansToDependencyLinks.java:36-42).
+    admitted
+      .groupByKey(s => if (strict) s.traceId else s.traceIdLow64)
+      .flatMapGroups { (_, it) =>
+        val spansOfTrace = it.toSeq
+        val admitTrace = !rootWindow || spansOfTrace.forall { s =>
+          s.parentId.isDefined || s.timestamp.exists(ts => ts >= lo && ts <= hi)
+        }
+        if (admitTrace) DependencyLinker.link(spansOfTrace)
+        else Iterator.empty
+      }
+      .groupBy($"parent", $"child")
+      .agg(sum($"callCount").as("callCount"), sum($"errorCount").as("errorCount"))
+      .as[DependencyLink]
+  }
+
+  /** Sink: day-partitioned parquet with dynamic partition overwrite — the
+    * idempotent re-run/upsert semantics of the reference sinks (P15-P17). */
+  def writeLinks(links: Dataset[DependencyLink], day: String, outPath: String): Unit = {
+    links.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    links.withColumn("day", lit(java.sql.Date.valueOf(day)))
+      .write.mode("overwrite").partitionBy("day").parquet(outPath)
+  }
+
+  /** One day end-to-end: read → link → write → return links (persisted). */
+  def runDay(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      day: String,
+      admission: Admission = Admission.IndexDay,
+      strict: Boolean = false
+  ): Dataset[DependencyLink] = {
+    val links = linkSpans(readJsonV2(spark, inPath), day, admission, strict).persist()
+    if (!links.isEmpty) writeLinks(links, day, outPath)
+    links
+  }
+}

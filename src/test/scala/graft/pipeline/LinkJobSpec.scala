@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import graft.model.{DependencyLink, Span}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** End-to-end pipeline: JSON v2 fixture → links, admission modes, strict vs
+  * low-64 grouping, idempotent re-run sink (FIXTURES.md scenarios at the
+  * pipeline level). */
+class LinkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkTestSession.get
+  private val fixture = getClass.getResource("/fixtures/spans_day.jsonl").getPath
+  private val Day = "2025-08-11"
+
+  private def linkMap(links: Seq[DependencyLink]): Map[(String, String), (Long, Long)] =
+    links.map(l => (l.parent, l.child) -> (l.callCount, l.errorCount)).toMap
+
+  test("per-span-window admission links one UTC day") {
+    val spans = LinkJob.readJsonV2(spark, fixture)
+    val out = LinkJob.linkSpans(spans, Day, Admission.PerSpanWindow).collect().toSeq
+    assert(linkMap(out) == Map(
+      ("frontend", "backend") -> (2L, 1L),
+      ("backend", "db") -> (1L, 0L),
+      ("producer", "kafka") -> (1L, 0L),
+      ("kafka", "consumer") -> (1L, 0L),
+      ("x", "y") -> (1L, 0L)))
+  }
+
+  test("index-day admission admits everything read") {
+    val spans = LinkJob.readJsonV2(spark, fixture)
+    val out = LinkJob.linkSpans(spans, Day, Admission.IndexDay).collect().toSeq
+    assert(linkMap(out)(("frontend", "backend")) == (3L, 1L))
+  }
+
+  test("strict trace ids split mixed-width traces; low-64 unifies them") {
+    val spans = LinkJob.readJsonV2(spark, fixture)
+      .filter((s: Span) => Span.low64(s.traceId) == "000000000000a002")
+    val strictOut = LinkJob.linkSpans(spans, Day, Admission.IndexDay, strict = true).collect()
+    val unifiedOut = LinkJob.linkSpans(spans, Day, Admission.IndexDay, strict = false).collect()
+    assert(linkMap(strictOut.toSeq) == Map(("frontend", "backend") -> (2L, 0L)))
+    assert(linkMap(unifiedOut.toSeq) == Map(("frontend", "backend") -> (1L, 0L)))
+  }
+
+  test("root-in-window admission drops traces with timestamp-less roots") {
+    import spark.implicits._
+    val (lo, _) = LinkJob.dayWindowMicros(Day)
+    val spans = Seq(
+      // root missing timestamp => trace dropped in RootInWindow mode
+      Span("0000000000000b01", None, "01" * 8, Some("CLIENT"), None, None, false,
+        Some("a"), Some("b"), false),
+      // root inside window => admitted
+      Span("0000000000000b02", None, "02" * 8, Some("CLIENT"), Some(lo + 5), None, false,
+        Some("c"), Some("d"), false)
+    ).toDS()
+    val out = LinkJob.linkSpans(spans, Day, Admission.RootInWindow).collect().toSeq
+    assert(linkMap(out) == Map(("c", "d") -> (1L, 0L)))
+    // but both admitted under IndexDay
+    val all = LinkJob.linkSpans(spans, Day, Admission.IndexDay).collect().toSeq
+    assert(all.size == 2)
+  }
+
+  test("midnight straddle: root-window keeps whole trace; per-span splits it") {
+    import spark.implicits._
+    val (lo, hi) = LinkJob.dayWindowMicros(Day)
+    val spans = Seq(
+      Span("0000000000000c01", None, "0a" * 8, Some("CLIENT"), Some(hi - 1), None, false,
+        Some("a"), Some("b"), false),
+      // child lands after midnight
+      Span("0000000000000c01", Some("0a" * 8), "0b" * 8, Some("CLIENT"), Some(hi + 5000000), None,
+        false, Some("b"), Some("c"), false)
+    ).toDS()
+    val rootMode = LinkJob.linkSpans(spans, Day, Admission.RootInWindow).collect().toSeq
+    assert(linkMap(rootMode) == Map(("a", "b") -> (1L, 0L), ("b", "c") -> (1L, 0L)))
+    val spanMode = LinkJob.linkSpans(spans, Day, Admission.PerSpanWindow).collect().toSeq
+    assert(linkMap(spanMode) == Map(("a", "b") -> (1L, 0L)))
+  }
+
+  test("rerun_idempotent: writing the same day twice leaves identical links") {
+    val out = java.nio.file.Files.createTempDirectory("links").toString
+    val spans = LinkJob.readJsonV2(spark, fixture)
+    def run(): Unit = {
+      val links = LinkJob.linkSpans(spans, Day, Admission.PerSpanWindow)
+      LinkJob.writeLinks(links, Day, out)
+    }
+    run(); run()
+    val stored = spark.read.parquet(out).where(org.apache.spark.sql.functions.col("day") === Day)
+    assert(stored.count() == 5)
+    assert(stored.select("parent", "child").distinct().count() == 5)
+  }
+
+  test("heavy single trace (50k spans) links without skew blowup") {
+    import spark.implicits._
+    val n = 50000
+    val spans = spark.range(n).map { i =>
+      val id = f"$i%016x"
+      val parent = if (i == 0) None else Some(f"${(i - 1) / 2}%016x")
+      Span("000000000000dead", parent, id, Some(if (i % 2 == 0) "CLIENT" else "SERVER"),
+        Some(1754870400000000L + i), None, false,
+        Some(s"svc${i % 7}"), Some(s"svc${(i + 1) % 7}"), i % 11 == 0)
+    }
+    val out = LinkJob.linkSpans(spans, Day, Admission.IndexDay).collect()
+    assert(out.map(_.callCount).sum > 0)
+    assert(out.forall(l => l.errorCount <= l.callCount))
+  }
+}
