@@ -1,0 +1,222 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine — the core scrubbing passes of a training-data pipeline.
+  *
+  * Scale design (100 TB posture):
+  *  - exact dedup is one hash shuffle on a 64-bit digest of the text, never
+  *    on the text bytes themselves (shuffle volume ∝ ids, not payload);
+  *  - near-dup never compares all pairs: MinHash/SimHash/SRP signatures are
+  *    computed in a single codegen'd scan, then candidates come from an
+  *    equi-join on LSH band keys (shuffle on small band keys), and only
+  *    candidates are verified exactly;
+  *  - all hash families are seeded deterministically — re-runs and the
+  *    fixture tests see identical output.
+  */
+object Dedup {
+
+  // --- exact ---------------------------------------------------------------
+
+  /** Exact dedup keeping the smallest id per distinct value of `on`.
+    * Aggregates on xxhash64(on) first so the shuffle key is 8 bytes; the
+    * (astronomically unlikely) digest collision is resolved by a second
+    * groupBy on the value within each digest group. */
+  def exactDedup(df: DataFrame, on: String, idCol: String): DataFrame = {
+    df.groupBy(xxhash64(col(on)).as("_digest"), col(on))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("_digest")
+  }
+
+  /** Ids that would be dropped by exactDedup (duplicate report rows). */
+  def exactDupIds(df: DataFrame, on: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col(on))).orderBy(col(idCol))
+    df.select(col(idCol), row_number().over(w).as("_rn"))
+      .where(col("_rn") > 1).drop("_rn")
+  }
+
+  // --- MinHash + LSH -------------------------------------------------------
+
+  /** Deterministic affine hash family over xxhash64: h_i(x) = a_i*x + b_i
+    * (odd a_i, wraparound 64-bit). */
+  private def hashFamily(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  /** MinHash signature (k values) over character shingles.
+    *
+    * Shingling + xxhash64 stay Catalyst (codegen'd); the k-way min fold runs
+    * as a JVM UDF with primitive-long arithmetic — the affine family needs
+    * 64-bit wraparound, which ANSI-mode Catalyst arithmetic (correctly)
+    * rejects, and a k×|shingles| tight loop beats k separate
+    * transform+array_min expression evals anyway. One projection, no shuffle.
+    */
+  def minhash(text: Column, k: Int = 64, shingle: Int = 5, seed: Long = 42L): Column = {
+    val family = hashFamily(k, seed).toArray
+    val fold = udf { (hs: Seq[Long]) =>
+      val sig = Array.fill(k)(Long.MaxValue)
+      hs.foreach { h =>
+        var i = 0
+        while (i < k) {
+          val v = h * family(i)._1 + family(i)._2 // wraparound intended
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      sig
+    }
+    fold(array_distinct(transform(TextOps.charShingles(text, shingle), s => xxhash64(s))))
+  }
+
+  /** (band, bandKey) pairs for LSH banding: k = bands*rows, a candidate pair
+    * must collide on at least one whole band. */
+  def minhashBands(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"), xxhash64(to_json(struct(slice(sig, b * rows + 1, rows)))).as("key"))
+    }: _*)
+
+  /** Estimated Jaccard from two signatures: fraction of agreeing positions. */
+  def minhashEstimate(sigA: Column, sigB: Column, k: Int): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)).cast("double") / k
+
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * Pipeline: signature scan → explode band keys → self-equi-join on
+    * (band, key) → distinct candidate pairs → verify estimated Jaccard ≥
+    * threshold. Returns (idA, idB, est_jaccard) with idA < idB.
+    */
+  def minhashNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 64, bands: Int = 16, shingle: Int = 5,
+      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rows = k / bands
+    val sigs = df.select(col(idCol).as("_id"), minhash(col(textCol), k, shingle, seed).as("_sig"))
+      .persist()
+    val banded = sigs.select(col("_id"), col("_sig"),
+      explode(minhashBands(col("_sig"), bands, rows)).as("_b"))
+    val candidates = banded.as("l")
+      .join(banded.as("r"),
+        col("l._b") === col("r._b") && col("l._id") < col("r._id"))
+      .select(col("l._id").as("idA"), col("r._id").as("idB"),
+        col("l._sig").as("sigA"), col("r._sig").as("sigB"))
+      .distinct()
+    val out = candidates
+      .withColumn("est_jaccard", round(minhashEstimate(col("sigA"), col("sigB"), k), 6))
+      .where(col("est_jaccard") >= threshold)
+      .select("idA", "idB", "est_jaccard")
+    out
+  }
+
+  // --- n-gram Jaccard (exact) ---------------------------------------------
+
+  /** Exact Jaccard similarity between word-n-gram sets of candidate pairs.
+    * `pairs` must have (idA, idB); returns them with exact jaccard ≥
+    * threshold. Joining shingle sets only for candidates keeps the verify
+    * cost |candidates|, not |docs|². */
+  def ngramJaccardVerify(
+      df: DataFrame, pairs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.0): DataFrame = {
+    val sets = df.select(col(idCol).as("_id"), TextOps.wordShingles(col(textCol), n).as("_set"))
+    pairs
+      .join(sets.withColumnRenamed("_id", "idA").withColumnRenamed("_set", "_setA"), "idA")
+      .join(sets.withColumnRenamed("_id", "idB").withColumnRenamed("_set", "_setB"), "idB")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("_setA"), col("_setB"))).cast("double") /
+          greatest(size(array_union(col("_setA"), col("_setB"))), lit(1)), 6))
+      .where(col("jaccard") >= threshold)
+      .drop("_setA", "_setB")
+  }
+
+  /** Brute-force exact n-gram Jaccard over all pairs — the small-data oracle
+    * path (O(n²)); the scale path is minhashNearDups + ngramJaccardVerify. */
+  def ngramJaccardAllPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val ids = df.select(col(idCol).as("idA"))
+    val pairs = ids.crossJoin(df.select(col(idCol).as("idB"))).where(col("idA") < col("idB"))
+    ngramJaccardVerify(df, pairs, textCol, idCol, n, threshold)
+      .select("idA", "idB", "jaccard")
+  }
+
+  // --- SimHash -------------------------------------------------------------
+
+  /** 64-bit SimHash over character shingles. The bit-vote accumulation is a
+    * genuinely imperative 64-lane loop — a native Scala UDF (JVM, not
+    * Python) is the right tool; it runs inside the same scan stage. */
+  private val simhash64 = udf { (shingleHashes: Seq[Long]) =>
+    if (shingleHashes == null || shingleHashes.isEmpty) 0L
+    else {
+      val votes = new Array[Int](64)
+      shingleHashes.foreach { h =>
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+  }
+
+  def simhash(text: Column, shingle: Int = 5): Column =
+    simhash64(array_distinct(transform(TextOps.charShingles(text, shingle), s => xxhash64(s))))
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dups: block on 4×16-bit chunks (a pair within hamming
+    * distance ≤ 3 of 64 bits must agree on at least one chunk when distance
+    * ≤ 3 < 4 chunks — pigeonhole), then verify exact hamming ≤ maxDistance. */
+  def simhashNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      shingle: Int = 5, maxDistance: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("_id"), simhash(col(textCol), shingle).as("_sh")).persist()
+    val chunked = sh.select(col("_id"), col("_sh"),
+      explode(array((0 until 4).map { i =>
+        struct(lit(i).as("chunk"), shiftright(col("_sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("_c"))
+    chunked.as("l").join(chunked.as("r"),
+        col("l._c") === col("r._c") && col("l._id") < col("r._id"))
+      .select(col("l._id").as("idA"), col("r._id").as("idB"),
+        col("l._sh").as("shA"), col("r._sh").as("shB"))
+      .distinct()
+      .withColumn("hamming", hamming64(col("shA"), col("shB")))
+      .where(col("hamming") <= maxDistance)
+      .select("idA", "idB", "hamming")
+  }
+
+  // --- embedding cosine near-dup ------------------------------------------
+
+  /** Cosine-similarity near-duplicates over an embedding column, via random
+    * hyperplane (SRP) LSH: planes from a seeded RNG, signature = sign bits,
+    * block on signature chunks, verify exact cosine ≥ threshold. */
+  def embeddingNearDups(
+      df: DataFrame, vecCol: String, idCol: String,
+      dim: Int, planes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.95, seed: Long = 42L): DataFrame = {
+    val sig = Similarity.srpSignature(col(vecCol), dim, planes, seed)
+    val rows = planes / bands
+    val v = df.select(col(idCol).as("_id"), col(vecCol).as("_vec"), sig.as("_sig")).persist()
+    val banded = v.select(col("_id"), col("_vec"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), shiftright(col("_sig"), b * rows)
+          .bitwiseAND(lit((1L << rows) - 1)).as("key"))
+      }: _*)).as("_b"))
+    banded.as("l").join(banded.as("r"),
+        col("l._b") === col("r._b") && col("l._id") < col("r._id"))
+      .select(col("l._id").as("idA"), col("r._id").as("idB"),
+        col("l._vec").as("vecA"), col("r._vec").as("vecB"))
+      .distinct()
+      .withColumn("cosine", round(Similarity.cosine(col("vecA"), col("vecB")), 6))
+      .where(col("cosine") >= threshold)
+      .select("idA", "idB", "cosine")
+  }
+}

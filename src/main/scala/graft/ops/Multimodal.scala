@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as opaque
+  * BINARY columns with a typed metadata struct; decode / feature-extract /
+  * resize / frame-sample run per-partition over batches.
+  *
+  * The actual media decode is STUBBED (this container has no image/audio
+  * libraries): `fakeDecode` derives deterministic pseudo-features from the
+  * payload bytes. Everything Spark-side — schema, partitioning, batch
+  * iteration shape, output contract — is real and tested; swapping the stub
+  * for a JNI/FFI decoder changes one function.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every payload. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("modality", StringType), // image | audio | video
+    StructField("format", StringType), // png, wav, mp4, ...
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("durationMs", LongType),
+    StructField("sizeBytes", LongType)))
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("meta", metaSchema)))
+
+  /** Deterministic fake assets from the documents table — payload = utf-8
+    * text bytes, metadata derived from sizes. Stands in for a real
+    * binary-file/parquet-blob source. */
+  def fakeAssets(documents: DataFrame): DataFrame = {
+    val modality = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    documents.select(
+      col("doc_id").as("asset_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        modality.as("modality"),
+        element_at(array(lit("png"), lit("wav"), lit("mp4")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+        (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height"),
+        (length(col("text")) * 40L).as("durationMs"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("sizeBytes")).as("meta"))
+  }
+
+  /** STUB decoder: a real implementation would hand `payload` to an image/
+    * audio codec. The fake is deterministic in the bytes: a 16-bin byte
+    * histogram, normalized — shaped exactly like a feature vector a real
+    * extractor would emit. */
+  private[ops] def fakeDecode(payload: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](16)
+    if (payload == null || payload.isEmpty) return bins
+    payload.foreach(b => bins((b & 0xFF) >> 4) += 1f)
+    val n = payload.length.toFloat
+    bins.map(_ / n)
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("modality", StringType),
+    StructField("features", ArrayType(FloatType)),
+    StructField("batch_size", IntegerType)))
+
+  /** Feature extraction over payload batches: mapPartitions with bounded
+    * batches (the decoder amortizes setup per batch, exactly the shape a
+    * vectorized/FFI decoder needs). Output records the batch size each row
+    * was processed in, so tests pin the batching contract. */
+  def extractFeatures(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    assets.select(col("asset_id"), col("meta.modality").as("modality"), col("payload"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // per-batch decoder setup would go here (e.g. codec context)
+          batch.iterator.map { r =>
+            Row(r.getLong(0), r.getString(1),
+              fakeDecode(r.getAs[Array[Byte]]("payload")).toSeq, batch.size)
+          }
+        }
+      }(enc)
+  }
+
+  /** Frame sampling for "video" payloads: deterministic every-nth-slice of
+    * the payload as fake frames — real plumbing: one input row explodes to
+    * `frames` rows keyed (asset_id, frame_no), which is the storage/shuffle
+    * shape of real frame extraction. */
+  def sampleFrames(assets: DataFrame, frames: Int = 4): DataFrame = {
+    val sliceLen = greatest(floor(length(col("payload")) / frames), lit(1)).cast("int")
+    assets
+      .where(col("meta.modality") === "video")
+      .select(col("asset_id"), posexplode(
+        transform(sequence(lit(0), lit(frames - 1)),
+          i => substring(col("payload"), (i * sliceLen) + 1, lit(16)))))
+      .withColumnRenamed("pos", "frame_no")
+      .withColumnRenamed("col", "frame_bytes")
+      .where(length(col("frame_bytes")) > 0)
+  }
+
+  /** "Resize": byte-level downsample of image payloads to maxBytes —
+    * placeholder for a real resize, but preserves the contract that output
+    * payloads are bounded and metadata is updated consistently. */
+  def resizePayload(assets: DataFrame, maxBytes: Int = 256): DataFrame =
+    assets.withColumn("payload", substring(col("payload"), 1, maxBytes))
+      .withColumn("meta", col("meta").withField("sizeBytes",
+        least(col("meta.sizeBytes"), lit(maxBytes.toLong))))
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (ARRAY<FLOAT>).
+  *
+  * Baseline: brute-force cosine top-k (exact — broadcast the query set,
+  * scan the corpus once, per-partition top-k then global top-k; no corpus
+  * shuffle). Scale path: SRP-LSH bucketed search (probe only colliding
+  * buckets) — recall traded for a |bucket|-sized candidate set.
+  */
+object Similarity {
+
+  /** Dot product of two float arrays — zip_with + aggregate (Catalyst
+    * higher-order functions; no UDF, no serialization hop). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 for zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0d, 0.0d).otherwise(dot(a, b) / d)
+  }
+
+  /** Deterministic random hyperplanes: planes(p)(d) ~ N(0,1), seeded. */
+  private[ops] def planes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** SRP signature as a LONG bitmap: bit p = (vec · plane_p) >= 0. Built from
+    * Catalyst expressions over the broadcast-literal planes — one codegen'd
+    * projection per row, no shuffle. */
+  def srpSignature(vec: Column, dim: Int, nPlanes: Int = 16, seed: Long = 42L): Column = {
+    require(nPlanes <= 63, "signature must fit a LONG")
+    val ps = planes(dim, nPlanes, seed)
+    ps.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) >= 0.0d, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    *
+    * queries is expected to be small (it is broadcast); the corpus is scanned
+    * once, cosine computed per (query, corpus) pair, and top-k selected with
+    * a ranking window partitioned by query id.
+    * Returns (queryId, neighborId, cosine, rank), rank 1..k.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusVec: String, corpusId: String,
+      queries: DataFrame, queryVec: String, queryId: String,
+      k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(queryId).as("queryId"), col(queryVec).as("_qv")))
+    val c = corpus.select(col(corpusId).as("neighborId"), col(corpusVec).as("_cv"))
+    val scored = q.crossJoin(c)
+      .where(if (excludeSelf) col("queryId") =!= col("neighborId") else lit(true))
+      .select(col("queryId"), col("neighborId"),
+        round(cosine(col("_qv"), col("_cv")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("queryId").orderBy(col("cosine").desc, col("neighborId").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates must share the full SRP
+    * signature with the query (single-probe; raise nPlanes for precision,
+    * lower for recall). Candidate sets then rank exactly by cosine. */
+  def lshTopK(
+      corpus: DataFrame, corpusVec: String, corpusId: String,
+      queries: DataFrame, queryVec: String, queryId: String,
+      dim: Int, k: Int = 10, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighborId"), col(corpusVec).as("_cv"),
+      srpSignature(col(corpusVec), dim, nPlanes, seed).as("_sig"))
+    val q = broadcast(queries.select(col(queryId).as("queryId"), col(queryVec).as("_qv"),
+      srpSignature(col(queryVec), dim, nPlanes, seed).as("_sig")))
+    val scored = q.join(c, "_sig")
+      .where(col("queryId") =!= col("neighborId"))
+      .select(col("queryId"), col("neighborId"),
+        round(cosine(col("_qv"), col("_cv")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("queryId").orderBy(col("cosine").desc, col("neighborId").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** IVF-style coarse quantization: assign each vector to its nearest of
+    * `centroids` (broadcast literal), producing a partition key for
+    * bucket-pruned search / co-clustered storage. Centroids are provided by
+    * the caller (e.g. a sampled k-means done offline). */
+  def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (cVec, i) =>
+      val cLit = array(cVec.map(lit): _*)
+      struct(cosine(vec, cLit).as("sim"), lit(i).as("cid"))
+    }
+    array_max(array(scored: _*)).getField("cid")
+  }
+}

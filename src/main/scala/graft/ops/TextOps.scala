@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, language ID, quality scoring, fingerprinting. All column
+  * expressions are built-in Catalyst functions (whole-stage codegen; no
+  * Python/Scala UDF in the hot path) so they scale to 100 TB scans —
+  * per-document cost is linear in text length, no shuffle.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties removed (leading blanks yield an empty first
+    * split element — filtered, matching DuckDB's list_filter oracle). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: splits on word/number/punct boundaries the way
+    * byte-pair tokenizers pre-segment (a contraction-aware GPT-2-style
+    * pre-tokenization regex, simplified to what Java regex supports). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+"), lit(0)))
+
+  /** Character n-gram shingles of a lowercased text (the unit for MinHash /
+    * Jaccard / fingerprinting). Uses sequence+transform — pure Catalyst. */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = lower(text)
+    when(length(t) < n, array(t)).otherwise(
+      transform(sequence(lit(1), length(t) - (n - 1)), i => substring(t, i, lit(n))))
+  }
+
+  /** Word n-gram shingles (distinct), from whitespace tokens. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    array_distinct(
+      when(size(ts) < n, array(concat_ws(" ", ts))).otherwise(
+        transform(sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
+  }
+
+  // --- language ID (n-gram/stopword heuristic) -----------------------------
+
+  /** Tiny per-language marker lexicons (public common stopwords). The score of
+    * a language is the fraction of tokens found in its lexicon; CJK scripts
+    * are detected by codepoint range first. Deterministic, dependency-free. */
+  private val markers: Seq[(String, Set[String])] = Seq(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "a", "that", "for", "with", "as", "on", "are", "this", "it"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von", "für", "auf", "im"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "los", "se", "del", "las", "por", "un", "una", "con", "para"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "est", "en", "que", "une", "un", "du", "dans", "pour", "qui")
+  )
+
+  /** Per-language stopword hit counts → best guess. Implemented with
+    * size(array_intersect(tokens, lexicon)) per language — still pure
+    * Catalyst; ties break by language code, descending (struct max). Texts
+    * with a majority of CJK characters classify as "zh". */
+  def langId(text: Column): Column = {
+    val ts = tokens(lower(text))
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    val scores = markers.map { case (lang, lex) =>
+      struct(size(array_intersect(ts, array(lex.toSeq.map(lit): _*))).as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(cjk * 2 > length(text), lit("zh"))
+      .when(best.getField("hits") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  // --- quality scoring ------------------------------------------------------
+
+  /** Heuristic document-quality features + composite score in [0,1]:
+    * length band, punctuation ratio, digit ratio, mean token length,
+    * repetition (distinct-token ratio). The standard cheap pre-filters a
+    * training-data pipeline applies before expensive dedup/classification. */
+  def qualityFeatures(text: Column): Column = {
+    val ts = tokens(text)
+    val nTok = size(ts)
+    val nChar = length(text)
+    val punct = size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0)))
+    val digits = size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
+    val distinctRatio = when(nTok > 0, size(array_distinct(ts)).cast("double") / nTok).otherwise(0.0)
+    val meanTokLen = when(nTok > 0,
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok).otherwise(0.0)
+    struct(
+      nTok.as("n_tokens"),
+      nChar.as("n_chars"),
+      (punct.cast("double") / greatest(nChar, lit(1))).as("punct_ratio"),
+      (digits.cast("double") / greatest(nChar, lit(1))).as("digit_ratio"),
+      distinctRatio.as("distinct_ratio"),
+      meanTokLen.as("mean_token_len"))
+  }
+
+  /** Composite score: 1 when all features are in healthy bands, decaying
+    * multiplicatively outside them. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenOk = when(f.getField("n_tokens").between(5, 100000), lit(1.0))
+      .otherwise(f.getField("n_tokens").cast("double") / 5.0)
+    val punctOk = lit(1.0) - least(f.getField("punct_ratio") * 2, lit(1.0))
+    val digitOk = lit(1.0) - least(f.getField("digit_ratio") * 2, lit(1.0))
+    val repOk = f.getField("distinct_ratio")
+    round(least(lenOk, lit(1.0)) * punctOk * digitOk * (lit(0.5) + repOk / 2), 6)
+  }
+
+  // --- fingerprinting -------------------------------------------------------
+
+  /** Bottom-k sketch fingerprint (winnowing-style): the k smallest xxhash64
+    * values over character shingles. Robust to small edits; equal texts give
+    * equal fingerprints; containment of sketches approximates containment of
+    * documents. Pure Catalyst (sequence/transform/sort/slice). */
+  def fingerprint(text: Column, shingle: Int = 8, k: Int = 16): Column =
+    slice(array_sort(array_distinct(transform(charShingles(text, shingle), s => xxhash64(s)))), 1, k)
+
+  /** Single 64-bit rolling-style document fingerprint: min shingle hash. */
+  def fingerprint64(text: Column, shingle: Int = 8): Column =
+    array_min(transform(charShingles(text, shingle), s => xxhash64(s)))
+
+  // --- convenience: full annotation pass -----------------------------------
+
+  /** One projection adding all text-analysis columns — a single scan, no
+    * shuffle; every expression codegen'd. */
+  def annotate(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_bpeish_tokens", bpeishTokenCount(t))
+      .withColumn("lang_guess", langId(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fp64", fingerprint64(t))
+  }
+}

@@ -1,0 +1,230 @@
+package graft.ops
+
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  test("tokenCount handles empties and repeated whitespace") {
+    val df = Seq("a b  c", "  leading", "", "one").toDF("text")
+      .select(TextOps.tokenCount(col("text")).as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(3, 1, 0, 1))
+  }
+
+  test("bpeish token count splits words, numbers, punct") {
+    val n = Seq("hello world, it's 2024!").toDF("text")
+      .select(TextOps.bpeishTokenCount(col("text")).as("n")).as[Int].head()
+    // hello|world|,|it|'s|202|4|! = 8 (numbers chunk at 3 digits, cl100k-style)
+    assert(n == 8)
+  }
+
+  test("charShingles and wordShingles sizes") {
+    val cs = Seq("abcdef").toDF("text")
+      .select(size(TextOps.charShingles(col("text"), 5)).as("n")).as[Int].head()
+    assert(cs == 2) // abcde, bcdef
+    val ws = Seq("a b c d").toDF("text")
+      .select(size(TextOps.wordShingles(col("text"), 3)).as("n")).as[Int].head()
+    assert(ws == 2) // "a b c", "b c d"
+    val short = Seq("a b").toDF("text")
+      .select(TextOps.wordShingles(col("text"), 3).as("g")).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("langId recognizes stopword-bearing text and CJK") {
+    val got = Seq(
+      "the cat sat on the mat and it is warm",
+      "der Hund ist nicht mit der Katze",
+      "el perro y la casa de los niños",
+      "le chat est dans la maison pour les enfants",
+      "你好世界这是中文文本",
+      "zzz qqq xxx").toDF("text")
+      .select(TextOps.langId(col("text")).as("l")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "es", "fr", "zh", "und"))
+  }
+
+  test("qualityScore penalizes degenerate docs") {
+    val scores = Seq(
+      "a normal sentence with several distinct meaningful words here",
+      "spam spam spam spam spam spam spam spam spam spam",
+      "!!! ??? !!! ??? !!! ???",
+      "x").toDF("text")
+      .select(TextOps.qualityScore(col("text")).as("q")).as[Double].collect().toSeq
+    assert(scores(0) > 0.9)
+    assert(scores(1) < scores(0)) // repetition penalized
+    assert(scores(2) < 0.5) // punctuation penalized
+    assert(scores(3) < 0.5) // too short
+  }
+
+  test("fingerprint robust to small edits, exact for identical text") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different content about spark catalyst planning")).toDF("id", "text")
+      .select(col("id"), TextOps.fingerprint(col("text"), 8, 16).as("fp"))
+    val fps = df.as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L) == fps(2L))
+    val overlap = fps(1L).toSet.intersect(fps(3L).toSet).size
+    assert(overlap >= 8, s"near-identical docs share most sketch entries, got $overlap")
+    assert(fps(1L).toSet.intersect(fps(4L).toSet).size <= 2)
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private val base = "spark catalyst optimizes declarative query plans with predicate pushdown " +
+    "column pruning and whole stage code generation for fast scans"
+  private def docs = Seq(
+    (1L, base),
+    (2L, base), // exact dup of 1
+    (3L, base.replace("fast", "rapid")), // near dup of 1
+    (4L, "an entirely unrelated document discussing distributed consensus protocols raft paxos leader election terms"),
+    (5L, "yet another topic entirely namely cooking recipes for sourdough bread hydration ratios")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps min id per distinct text") {
+    val out = Dedup.exactDedup(docs, "text", "doc_id")
+      .orderBy("doc_id").as[(String, Long)].collect().map(_._2).toSeq
+    assert(out == Seq(1L, 3L, 4L, 5L))
+    val dropped = Dedup.exactDupIds(docs, "text", "doc_id").as[Long].collect().toSeq
+    assert(dropped == Seq(2L))
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", k = 64, bands = 16,
+      shingle = 5, threshold = 0.5)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || b == 5L || a == 4L || a == 5L })
+  }
+
+  test("minhash estimate approximates true jaccard") {
+    val est = Dedup.minhashNearDups(docs.where($"doc_id".isin(1, 2)), "text", "doc_id",
+      k = 64, bands = 16, shingle = 5, threshold = 0.0)
+      .select("est_jaccard").as[Double].head()
+    assert(est == 1.0) // identical docs agree on every minhash
+  }
+
+  test("ngram jaccard all-pairs matches LSH-candidates + verify") {
+    val brute = Dedup.ngramJaccardAllPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("idA", "idB", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val cands = Dedup.minhashNearDups(docs, "text", "doc_id", k = 64, bands = 16,
+      shingle = 5, threshold = 0.0).select("idA", "idB")
+    val lsh = Dedup.ngramJaccardVerify(docs, cands, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("idA", "idB", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(brute == lsh)
+    assert(brute.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("simhash: identical docs distance 0; near dups small; unrelated far") {
+    val sh = docs.select($"doc_id", Dedup.simhash(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) <= 8)
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(4L)) > 10)
+    val pairs = Dedup.simhashNearDups(docs, "text", "doc_id", maxDistance = 3)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("embedding near-dups via SRP-LSH finds planted duplicate vector") {
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val v1 = vec()
+    val v1close = v1.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val rows = Seq((1L, v1.toSeq), (2L, v1close.toSeq)) ++
+      (3L to 40L).map(i => (i, vec().toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, "embedding", "vec_id", dim = 16,
+      planes = 16, bands = 4, threshold = 0.99)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  test("cosine matches manual computation") {
+    val df = Seq((Seq(1f, 0f, 0f), Seq(0.6f, 0.8f, 0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b")).as("c")).as[Double].head()
+    assert(math.abs(c - 0.6) < 1e-6)
+    val z = Seq((Seq(0f, 0f), Seq(1f, 1f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c")).as[Double].head()
+    assert(z == 0.0)
+  }
+
+  test("brute-force topk ranks the planted twin first") {
+    val rnd = new scala.util.Random(11)
+    def vec(): Seq[Float] = Seq.fill(8)(rnd.nextGaussian().toFloat)
+    val v = vec()
+    val twin = v.map(_ * 2.0f) // same direction => cosine 1
+    val corpus = ((1L, v) +: (2L, twin) +: (3L to 30L).map(i => (i, vec()))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(corpus, "embedding", "vec_id",
+      corpus.where($"vec_id" === 1), "embedding", "vec_id", k = 3)
+    val first = top.where(col("rank") === 1).select("neighborId").as[Long].head()
+    assert(first == 2L)
+  }
+
+  test("lsh topk finds the twin (identical signature) and agrees with brute force") {
+    val rnd = new scala.util.Random(13)
+    def vec(): Seq[Float] = Seq.fill(8)(rnd.nextGaussian().toFloat)
+    val v = vec()
+    val twin = v.map(_ * 3.0f)
+    val corpus = ((1L, v) +: (2L, twin) +: (3L to 60L).map(i => (i, vec()))).toDF("vec_id", "embedding")
+    val top = Similarity.lshTopK(corpus, "embedding", "vec_id",
+      corpus.where($"vec_id" === 1), "embedding", "vec_id", dim = 8, k = 1, nPlanes = 6)
+    val first = top.select("neighborId").as[Long].head()
+    assert(first == 2L)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def docs = (0L until 100L).map(i => (i, s"document body number $i " * 3)).toDF("doc_id", "text")
+
+  test("fakeAssets carries payload bytes + typed metadata") {
+    val assets = Multimodal.fakeAssets(docs)
+    assert(assets.schema("payload").dataType.typeName == "binary")
+    val m = assets.select("meta.modality").distinct().as[String].collect().toSet
+    assert(m == Set("image", "audio", "video"))
+    val sz = assets.select(col("meta.sizeBytes") === length(col("payload"))).as[Boolean].collect()
+    assert(sz.forall(identity))
+  }
+
+  test("extractFeatures: normalized 16-bin features, bounded batches") {
+    val feats = Multimodal.extractFeatures(Multimodal.fakeAssets(docs), batchSize = 16)
+    val rows = feats.collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      val f = r.getAs[scala.collection.Seq[Float]]("features")
+      assert(f.length == 16)
+      assert(math.abs(f.sum - 1.0f) < 1e-3)
+      assert(r.getAs[Int]("batch_size") <= 16)
+    }
+  }
+
+  test("sampleFrames: video assets explode to at most N frames") {
+    val frames = Multimodal.sampleFrames(Multimodal.fakeAssets(docs), frames = 4)
+    val perAsset = frames.groupBy("asset_id").count().select("count").as[Long].collect()
+    assert(perAsset.nonEmpty && perAsset.forall(_ <= 4))
+    val nVideo = Multimodal.fakeAssets(docs).where(col("meta.modality") === "video").count()
+    assert(frames.select("asset_id").distinct().count() == nVideo)
+  }
+
+  test("resizePayload bounds payload and fixes metadata") {
+    val resized = Multimodal.resizePayload(Multimodal.fakeAssets(docs), maxBytes = 32)
+    val ok = resized.select(length(col("payload")) <= 32 && col("meta.sizeBytes") <= 32)
+      .as[Boolean].collect()
+    assert(ok.forall(identity))
+  }
+}
