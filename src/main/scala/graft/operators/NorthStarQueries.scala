@@ -23,15 +23,19 @@ object NorthStarQueries {
       .orderBy("doc_id")
 
   /** Near-duplicate pairs — MinHash LSH candidates verified with EXACT
-    * word-3-gram Jaccard ≥ 0.5. The LSH stage bounds candidate generation
-    * (no all-pairs); at ≥0.5 the banding (16 bands × 4 rows) has
-    * false-negative probability < 1e-7 for the ≥0.9-similarity pairs this
-    * threshold targets, so output equals the brute-force oracle. */
+    * word-3-gram Jaccard ≥ 0.5. The sketch uses the same unit as the verify
+    * metric (word 3-grams), so the estimate pre-filter at 0.35 is a valid
+    * lower bound screen for true ≥0.5 pairs (k=64 binomial tail: miss
+    * probability ≈ 3e-4 at j=0.5, ≈ 0 at the ≥0.9 pairs in this corpus) and
+    * background pairs (j≈0.01) never reach the exact verify. Output equals
+    * the brute-force all-pairs oracle. */
   def ngramNearDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
+    // persist: the verify stage consumes candidates twice (broadcast id set +
+    // pair join) — without this the whole LSH pipeline would run twice
     val candidates = Dedup.minhashNearDups(docs, "text", "doc_id",
-      k = 64, bands = 16, shingle = 5, threshold = 0.0)
-      .select("idA", "idB")
+      k = 64, bands = 16, shingle = 3, threshold = 0.35, wordGrams = true)
+      .select("idA", "idB").persist()
     Dedup.ngramJaccardVerify(docs, candidates, "text", "doc_id", n = 3, threshold = 0.5)
       .select("idA", "idB", "jaccard")
       .orderBy("idA", "idB")
@@ -94,7 +98,7 @@ object NorthStarQueries {
   /** Language-ID + quality annotation rollup (heuristics — fixture-tested,
     * rows-only for the driver). */
   def langQualityRollup(spark: SparkSession, dir: String): DataFrame =
-    TextOps.annotate(table(spark, dir, "documents"))
+    TextOps.annotate(graft.ops.Partitioning.spread(table(spark, dir, "documents")))
       .groupBy("lang_guess")
       .agg(count(lit(1)).as("n"), round(avg("quality"), 4).as("avg_quality"),
         round(avg("n_tokens"), 4).as("avg_tokens"))
@@ -103,7 +107,7 @@ object NorthStarQueries {
   /** Bottom-k fingerprint collisions: documents sharing min-shingle-hash
     * (rows-only; the fingerprint itself is hash-family-specific). */
   def fingerprintBuckets(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
+    graft.ops.Partitioning.spread(table(spark, dir, "documents"))
       .select(col("doc_id"), TextOps.fingerprint64(col("text")).as("fp64"))
       .groupBy("fp64").agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
       .where(col("n") > 1)

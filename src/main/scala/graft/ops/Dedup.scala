@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  import Partitioning.spread
+
   // --- exact ---------------------------------------------------------------
 
   /** Exact dedup keeping the smallest id per distinct value of `on`.
@@ -55,7 +57,8 @@ object Dedup {
     * rejects, and a k×|shingles| tight loop beats k separate
     * transform+array_min expression evals anyway. One projection, no shuffle.
     */
-  def minhash(text: Column, k: Int = 64, shingle: Int = 5, seed: Long = 42L): Column = {
+  def minhash(text: Column, k: Int = 64, shingle: Int = 5, seed: Long = 42L,
+      wordGrams: Boolean = false): Column = {
     val family = hashFamily(k, seed).toArray
     val fold = udf { (hs: Seq[Long]) =>
       val sig = Array.fill(k)(Long.MaxValue)
@@ -69,7 +72,10 @@ object Dedup {
       }
       sig
     }
-    fold(array_distinct(transform(TextOps.charShingles(text, shingle), s => xxhash64(s))))
+    val shingles =
+      if (wordGrams) TextOps.wordShingles(text, shingle)
+      else TextOps.charShingles(text, shingle)
+    fold(array_distinct(transform(shingles, s => xxhash64(s))))
   }
 
   /** (band, bandKey) pairs for LSH banding: k = bands*rows, a candidate pair
@@ -92,24 +98,29 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 64, bands: Int = 16, shingle: Int = 5,
-      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.7, seed: Long = 42L,
+      wordGrams: Boolean = false): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rows = k / bands
-    val sigs = df.select(col(idCol).as("_id"), minhash(col(textCol), k, shingle, seed).as("_sig"))
+    val sigs = spread(df)
+      .select(col(idCol).as("_id"),
+        minhash(col(textCol), k, shingle, seed, wordGrams).as("_sig"))
       .persist()
-    val banded = sigs.select(col("_id"), col("_sig"),
+    // the self-join and pair-dedup move only (id, bandKey) — 16-byte rows —
+    // never the k-long signatures; sigs re-attach afterwards (small side).
+    val banded = sigs.select(col("_id"),
       explode(minhashBands(col("_sig"), bands, rows)).as("_b"))
     val candidates = banded.as("l")
       .join(banded.as("r"),
         col("l._b") === col("r._b") && col("l._id") < col("r._id"))
-      .select(col("l._id").as("idA"), col("r._id").as("idB"),
-        col("l._sig").as("sigA"), col("r._sig").as("sigB"))
+      .select(col("l._id").as("idA"), col("r._id").as("idB"))
       .distinct()
-    val out = candidates
+    candidates
+      .join(sigs.select(col("_id").as("idA"), col("_sig").as("sigA")), "idA")
+      .join(sigs.select(col("_id").as("idB"), col("_sig").as("sigB")), "idB")
       .withColumn("est_jaccard", round(minhashEstimate(col("sigA"), col("sigB"), k), 6))
       .where(col("est_jaccard") >= threshold)
       .select("idA", "idB", "est_jaccard")
-    out
   }
 
   // --- n-gram Jaccard (exact) ---------------------------------------------
@@ -121,7 +132,13 @@ object Dedup {
   def ngramJaccardVerify(
       df: DataFrame, pairs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.0): DataFrame = {
-    val sets = df.select(col(idCol).as("_id"), TextOps.wordShingles(col(textCol), n).as("_set"))
+    // shingle only documents that occur in a candidate pair (left-semi on the
+    // broadcast candidate-id set) — at scale |candidates| ≪ |docs|
+    val neededIds = pairs.select(col("idA").as("_nid"))
+      .union(pairs.select(col("idB").as("_nid"))).distinct()
+    val sets = spread(df)
+      .join(broadcast(neededIds), col(idCol) === col("_nid"), "left_semi")
+      .select(col(idCol).as("_id"), TextOps.wordShingles(col(textCol), n).as("_set"))
     pairs
       .join(sets.withColumnRenamed("_id", "idA").withColumnRenamed("_set", "_setA"), "idA")
       .join(sets.withColumnRenamed("_id", "idB").withColumnRenamed("_set", "_setB"), "idB")
@@ -178,7 +195,8 @@ object Dedup {
   def simhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       shingle: Int = 5, maxDistance: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("_id"), simhash(col(textCol), shingle).as("_sh")).persist()
+    val sh = spread(df)
+      .select(col(idCol).as("_id"), simhash(col(textCol), shingle).as("_sh")).persist()
     val chunked = sh.select(col("_id"), col("_sh"),
       explode(array((0 until 4).map { i =>
         struct(lit(i).as("chunk"), shiftright(col("_sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
