@@ -9,7 +9,14 @@ import org.apache.spark.sql.SparkSession
   *
   *   runMain graft.Main --day 2025-08-11 --in spans.jsonl --out /path/links \
   *     [--admission index-day|per-span-window|root-in-window] \
-  *     [--strict-trace-id] [--master local[N]]
+  *     [--strict-trace-id] [--master local[N]] \
+  *     [--format json-v2|v1-rows] [--stream]
+  *
+  * --format v1-rows reads a parquet of tall Zipkin v1 annotation rows (the
+  * MySQL-path input shape, SURVEY §2.2) and reconstructs spans via
+  * conditional aggregation before linking. --stream runs the Structured
+  * Streaming session-gap pipeline over the input with an available-now
+  * trigger (file source), writing link deltas.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -39,12 +46,48 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val links = LinkJob.runDay(spark, req("in"), req("out"), day, admission,
-        strict = opts.contains("strict-trace-id"))
-      val n = links.count()
-      println(s"day=$day links=$n out=${req("out")}")
-      links.orderBy("parent", "child").show(100, truncate = false)
+      if (opts.contains("stream")) runStreaming(spark, opts, day)
+      else {
+        val strict = opts.contains("strict-trace-id")
+        val links = opts.getOrElse("format", "json-v2") match {
+          case "json-v2" =>
+            LinkJob.runDay(spark, req("in"), req("out"), day, admission, strict)
+          case "v1-rows" =>
+            val (lo, hi) = LinkJob.dayWindowMicros(day)
+            val spans = graft.codec.V1SpanFold.foldWindow(
+              spark.read.parquet(req("in")), lo, hi)
+            val linked = LinkJob.linkSpans(spans, day, Admission.IndexDay, strict).persist()
+            if (!linked.isEmpty) LinkJob.writeLinks(linked, day, req("out"))
+            linked
+          case other =>
+            System.err.println(s"unknown --format $other (json-v2|v1-rows)"); sys.exit(2)
+        }
+        val n = links.count()
+        println(s"day=$day links=$n out=${req("out")}")
+        links.orderBy("parent", "child").show(100, truncate = false)
+      }
     } finally spark.stop()
+  }
+
+  private def runStreaming(spark: SparkSession, opts: Map[String, String], day: String): Unit = {
+    def req(k: String): String = opts.getOrElse(k,
+      { System.err.println(s"missing required --$k\n$usage"); sys.exit(2) })
+    import graft.streaming.StreamingLinkJob
+    val spans = LinkJob.fromJsonV2Shape(
+      spark.readStream.schema(graft.model.Span.jsonV2Schema).json(req("in")))
+    val deltas = StreamingLinkJob.linkStream(spans,
+      gapMinutes = opts.getOrElse("gap-minutes", "10").toInt,
+      strict = opts.contains("strict-trace-id"))
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val query = deltas.writeStream
+      .format("parquet").option("path", req("out"))
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val n = spark.read.parquet(req("out")).count()
+    println(s"stream done deltas=$n out=${req("out")}")
   }
 
   private val usage =
@@ -52,7 +95,7 @@ object Main {
       "[--admission index-day|per-span-window|root-in-window] [--strict-trace-id] [--master local[N]]"
 
   private def parseArgs(args: Array[String]): Map[String, String] = {
-    val flags = Set("strict-trace-id")
+    val flags = Set("strict-trace-id", "stream")
     @annotation.tailrec
     def go(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
       case Nil => acc

@@ -1,0 +1,102 @@
+package graft.codec
+
+import graft.model.Span
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Zipkin v1 annotation-row reconstruction — operator M2 (SURVEY §2.2;
+  * reference mysql/.../DependencyLinkSpanIterator.java:21-187).
+  *
+  * Input (tall format, one row per span×annotation — the MySQL pushdown
+  * query's output shape, MySQLDependenciesJob.java:185-196):
+  *   trace_id_high LONG?, trace_id LONG, parent_id LONG?, id LONG,
+  *   a_key STRING in (lc,ca,cs,sa,sr,ma,ms,mr,error),
+  *   endpoint_service_name STRING?, a_type INT, start_ts LONG?
+  *
+  * Reconstruction per (trace_id, id) — conditional aggregation, NOT a
+  * sorted-run fold: the reference assumes rows arrive clustered by
+  * (trace_id, span_id) and silently depends on row-object reuse for
+  * correctness; this implementation is order-independent by construction
+  * (scalacheck-pinned). Grouping ignores trace_id_high so mixed-width
+  * reports of one trace don't double-count (reference :71-76).
+  *
+  * Classification (DependencyLinkSpanIterator.java:127-171, reproduced):
+  *  - ca defaults to the cs owner (:127);
+  *  - Finagle loopback guard: if sa == ca, drop ca (:129-131);
+  *  - sr       ⇒ SERVER  (local=sr, remote=ca)
+  *  - else sa  ⇒ kind = CLIENT iff cs else unset; local = ca else lc; remote=sa
+  *  - else cs  ⇒ SERVER  (local=ca, no remote)
+  *  - else mr  ⇒ CONSUMER(local=mr, remote=ma)
+  *  - else ms  ⇒ PRODUCER(local=ms, remote=ma)
+  *  - error counts only from a STRING binary annotation (a_type == 6, a tag
+  *    not an event — :120-122). Divergence (documented): the reference keeps
+  *    the LAST error row's verdict under its input order; we count the span
+  *    as errored if ANY error tag row exists (order-independent).
+  */
+object V1SpanFold {
+
+  private def svc(key: String): Column =
+    max(when(col("a_key") === key && length(col("endpoint_service_name")) > 0,
+      col("endpoint_service_name")))
+
+  /** Fold tall v1 annotation rows into the linker's span projection. */
+  def fold(rows: DataFrame): Dataset[Span] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+
+    val agg = rows
+      .groupBy(col("trace_id"), col("id"))
+      .agg(
+        svc("lc").as("lc"), svc("ca").as("ca"), svc("cs").as("cs"),
+        svc("sa").as("sa"), svc("sr").as("sr"), svc("ma").as("ma"),
+        svc("mr").as("mr"), svc("ms").as("ms"),
+        max(col("a_key") === "error" && col("a_type") === 6).as("err"),
+        max(col("parent_id")).as("parent_id"),
+        min(col("start_ts")).as("start_ts"))
+
+    // the client address is more authoritative than the client-send owner
+    val ca1 = coalesce(col("ca"), col("cs"))
+    // Finagle loopback guard
+    val caEff = when(col("sa").isNotNull && col("sa") === ca1, lit(null).cast("string"))
+      .otherwise(ca1)
+
+    val kind = when(col("sr").isNotNull, Span.Server)
+      .when(col("sa").isNotNull, when(col("cs").isNotNull, Span.Client))
+      .when(col("cs").isNotNull, Span.Server)
+      .when(col("mr").isNotNull, Span.Consumer)
+      .when(col("ms").isNotNull, Span.Producer)
+
+    val local = when(col("sr").isNotNull, col("sr"))
+      .when(col("sa").isNotNull, coalesce(caEff, col("lc")))
+      .when(col("cs").isNotNull, caEff)
+      .when(col("mr").isNotNull, col("mr"))
+      .when(col("ms").isNotNull, col("ms"))
+
+    val remote = when(col("sr").isNotNull, caEff)
+      .when(col("sa").isNotNull, col("sa"))
+      .when(col("cs").isNotNull, lit(null).cast("string"))
+      .when(col("mr").isNotNull, col("ma"))
+      .when(col("ms").isNotNull, col("ma"))
+
+    agg.select(
+      format_string("%016x", col("trace_id")).as("traceId"),
+      when(col("parent_id").isNotNull && col("parent_id") =!= 0,
+        format_string("%016x", col("parent_id"))).as("parentId"),
+      format_string("%016x", col("id")).as("id"),
+      kind.as("kind"),
+      col("start_ts").as("timestamp"),
+      lit(null).cast("long").as("duration"),
+      lit(false).as("shared"),
+      local.as("localServiceName"),
+      remote.as("remoteServiceName"),
+      coalesce(col("err"), lit(false)).as("errorTag")
+    ).as[Span]
+  }
+
+  /** Per-span time window (the reference pushes `start_ts BETWEEN` into the
+    * DB; here Catalyst pushes it into the scan) applied BEFORE folding, like
+    * the reference's WHERE runs before its GROUP BY. */
+  def foldWindow(rows: DataFrame, loMicros: Long, hiMicros: Long): Dataset[Span] =
+    fold(rows.where(col("start_ts").isNotNull &&
+      col("start_ts").between(loMicros, hiMicros)))
+}

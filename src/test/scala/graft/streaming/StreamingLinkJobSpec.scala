@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.model.Span
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingLinkJobSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  private def span(traceId: String, id: String, parentId: Option[String],
+      kind: String, local: String, remote: String, tsMicros: Long,
+      error: Boolean = false): Span =
+    Span(traceId, parentId, id, Some(kind), Some(tsMicros), None, false,
+      Some(local), Option(remote), error)
+
+  test("stream links a trace after its event-time session gap passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Span]
+    val deltas = StreamingLinkJob.linkStream(input.toDS(), gapMinutes = 10)
+    val query = deltas.writeStream.format("memory").queryName("links_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1754870400000000L // 2025-08-11T00:00:00Z in micros
+      // trace A: frontend -> backend
+      input.addData(
+        span("00000000000000a1", "01", None, "CLIENT", "frontend", "backend", t0),
+        span("00000000000000a1", "02", Some("01"), "SERVER", "backend", null, t0 + 5000L))
+      query.processAllAvailable()
+      // nothing emitted yet — watermark hasn't passed the session gap
+      assert(spark.sql("SELECT * FROM links_out").count() == 0)
+
+      // a much later span pushes the watermark past trace A's gap
+      input.addData(
+        span("00000000000000b2", "03", None, "CLIENT", "x", "y", t0 + 3600L * 1000000L))
+      query.processAllAvailable()
+      // one more microbatch so timed-out state is flushed
+      input.addData(
+        span("00000000000000c3", "04", None, "CLIENT", "p", "q", t0 + 7200L * 1000000L))
+      query.processAllAvailable()
+
+      val rows = spark.sql("SELECT day, parent, child, callCount, errorCount FROM links_out")
+        .as[(java.sql.Date, String, String, Long, Long)].collect().toSet
+      assert(rows.exists(r => r._2 == "frontend" && r._3 == "backend" && r._4 == 1L))
+      assert(rows.forall(_._1.toString == "2025-08-11" || rows.size > 1))
+    } finally query.stop()
+  }
+
+  test("giant-trace cap keeps earliest spans and still links") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Span]
+    val deltas = StreamingLinkJob.linkStream(input.toDS(), gapMinutes = 1, maxSpansPerTrace = 10)
+    val query = deltas.writeStream.format("memory").queryName("links_cap")
+      .outputMode("append").start()
+    try {
+      val t0 = 1754870400000000L
+      val big = (0 until 50).map { i =>
+        span("00000000000000d4", f"$i%02x", if (i == 0) None else Some(f"${i - 1}%02x"),
+          if (i % 2 == 0) "CLIENT" else "SERVER", s"svc${i % 3}", s"svc${(i + 1) % 3}",
+          t0 + i * 1000L)
+      }
+      input.addData(big: _*)
+      query.processAllAvailable()
+      input.addData(span("00000000000000e5", "ff", None, "CLIENT", "x", "y",
+        t0 + 7200L * 1000000L))
+      query.processAllAvailable()
+      input.addData(span("00000000000000e6", "fe", None, "CLIENT", "x", "y",
+        t0 + 9600L * 1000000L))
+      query.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM links_cap").as[Long].head()
+      assert(n > 0) // capped trace still produced links from its earliest spans
+    } finally query.stop()
+  }
+}
