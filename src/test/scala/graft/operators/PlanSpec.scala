@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.pipeline.{Admission, LinkJob, SparkTestSession}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts — the scale promises of SURVEY §4 as assertions,
+  * so a regression that silently de-optimizes a plan (lost pushdown, lost
+  * broadcast, extra shuffle, lost partial agg) fails the build. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("q01: column pruning reaches the parquet scan") {
+    val p = plan(ContractQueries.q01(spark, sf))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"))
+  }
+
+  test("q02: timestamp window is pushed into the scan") {
+    val p = plan(ContractQueries.q02(spark, sf))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q03: aggregation is partial before the exchange") {
+    val p = plan(ContractQueries.q03(spark, sf))
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "map-side partial aggregation expected")
+  }
+
+  test("q05: dimension join is broadcast, not shuffle") {
+    val p = plan(ContractQueries.q05(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q16: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(ContractQueries.q16(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("link pipeline: window pushed to scan; exactly two exchanges; partial agg") {
+    val spans = LinkJob.readJsonV2(spark,
+      getClass.getResource("/fixtures/spans_day.jsonl").getPath)
+    val p = plan(LinkJob.linkSpans(spans, "2025-08-11", Admission.PerSpanWindow).toDF())
+    assert(p.contains("GreaterThanOrEqual(timestamp"), "per-span window must reach the scan")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(
+      p.linesIterator.map(_.trim).mkString("\n")).size
+    val exchangeCount = p.linesIterator.count(l => l.trim.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchangeCount == 2,
+      s"trace shuffle + link-agg shuffle expected, got $exchangeCount\n$p")
+    assert(p.contains("partial_sum"), "link aggregation must combine map-side")
+  }
+
+}
