@@ -161,6 +161,19 @@ object NorthStarQueries {
       .orderBy("parent", "child").toDF()
   }
 
+  /** Approximate distinct (HLL++) vs exact — the §4.3 cardinality surface
+    * for 100 TB (exact distinct is a full shuffle of the values; HLL is a
+    * fixed-size sketch mergeable map-side). Rows-only: DuckDB's approx
+    * sketch differs. The exact column doubles as an in-row accuracy check. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .groupBy("source")
+      .agg(
+        approx_count_distinct(col("text"), 0.02).as("approx_uniq"),
+        countDistinct(col("text")).as("exact_uniq"),
+        count(lit(1)).as("n"))
+      .orderBy("source")
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keep_first" -> (dedupKeepFirst _),
     "q22_token_count" -> (tokenCounts _),
@@ -174,7 +187,8 @@ object NorthStarQueries {
     "q30_fingerprint_buckets" -> (fingerprintBuckets _),
     "q31_multimodal_features" -> (multimodalFeatures _),
     "q32_video_frames" -> (videoFrameSample _),
-    "q33_dependency_links" -> (dependencyLinks _)
+    "q33_dependency_links" -> (dependencyLinks _),
+    "q34_approx_distinct" -> (approxDistinct _)
   )
 
   /** DuckDB oracles for the SQL-expressible subset. */

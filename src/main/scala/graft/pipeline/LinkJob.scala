@@ -98,11 +98,17 @@ object LinkJob {
     * @param strict    group by stored traceId verbatim vs low-64 unification
     * @param admission which spans/traces count toward the day
     */
+  /** @param maxSpansPerTrace giant-trace guard (SURVEY §4.2): traces beyond
+    *   the cap keep their earliest `maxSpansPerTrace` spans (by timestamp,
+    *   then id — deterministic). 0 = off (reference behavior). Salting cannot
+    *   preserve tree-walk semantics, so a documented cap is the honest skew
+    *   mitigation. */
   def linkSpans(
       spans: Dataset[Span],
       day: String,
       admission: Admission = Admission.IndexDay,
-      strict: Boolean = false
+      strict: Boolean = false,
+      maxSpansPerTrace: Int = 0
   ): Dataset[DependencyLink] = {
     val spark = spans.sparkSession
     import spark.implicits._
@@ -117,7 +123,12 @@ object LinkJob {
     admitted
       .groupByKey(s => if (strict) s.traceId else s.traceIdLow64)
       .flatMapGroups { (_, it) =>
-        val spansOfTrace = it.toSeq
+        val all = it.toSeq
+        val spansOfTrace =
+          if (maxSpansPerTrace > 0 && all.size > maxSpansPerTrace)
+            all.sortBy(s => (s.timestamp.getOrElse(Long.MaxValue), s.id, s.shared))
+              .take(maxSpansPerTrace)
+          else all
         val admitTrace = !rootWindow || spansOfTrace.forall { s =>
           s.parentId.isDefined || s.timestamp.exists(ts => ts >= lo && ts <= hi)
         }
@@ -136,6 +147,16 @@ object LinkJob {
     links.withColumn("day", lit(java.sql.Date.valueOf(day)))
       .write.mode("overwrite").partitionBy("day").parquet(outPath)
   }
+
+  /** ES/OS-document-shaped sink parity (P16 — ElasticsearchDependenciesJob
+    * .java:209-221): one JSON doc per link with deterministic
+    * `id = parent|child`, so a re-run of the same day overwrites rather than
+    * duplicates. Day-scoped path = daily-index naming. */
+  def writeLinksAsJsonDocs(links: Dataset[DependencyLink], day: String, outPath: String): Unit =
+    links.select(
+      concat_ws("|", col("parent"), col("child")).as("id"),
+      col("parent"), col("child"), col("callCount"), col("errorCount"))
+      .write.mode("overwrite").json(s"$outPath/dependency-$day")
 
   /** One day end-to-end: read → link → write → return links (persisted). */
   def runDay(

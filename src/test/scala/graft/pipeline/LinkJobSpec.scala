@@ -90,6 +90,40 @@ class LinkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stored.select("parent", "child").distinct().count() == 5)
   }
 
+  test("maxSpansPerTrace caps giant traces deterministically (earliest kept)") {
+    import spark.implicits._
+    val t0 = 1754870400000000L
+    val spans = (0 until 100).map { i =>
+      Span("000000000000cafe", if (i == 0) None else Some(f"${(i - 1) / 2}%016x"),
+        f"$i%016x", Some(if (i % 2 == 0) "SERVER" else "CLIENT"), Some(t0 + i), None, false,
+        Some(s"svc${i % 7}"), Some(s"svc${(i + 1) % 7}"), false)
+    }.toDS()
+    val capped = LinkJob.linkSpans(spans, Day, Admission.IndexDay,
+      maxSpansPerTrace = 10).collect()
+    val full = LinkJob.linkSpans(spans, Day, Admission.IndexDay).collect()
+    assert(capped.map(_.callCount).sum < full.map(_.callCount).sum)
+    assert(capped.map(_.callCount).sum > 0)
+    // deterministic: same result on re-run
+    val capped2 = LinkJob.linkSpans(spans, Day, Admission.IndexDay,
+      maxSpansPerTrace = 10).collect()
+    assert(capped.toSeq.sortBy(l => (l.parent, l.child)) ==
+      capped2.toSeq.sortBy(l => (l.parent, l.child)))
+  }
+
+  test("ES-doc-shaped sink writes deterministic parent|child ids") {
+    val out = java.nio.file.Files.createTempDirectory("esdocs").toString
+    val links = LinkJob.linkSpans(LinkJob.readJsonV2(spark, fixture), Day,
+      Admission.PerSpanWindow)
+    LinkJob.writeLinksAsJsonDocs(links, Day, out)
+    val docs = spark.read.json(s"$out/dependency-$Day")
+    import spark.implicits._
+    val ids = docs.select("id").as[String].collect().toSet
+    assert(ids.contains("frontend|backend") && ids.contains("producer|kafka"))
+    // re-run overwrites (same doc count)
+    LinkJob.writeLinksAsJsonDocs(links, Day, out)
+    assert(spark.read.json(s"$out/dependency-$Day").count() == ids.size)
+  }
+
   test("heavy single trace (50k spans) links without skew blowup") {
     import spark.implicits._
     val n = 50000
