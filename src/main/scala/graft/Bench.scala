@@ -23,6 +23,7 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.expr.GraftFunctions.ensureRegistered(spark)
 
     def exec(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -45,6 +45,7 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.expr.GraftFunctions.ensureRegistered(spark)
     try {
       if (opts.contains("stream")) runStreaming(spark, opts, day)
       else {

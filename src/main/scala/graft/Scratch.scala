@@ -1,35 +1,36 @@
 package graft
 
+import graft.ops.{Dedup, TextOps}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Ad-hoc plan/profiling main (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.operators.ContractQueries._
-    val targets: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
-      "q01 scan+projection" -> q01(spark, dir),
-      "q02 filter pushdown" -> q02(spark, dir),
-      "q05 broadcast join" -> q05(spark, dir),
-      "q08 multiway join" -> q08(spark, dir),
-      "q16 topk" -> q16(spark, dir),
-      "link pipeline" -> {
-        val spans = graft.pipeline.LinkJob.readJsonV2(spark,
-          "/root/repo/src/test/resources/fixtures/spans_day.jsonl")
-        graft.pipeline.LinkJob.linkSpans(spans, "2025-08-11",
-          graft.pipeline.Admission.PerSpanWindow).toDF()
-      }
-    )
-    targets.foreach { case (name, df) =>
-      println(s"\n========== $name ==========")
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val spreadDocs = graft.ops.Partitioning.spread(docs)
+    time("warmup")(noop(spreadDocs))
+    time("word shingles (spread)")(noop(spreadDocs.select(TextOps.wordShingles(col("text"), 3).as("s"))))
+    time("char shingle hashes (spread)")(noop(spreadDocs.select(
+      array_distinct(transform(TextOps.charShingles(col("text"), 5), s => xxhash64(s))).as("h"))))
+    time("word minhash sig")(noop(spreadDocs.select(
+      Dedup.minhash(col("text"), 64, 3, 42L, wordGrams = true).as("sig"))))
+    time("q24 full")(noop(graft.operators.NorthStarQueries.ngramNearDups(spark, dir)))
+    time("q25 full")(noop(graft.operators.NorthStarQueries.minhashNearDups(spark, dir)))
     spark.stop()
   }
 }

@@ -1,0 +1,64 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.functions.{call_function, lit, lower}
+
+/** Session extension installing the fused text-sketch expressions
+  * (`spark.sql.extensions=graft.expr.GraftExtensions`), SURVEY §4.3's
+  * "promote to Catalyst Expression for bench-critical paths" step. The same
+  * builders can be attached to a live session with
+  * `GraftFunctions.ensureRegistered` (used by the ops layer, so the library
+  * works on sessions built without the extension). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.injections.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def intArg(args: Seq[Expression], i: Int, fn: String): Int = args(i) match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${i + 1} must be an integer literal, got $other")
+  }
+
+  val injections: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (args: Seq[Expression]) => MinHashSig(args.head,
+        intArg(args, 1, "graft_minhash"), intArg(args, 2, "graft_minhash"),
+        intArg(args, 3, "graft_minhash").toLong)),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHash64(args.head, intArg(args, 1, "graft_simhash"))),
+    (FunctionIdentifier("graft_fingerprint64"),
+      new ExpressionInfo(classOf[Fingerprint64].getName, "graft_fingerprint64"),
+      (args: Seq[Expression]) => Fingerprint64(args.head, intArg(args, 1, "graft_fingerprint64")))
+  )
+
+  /** Idempotently register on a live session (no-op when installed via the
+    * extension or a prior call). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    injections.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
+  }
+
+  // Column-side helpers (the session must have the functions registered)
+
+  /** Fused MinHash over lowercased byte n-grams. */
+  def minhash(text: Column, n: Int, k: Int, seed: Long): Column =
+    call_function("graft_minhash", lower(text), lit(n), lit(k), lit(seed))
+
+  /** Fused SimHash over lowercased distinct byte n-grams. */
+  def simhash(text: Column, n: Int): Column =
+    call_function("graft_simhash", lower(text), lit(n))
+
+  /** Fused min-window-hash fingerprint over lowercased byte n-grams. */
+  def fingerprint64(text: Column, n: Int): Column =
+    call_function("graft_fingerprint64", lower(text), lit(n))
+}

@@ -1,0 +1,154 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused text-sketch kernels: one pass over the UTF8String's bytes, no
+  * per-shingle String allocation (the built-in-function formulation —
+  * sequence→transform→substring→xxhash64 — allocates every shingle; these
+  * kernels hash byte windows in place).
+  *
+  * Shingles here are BYTE n-grams. For ASCII text the hash values equal
+  * `xxhash64(substring(...))` exactly (same bytes, same seed), so results are
+  * identical to the expression-tree path on the test corpus; for multi-byte
+  * UTF-8 a window may split a codepoint — an acceptable, documented semantic
+  * for hash-sketching (the sketch only needs a deterministic shingle family).
+  */
+object TextHash {
+  private val XXSEED = 42L // functions.xxhash64's default seed
+
+  /** Affine MinHash family — identical to Dedup.hashFamily (seeded). */
+  def family(k: Int, seed: Long): Array[Long] = {
+    val rnd = new scala.util.Random(seed)
+    val out = new Array[Long](2 * k)
+    var i = 0
+    while (i < k) {
+      out(2 * i) = rnd.nextLong() | 1L
+      out(2 * i + 1) = rnd.nextLong()
+      i += 1
+    }
+    out
+  }
+
+  private def windowCount(numBytes: Int, n: Int): Int =
+    if (numBytes <= n) 1 else numBytes - n + 1
+
+  private def windowHash(base: Object, off: Long, numBytes: Int, i: Int, n: Int): Long = {
+    val len = math.min(n, numBytes - i)
+    XXH64.hashUnsafeBytes(base, off + i, math.max(len, 0), XXSEED)
+  }
+
+  /** MinHash signature, one fused pass (family cached per (k, seed)). */
+  def minhash(s: UTF8String, n: Int, k: Int, seed: Long): UnsafeArrayData = {
+    val fam = familyCache.computeIfAbsent((k, seed),
+      kv => family(kv._1, kv._2))
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val windows = windowCount(nb, n)
+    var i = 0
+    while (i < windows) {
+      val h = windowHash(base, off, nb, i, n)
+      var j = 0
+      while (j < k) {
+        val v = h * fam(2 * j) + fam(2 * j + 1)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  private val familyCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[Long]]()
+
+  /** 64-bit SimHash over DISTINCT byte n-grams (distinct matches the
+    * array_distinct in the expression-tree formulation). */
+  def simhash(s: UTF8String, n: Int): Long = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    val windows = windowCount(nb, n)
+    val seen = new java.util.HashSet[java.lang.Long](math.min(windows * 2, 1 << 16))
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < windows) {
+      val h = windowHash(base, off, nb, i, n)
+      if (seen.add(h)) {
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Min window hash — the rolling 64-bit document fingerprint. */
+  def fingerprint64(s: UTF8String, n: Int): Long = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    val windows = windowCount(nb, n)
+    var min = Long.MaxValue
+    var i = 0
+    while (i < windows) {
+      val h = windowHash(base, off, nb, i, n)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+}
+
+/** `graft_minhash(text)` — fused MinHash signature (ArrayType(LongType)). */
+case class MinHashSig(child: Expression, n: Int, k: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.minhash(input.asInstanceOf[UTF8String], n, k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextHash.minhash($c, $n, $k, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `graft_simhash(text)` — fused 64-bit SimHash. */
+case class SimHash64(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.simhash(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextHash.simhash($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `graft_fingerprint64(text)` — fused min-window-hash fingerprint. */
+case class Fingerprint64(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fingerprint64"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.fingerprint64(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextHash.fingerprint64($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
+    copy(child = newChild)
+}

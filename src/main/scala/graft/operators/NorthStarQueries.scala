@@ -106,12 +106,14 @@ object NorthStarQueries {
 
   /** Bottom-k fingerprint collisions: documents sharing min-shingle-hash
     * (rows-only; the fingerprint itself is hash-family-specific). */
-  def fingerprintBuckets(spark: SparkSession, dir: String): DataFrame =
+  def fingerprintBuckets(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
     graft.ops.Partitioning.spread(table(spark, dir, "documents"))
-      .select(col("doc_id"), TextOps.fingerprint64(col("text")).as("fp64"))
+      .select(col("doc_id"), graft.expr.GraftFunctions.fingerprint64(col("text"), 8).as("fp64"))
       .groupBy("fp64").agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
       .where(col("n") > 1)
       .orderBy("fp64")
+  }
 
   // --- multimodal ----------------------------------------------------------
 

@@ -72,10 +72,13 @@ object Dedup {
       }
       sig
     }
-    val shingles =
-      if (wordGrams) TextOps.wordShingles(text, shingle)
-      else TextOps.charShingles(text, shingle)
-    fold(array_distinct(transform(shingles, s => xxhash64(s))))
+    if (wordGrams)
+      fold(array_distinct(transform(TextOps.wordShingles(text, shingle), s => xxhash64(s))))
+    else
+      // char path: fused codegen kernel (graft.expr.MinHashSig) — same hash
+      // values as the expression-tree formulation on ASCII text, one pass,
+      // zero per-shingle allocation
+      graft.expr.GraftFunctions.minhash(text, shingle, k, seed)
   }
 
   /** (band, bandKey) pairs for LSH banding: k = bands*rows, a candidate pair
@@ -101,6 +104,7 @@ object Dedup {
       threshold: Double = 0.7, seed: Long = 42L,
       wordGrams: Boolean = false): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
     val rows = k / bands
     val sigs = spread(df)
       .select(col(idCol).as("_id"),
@@ -184,6 +188,11 @@ object Dedup {
   }
 
   def simhash(text: Column, shingle: Int = 5): Column =
+    graft.expr.GraftFunctions.simhash(text, shingle)
+
+  /** Expression-tree SimHash (reference formulation; equals the fused kernel
+    * on ASCII — pinned by ExprSpec). */
+  def simhashBuiltin(text: Column, shingle: Int = 5): Column =
     simhash64(array_distinct(transform(TextOps.charShingles(text, shingle), s => xxhash64(s))))
 
   /** Hamming distance between two 64-bit simhashes. */
@@ -195,6 +204,7 @@ object Dedup {
   def simhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       shingle: Int = 5, maxDistance: Int = 3): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
     val sh = spread(df)
       .select(col(idCol).as("_id"), simhash(col(textCol), shingle).as("_sh")).persist()
     val chunked = sh.select(col("_id"), col("_sh"),

@@ -1,0 +1,78 @@
+package graft.expr
+
+import graft.ops.{Dedup, TextOps}
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The fused codegen kernels must agree exactly with the built-in-function
+  * formulations on ASCII text (same bytes → same xxhash64 values), and be
+  * callable from SQL via the registered functions. */
+class TextHashExprSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "spark catalyst whole stage codegen",
+    "aaaaa", "abc", "", "repeated repeated repeated repeated")
+
+  test("fused fingerprint64 equals builtin formulation on ASCII") {
+    val df = texts.toDF("text")
+    val both = df.select(
+      TextOps.fingerprint64(col("text"), 8).as("builtin"),
+      GraftFunctions.fingerprint64(col("text"), 8).as("fused"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (b, f) => assert(b == f) }
+  }
+
+  test("fused simhash equals builtin formulation on ASCII") {
+    val df = texts.toDF("text")
+    val both = df.select(
+      Dedup.simhashBuiltin(col("text"), 5).as("builtin"),
+      Dedup.simhash(col("text"), 5).as("fused"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (b, f) => assert(b == f) }
+  }
+
+  test("fused minhash matches the UDF fold over builtin shingle hashes") {
+    val df = texts.filter(_.nonEmpty).toDF("text")
+    // reconstruct the UDF-fold result: same family, same shingle hashes
+    val fam = TextHash.family(16, 42L)
+    val expected = df.select(
+      array_distinct(transform(TextOps.charShingles(col("text"), 5), s => xxhash64(s))).as("hs"))
+      .as[Seq[Long]].collect()
+      .map { hs =>
+        val sig = Array.fill(16)(Long.MaxValue)
+        hs.foreach { h =>
+          var i = 0
+          while (i < 16) {
+            val v = h * fam(2 * i) + fam(2 * i + 1)
+            if (v < sig(i)) sig(i) = v
+            i += 1
+          }
+        }
+        sig.toSeq
+      }
+    val fused = df.select(GraftFunctions.minhash(col("text"), 5, 16, 42L).as("sig"))
+      .as[Seq[Long]].collect()
+    expected.zip(fused).foreach { case (e, f) => assert(e == f) }
+  }
+
+  test("functions usable from raw SQL") {
+    spark.range(1).createOrReplaceTempView("one")
+    val r = spark.sql(
+      "SELECT graft_fingerprint64('hello world text', 8) AS fp, " +
+        "graft_simhash('hello world text', 5) AS sh, " +
+        "size(graft_minhash('hello world text', 5, 32, 42)) AS k")
+      .as[(Long, Long, Int)].head()
+    assert(r._3 == 32)
+  }
+
+  test("null text yields null, not a crash") {
+    val r = Seq[Option[String]](None, Some("x")).toDF("text")
+      .select(GraftFunctions.fingerprint64(col("text"), 8).as("fp"))
+      .collect()
+    assert(r(0).isNullAt(0) && !r(1).isNullAt(0))
+  }
+}

@@ -16,6 +16,7 @@ object SparkTestSession {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.expr.GraftFunctions.ensureRegistered(s)
     s
   }
 }
