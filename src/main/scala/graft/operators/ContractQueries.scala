@@ -260,7 +260,7 @@ object ContractQueries {
     "q16_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
     "q17_union_agg" ->
-      "SELECT k, SUM(n) AS n FROM (SELECT o_orderstatus AS k, count(*) AS n FROM orders GROUP BY k UNION ALL SELECT o_orderstatus, count(*) FROM orders GROUP BY o_orderstatus) GROUP BY k ORDER BY k",
+      "SELECT k, CAST(SUM(n) AS BIGINT) AS n FROM (SELECT o_orderstatus AS k, count(*) AS n FROM orders GROUP BY k UNION ALL SELECT o_orderstatus, count(*) FROM orders GROUP BY o_orderstatus) GROUP BY k ORDER BY k",
     "q18_exact_dedup" ->
       "SELECT lang, count(*) AS docs, count(DISTINCT text) AS uniq FROM documents GROUP BY lang ORDER BY lang",
     "q19_text_stats" ->

@@ -56,9 +56,14 @@ object NorthStarQueries {
 
   // --- similarity search ---------------------------------------------------
 
-  /** Brute-force exact cosine top-5 neighbors for the first 10 vectors. */
+  /** Brute-force exact cosine top-5 neighbors for the first 10 vectors.
+    * Embeddings widen FLOAT→DOUBLE before the dot product so the arithmetic
+    * is bit-comparable with the DuckDB oracle (float×float products would
+    * carry ~1e-8 error against the oracle's double path — too close to the
+    * round-6 boundary to trust). */
   def embeddingTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
     Similarity.bruteForceTopK(
       emb, "embedding", "vec_id",
       emb.where(col("vec_id") < 10), "embedding", "vec_id",
@@ -70,6 +75,7 @@ object NorthStarQueries {
   /** LSH-bucketed approximate top-5 for the same queries (the scale path). */
   def embeddingLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
     Similarity.lshTopK(
       emb, "embedding", "vec_id",
       emb.where(col("vec_id") < 10), "embedding", "vec_id",
@@ -165,8 +171,11 @@ object NorthStarQueries {
 
   /** Approximate distinct (HLL++) vs exact — the §4.3 cardinality surface
     * for 100 TB (exact distinct is a full shuffle of the values; HLL is a
-    * fixed-size sketch mergeable map-side). Rows-only: DuckDB's approx
-    * sketch differs. The exact column doubles as an in-row accuracy check. */
+    * fixed-size sketch mergeable map-side). DuckDB can't reproduce Spark's
+    * HLL values, so the sketch surfaces as `approx_ok` — |approx − exact| ≤
+    * 6%·exact (3× the configured rsd=0.02) — which the oracle pins to TRUE
+    * while the exact columns hash-match as usual. A sketch drifting out of
+    * its accuracy bound turns the row red. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .groupBy("source")
@@ -174,6 +183,8 @@ object NorthStarQueries {
         approx_count_distinct(col("text"), 0.02).as("approx_uniq"),
         countDistinct(col("text")).as("exact_uniq"),
         count(lit(1)).as("n"))
+      .select(col("source"), col("exact_uniq"), col("n"),
+        (abs(col("approx_uniq") - col("exact_uniq")) <= col("exact_uniq") * 0.06).as("approx_ok"))
       .orderBy("source")
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -193,14 +204,101 @@ object NorthStarQueries {
     "q34_approx_distinct" -> (approxDistinct _)
   )
 
+  /** Shared cosine fragment for the embedding oracles (double-widened, same
+    * round-6 as the Spark side). */
+  private def cosineSql(a: String, b: String): String =
+    s"ROUND(CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0 THEN 0.0 " +
+      s"ELSE list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END, 6)"
+
+  /** q28 oracle: the SRP planes are deterministic (seeded), so they embed in
+    * the SQL as double literals — the oracle recomputes the full signature,
+    * single-probe bucket join, and exact re-rank independently of Spark. */
+  private def q28OracleSql: String = {
+    val ps = Similarity.planes(dim = 64, nPlanes = 8, seed = 42L)
+    val sigExpr = ps.zipWithIndex.map { case (p, i) =>
+      val lit = p.map(_.toString).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"sig AS (SELECT vec_id, v, $sigExpr AS s FROM e), " +
+      "q AS (SELECT vec_id AS qid, v AS qv, s FROM sig WHERE vec_id < 10), " +
+      "scored AS (SELECT q.qid AS \"queryId\", c.vec_id AS \"neighborId\", " +
+      cosineSql("q.qv", "c.v") + " AS cosine " +
+      "FROM q JOIN sig c ON c.s = q.s WHERE c.vec_id <> q.qid), " +
+      "ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY \"queryId\" ORDER BY cosine DESC, \"neighborId\") AS INTEGER) AS rank FROM scored) " +
+      "SELECT \"queryId\", \"neighborId\", cosine, rank FROM ranked WHERE rank <= 5 ORDER BY \"queryId\", rank"
+  }
+
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracles: Map[String, String] = Map(
+    "q27_embedding_topk" ->
+      ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "scored AS (SELECT q.qid AS \"queryId\", c.nid AS \"neighborId\", " +
+        cosineSql("q.v", "c.v") + " AS cosine FROM q, c WHERE q.qid <> c.nid), " +
+        "ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY \"queryId\" ORDER BY cosine DESC, \"neighborId\") AS INTEGER) AS rank FROM scored) " +
+        "SELECT \"queryId\", \"neighborId\", cosine, rank FROM ranked WHERE rank <= 5 ORDER BY \"queryId\", rank"),
+    "q28_embedding_lsh_topk" -> q28OracleSql,
+    "q29_lang_quality" ->
+      ("WITH base AS (SELECT text, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts_raw, " +
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts_low FROM documents), " +
+        "feat AS (SELECT len(ts_raw) AS n_tok, length(text) AS n_char, " +
+        "len(regexp_extract_all(text, '[[:punct:]]')) AS punct, " +
+        "len(regexp_extract_all(text, '[0-9]')) AS digits, " +
+        "CASE WHEN len(ts_raw) > 0 THEN len(list_distinct(ts_raw))::DOUBLE / len(ts_raw) ELSE 0.0 END AS distinct_ratio, " +
+        "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk, " +
+        "len(list_intersect(ts_low, ['the','and','of','to','in','is','a','that','for','with','as','on','are','this','it'])) AS h_en, " +
+        "len(list_intersect(ts_low, ['der','die','das','und','ist','nicht','mit','ein','eine','zu','den','von','für','auf','im'])) AS h_de, " +
+        "len(list_intersect(ts_low, ['el','la','de','que','y','en','los','se','del','las','por','un','una','con','para'])) AS h_es, " +
+        "len(list_intersect(ts_low, ['le','la','les','de','des','et','est','en','que','une','un','du','dans','pour','qui'])) AS h_fr FROM base), " +
+        "scored AS (SELECT CASE WHEN cjk * 2 > n_char THEN 'zh' " +
+        "WHEN GREATEST(h_en,h_de,h_es,h_fr) > 0 THEN " +
+        "CASE GREATEST(h_en,h_de,h_es,h_fr) WHEN h_fr THEN 'fr' WHEN h_es THEN 'es' WHEN h_en THEN 'en' ELSE 'de' END " +
+        "ELSE 'und' END AS lang_guess, n_tok, " +
+        "ROUND(LEAST(CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE n_tok::DOUBLE / 5.0 END, 1.0) " +
+        "* (1.0 - LEAST(punct::DOUBLE / GREATEST(n_char,1) * 2, 1.0)) " +
+        "* (1.0 - LEAST(digits::DOUBLE / GREATEST(n_char,1) * 2, 1.0)) " +
+        "* (0.5 + distinct_ratio / 2), 6) AS quality FROM feat) " +
+        "SELECT lang_guess, count(*) AS n, ROUND(AVG(quality), 4) AS avg_quality, ROUND(AVG(n_tok), 4) AS avg_tokens " +
+        "FROM scored GROUP BY lang_guess ORDER BY lang_guess"),
+    // The SURVEY §2.5-promised independent linker oracle: a recursive-CTE walk
+    // to the nearest remote ancestor (the rule the linker applies imperatively)
+    // over the same span synthesis q33 builds from `events`.
+    "q33_dependency_links" ->
+      ("WITH RECURSIVE spans AS (SELECT event_id AS id, event_id // 50 AS trace, " +
+        "CASE WHEN event_id % 50 <> 0 THEN event_id - 1 END AS parent_id, " +
+        "CASE WHEN event_id % 2 = 0 THEN 'CLIENT' ELSE 'SERVER' END AS kind, " +
+        "'svc-' || event_type AS local_svc, " +
+        "'svc-' || (['click','view','purchase'])[CAST(user_id % 3 AS INTEGER) + 1] AS remote_svc, " +
+        "(value < 0.05) AS err FROM events), " +
+        "anc(id, trace, a_id, a_kind, a_local) AS (" +
+        "SELECT s.id, s.trace, p.id, p.kind, p.local_svc FROM spans s " +
+        "JOIN spans p ON p.trace = s.trace AND p.id = s.parent_id " +
+        "UNION ALL SELECT a.id, a.trace, p.id, p.kind, p.local_svc FROM anc a " +
+        "JOIN spans c ON c.trace = a.trace AND c.id = a.a_id " +
+        "JOIN spans p ON p.trace = a.trace AND p.id = c.parent_id WHERE a.a_kind IS NULL), " +
+        "remote_anc AS (SELECT id, trace, a_local FROM anc WHERE a_kind IS NOT NULL), " +
+        "server_links AS (SELECT COALESCE(ra.a_local, s.remote_svc) AS parent, s.local_svc AS child, s.err " +
+        "FROM spans s LEFT JOIN remote_anc ra ON ra.trace = s.trace AND ra.id = s.id " +
+        "WHERE s.kind = 'SERVER' AND NOT (s.parent_id IS NULL AND ra.a_local IS NULL AND s.remote_svc IS NULL)), " +
+        "client_leaves AS (SELECT s.local_svc, s.remote_svc, s.err, ra.a_local " +
+        "FROM spans s LEFT JOIN remote_anc ra ON ra.trace = s.trace AND ra.id = s.id " +
+        "WHERE s.kind = 'CLIENT' AND NOT EXISTS (SELECT 1 FROM spans c WHERE c.trace = s.trace AND c.parent_id = s.id)), " +
+        "all_links AS (SELECT parent, child, err FROM server_links " +
+        "UNION ALL SELECT a_local, local_svc, FALSE FROM client_leaves WHERE a_local IS NOT NULL AND a_local <> local_svc " +
+        "UNION ALL SELECT local_svc, remote_svc, err FROM client_leaves) " +
+        "SELECT parent, child, CAST(COUNT(*) AS BIGINT) AS \"callCount\", " +
+        "CAST(SUM(CASE WHEN err THEN 1 ELSE 0 END) AS BIGINT) AS \"errorCount\" " +
+        "FROM all_links GROUP BY parent, child ORDER BY parent, child"),
+    "q34_approx_distinct" ->
+      "SELECT source, COUNT(DISTINCT text) AS exact_uniq, COUNT(*) AS n, TRUE AS approx_ok FROM documents GROUP BY source ORDER BY source",
     "q21_dedup_keep_first" ->
       "SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
     "q22_token_count" ->
       "SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens FROM documents ORDER BY doc_id",
     "q23_text_stats_by_lang" ->
-      "SELECT lang, SUM(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS toks, SUM(len(regexp_extract_all(text, '[[:punct:]]'))) AS punct FROM documents GROUP BY lang ORDER BY lang",
+      "SELECT lang, CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS toks, CAST(SUM(len(regexp_extract_all(text, '[[:punct:]]'))) AS BIGINT) AS punct FROM documents GROUP BY lang ORDER BY lang",
     "q24_ngram_neardups" ->
       ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t FROM documents), " +
         "grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +

@@ -25,8 +25,10 @@ object Similarity {
     when(d === 0.0d, 0.0d).otherwise(dot(a, b) / d)
   }
 
-  /** Deterministic random hyperplanes: planes(p)(d) ~ N(0,1), seeded. */
-  private[ops] def planes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
+  /** Deterministic random hyperplanes: planes(p)(d) ~ N(0,1), seeded.
+    * Exposed to graft so the DuckDB oracle SQL for the SRP-LSH query can embed
+    * the identical planes as literals (NorthStarQueries.q28 oracle). */
+  private[graft] def planes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
