@@ -14,7 +14,10 @@ import org.apache.spark.sql.SparkSession
   *
   * --format v1-rows reads a parquet of tall Zipkin v1 annotation rows (the
   * MySQL-path input shape, SURVEY §2.2) and reconstructs spans via
-  * conditional aggregation before linking. --stream runs the Structured
+  * conditional aggregation before linking. --format v1-tables reads the two
+  * raw v1 tables (--in-spans, --in-annotations parquet of zipkin_spans /
+  * zipkin_annotations shape) and performs the reference's pushdown join in
+  * Spark before the same fold (M1). --stream runs the Structured
   * Streaming session-gap pipeline over the input with an available-now
   * trigger (file source), writing link deltas.
   */
@@ -60,8 +63,17 @@ object Main {
             val linked = LinkJob.linkSpans(spans, day, Admission.IndexDay, strict).persist()
             if (!linked.isEmpty) LinkJob.writeLinks(linked, day, req("out"))
             linked
+          case "v1-tables" =>
+            // M1: the two-table v1 ingest (zipkin_spans ⟕ zipkin_annotations)
+            val (lo, hi) = LinkJob.dayWindowMicros(day)
+            val spans = graft.codec.V1SpanFold.fromV1Tables(
+              spark.read.parquet(req("in-spans")),
+              spark.read.parquet(req("in-annotations")), lo, hi)
+            val linked = LinkJob.linkSpans(spans, day, Admission.IndexDay, strict).persist()
+            if (!linked.isEmpty) LinkJob.writeLinks(linked, day, req("out"))
+            linked
           case other =>
-            System.err.println(s"unknown --format $other (json-v2|v1-rows)"); sys.exit(2)
+            System.err.println(s"unknown --format $other (json-v2|v1-rows|v1-tables)"); sys.exit(2)
         }
         val n = links.count()
         println(s"day=$day links=$n out=${req("out")}")

@@ -29,9 +29,13 @@ import org.apache.spark.sql.functions._
   *  - else mr  ⇒ CONSUMER(local=mr, remote=ma)
   *  - else ms  ⇒ PRODUCER(local=ms, remote=ma)
   *  - error counts only from a STRING binary annotation (a_type == 6, a tag
-  *    not an event — :120-122). Divergence (documented): the reference keeps
-  *    the LAST error row's verdict under its input order; we count the span
-  *    as errored if ANY error tag row exists (order-independent).
+  *    not an event — :120-122), and only when the row carries a non-empty
+  *    endpoint_service_name — the reference skips key-or-value-null rows
+  *    before its switch (:94 `if (key == null || value == null) continue`),
+  *    so an error tag with no endpoint does NOT mark the span errored.
+  *    Divergence (documented): the reference keeps the LAST error row's
+  *    verdict under its input order; we count the span as errored if ANY
+  *    qualifying error tag row exists (order-independent).
   */
 object V1SpanFold {
 
@@ -50,7 +54,8 @@ object V1SpanFold {
         svc("lc").as("lc"), svc("ca").as("ca"), svc("cs").as("cs"),
         svc("sa").as("sa"), svc("sr").as("sr"), svc("ma").as("ma"),
         svc("mr").as("mr"), svc("ms").as("ms"),
-        max(col("a_key") === "error" && col("a_type") === 6).as("err"),
+        max(col("a_key") === "error" && col("a_type") === 6 &&
+          length(col("endpoint_service_name")) > 0).as("err"),
         max(col("parent_id")).as("parent_id"),
         min(col("start_ts")).as("start_ts"))
 
@@ -99,4 +104,46 @@ object V1SpanFold {
   def foldWindow(rows: DataFrame, loMicros: Long, hiMicros: Long): Dataset[Span] =
     fold(rows.where(col("start_ts").isNotNull &&
       col("start_ts").between(loMicros, hiMicros)))
+
+  /** M1 — the v1 two-table ingest (SURVEY §2.2). The reference pushes
+    *
+    *   SELECT DISTINCT s.trace_id, s.parent_id, s.id, a.a_key,
+    *          a.endpoint_service_name, a.a_type
+    *   FROM zipkin_spans s LEFT OUTER JOIN zipkin_annotations a
+    *     ON s.trace_id = a.trace_id AND s.id = a.span_id
+    *    AND a.a_key IN ('lc','ca','cs','sa','sr','ma','ms','mr','error')
+    *   WHERE s.start_ts BETWEEN lo AND hi
+    *   GROUP BY s.trace_id, s.id, a.a_key, a.endpoint_service_name, a.a_type
+    *
+    * down to MySQL (MySQLDependenciesJob.java:185-198); this is the same
+    * relation computed in Spark, so any two-table v1 store (parquet export,
+    * generic JDBC) can feed the linker. The LEFT OUTER keeps annotation-less
+    * spans as tree hops, exactly like the reference.
+    *
+    * Scale: the day filter and a_key IN (...) reach both scans (pushed
+    * filters); each side shuffles once on the join key (trace_id, id); the
+    * dedup aggregation and fold's groupBy cluster on subsets of that key, so
+    * Catalyst reuses the join partitioning — no additional exchange until
+    * the linker's trace regroup.
+    */
+  def fromV1Tables(
+      spansT: DataFrame, annotations: DataFrame,
+      loMicros: Long, hiMicros: Long): Dataset[Span] = {
+    val coreKeys = Seq("lc", "ca", "cs", "sa", "sr", "ma", "ms", "mr", "error")
+    val s = spansT
+      .where(col("start_ts").isNotNull && col("start_ts").between(loMicros, hiMicros))
+      .select(col("trace_id"), col("parent_id"), col("id"), col("start_ts"))
+    val a = annotations
+      .where(col("a_key").isin(coreKeys: _*))
+      .select(col("trace_id").as("a_trace_id"), col("span_id"),
+        col("a_key"), col("endpoint_service_name"), col("a_type"))
+    val tall = s.join(a,
+        s("trace_id") === col("a_trace_id") && s("id") === col("span_id"), "left_outer")
+      // reference GROUP BY (no parent_id/start_ts in the key — they are
+      // span-functional); min/max keeps the dedup deterministic
+      .groupBy(col("trace_id"), col("id"), col("a_key"),
+        col("endpoint_service_name"), col("a_type"))
+      .agg(max(col("parent_id")).as("parent_id"), min(col("start_ts")).as("start_ts"))
+    fold(tall)
+  }
 }

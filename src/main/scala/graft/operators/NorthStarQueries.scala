@@ -169,6 +169,53 @@ object NorthStarQueries {
       .orderBy("parent", "child").toDF()
   }
 
+  /** M1 driver surface — the v1 two-table ingest, end to end: synthesize
+    * zipkin_spans / zipkin_annotations-shaped tables from `events`, run the
+    * Spark-side pushdown join (V1SpanFold.fromV1Tables), fold, link.
+    *
+    * Synthesis (deterministic): spans chain as in q33 (trace = event_id/50,
+    * parent = previous event). Every non-"signup" span gets annotations
+    * sr=own service, ca=previous event's service (root: "svc-ingress"), a
+    * non-core "http.path" tag (must be filtered by the key list), and error
+    * rows exercising all three guards: a_type=6 with endpoint (counts,
+    * value<0.05), a_type=6 with NULL endpoint (must NOT count,
+    * 0.05≤value<0.07 — DependencyLinkSpanIterator.java:94), a_type=-1
+    * annotation (must NOT count, 0.07≤value<0.08). "signup" spans get no
+    * annotations — the LEFT OUTER join keeps them as kind-less tree hops the
+    * linker's ancestor walk must step across (recursion depth > 1). */
+  def v1TwoTableLinks(spark: SparkSession, dir: String): DataFrame = {
+    val (lo, hi) = LinkJob.dayWindowMicros("2024-01-01")
+    val ev = table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val trace = expr("event_id DIV 50")
+    val svc = concat(lit("svc-"), col("event_type"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(trace).orderBy("event_id")
+    val withCa = ev.withColumn("ca_svc", coalesce(lag(svc, 1).over(w), lit("svc-ingress")))
+    val spansT = ev.select(
+      trace.as("trace_id"),
+      when(pmod(col("event_id"), lit(50)) =!= 0, col("event_id") - 1).as("parent_id"),
+      col("event_id").as("id"),
+      (lit(lo) + pmod(col("event_id"), lit(1000000L))).as("start_ts"))
+    val annRows = withCa
+      .where(col("event_type") =!= "signup")
+      .select(trace.as("trace_id"), col("event_id").as("span_id"),
+        explode(array(
+          struct(lit("sr").as("k"), svc.as("esn"), lit(-1).as("t"), lit(true).as("keep")),
+          struct(lit("ca").as("k"), col("ca_svc").as("esn"), lit(-1).as("t"), lit(true).as("keep")),
+          struct(lit("http.path").as("k"), lit("/x").as("esn"), lit(6).as("t"), lit(true).as("keep")),
+          struct(lit("error").as("k"), svc.as("esn"), lit(6).as("t"), (col("value") < 0.05).as("keep")),
+          struct(lit("error").as("k"), lit(null).cast("string").as("esn"), lit(6).as("t"),
+            (col("value") >= 0.05 && col("value") < 0.07).as("keep")),
+          struct(lit("error").as("k"), svc.as("esn"), lit(-1).as("t"),
+            (col("value") >= 0.07 && col("value") < 0.08).as("keep")))).as("ann"))
+      .where(col("ann.keep"))
+      .select(col("trace_id"), col("span_id"), col("ann.k").as("a_key"),
+        col("ann.esn").as("endpoint_service_name"), col("ann.t").as("a_type"))
+    val spans = graft.codec.V1SpanFold.fromV1Tables(spansT, annRows, lo, hi)
+    LinkJob.linkSpans(spans, "2024-01-01", Admission.IndexDay)
+      .orderBy("parent", "child").toDF()
+  }
+
   /** Approximate distinct (HLL++) vs exact — the §4.3 cardinality surface
     * for 100 TB (exact distinct is a full shuffle of the values; HLL is a
     * fixed-size sketch mergeable map-side). DuckDB can't reproduce Spark's
@@ -201,7 +248,8 @@ object NorthStarQueries {
     "q31_multimodal_features" -> (multimodalFeatures _),
     "q32_video_frames" -> (videoFrameSample _),
     "q33_dependency_links" -> (dependencyLinks _),
-    "q34_approx_distinct" -> (approxDistinct _)
+    "q34_approx_distinct" -> (approxDistinct _),
+    "q46_v1_two_table_links" -> (v1TwoTableLinks _)
   )
 
   /** Shared cosine fragment for the embedding oracles (double-widened, same
@@ -293,6 +341,31 @@ object NorthStarQueries {
         "FROM all_links GROUP BY parent, child ORDER BY parent, child"),
     "q34_approx_distinct" ->
       "SELECT source, COUNT(DISTINCT text) AS exact_uniq, COUNT(*) AS n, TRUE AS approx_ok FROM documents GROUP BY source ORDER BY source",
+    // M1 oracle: replays the v1 synthesis + join + fold + linker rules in
+    // SQL. "signup" spans are annotation-less (kind null), so the
+    // nearest-remote-ancestor CTE genuinely recurses across them; the error
+    // guards (endpoint null / a_type annotation) are encoded in `err`.
+    "q46_v1_two_table_links" ->
+      ("WITH RECURSIVE spans AS (SELECT event_id AS id, event_id // 50 AS trace, " +
+        "CASE WHEN event_id % 50 <> 0 THEN event_id - 1 END AS parent_id, " +
+        "(event_type <> 'signup') AS annotated, " +
+        "'svc-' || event_type AS svc, " +
+        "(event_type <> 'signup' AND value < 0.05) AS err FROM events), " +
+        "withca AS (SELECT s.*, COALESCE(p.svc, 'svc-ingress') AS ca " +
+        "FROM spans s LEFT JOIN spans p ON p.trace = s.trace AND p.id = s.id - 1), " +
+        "anc(id, trace, a_id, a_annotated, a_svc) AS (" +
+        "SELECT s.id, s.trace, p.id, p.annotated, p.svc FROM spans s " +
+        "JOIN spans p ON p.trace = s.trace AND p.id = s.parent_id " +
+        "UNION ALL SELECT a.id, a.trace, p.id, p.annotated, p.svc FROM anc a " +
+        "JOIN spans c ON c.trace = a.trace AND c.id = a.a_id " +
+        "JOIN spans p ON p.trace = a.trace AND p.id = c.parent_id WHERE NOT a.a_annotated), " +
+        "remote_anc AS (SELECT id, trace, a_svc FROM anc WHERE a_annotated), " +
+        "links AS (SELECT COALESCE(ra.a_svc, s.ca) AS parent, s.svc AS child, s.err " +
+        "FROM withca s LEFT JOIN remote_anc ra ON ra.trace = s.trace AND ra.id = s.id " +
+        "WHERE s.annotated) " +
+        "SELECT parent, child, CAST(COUNT(*) AS BIGINT) AS \"callCount\", " +
+        "CAST(SUM(CASE WHEN err THEN 1 ELSE 0 END) AS BIGINT) AS \"errorCount\" " +
+        "FROM links GROUP BY parent, child ORDER BY parent, child"),
     "q21_dedup_keep_first" ->
       "SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
     "q22_token_count" ->

@@ -138,6 +138,66 @@ class V1SpanFoldSpec extends AnyFunSuite {
       DependencyLink("frontend", "backend", 1, 0)))
   }
 
+  test("error tag with null or empty endpoint does NOT mark the span errored") {
+    // reference skips key-or-value-null rows before its switch
+    // (DependencyLinkSpanIterator.java:94)
+    val nullEp = fold(Seq(
+      (null, 1L, null, 10L, "cs", "frontend", EVENT, 1000L),
+      (null, 1L, null, 10L, "error", null, STRING, 1000L))).head
+    assert(!nullEp.errorTag)
+    val emptyEp = fold(Seq(
+      (null, 2L, null, 11L, "cs", "frontend", EVENT, 1000L),
+      (null, 2L, null, 11L, "error", "", STRING, 1000L))).head
+    assert(!emptyEp.errorTag)
+    val withEp = fold(Seq(
+      (null, 3L, null, 12L, "cs", "frontend", EVENT, 1000L),
+      (null, 3L, null, 12L, "error", "frontend", STRING, 1000L))).head
+    assert(withEp.errorTag)
+  }
+
+  test("M1 two-table join: same links as the pre-joined tall-row path") {
+    import spark.implicits._
+    // zipkin_spans: a 3-span chain inside the window + one span outside it
+    val spansT = Seq(
+      (1L, null.asInstanceOf[java.lang.Long], 10L, java.lang.Long.valueOf(1000L)),
+      (1L, java.lang.Long.valueOf(10L), 11L, java.lang.Long.valueOf(1100L)),
+      (1L, java.lang.Long.valueOf(11L), 12L, java.lang.Long.valueOf(1200L)),
+      (1L, java.lang.Long.valueOf(12L), 13L, java.lang.Long.valueOf(999999L)))
+      .toDF("trace_id", "parent_id", "id", "start_ts")
+    // zipkin_annotations: cs/sr pairs, a non-core key (filtered), a
+    // null-endpoint error (ignored), a real error tag on span 12
+    val annos = Seq(
+      (1L, 10L, "cs", "frontend", EVENT),
+      (1L, 11L, "sr", "backend", EVENT),
+      (1L, 11L, "ca", "frontend", EVENT),
+      (1L, 11L, "http.path", "/api", STRING),
+      (1L, 12L, "sr", "db", EVENT),
+      (1L, 12L, "ca", "backend", EVENT),
+      (1L, 12L, "error", null.asInstanceOf[String], STRING),
+      (1L, 12L, "error", "db", STRING),
+      (1L, 13L, "sr", "late", EVENT))
+      .toDF("trace_id", "span_id", "a_key", "endpoint_service_name", "a_type")
+    val spans = V1SpanFold.fromV1Tables(spansT, annos, 0L, 10000L).collect().toSeq
+    assert(spans.map(_.id).sorted ==
+      Seq("000000000000000a", "000000000000000b", "000000000000000c"))
+    val links = DependencyLinker.link(spans)
+    assert(links == Seq(
+      DependencyLink("backend", "db", 1, 1),
+      DependencyLink("frontend", "backend", 1, 0)))
+
+    // equivalence: the identical tall relation produces the identical spans
+    val tall = rowsDf(Seq(
+      (null, 1L, null, 10L, "cs", "frontend", EVENT, 1000L),
+      (null, 1L, java.lang.Long.valueOf(10L), 11L, "sr", "backend", EVENT, 1100L),
+      (null, 1L, java.lang.Long.valueOf(10L), 11L, "ca", "frontend", EVENT, 1100L),
+      (null, 1L, java.lang.Long.valueOf(11L), 12L, "sr", "db", EVENT, 1200L),
+      (null, 1L, java.lang.Long.valueOf(11L), 12L, "ca", "backend", EVENT, 1200L),
+      (null, 1L, java.lang.Long.valueOf(11L), 12L, "error", null, STRING, 1200L),
+      (null, 1L, java.lang.Long.valueOf(11L), 12L, "error", "db", STRING, 1200L)))
+    val viaTall = V1SpanFold.fold(tall).collect().toSeq.sortBy(_.id)
+    assert(spans.sortBy(_.id) == viaTall)
+  }
+
   test("per-span window filter drops out-of-window spans before folding") {
     val spans = V1SpanFold.foldWindow(rowsDf(Seq(
       (null, 1L, null, 10L, "cs", "in-window", EVENT, 5000L),
