@@ -35,12 +35,23 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warmup: flagship query twice (JIT + filesystem metadata)
+    // warmup: the flagship query plus one representative of each heavy
+    // kernel family (LSH text sketching, embedding similarity) — absorbs
+    // JVM/classloader/JIT and filesystem metadata so the measurements
+    // reflect the warm engine rather than first-touch compilation of the
+    // fused kernels (~+2-4s on whichever query runs one first)
     exec("warmup", (s, d) => SparkEntry.entry(s))
     exec("warmup", (s, d) => SparkEntry.entry(s))
+    exec("warmup-lsh", (s, d) => graft.operators.NorthStarQueries.ngramNearDups(s, d))
+    exec("warmup-emb", (s, d) => graft.operators.NorthStarQueries.embeddingTopK(s, d))
+    spark.sharedState.cacheManager.clearCache()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> (math.round(exec(name, fn) * 1000.0) / 1000.0)
+      val sec = math.round(exec(name, fn) * 1000.0) / 1000.0
+      // release per-query persisted intermediates (LSH signatures, candidate
+      // sets) so no cached blocks leak into the next measurement
+      spark.sharedState.cacheManager.clearCache()
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = math.round(results.map(_._2).filter(_ >= 0).sum * 1000.0) / 1000.0

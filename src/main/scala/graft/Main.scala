@@ -78,6 +78,7 @@ object Main {
         val n = links.count()
         println(s"day=$day links=$n out=${req("out")}")
         links.orderBy("parent", "child").show(100, truncate = false)
+        links.unpersist()
       }
     } finally spark.stop()
   }

@@ -24,13 +24,17 @@ object Scratch {
 
     val spreadDocs = graft.ops.Partitioning.spread(docs)
     time("warmup")(noop(spreadDocs))
-    time("word shingles (spread)")(noop(spreadDocs.select(TextOps.wordShingles(col("text"), 3).as("s"))))
-    time("char shingle hashes (spread)")(noop(spreadDocs.select(
-      array_distinct(transform(TextOps.charShingles(col("text"), 5), s => xxhash64(s))).as("h"))))
+    // warm the kernel paths first so probes measure steady state, not JIT
+    time("warmup-lsh")(noop(Dedup.minhashNearDups(docs, "text", "doc_id",
+      k = 64, bands = 16, shingle = 3, threshold = 0.35, wordGrams = true)))
+    spark.sharedState.cacheManager.clearCache()
     time("word minhash sig")(noop(spreadDocs.select(
       Dedup.minhash(col("text"), 64, 3, 42L, wordGrams = true).as("sig"))))
     time("q24 full")(noop(graft.operators.NorthStarQueries.ngramNearDups(spark, dir)))
+    spark.sharedState.cacheManager.clearCache()
     time("q25 full")(noop(graft.operators.NorthStarQueries.minhashNearDups(spark, dir)))
+    spark.sharedState.cacheManager.clearCache()
+    time("q26 full")(noop(graft.operators.NorthStarQueries.simhashNearDups(spark, dir)))
     spark.stop()
   }
 }

@@ -31,6 +31,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => MinHashSig(args.head,
         intArg(args, 1, "graft_minhash"), intArg(args, 2, "graft_minhash"),
         intArg(args, 3, "graft_minhash").toLong)),
+    (FunctionIdentifier("graft_word_minhash"),
+      new ExpressionInfo(classOf[WordMinHashSig].getName, "graft_word_minhash"),
+      (args: Seq[Expression]) => WordMinHashSig(args.head,
+        intArg(args, 1, "graft_word_minhash"), intArg(args, 2, "graft_word_minhash"),
+        intArg(args, 3, "graft_word_minhash").toLong)),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHash64(args.head, intArg(args, 1, "graft_simhash"))),
@@ -53,6 +58,11 @@ object GraftFunctions {
   /** Fused MinHash over lowercased byte n-grams. */
   def minhash(text: Column, n: Int, k: Int, seed: Long): Column =
     call_function("graft_minhash", lower(text), lit(n), lit(k), lit(seed))
+
+  /** Fused MinHash over word n-grams (NOT lowercased — wordShingles
+    * tokenizes the raw text). */
+  def wordMinhash(text: Column, n: Int, k: Int, seed: Long): Column =
+    call_function("graft_word_minhash", text, lit(n), lit(k), lit(seed))
 
   /** Fused SimHash over lowercased distinct byte n-grams. */
   def simhash(text: Column, n: Int): Column =

@@ -67,6 +67,84 @@ object TextHash {
   private val familyCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[Long]]()
 
+  // Java-regex \s without UNICODE_CHARACTER_CLASS is ASCII-only:
+  // [ \t\n\x0B\f\r] = 0x20 plus the contiguous 0x09..0x0D run, so a bytewise
+  // scan tokenizes any UTF-8 input exactly like split(text, "\\s+").
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20.toByte || (b >= 0x09 && b <= 0x0D)
+
+  /** Word-n-gram MinHash signature in one fused pass.
+    *
+    * Tokenization matches `filter(split(text, "\\s+"), t => t =!= "")`
+    * (maximal non-whitespace byte runs). Tokens are normalized into ONE
+    * single-space-joined buffer — the only per-row allocation — and each
+    * n-token shingle is then a contiguous byte window of that buffer,
+    * hashed in place: bit-equal to xxhash64(concat_ws(" ", slice(tokens,
+    * i, n))) of the expression-tree path. Duplicate shingles need no dedup
+    * (the min-fold is idempotent); fewer than n tokens (including zero)
+    * yield the whole-buffer shingle, matching wordShingles' concat_ws
+    * fallback. Replaces the boxed Seq[Long] UDF fold that dominated the
+    * near-dup queries' scan stage.
+    */
+  def wordMinhash(s: UTF8String, n: Int, k: Int, seed: Long): UnsafeArrayData = {
+    val fam = familyCache.computeIfAbsent((k, seed), kv => family(kv._1, kv._2))
+    val bytes = s.getBytes
+    val nb = bytes.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nt = 0
+    var i = 0
+    while (i < nb) {
+      if (!isWs(bytes(i))) {
+        var j = i + 1
+        while (j < nb && !isWs(bytes(j))) j += 1
+        if (nt == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nt * 2)
+          ends = java.util.Arrays.copyOf(ends, nt * 2)
+        }
+        starts(nt) = i; ends(nt) = j; nt += 1
+        i = j
+      } else i += 1
+    }
+    var total = if (nt > 0) nt - 1 else 0
+    var t = 0
+    while (t < nt) { total += ends(t) - starts(t); t += 1 }
+    val buf = new Array[Byte](total)
+    val bstart = new Array[Int](math.max(nt, 1))
+    var pos = 0
+    t = 0
+    while (t < nt) {
+      if (t > 0) { buf(pos) = 0x20; pos += 1 }
+      bstart(t) = pos
+      val len = ends(t) - starts(t)
+      System.arraycopy(bytes, starts(t), buf, pos, len)
+      pos += len
+      t += 1
+    }
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    def fold(off: Int, len: Int): Unit = {
+      val h = XXH64.hashUnsafeBytes(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off, len, XXSEED)
+      var j = 0
+      while (j < k) {
+        val v = h * fam(2 * j) + fam(2 * j + 1)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+    }
+    if (nt < n) fold(0, total)
+    else {
+      var w = 0
+      while (w <= nt - n) {
+        val wEnd = bstart(w + n - 1) + (ends(w + n - 1) - starts(w + n - 1))
+        fold(bstart(w), wEnd - bstart(w))
+        w += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
   /** 64-bit SimHash over DISTINCT byte n-grams (distinct matches the
     * array_distinct in the expression-tree formulation). */
   def simhash(s: UTF8String, n: Int): Long = {
@@ -122,6 +200,20 @@ case class MinHashSig(child: Expression, n: Int, k: Int, seed: Long)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expr.TextHash.minhash($c, $n, $k, ${seed}L)")
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `graft_word_minhash(text)` — fused word-n-gram MinHash signature. */
+case class WordMinHashSig(child: Expression, n: Int, k: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_word_minhash"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.wordMinhash(input.asInstanceOf[UTF8String], n, k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextHash.wordMinhash($c, $n, $k, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): WordMinHashSig =
     copy(child = newChild)
 }
 

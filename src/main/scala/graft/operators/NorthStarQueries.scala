@@ -32,7 +32,8 @@ object NorthStarQueries {
   def ngramNearDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     // persist: the verify stage consumes candidates twice (broadcast id set +
-    // pair join) — without this the whole LSH pipeline would run twice
+    // pair join) — without this the whole LSH pipeline would run twice.
+    // Ownership: Verify/Bench clear the cache after each query's action.
     val candidates = Dedup.minhashNearDups(docs, "text", "doc_id",
       k = 64, bands = 16, shingle = 3, threshold = 0.35, wordGrams = true)
       .select("idA", "idB").persist()
@@ -41,10 +42,13 @@ object NorthStarQueries {
       .orderBy("idA", "idB")
   }
 
-  /** MinHash estimated-Jaccard near-dup pairs (the pure sketch path). */
+  /** MinHash estimated-Jaccard near-dup pairs (the pure sketch path).
+    * Banded on word 3-grams: char-5-grams over this small-vocab corpus
+    * collide whole bands (~72k spurious candidates at sf0.1 — BASELINE.md);
+    * word-gram bands keep the candidate set ≈ the true near-dup set. */
   def minhashNearDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(table(spark, dir, "documents"), "text", "doc_id",
-      k = 64, bands = 16, shingle = 5, threshold = 0.5)
+      k = 64, bands = 16, shingle = 3, threshold = 0.5, wordGrams = true)
       .orderBy("idA", "idB")
 
   /** SimHash: closest candidate pairs by hamming distance (4×16-bit block

@@ -23,13 +23,34 @@ object Dedup {
   // --- exact ---------------------------------------------------------------
 
   /** Exact dedup keeping the smallest id per distinct value of `on`.
-    * Aggregates on xxhash64(on) first so the shuffle key is 8 bytes; the
-    * (astronomically unlikely) digest collision is resolved by a second
-    * groupBy on the value within each digest group. */
+    * Requires `idCol` unique per row (a document id).
+    *
+    * Scale design (100 TB): the wide payload never travels as a shuffle key.
+    *  - Phase 1 aggregates (digest, witness, id) — 24 bytes/row — by the
+    *    8-byte xxhash64 digest, electing min(id) per digest; an independent
+    *    second hash is the collision witness (distinct texts sharing the
+    *    digest disagree on the witness w.p. 1 − 2⁻⁶⁴).
+    *  - Phase 2 re-resolves only the flagged digests by exact value (a
+    *    broadcast-semi restriction — the flagged set is ~0 rows).
+    *  - Phase 3 selects surviving rows with a left-semi join on the unique
+    *    id — the single payload-moving step (the output IS the surviving
+    *    corpus); with an id-bucketed corpus layout it co-locates instead of
+    *    shuffling. The phase-1 exchange is reused for both branches
+    *    (ReusedExchange), not recomputed.
+    */
   def exactDedup(df: DataFrame, on: String, idCol: String): DataFrame = {
-    df.groupBy(xxhash64(col(on)).as("_digest"), col(on))
-      .agg(min(col(idCol)).as(idCol))
-      .drop("_digest")
+    val d1 = xxhash64(col(on))
+    val d2 = xxhash64(lit(0x9E3779B9L), col(on)) // independent witness hash
+    val agg = df.select(d1.as("_d1"), d2.as("_d2"), col(idCol).as("_id"))
+      .groupBy("_d1")
+      .agg(min("_id").as("_win"), (countDistinct("_d2") > 1).as("_collided"))
+    val clean = agg.where(!col("_collided")).select("_win")
+    val resolved = df // exact-value resolve over just the flagged digests
+      .join(broadcast(agg.where(col("_collided")).select("_d1")),
+        d1 === col("_d1"), "left_semi")
+      .groupBy(col(on)).agg(min(col(idCol)).as("_win")).select("_win")
+    df.select(col(on), col(idCol))
+      .join(clean.union(resolved), col(idCol) === col("_win"), "left_semi")
   }
 
   /** Ids that would be dropped by exactDedup (duplicate report rows). */
@@ -49,16 +70,23 @@ object Dedup {
     Seq.fill(k)((rnd.nextLong() | 1L, rnd.nextLong()))
   }
 
-  /** MinHash signature (k values) over character shingles.
-    *
-    * Shingling + xxhash64 stay Catalyst (codegen'd); the k-way min fold runs
-    * as a JVM UDF with primitive-long arithmetic — the affine family needs
-    * 64-bit wraparound, which ANSI-mode Catalyst arithmetic (correctly)
-    * rejects, and a k×|shingles| tight loop beats k separate
-    * transform+array_min expression evals anyway. One projection, no shuffle.
-    */
+  /** MinHash signature (k values) over character or word shingles — both
+    * paths run as fused codegen kernels (graft.expr.TextHash): one pass over
+    * the UTF8String bytes, zero per-shingle allocation. Bit-equality with
+    * the expression-tree formulation (below) is pinned by TextHashExprSpec.
+    * One projection, no shuffle. */
   def minhash(text: Column, k: Int = 64, shingle: Int = 5, seed: Long = 42L,
-      wordGrams: Boolean = false): Column = {
+      wordGrams: Boolean = false): Column =
+    if (wordGrams) graft.expr.GraftFunctions.wordMinhash(text, shingle, k, seed)
+    else graft.expr.GraftFunctions.minhash(text, shingle, k, seed)
+
+  /** The reference expression-tree formulation of the word-gram signature:
+    * Catalyst shingling + xxhash64, then a JVM-UDF k-way min fold (the
+    * affine family needs 64-bit wraparound, which ANSI-mode Catalyst
+    * arithmetic correctly rejects). Kept as the independent formulation the
+    * fused kernel is pinned against. */
+  private[graft] def minhashUdfFold(text: Column, k: Int, shingle: Int,
+      seed: Long): Column = {
     val family = hashFamily(k, seed).toArray
     val fold = udf { (hs: Seq[Long]) =>
       val sig = Array.fill(k)(Long.MaxValue)
@@ -72,13 +100,7 @@ object Dedup {
       }
       sig
     }
-    if (wordGrams)
-      fold(array_distinct(transform(TextOps.wordShingles(text, shingle), s => xxhash64(s))))
-    else
-      // char path: fused codegen kernel (graft.expr.MinHashSig) — same hash
-      // values as the expression-tree formulation on ASCII text, one pass,
-      // zero per-shingle allocation
-      graft.expr.GraftFunctions.minhash(text, shingle, k, seed)
+    fold(array_distinct(transform(TextOps.wordShingles(text, shingle), s => xxhash64(s))))
   }
 
   /** (band, bandKey) pairs for LSH banding: k = bands*rows, a candidate pair
@@ -92,9 +114,51 @@ object Dedup {
   def minhashEstimate(sigA: Column, sigB: Column, k: Int): Column =
     size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)).cast("double") / k
 
+  /** Candidate pairs from an exploded (_id, _b) blocking relation with a
+    * deterministic per-key frequency cap (the LSH/SimHash skew guard):
+    *  - keys with ≤ maxBucket members emit all within-key pairs (idA < idB);
+    *  - hotter keys (empty/boilerplate texts collapse whole corpora onto one
+    *    band key) emit STAR pairs to the key's minimum id — O(n) rows
+    *    instead of O(n²), so no bucket can go quadratic at 100 TB.
+    * Nothing is dropped: every member of a capped bucket still reaches the
+    * exact-verify stage via its representative (duplicates of the
+    * representative are found; duplicate pairs both ≉ representative are the
+    * accepted recall trade, the standard LSH hot-bucket treatment).
+    *
+    * Mechanics: the hot-key inventory comes from a map-side-combined count
+    * aggregation and is tiny by construction (a key is hot only past
+    * maxBucket members — pathologies, not the norm), so it broadcasts back
+    * onto the blocking relation; the cap adds NO extra shuffle or sort of
+    * the (16-byte) blocking rows, and the self-join's exchange is still
+    * computed once and reused for both sides.
+    *
+    * `carry` names columns of `blocked` (functionally dependent on _id) to
+    * thread through to the output as <c>A/<c>B — lets a caller with a
+    * compact per-id payload (e.g. an 8-byte simhash) avoid two re-attach
+    * joins downstream. */
+  private[ops] def cappedPairs(blocked: DataFrame, maxBucket: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val rep = struct(col("_id") +: carry.map(col): _*)
+    val hot = blocked.groupBy("_b")
+      .agg(count(lit(1)).as("_n"), min(rep).as("_rep"))
+      .where(col("_n") > maxBucket)
+      .select(col("_b"), col("_rep"))
+    val flagged = blocked.join(broadcast(hot), Seq("_b"), "left_outer")
+    val small = flagged.where(col("_rep").isNull)
+    val allPairs = small.as("l")
+      .join(small.as("r"), col("l._b") === col("r._b") && col("l._id") < col("r._id"))
+      .select(col("l._id").as("idA") +: col("r._id").as("idB") +:
+        carry.flatMap(c => Seq(col(s"l.$c").as(c + "A"), col(s"r.$c").as(c + "B"))): _*)
+    val starPairs = flagged
+      .where(col("_rep").isNotNull && col("_id") =!= col("_rep._id"))
+      .select(col("_rep._id").as("idA") +: col("_id").as("idB") +:
+        carry.flatMap(c => Seq(col(s"_rep.$c").as(c + "A"), col(c).as(c + "B"))): _*)
+    allPairs.union(starPairs).distinct()
+  }
+
   /** MinHash+LSH near-duplicate pairs.
     *
-    * Pipeline: signature scan → explode band keys → self-equi-join on
+    * Pipeline: signature scan → explode band keys → capped self-equi-join on
     * (band, key) → distinct candidate pairs → verify estimated Jaccard ≥
     * threshold. Returns (idA, idB, est_jaccard) with idA < idB.
     */
@@ -102,7 +166,7 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 64, bands: Int = 16, shingle: Int = 5,
       threshold: Double = 0.7, seed: Long = 42L,
-      wordGrams: Boolean = false): DataFrame = {
+      wordGrams: Boolean = false, maxBucket: Int = 1024): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
     val rows = k / bands
@@ -114,11 +178,7 @@ object Dedup {
     // never the k-long signatures; sigs re-attach afterwards (small side).
     val banded = sigs.select(col("_id"),
       explode(minhashBands(col("_sig"), bands, rows)).as("_b"))
-    val candidates = banded.as("l")
-      .join(banded.as("r"),
-        col("l._b") === col("r._b") && col("l._id") < col("r._id"))
-      .select(col("l._id").as("idA"), col("r._id").as("idB"))
-      .distinct()
+    val candidates = cappedPairs(banded, maxBucket)
     candidates
       .join(sigs.select(col("_id").as("idA"), col("_sig").as("sigA")), "idA")
       .join(sigs.select(col("_id").as("idB"), col("_sig").as("sigB")), "idB")
@@ -200,23 +260,24 @@ object Dedup {
 
   /** SimHash near-dups: block on 4×16-bit chunks (a pair within hamming
     * distance ≤ 3 of 64 bits must agree on at least one chunk when distance
-    * ≤ 3 < 4 chunks — pigeonhole), then verify exact hamming ≤ maxDistance. */
+    * ≤ 3 < 4 chunks — pigeonhole), then verify exact hamming ≤ maxDistance.
+    * The 16-bit key space is small (≤65,536 buckets), so at large N the
+    * per-chunk-key frequency cap (star pairs to the bucket representative —
+    * see cappedPairs) is what keeps the block join from going quadratic. */
   def simhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
-      shingle: Int = 5, maxDistance: Int = 3): DataFrame = {
+      shingle: Int = 5, maxDistance: Int = 3, maxBucket: Int = 1024): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
-    val sh = spread(df)
-      .select(col(idCol).as("_id"), simhash(col(textCol), shingle).as("_sh")).persist()
-    val chunked = sh.select(col("_id"), col("_sh"),
-      explode(array((0 until 4).map { i =>
-        struct(lit(i).as("chunk"), shiftright(col("_sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
-      }: _*)).as("_c"))
-    chunked.as("l").join(chunked.as("r"),
-        col("l._c") === col("r._c") && col("l._id") < col("r._id"))
-      .select(col("l._id").as("idA"), col("r._id").as("idB"),
-        col("l._sh").as("shA"), col("r._sh").as("shB"))
-      .distinct()
-      .withColumn("hamming", hamming64(col("shA"), col("shB")))
+    // the 8-byte simhash rides along the block join (carry) — re-attach
+    // joins would cost more than the payload they avoid moving
+    val chunked = spread(df)
+      .select(col(idCol).as("_id"), simhash(col(textCol), shingle).as("_sh"))
+      .select(col("_id"), col("_sh"),
+        explode(array((0 until 4).map { i =>
+          struct(lit(i).as("chunk"), shiftright(col("_sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+        }: _*)).as("_b"))
+    cappedPairs(chunked, maxBucket, carry = Seq("_sh"))
+      .withColumn("hamming", hamming64(col("_shA"), col("_shB")))
       .where(col("hamming") <= maxDistance)
       .select("idA", "idB", "hamming")
   }

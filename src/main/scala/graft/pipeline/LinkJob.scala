@@ -158,7 +158,8 @@ object LinkJob {
       col("parent"), col("child"), col("callCount"), col("errorCount"))
       .write.mode("overwrite").json(s"$outPath/dependency-$day")
 
-  /** One day end-to-end: read → link → write → return links (persisted). */
+  /** One day end-to-end: read → link → write → return links (persisted —
+    * the caller owns the cache and unpersists when done consuming). */
   def runDay(
       spark: SparkSession,
       inPath: String,

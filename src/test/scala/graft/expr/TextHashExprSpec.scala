@@ -59,6 +59,23 @@ class TextHashExprSpec extends AnyFunSuite {
     expected.zip(fused).foreach { case (e, f) => assert(e == f) }
   }
 
+  test("fused word-gram minhash is bit-equal to the UDF fold, all edge shapes") {
+    // edge shapes: multi-space / tab / newline separators, leading+trailing
+    // whitespace, fewer tokens than n, single token, empty, unicode tokens
+    val wordTexts = Seq(
+      "the quick  brown\tfox\njumps  over the lazy dog",
+      "  leading and trailing   ",
+      "one two", "single", "", "   ",
+      "répété répété ünïcode tokens here",
+      "a b a b a b a b")
+    val df = wordTexts.toDF("text")
+    val expected = df.select(Dedup.minhashUdfFold(col("text"), 16, 3, 42L).as("sig"))
+      .as[Seq[Long]].collect()
+    val fused = df.select(GraftFunctions.wordMinhash(col("text"), 3, 16, 42L).as("sig"))
+      .as[Seq[Long]].collect()
+    expected.zip(fused).foreach { case (e, f) => assert(e == f) }
+  }
+
   test("functions usable from raw SQL") {
     spark.range(1).createOrReplaceTempView("one")
     val r = spark.sql(

@@ -45,6 +45,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q21: exact dedup keys the corpus-wide exchanges on digests only") {
+    val p = plan(NorthStarQueries.dedupKeepFirst(spark, sf))
+    val parts = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(parts.exists(_.contains("_d1#")), s"digest-keyed exchange expected\n$p")
+    // the ONLY payload-keyed exchange allowed is the collision-resolve pass,
+    // which is restricted to broadcast-semi-flagged digests (~0 rows)
+    assert(parts.count(_.contains("text#")) <= 1,
+      s"full-corpus payload shuffle detected\n${parts.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "collision resolve must be broadcast-semi restricted")
+  }
+
   test("link pipeline: window pushed to scan; exactly two exchanges; partial agg") {
     val spans = LinkJob.readJsonV2(spark,
       getClass.getResource("/fixtures/spans_day.jsonl").getPath)

@@ -122,6 +122,23 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("hot-bucket cap: pathological identical corpus stays linear (star pairs)") {
+    import spark.implicits._
+    // 5000 identical docs collapse every band/chunk bucket onto one key —
+    // uncapped this is ~12.5M candidate pairs per band; capped it must
+    // produce exactly n-1 star pairs to the representative, quickly.
+    val n = 5000
+    val docs = (0 until n).map(i => (i.toLong, "the same boilerplate text appears everywhere"))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minhashNearDups(docs, "text", "doc_id",
+      k = 16, bands = 4, shingle = 3, threshold = 0.5, maxBucket = 64)
+    assert(mh.count() == n - 1)
+    assert(mh.where($"idA" === 0).count() == n - 1) // all star to min id
+    val sh = Dedup.simhashNearDups(docs, "text", "doc_id", maxBucket = 64)
+    assert(sh.count() == n - 1)
+    assert(sh.where($"idA" === 0 && $"hamming" === 0).count() == n - 1)
+  }
+
   test("simhash: identical docs distance 0; near dups small; unrelated far") {
     val sh = docs.select($"doc_id", Dedup.simhash(col("text")).as("sh"))
       .as[(Long, Long)].collect().toMap
