@@ -21,39 +21,100 @@ import org.apache.spark.sql.SparkSession
   * Streaming session-gap pipeline over the input with an available-now
   * trigger (file source), writing link deltas.
   */
+/** Env-level config parity with the reference launcher
+  * (main/.../ZipkinDependenciesJob.java:21-87), resolved as pure data so
+  * MainSpec can pin the dispatch rules:
+  *  - STORAGE_TYPE selects the backend profile — the input format + admission
+  *    semantics each reference backend hardcodes (cassandra3 → root-in-window
+  *    over span documents; mysql → per-span window over the two v1 tables;
+  *    elasticsearch → daily-index admission over JSON v2 docs). Explicit
+  *    --format/--admission flags override the profile.
+  *  - SPARK_CONF is a comma-separated k=v list applied to the SparkSession
+  *    (reference :34-43 — pairs without exactly one '=' are skipped).
+  *  - GRAFT_LOG_LEVEL mirrors ZIPKIN_LOG_LEVEL (:29-32).
+  *  - day defaults to today UTC when absent ("runs with defaults, starting
+  *    today" — :22-23). */
+object MainConfig {
+  final case class Resolved(
+      day: String, format: String, admission: Admission, strict: Boolean,
+      sparkConf: Seq[(String, String)], logLevel: String)
+
+  /** format + admission each STORAGE_TYPE implies in the reference. */
+  val storageProfiles: Map[String, (String, String)] = Map(
+    "cassandra3" -> (("json-v2", "root-in-window")),
+    "mysql" -> (("v1-tables", "per-span-window")),
+    "elasticsearch" -> (("json-v2", "index-day")))
+
+  /** Reference parse: split(",", -1) then split("=", -1), keep len==2. */
+  def parseSparkConf(raw: String): Seq[(String, String)] =
+    if (raw == null || raw.isEmpty || !raw.contains("=")) Nil
+    else raw.split(",", -1).toSeq.flatMap { pair =>
+      pair.split("=", -1) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }
+
+  def admissionOf(name: String): Either[String, Admission] = name match {
+    case "index-day" => Right(Admission.IndexDay)
+    case "per-span-window" => Right(Admission.PerSpanWindow)
+    case "root-in-window" => Right(Admission.RootInWindow)
+    case other => Left(s"unknown admission '$other' (index-day|per-span-window|root-in-window)")
+  }
+
+  def resolve(opts: Map[String, String], env: Map[String, String],
+      todayUtc: String): Either[String, Resolved] = {
+    val profile = env.get("STORAGE_TYPE") match {
+      case Some(st) => storageProfiles.get(st).toRight(
+        s"Unsupported STORAGE_TYPE: $st\nOptions are: ${storageProfiles.keys.toSeq.sorted.mkString(", ")}")
+      case None => Right(("json-v2", "index-day"))
+    }
+    for {
+      p <- profile
+      day = opts.getOrElse("day", todayUtc)
+      _ <- (try { java.time.LocalDate.parse(day); Right(()) }
+        catch { case _: java.time.format.DateTimeParseException =>
+          Left(s"--day must be yyyy-MM-dd, got: $day") })
+      admission <- admissionOf(opts.getOrElse("admission", p._2))
+    } yield Resolved(
+      day = day,
+      format = opts.getOrElse("format", p._1),
+      admission = admission,
+      strict = opts.contains("strict-trace-id"),
+      sparkConf = parseSparkConf(env.getOrElse("SPARK_CONF", "")),
+      logLevel = env.getOrElse("GRAFT_LOG_LEVEL", "WARN"))
+  }
+}
+
 object Main {
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
     def req(k: String): String = opts.getOrElse(k,
       { System.err.println(s"missing required --$k\n$usage"); sys.exit(2) })
 
-    val day = req("day")
-    try java.time.LocalDate.parse(day)
-    catch { case _: java.time.format.DateTimeParseException =>
-      System.err.println(s"--day must be yyyy-MM-dd, got: $day"); sys.exit(2) }
-    val admission = opts.getOrElse("admission", "index-day") match {
-      case "index-day" => Admission.IndexDay
-      case "per-span-window" => Admission.PerSpanWindow
-      case "root-in-window" => Admission.RootInWindow
-      case other =>
-        System.err.println(s"unknown --admission $other (index-day|per-span-window|root-in-window)")
-        sys.exit(2)
+    val resolved = MainConfig.resolve(opts, sys.env,
+      java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString) match {
+      case Right(r) => r
+      case Left(err) => System.err.println(s"$err\n$usage"); sys.exit(2)
     }
+    val day = resolved.day
+    val admission = resolved.admission
 
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(opts.getOrElse("master", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
       .appName("graft-link-job")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    resolved.sparkConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel(resolved.logLevel)
     graft.expr.GraftFunctions.ensureRegistered(spark)
     try {
       if (opts.contains("stream")) runStreaming(spark, opts, day)
       else {
-        val strict = opts.contains("strict-trace-id")
-        val links = opts.getOrElse("format", "json-v2") match {
+        val strict = resolved.strict
+        val links = resolved.format match {
           case "json-v2" =>
             LinkJob.runDay(spark, req("in"), req("out"), day, admission, strict)
           case "v1-rows" =>

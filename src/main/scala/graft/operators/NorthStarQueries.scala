@@ -88,6 +88,35 @@ object NorthStarQueries {
       .orderBy("queryId", "rank")
   }
 
+  /** IVF-bucketed ANN — the Similarity.ivfAssign scale path: corpus vectors
+    * quantize to their nearest of K centroids (here every 50th vector,
+    * standing in for an offline k-means model); each query probes ONLY its
+    * own centroid's bucket (nprobe=1), ranking exactly within it. Recall
+    * trades against a |bucket|-sized candidate set — at scale the bucket id
+    * doubles as a partition/clustering key so a probe touches one partition.
+    * The centroid collect is the documented exception to the no-driver-loop
+    * rule: IVF centroids are a small driver-side model by construction
+    * (broadcast to every executor as expression literals). */
+  def embeddingIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val centroids = emb.where(pmod(col("vec_id"), lit(50)) === 0).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Double](0).toArray)
+    val assigned = emb.withColumn("cid",
+      Similarity.ivfAssign(col("embedding"), centroids))
+    val q = assigned.where(col("vec_id") < 10)
+      .select(col("vec_id").as("queryId"), col("embedding").as("_qv"), col("cid"))
+    val scored = broadcast(q)
+      .join(assigned.select(col("vec_id").as("neighborId"), col("embedding").as("_cv"), col("cid")), "cid")
+      .where(col("queryId") =!= col("neighborId"))
+      .select(col("queryId"), col("neighborId"),
+        round(Similarity.cosine(col("_qv"), col("_cv")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("queryId").orderBy(col("cosine").desc, col("neighborId").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .orderBy("queryId", "rank")
+  }
+
   // --- text analysis -------------------------------------------------------
 
   /** Whitespace token count per document (DuckDB-checkable). */
@@ -253,8 +282,14 @@ object NorthStarQueries {
     "q32_video_frames" -> (videoFrameSample _),
     "q33_dependency_links" -> (dependencyLinks _),
     "q34_approx_distinct" -> (approxDistinct _),
-    "q46_v1_two_table_links" -> (v1TwoTableLinks _)
+    "q46_v1_two_table_links" -> (v1TwoTableLinks _),
+    "q47_embedding_ivf_topk" -> (embeddingIvfTopK _)
   )
+
+  /** Unrounded cosine (the IVF assignment compares raw similarities). */
+  private def cosineAssignSql(a: String, b: String): String =
+    s"CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0 THEN 0.0 " +
+      s"ELSE list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END"
 
   /** Shared cosine fragment for the embedding oracles (double-widened, same
     * round-6 as the Spark side). */
@@ -291,6 +326,23 @@ object NorthStarQueries {
         "ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY \"queryId\" ORDER BY cosine DESC, \"neighborId\") AS INTEGER) AS rank FROM scored) " +
         "SELECT \"queryId\", \"neighborId\", cosine, rank FROM ranked WHERE rank <= 5 ORDER BY \"queryId\", rank"),
     "q28_embedding_lsh_topk" -> q28OracleSql,
+    // IVF oracle: replays the centroid assignment (argmax cosine, ties to
+    // the larger centroid index — Spark's struct-max semantics) and the
+    // single-bucket probe entirely in SQL.
+    "q47_embedding_ivf_topk" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci, v AS cv " +
+        "FROM e WHERE vec_id % 50 = 0), " +
+        "sa AS (SELECT e.vec_id, e.v, c.ci, " + cosineAssignSql("e.v", "c.cv") + " AS sim " +
+        "FROM e CROSS JOIN cent c), " +
+        "assigned AS (SELECT vec_id, v, ci AS cid FROM " +
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, ci DESC) AS rn FROM sa) WHERE rn = 1), " +
+        "q AS (SELECT vec_id AS qid, v AS qv, cid FROM assigned WHERE vec_id < 10), " +
+        "scored AS (SELECT q.qid AS \"queryId\", c.vec_id AS \"neighborId\", " +
+        cosineSql("q.qv", "c.v") + " AS cosine " +
+        "FROM q JOIN assigned c ON c.cid = q.cid AND c.vec_id <> q.qid), " +
+        "ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY \"queryId\" ORDER BY cosine DESC, \"neighborId\") AS INTEGER) AS rank FROM scored) " +
+        "SELECT \"queryId\", \"neighborId\", cosine, rank FROM ranked WHERE rank <= 5 ORDER BY \"queryId\", rank"),
     "q29_lang_quality" ->
       ("WITH base AS (SELECT text, " +
         "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts_raw, " +

@@ -1,0 +1,63 @@
+package graft
+
+import graft.pipeline.Admission
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the env-level config surface (P20) against the reference launcher's
+  * rules (ZipkinDependenciesJob.java:21-87). */
+class MainSpec extends AnyFunSuite {
+  private val today = "2026-08-12"
+
+  test("STORAGE_TYPE selects the backend profile (format + admission)") {
+    val es = MainConfig.resolve(Map(), Map("STORAGE_TYPE" -> "elasticsearch"), today)
+    assert(es == Right(MainConfig.Resolved(today, "json-v2", Admission.IndexDay,
+      strict = false, Nil, "WARN")))
+    val my = MainConfig.resolve(Map(), Map("STORAGE_TYPE" -> "mysql"), today)
+    assert(my.map(r => (r.format, r.admission)) == Right(("v1-tables", Admission.PerSpanWindow)))
+    val cas = MainConfig.resolve(Map(), Map("STORAGE_TYPE" -> "cassandra3"), today)
+    assert(cas.map(r => (r.format, r.admission)) == Right(("json-v2", Admission.RootInWindow)))
+  }
+
+  test("unsupported STORAGE_TYPE errors with the option list") {
+    val r = MainConfig.resolve(Map(), Map("STORAGE_TYPE" -> "dynamo"), today)
+    assert(r.isLeft)
+    assert(r.swap.exists(_.contains("Unsupported STORAGE_TYPE: dynamo")))
+    assert(r.swap.exists(_.contains("cassandra3, elasticsearch, mysql")))
+  }
+
+  test("explicit flags override the storage profile") {
+    val r = MainConfig.resolve(
+      Map("format" -> "v1-rows", "admission" -> "index-day", "strict-trace-id" -> "true"),
+      Map("STORAGE_TYPE" -> "mysql"), today)
+    assert(r.map(x => (x.format, x.admission, x.strict)) ==
+      Right(("v1-rows", Admission.IndexDay, true)))
+  }
+
+  test("day defaults to today UTC; malformed day rejected") {
+    assert(MainConfig.resolve(Map(), Map(), today).map(_.day) == Right(today))
+    assert(MainConfig.resolve(Map("day" -> "2024-02-01"), Map(), today).map(_.day) ==
+      Right("2024-02-01"))
+    assert(MainConfig.resolve(Map("day" -> "not-a-date"), Map(), today).isLeft)
+  }
+
+  test("SPARK_CONF parses as the reference does: k=v pairs, malformed skipped") {
+    assert(MainConfig.parseSparkConf("spark.executor.memory=4g,spark.x=1") ==
+      Seq("spark.executor.memory" -> "4g", "spark.x" -> "1"))
+    // no '=' at all → nothing
+    assert(MainConfig.parseSparkConf("garbage") == Nil)
+    assert(MainConfig.parseSparkConf("") == Nil)
+    // pairs with more or fewer than one '=' are skipped, valid ones kept
+    assert(MainConfig.parseSparkConf("a=b,oops,c=d=e,f=g") ==
+      Seq("a" -> "b", "f" -> "g"))
+    // empty key/value survive (reference split keeps them)
+    assert(MainConfig.parseSparkConf("a=") == Seq("a" -> ""))
+    val viaEnv = MainConfig.resolve(Map(), Map("SPARK_CONF" -> "spark.y=2"), today)
+    assert(viaEnv.map(_.sparkConf) == Right(Seq("spark.y" -> "2")))
+  }
+
+  test("GRAFT_LOG_LEVEL mirrors ZIPKIN_LOG_LEVEL, defaulting sanely") {
+    assert(MainConfig.resolve(Map(), Map("GRAFT_LOG_LEVEL" -> "INFO"), today)
+      .map(_.logLevel) == Right("INFO"))
+    assert(MainConfig.resolve(Map(), Map(), today).map(_.logLevel) == Right("WARN"))
+  }
+}
