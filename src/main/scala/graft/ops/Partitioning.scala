@@ -11,6 +11,16 @@ object Partitioning {
     * costs nothing. */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // inputFiles is metadata-only (the relation's cached file listing) —
+    // unlike df.rdd, it doesn't force physical planning of the whole frame.
+    // One file can still hold many row groups, but the guard exists for the
+    // opposite hazard (fewer splits than cores), for which file count is the
+    // right signal; non-file frames (in-memory test data) report no files
+    // and fall through to the planned-RDD count.
+    val files = df.inputFiles.length
+    val narrow =
+      if (files > 0) files < target
+      else df.rdd.getNumPartitions < target
+    if (narrow) df.repartition(target) else df
   }
 }
