@@ -100,7 +100,13 @@ object NorthStarQueries {
   def embeddingIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
       .withColumn("embedding", col("embedding").cast("array<double>"))
-    val centroids = emb.where(pmod(col("vec_id"), lit(50)) === 0).orderBy("vec_id")
+    // nlist capped at 16: the literal-expression assignment unrolls K×dim
+    // constants into one codegen'd projection — right for a small coarse
+    // quantizer; a larger centroid model should join a broadcast centroid
+    // table instead of inlining literals (codegen methods have size limits)
+    val centroids = emb
+      .where(pmod(col("vec_id"), lit(50)) === 0 && col("vec_id") < 800)
+      .orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Double](0).toArray)
     val assigned = emb.withColumn("cid",
       Similarity.ivfAssign(col("embedding"), centroids))
@@ -202,6 +208,15 @@ object NorthStarQueries {
       .orderBy("parent", "child").toDF()
   }
 
+  /** Dup clusters: connected components over the exact-verified near-dup
+    * pairs (q24's output), assigning every clustered document its
+    * component's min-id representative — pairwise evidence → keep-one-per-
+    * cluster decisions. Oracle: recursive-CTE transitive closure. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(ngramNearDups(spark, dir).select("idA", "idB"))
+      .withColumnRenamed("id", "doc_id").withColumnRenamed("rep", "cluster_rep")
+      .orderBy("doc_id")
+
   /** M1 driver surface — the v1 two-table ingest, end to end: synthesize
     * zipkin_spans / zipkin_annotations-shaped tables from `events`, run the
     * Spark-side pushdown join (V1SpanFold.fromV1Tables), fold, link.
@@ -283,8 +298,17 @@ object NorthStarQueries {
     "q33_dependency_links" -> (dependencyLinks _),
     "q34_approx_distinct" -> (approxDistinct _),
     "q46_v1_two_table_links" -> (v1TwoTableLinks _),
-    "q47_embedding_ivf_topk" -> (embeddingIvfTopK _)
+    "q47_embedding_ivf_topk" -> (embeddingIvfTopK _),
+    "q48_dup_clusters" -> (dupClusters _)
   )
+
+  /** Shared DuckDB fragments for the word-3-gram pair oracles (q24, q48). */
+  private val gramsCte =
+    "toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t FROM documents), " +
+      "grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+      "ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' ')) END) AS g FROM toks)"
+  private val jaccardGe05 =
+    "len(list_intersect(a.g, b.g))::DOUBLE / GREATEST(len(list_distinct(a.g || b.g)), 1) >= 0.5"
 
   /** Unrounded cosine (the IVF assignment compares raw similarities). */
   private def cosineAssignSql(a: String, b: String): String =
@@ -332,7 +356,7 @@ object NorthStarQueries {
     "q47_embedding_ivf_topk" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci, v AS cv " +
-        "FROM e WHERE vec_id % 50 = 0), " +
+        "FROM e WHERE vec_id % 50 = 0 AND vec_id < 800), " +
         "sa AS (SELECT e.vec_id, e.v, c.ci, " + cosineAssignSql("e.v", "c.cv") + " AS sim " +
         "FROM e CROSS JOIN cent c), " +
         "assigned AS (SELECT vec_id, v, ci AS cid FROM " +
@@ -429,13 +453,20 @@ object NorthStarQueries {
     "q23_text_stats_by_lang" ->
       "SELECT lang, CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS toks, CAST(SUM(len(regexp_extract_all(text, '[[:punct:]]'))) AS BIGINT) AS punct FROM documents GROUP BY lang ORDER BY lang",
     "q24_ngram_neardups" ->
-      ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t FROM documents), " +
-        "grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
-        "ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' ')) END) AS g FROM toks) " +
+      (s"WITH $gramsCte " +
         "SELECT a.doc_id AS idA, b.doc_id AS idB, " +
         "ROUND(len(list_intersect(a.g, b.g))::DOUBLE / GREATEST(len(list_distinct(a.g || b.g)), 1), 6) AS jaccard " +
         "FROM grams a JOIN grams b ON a.doc_id < b.doc_id " +
-        "WHERE len(list_intersect(a.g, b.g))::DOUBLE / GREATEST(len(list_distinct(a.g || b.g)), 1) >= 0.5 " +
-        "ORDER BY idA, idB")
+        s"WHERE $jaccardGe05 ORDER BY idA, idB"),
+    // connected components over the same exact pairs: transitive closure via
+    // a recursive CTE, rep = min reachable node (symmetric edges)
+    "q48_dup_clusters" ->
+      (s"WITH RECURSIVE $gramsCte, " +
+        "p AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM grams a JOIN grams b " +
+        s"ON a.doc_id < b.doc_id WHERE $jaccardGe05), " +
+        "edges AS (SELECT ia AS s, ib AS d FROM p UNION ALL SELECT ib, ia FROM p), " +
+        "reach(id, r) AS (SELECT s, s FROM edges " +
+        "UNION SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d) " +
+        "SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id ORDER BY doc_id")
   )
 }

@@ -286,26 +286,73 @@ object Dedup {
 
   /** Cosine-similarity near-duplicates over an embedding column, via random
     * hyperplane (SRP) LSH: planes from a seeded RNG, signature = sign bits,
-    * block on signature chunks, verify exact cosine ≥ threshold. */
+    * block on signature chunks (hot-bucket capped like the text paths),
+    * verify exact cosine ≥ threshold. The vector rides the block join
+    * (carry) — for LSH chunk keys the bucket fan-out is small and re-attach
+    * joins would cost more than the vector bytes they avoid moving. */
   def embeddingNearDups(
       df: DataFrame, vecCol: String, idCol: String,
       dim: Int, planes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.95, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.95, seed: Long = 42L,
+      maxBucket: Int = 1024): DataFrame = {
     val sig = Similarity.srpSignature(col(vecCol), dim, planes, seed)
     val rows = planes / bands
-    val v = df.select(col(idCol).as("_id"), col(vecCol).as("_vec"), sig.as("_sig")).persist()
-    val banded = v.select(col("_id"), col("_vec"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"), shiftright(col("_sig"), b * rows)
-          .bitwiseAND(lit((1L << rows) - 1)).as("key"))
-      }: _*)).as("_b"))
-    banded.as("l").join(banded.as("r"),
-        col("l._b") === col("r._b") && col("l._id") < col("r._id"))
-      .select(col("l._id").as("idA"), col("r._id").as("idB"),
-        col("l._vec").as("vecA"), col("r._vec").as("vecB"))
-      .distinct()
-      .withColumn("cosine", round(Similarity.cosine(col("vecA"), col("vecB")), 6))
+    val banded = df
+      .select(col(idCol).as("_id"), col(vecCol).as("_vec"), sig.as("_sig"))
+      .select(col("_id"), col("_vec"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"), shiftright(col("_sig"), b * rows)
+            .bitwiseAND(lit((1L << rows) - 1)).as("key"))
+        }: _*)).as("_b"))
+    cappedPairs(banded, maxBucket, carry = Seq("_vec"))
+      .withColumn("cosine", round(Similarity.cosine(col("_vecA"), col("_vecB")), 6))
       .where(col("cosine") >= threshold)
       .select("idA", "idB", "cosine")
+  }
+
+  // --- dup clusters (connected components) ---------------------------------
+
+  /** Connected components over near-duplicate pairs → cluster assignment
+    * (id, rep = the component's minimum id): the step that turns pairwise
+    * near-dup evidence into keep-one-per-cluster decisions.
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbors, converging in
+    * O(component diameter) rounds — near-dup clusters are shallow (dup
+    * groups, not long chains), so few rounds suffice; `maxIter` bounds the
+    * pathological chain. Each round is one equi-join plus one aggregation
+    * shuffling only (id, label) pairs; the new labels are eagerly
+    * local-checkpointed each round — the label frame appears twice per
+    * iteration, so without lineage truncation the logical plan doubles every
+    * round (exponential planning cost). An isEmpty probe on changed labels
+    * decides convergence. The standard MapReduce-CC shape — at scale each
+    * round moves |edges| 16-byte rows, never payloads (swap localCheckpoint
+    * for a reliable checkpoint dir when executor loss must be survivable).
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("idA").as("_src"), col("idB").as("_dst"))
+      .union(pairs.select(col("idB").as("_src"), col("idA").as("_dst")))
+      .persist()
+    var labels = edges.select(col("_src").as("id")).distinct()
+      .withColumn("rep", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges.join(labels, col("_dst") === col("id"))
+        .groupBy(col("_src")).agg(min(col("rep")).as("_nrep"))
+      // carry the previous label through so convergence is a filter on the
+      // checkpointed frame, not another join against the old labels
+      val next = labels.as("cur")
+        .join(neighborMin, col("cur.id") === col("_src"), "left_outer")
+        .select(col("cur.id").as("id"),
+          least(col("cur.rep"), coalesce(col("_nrep"), col("cur.rep"))).as("rep"),
+          col("cur.rep").as("_prev"))
+        .localCheckpoint() // eager: materializes AND truncates lineage
+      converged = next.where(col("rep") =!= col("_prev")).isEmpty
+      labels = next.drop("_prev")
+      iter += 1
+    }
+    edges.unpersist()
+    labels
   }
 }

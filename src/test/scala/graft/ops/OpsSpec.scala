@@ -122,6 +122,18 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("dupClusters: transitive chains collapse to min-id components") {
+    import spark.implicits._
+    // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; pair list order-free
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 9L), (5L, 7L)).toDF("idA", "idB")
+    val got = Dedup.dupClusters(pairs).as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (7L, 5L), (9L, 1L)))
+    // a long chain still converges within maxIter (diameter rounds)
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val reps = Dedup.dupClusters(chain).as[(Long, Long)].collect()
+    assert(reps.forall(_._2 == 0L) && reps.length == 13)
+  }
+
   test("hot-bucket cap: pathological identical corpus stays linear (star pairs)") {
     import spark.implicits._
     // 5000 identical docs collapse every band/chunk bucket onto one key —
