@@ -162,10 +162,13 @@ object NorthStarQueries {
 
   // --- multimodal ----------------------------------------------------------
 
-  /** Binary-payload feature extraction rollup: modality → count + mean first
-    * histogram bin (deterministic stub decode; Spark plumbing real). */
+  /** Binary-payload pipeline rollup: resize (bounded payloads, metadata kept
+    * consistent) → batched feature extraction → modality rollup
+    * (deterministic stub decode; the Spark plumbing — schema, batching,
+    * metadata update — is real). */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val assets = Multimodal.fakeAssets(table(spark, dir, "documents"))
+    val assets = Multimodal.resizePayload(
+      Multimodal.fakeAssets(table(spark, dir, "documents")), maxBytes = 256)
     Multimodal.extractFeatures(assets, batchSize = 64)
       .groupBy("modality")
       .agg(count(lit(1)).as("n"), round(avg(element_at(col("features"), 1)), 4).as("avg_bin0"))

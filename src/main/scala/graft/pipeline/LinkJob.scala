@@ -39,9 +39,21 @@ object LinkJob {
 
   /** Read Zipkin JSON v2 span documents (one object per line) into the typed
     * span projection. PERMISSIVE parse: corrupt records dropped (P9 —
-    * TraceIdAndJsonToDependencyLinks.java:35-44 logs & skips). */
+    * TraceIdAndJsonToDependencyLinks.java:35-44 logs & skips). A missing
+    * day path yields an EMPTY dataset, matching the reference's
+    * ES_INDEX_READ_MISSING_AS_EMPTY=true (ElasticsearchDependenciesJob
+    * .java:66) — a day with no index is a day with no spans, not a failure. */
   def readJsonV2(spark: SparkSession, path: String): Dataset[Span] = {
-    val raw = spark.read.schema(Span.jsonV2Schema).json(path)
+    val exists = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val glob = fs.globStatus(p) // handles literal paths and day globs alike
+      glob != null && glob.nonEmpty
+    }
+    val raw =
+      if (exists) spark.read.schema(Span.jsonV2Schema).json(path)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Span.jsonV2Schema)
     fromJsonV2Shape(raw)
   }
 

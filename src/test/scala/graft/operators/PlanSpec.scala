@@ -57,6 +57,38 @@ class PlanSpec extends AnyFunSuite {
       "collision resolve must be broadcast-semi restricted")
   }
 
+  test("bucketed corpus layout: the dedup survivor join co-locates the payload side") {
+    // the 100 TB claim in exactDedup's doc: with the corpus bucketed by the
+    // unique id, the final left-semi join shuffles only the winner-id side —
+    // the payload side reads its buckets in place.
+    val s = spark
+    import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS docs_bucketed")
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("doc_id", "text")
+      .write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("docs_bucketed")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    try {
+      val docs = spark.table("docs_bucketed")
+      // winners come from elsewhere (the digest aggregation), NOT the
+      // bucketed scan — only they should move
+      val winners = Seq(1L, 3L).toDF("_win")
+      val joined = docs.join(winners,
+        org.apache.spark.sql.functions.col("doc_id") === org.apache.spark.sql.functions.col("_win"),
+        "left_semi")
+      val p = plan(joined)
+      assert(p.contains("Bucketed: true"), s"bucketed scan expected\n$p")
+      val exchanges = p.linesIterator.filter(_.trim.matches("\\(\\d+\\) Exchange.*")).size
+      assert(exchanges == 1, s"only the winner-id side may shuffle, got $exchanges\n$p")
+      val parts = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+      assert(parts.forall(_.contains("_win#")),
+        s"the single exchange must be the winner ids, not the payload\n${parts.mkString("\n")}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS docs_bucketed")
+    }
+  }
+
   test("link pipeline: window pushed to scan; exactly two exchanges; partial agg") {
     val spans = LinkJob.readJsonV2(spark,
       getClass.getResource("/fixtures/spans_day.jsonl").getPath)

@@ -17,6 +17,13 @@ class LinkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def linkMap(links: Seq[DependencyLink]): Map[(String, String), (Long, Long)] =
     links.map(l => (l.parent, l.child) -> (l.callCount, l.errorCount)).toMap
 
+  test("missing day path reads as empty, not as a failure (index-missing-as-empty)") {
+    val spans = LinkJob.readJsonV2(spark, "/tmp/graft-no-such-day-9999/spans.jsonl")
+    assert(spans.isEmpty)
+    val links = LinkJob.linkSpans(spans, "2025-08-11")
+    assert(links.isEmpty)
+  }
+
   test("per-span-window admission links one UTC day") {
     val spans = LinkJob.readJsonV2(spark, fixture)
     val out = LinkJob.linkSpans(spans, Day, Admission.PerSpanWindow).collect().toSeq
