@@ -333,8 +333,12 @@ object Dedup {
     val edges = pairs.select(col("idA").as("_src"), col("idB").as("_dst"))
       .union(pairs.select(col("idB").as("_src"), col("idA").as("_dst")))
       .persist()
-    var labels = edges.select(col("_src").as("id")).distinct()
-      .withColumn("rep", col("id")).localCheckpoint()
+    // round 0 folded into the init: every node starts from min(self, direct
+    // neighbors) — one aggregation instead of a full propagate round
+    var labels = edges
+      .groupBy(col("_src").as("id"))
+      .agg(least(min(col("_dst")), min(col("_src"))).as("rep"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
