@@ -47,6 +47,53 @@ class StreamingLinkJobSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("span arriving after its trace emitted re-opens state: additive delta") {
+    // the streaming analogue of the reference's re-run-the-day model: late
+    // evidence produces a supplementary delta (downstream runningTotals sum
+    // deltas), never corruption or a dropped update
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Span]
+    val deltas = StreamingLinkJob.linkStream(input.toDS(), gapMinutes = 10)
+    val query = deltas.writeStream.format("memory").queryName("links_late")
+      .outputMode("append").start()
+    try {
+      val t0 = 1754870400000000L
+      input.addData(
+        span("00000000000000d4", "01", None, "CLIENT", "frontend", "backend", t0),
+        span("00000000000000d4", "02", Some("01"), "SERVER", "backend", null, t0 + 5000L))
+      query.processAllAvailable()
+      input.addData( // push watermark far past trace D's gap → D emits
+        span("00000000000000e5", "03", None, "CLIENT", "x", "y", t0 + 3600L * 1000000L))
+      query.processAllAvailable()
+      input.addData(
+        span("00000000000000f6", "04", None, "CLIENT", "p", "q", t0 + 7200L * 1000000L))
+      query.processAllAvailable()
+      val afterFirst = spark.sql(
+        "SELECT count(*) FROM links_late WHERE parent='frontend'").first().getLong(0)
+      assert(afterFirst == 1L)
+
+      // a straggler for trace D, event time ahead of the watermark (so not
+      // watermark-dropped) but long after D's session closed and emitted
+      input.addData(
+        span("00000000000000d4", "05", Some("02"), "SERVER", "db", "backend", t0 + 7200L * 1000000L))
+      query.processAllAvailable()
+      input.addData( // advance watermark past the re-opened session's gap
+        span("00000000000000a7", "06", None, "CLIENT", "m", "n", t0 + 11000L * 1000000L))
+      query.processAllAvailable()
+      input.addData(
+        span("00000000000000a8", "07", None, "CLIENT", "m", "n", t0 + 15000L * 1000000L))
+      query.processAllAvailable()
+
+      val rows = spark.sql("SELECT parent, child, callCount FROM links_late")
+        .as[(String, String, Long)].collect().toSet
+      // the straggler linked in its own supplementary pass: its parent span
+      // is gone from state, so the remote service carries the parent side
+      assert(rows.contains(("backend", "db", 1L)), s"supplementary delta expected, got $rows")
+      assert(rows.contains(("frontend", "backend", 1L))) // original delta intact
+    } finally query.stop()
+  }
+
   test("giant-trace cap keeps earliest spans and still links") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
