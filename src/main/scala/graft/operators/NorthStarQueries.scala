@@ -123,6 +123,19 @@ object NorthStarQueries {
       .orderBy("queryId", "rank")
   }
 
+  /** Embedding-cosine near-duplicates (SRP-LSH banded + exact verify). This
+    * corpus is near-orthogonal (max pairwise cosine ≈ 0.51), so the
+    * threshold sits at 0.35 to exercise the full path with non-empty
+    * output; the semantics — bucket-banded candidates, exact cosine verify —
+    * are what a 0.95-threshold dedup run would use unchanged. */
+  def embeddingNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(
+      table(spark, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>")),
+      "embedding", "vec_id", dim = 64, planes = 16, bands = 4,
+      threshold = 0.35)
+      .orderBy("idA", "idB")
+
   // --- text analysis -------------------------------------------------------
 
   /** Whitespace token count per document (DuckDB-checkable). */
@@ -302,7 +315,8 @@ object NorthStarQueries {
     "q34_approx_distinct" -> (approxDistinct _),
     "q46_v1_two_table_links" -> (v1TwoTableLinks _),
     "q47_embedding_ivf_topk" -> (embeddingIvfTopK _),
-    "q48_dup_clusters" -> (dupClusters _)
+    "q48_dup_clusters" -> (dupClusters _),
+    "q49_embedding_neardups" -> (embeddingNearDupPairs _)
   )
 
   /** Shared DuckDB fragments for the word-3-gram pair oracles (q24, q48). */
@@ -343,8 +357,31 @@ object NorthStarQueries {
       "SELECT \"queryId\", \"neighborId\", cosine, rank FROM ranked WHERE rank <= 5 ORDER BY \"queryId\", rank"
   }
 
+  /** q49 oracle: replays the 16-plane SRP signature, 4×4-bit banding, and
+    * exact cosine verify in SQL (planes embedded as literals). Assumes no
+    * bucket exceeds the cap at oracle scale (sf0.01: ≈31 ids per band key,
+    * cap 1024), so the uncapped SQL equals the capped Spark output. */
+  private def q49OracleSql: String = {
+    val ps = Similarity.planes(dim = 64, nPlanes = 16, seed = 42L)
+    val sigExpr = ps.zipWithIndex.map { case (p, i) =>
+      val lit = p.map(_.toString).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"sig AS (SELECT vec_id, $sigExpr AS s FROM e), " +
+      "banded AS (SELECT vec_id, t.b, ((s >> (t.b * 4)) & 15) AS k " +
+      "FROM sig, (SELECT UNNEST([0,1,2,3]) AS b) t), " +
+      "p AS (SELECT DISTINCT l.vec_id AS ia, r.vec_id AS ib FROM banded l " +
+      "JOIN banded r ON l.b = r.b AND l.k = r.k AND l.vec_id < r.vec_id), " +
+      "scored AS (SELECT p.ia AS idA, p.ib AS idB, " +
+      cosineSql("ea.v", "eb.v") + " AS cosine " +
+      "FROM p JOIN e ea ON ea.vec_id = p.ia JOIN e eb ON eb.vec_id = p.ib) " +
+      "SELECT idA, idB, cosine FROM scored WHERE cosine >= 0.35 ORDER BY idA, idB"
+  }
+
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracles: Map[String, String] = Map(
+    "q49_embedding_neardups" -> q49OracleSql,
     "q27_embedding_topk" ->
       ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10), " +
         "c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
