@@ -40,7 +40,7 @@ object Similarity {
     require(nPlanes <= 63, "signature must fit a LONG")
     val ps = planes(dim, nPlanes, seed)
     ps.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
+      val planeLit = array(p.toIndexedSeq.map(lit): _*)
       when(dot(vec, planeLit) >= 0.0d, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
   }
@@ -93,9 +93,9 @@ object Similarity {
     * the caller (e.g. a sampled k-means done offline). */
   def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column = {
     val scored = centroids.zipWithIndex.map { case (cVec, i) =>
-      val cLit = array(cVec.map(lit): _*)
+      val cLit = array(cVec.toIndexedSeq.map(lit): _*)
       struct(cosine(vec, cLit).as("sim"), lit(i).as("cid"))
     }
-    array_max(array(scored: _*)).getField("cid")
+    array_max(array(scored.toIndexedSeq: _*)).getField("cid")
   }
 }
