@@ -132,7 +132,7 @@ object NorthStarQueries {
     Dedup.embeddingNearDups(
       table(spark, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>")),
-      "embedding", "vec_id", dim = 64, planes = 16, bands = 4,
+      "embedding", "vec_id", dim = 64, planes = 48, bands = 6,
       threshold = 0.35)
       .orderBy("idA", "idB")
 
@@ -357,20 +357,20 @@ object NorthStarQueries {
       "SELECT \"queryId\", \"neighborId\", cosine, rank FROM ranked WHERE rank <= 5 ORDER BY \"queryId\", rank"
   }
 
-  /** q49 oracle: replays the 16-plane SRP signature, 4×4-bit banding, and
+  /** q49 oracle: replays the 48-plane SRP signature, 6×8-bit banding, and
     * exact cosine verify in SQL (planes embedded as literals). Assumes no
-    * bucket exceeds the cap at oracle scale (sf0.01: ≈31 ids per band key,
+    * bucket exceeds the cap at oracle scale (sf0.01: ~2 ids per band key,
     * cap 1024), so the uncapped SQL equals the capped Spark output. */
   private def q49OracleSql: String = {
-    val ps = Similarity.planes(dim = 64, nPlanes = 16, seed = 42L)
+    val ps = Similarity.planes(dim = 64, nPlanes = 48, seed = 42L)
     val sigExpr = ps.zipWithIndex.map { case (p, i) =>
       val lit = p.map(_.toString).mkString("[", ",", "]")
       s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       s"sig AS (SELECT vec_id, $sigExpr AS s FROM e), " +
-      "banded AS (SELECT vec_id, t.b, ((s >> (t.b * 4)) & 15) AS k " +
-      "FROM sig, (SELECT UNNEST([0,1,2,3]) AS b) t), " +
+      "banded AS (SELECT vec_id, t.b, ((s >> (t.b * 8)) & 255) AS k " +
+      "FROM sig, (SELECT UNNEST([0,1,2,3,4,5]) AS b) t), " +
       "p AS (SELECT DISTINCT l.vec_id AS ia, r.vec_id AS ib FROM banded l " +
       "JOIN banded r ON l.b = r.b AND l.k = r.k AND l.vec_id < r.vec_id), " +
       "scored AS (SELECT p.ia AS idA, p.ib AS idB, " +

@@ -290,22 +290,31 @@ object Dedup {
     * verify exact cosine ≥ threshold. The vector rides the block join
     * (carry) — for LSH chunk keys the bucket fan-out is small and re-attach
     * joins would cost more than the vector bytes they avoid moving. */
+  /** Band-key width (planes/bands bits) must track corpus size: k-bit keys
+    * give 2^k buckets per band, and EVERY bucket pair-joins — undersized
+    * keys are uniform candidate explosion, not skew (the cap only guards
+    * outlier buckets). Norms are computed once per vector in the signature
+    * scan and ride the join, so the verify does one dot product per pair. */
   def embeddingNearDups(
       df: DataFrame, vecCol: String, idCol: String,
       dim: Int, planes: Int = 16, bands: Int = 4,
       threshold: Double = 0.95, seed: Long = 42L,
       maxBucket: Int = 1024): DataFrame = {
+    require(planes % bands == 0, s"planes=$planes must divide by bands=$bands")
     val sig = Similarity.srpSignature(col(vecCol), dim, planes, seed)
     val rows = planes / bands
     val banded = df
       .select(col(idCol).as("_id"), col(vecCol).as("_vec"), sig.as("_sig"))
-      .select(col("_id"), col("_vec"),
+      .withColumn("_nrm", sqrt(Similarity.dot(col("_vec"), col("_vec"))))
+      .select(col("_id"), col("_vec"), col("_nrm"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"), shiftright(col("_sig"), b * rows)
             .bitwiseAND(lit((1L << rows) - 1)).as("key"))
         }: _*)).as("_b"))
-    cappedPairs(banded, maxBucket, carry = Seq("_vec"))
-      .withColumn("cosine", round(Similarity.cosine(col("_vecA"), col("_vecB")), 6))
+    cappedPairs(banded, maxBucket, carry = Seq("_vec", "_nrm"))
+      .withColumn("cosine", round(
+        when(col("_nrmA") * col("_nrmB") === 0.0d, 0.0d)
+          .otherwise(Similarity.dot(col("_vecA"), col("_vecB")) / (col("_nrmA") * col("_nrmB"))), 6))
       .where(col("cosine") >= threshold)
       .select("idA", "idB", "cosine")
   }
