@@ -196,6 +196,23 @@ object NorthStarQueries {
       .orderBy("frame_no")
   }
 
+  // --- deterministic splits / sampling -------------------------------------
+
+  private val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Deterministic train/val/test assignment + stable 25% sample flag over
+    * document content — split counts per (lang, split). Content-hash
+    * assignment means re-runs and other engines agree row-for-row, which is
+    * what the DuckDB oracle verifies. */
+  def trainSplits(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("split", graft.ops.Sampling.hashSplit(col("text"), splitWeights, salt = "v1"))
+      .withColumn("in_quarter", graft.ops.Sampling.sampledBy(col("text"), 0.25, salt = "q"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"),
+        sum(col("in_quarter").cast("long")).as("n_quarter"))
+      .orderBy("lang", "split")
+
   // --- the core graph operator, driver-visible -----------------------------
 
   /** Dependency links over spans synthesized deterministically from `events`:
@@ -316,7 +333,8 @@ object NorthStarQueries {
     "q46_v1_two_table_links" -> (v1TwoTableLinks _),
     "q47_embedding_ivf_topk" -> (embeddingIvfTopK _),
     "q48_dup_clusters" -> (dupClusters _),
-    "q49_embedding_neardups" -> (embeddingNearDupPairs _)
+    "q49_embedding_neardups" -> (embeddingNearDupPairs _),
+    "q50_train_splits" -> (trainSplits _)
   )
 
   /** Shared DuckDB fragments for the word-3-gram pair oracles (q24, q48). */
@@ -379,9 +397,24 @@ object NorthStarQueries {
       "SELECT idA, idB, cosine FROM scored WHERE cosine >= 0.35 ORDER BY idA, idB"
   }
 
+  /** q50 oracle: same md5-hex-prefix thresholds, computed from the same
+    * weights so the literals can never drift from the Spark side. */
+  private def q50OracleSql: String = {
+    val Seq((_, tTrain), (_, tVal)) = graft.ops.Sampling.thresholdsFor(splitWeights)
+    val tQuarter = graft.ops.Sampling.thresholdsFor(Seq("in" -> 0.25, "out" -> 0.75)).head._2
+    "WITH s AS (SELECT lang, " +
+      s"CASE WHEN substr(md5('v1' || text), 1, 4) < '$tTrain' THEN 'train' " +
+      s"WHEN substr(md5('v1' || text), 1, 4) < '$tVal' THEN 'val' ELSE 'test' END AS split, " +
+      s"CASE WHEN substr(md5('q' || text), 1, 4) < '$tQuarter' THEN 1 ELSE 0 END AS q " +
+      "FROM documents) " +
+      "SELECT lang, split, count(*) AS n, CAST(SUM(q) AS BIGINT) AS n_quarter " +
+      "FROM s GROUP BY lang, split ORDER BY lang, split"
+  }
+
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracles: Map[String, String] = Map(
     "q49_embedding_neardups" -> q49OracleSql,
+    "q50_train_splits" -> q50OracleSql,
     "q27_embedding_topk" ->
       ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10), " +
         "c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +

@@ -122,6 +122,25 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("hashSplit: deterministic, complete, and near the declared weights") {
+    import spark.implicits._
+    val docs = (0 until 2000).map(i => s"document number $i with some text").toDF("text")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = docs.withColumn("s", Sampling.hashSplit($"text", w, salt = "v1"))
+    val b = docs.withColumn("s", Sampling.hashSplit($"text", w, salt = "v1"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty) // rerun-stable
+    val counts = a.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 1500 && counts("train") < 1700) // ~0.8 of 2000
+    assert(counts("val") > 120 && counts("val") < 280)
+    // different salt gives a different (but still deterministic) assignment
+    val c = docs.withColumn("s", Sampling.hashSplit($"text", w, salt = "v2"))
+    assert(c.except(a).count() > 0)
+    // sample flag keeps a stable ~fraction subset
+    val kept = docs.where(Sampling.sampledBy($"text", 0.25, salt = "q")).count()
+    assert(kept > 400 && kept < 600)
+  }
+
   test("dupClusters: transitive chains collapse to min-id components") {
     import spark.implicits._
     // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; pair list order-free
