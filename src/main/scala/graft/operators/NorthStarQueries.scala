@@ -213,6 +213,25 @@ object NorthStarQueries {
         sum(col("in_quarter").cast("long")).as("n_quarter"))
       .orderBy("lang", "split")
 
+  /** Benchmark decontamination: probe set = every 100th document (standing
+    * in for an eval set); report corpus documents sharing ≥2 distinct word
+    * 3-grams with a probe. */
+  def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val probes = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+    TextOps.contamination(docs, "text", "doc_id", probes, "text", "doc_id",
+      n = 3, minShared = 2)
+      .orderBy("doc_id", "probe_id")
+  }
+
+  /** Per-source document quota (the crawl pipeline's per-domain cap):
+    * first 20 docs per source by id, rolled up. */
+  def sourceQuota(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.quotaPerKey(table(spark, dir, "documents"), "source", "doc_id", quota = 20)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), max("doc_id").as("max_kept"))
+      .orderBy("source")
+
   // --- the core graph operator, driver-visible -----------------------------
 
   /** Dependency links over spans synthesized deterministically from `events`:
@@ -334,7 +353,9 @@ object NorthStarQueries {
     "q47_embedding_ivf_topk" -> (embeddingIvfTopK _),
     "q48_dup_clusters" -> (dupClusters _),
     "q49_embedding_neardups" -> (embeddingNearDupPairs _),
-    "q50_train_splits" -> (trainSplits _)
+    "q50_train_splits" -> (trainSplits _),
+    "q51_contamination" -> (contaminationReport _),
+    "q52_source_quota" -> (sourceQuota _)
   )
 
   /** Shared DuckDB fragments for the word-3-gram pair oracles (q24, q48). */
@@ -415,6 +436,16 @@ object NorthStarQueries {
   val oracles: Map[String, String] = Map(
     "q49_embedding_neardups" -> q49OracleSql,
     "q50_train_splits" -> q50OracleSql,
+    "q51_contamination" ->
+      (s"WITH $gramsCte, " +
+        "pr AS (SELECT doc_id AS probe_id, g AS pg FROM grams WHERE doc_id % 100 = 0) " +
+        "SELECT c.doc_id, p.probe_id, CAST(len(list_intersect(c.g, p.pg)) AS BIGINT) AS shared_ngrams " +
+        "FROM grams c JOIN pr p ON c.doc_id <> p.probe_id " +
+        "WHERE len(list_intersect(c.g, p.pg)) >= 2 ORDER BY doc_id, probe_id"),
+    "q52_source_quota" ->
+      ("SELECT source, count(*) AS n, MAX(doc_id) AS max_kept FROM " +
+        "(SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM documents) " +
+        "WHERE rn <= 20 GROUP BY source ORDER BY source"),
     "q27_embedding_topk" ->
       ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10), " +
         "c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +

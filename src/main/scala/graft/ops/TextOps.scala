@@ -120,6 +120,33 @@ object TextOps {
   def fingerprint64(text: Column, shingle: Int = 8): Column =
     array_min(transform(charShingles(text, shingle), s => xxhash64(s)))
 
+  // --- benchmark decontamination -------------------------------------------
+
+  /** Contamination report: corpus documents sharing at least `minShared`
+    * distinct word n-grams with any probe document (the benchmark-
+    * decontamination primitive: probes = eval-set items, hits = training
+    * documents to quarantine).
+    *
+    * Shape: both sides explode to (id, gram) and equi-join on the gram —
+    * an inverted-index join whose shuffle carries (id, gram) pairs, never
+    * documents; the count-distinct-per-pair aggregation clusters on the
+    * pair key. The probe side is small by definition (an eval set) so the
+    * join broadcasts it; corpus-side grams stream through. */
+  def contamination(
+      corpus: DataFrame, corpusText: String, corpusId: String,
+      probes: DataFrame, probeText: String, probeId: String,
+      n: Int = 3, minShared: Int = 2): DataFrame = {
+    val cs = Partitioning.spread(corpus).select(col(corpusId).as("doc_id"),
+      explode(wordShingles(col(corpusText), n)).as("_g"))
+    val ps = probes.select(col(probeId).as("probe_id"),
+      explode(wordShingles(col(probeText), n)).as("_g"))
+    cs.join(broadcast(ps), "_g")
+      .where(col("doc_id") =!= col("probe_id"))
+      .groupBy("doc_id", "probe_id")
+      .agg(countDistinct("_g").as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+  }
+
   // --- convenience: full annotation pass -----------------------------------
 
   /** One projection adding all text-analysis columns — a single scan, no

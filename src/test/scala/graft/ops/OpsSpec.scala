@@ -122,6 +122,30 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("contamination flags docs sharing n-grams with probes; clean docs pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox jumps over a sleepy cat"), // shares 3-grams with 1
+      (3L, "completely unrelated text about spark catalyst plans")
+    ).toDF("doc_id", "text")
+    val probes = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val hits = TextOps.contamination(docs, "text", "doc_id", probes, "text", "doc_id",
+      n = 3, minShared = 2).as[(Long, Long, Long)].collect().toSet
+    assert(hits.map(_._1) == Set(1L, 2L)) // doc 3 untouched
+    assert(hits.forall(_._2 == 100L) && hits.forall(_._3 >= 2L))
+  }
+
+  test("quotaPerKey keeps the first N per key deterministically") {
+    import spark.implicits._
+    val rows = (0 until 30).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v")
+    val capped = Sampling.quotaPerKey(rows, "k", "v", quota = 4)
+    val byKey = capped.as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(byKey.keySet == Set("k0", "k1", "k2"))
+    assert(byKey("k0").toSeq == Seq(0L, 3L, 6L, 9L)) // earliest four
+    assert(byKey.values.forall(_.length == 4))
+  }
+
   test("hashSplit: deterministic, complete, and near the declared weights") {
     import spark.implicits._
     val docs = (0 until 2000).map(i => s"document number $i with some text").toDF("text")
