@@ -89,6 +89,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("no accidental cartesian/nested-loop joins anywhere in the query surface") {
+    // the only legitimate non-equi joins: q27's documented brute-force
+    // broadcast-cross oracle path and q35's cross-join operator itself
+    val allowNestedLoop = Set("q27_embedding_topk", "q35_cross_join")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = plan(fn(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!allowNestedLoop(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join")
+    }
+  }
+
   test("link pipeline: window pushed to scan; exactly two exchanges; partial agg") {
     val spans = LinkJob.readJsonV2(spark,
       getClass.getResource("/fixtures/spans_day.jsonl").getPath)
