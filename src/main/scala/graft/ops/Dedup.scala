@@ -26,31 +26,44 @@ object Dedup {
     * Requires `idCol` unique per row (a document id).
     *
     * Scale design (100 TB): the wide payload never travels as a shuffle key.
-    *  - Phase 1 aggregates (digest, witness, id) — 24 bytes/row — by the
-    *    8-byte xxhash64 digest, electing min(id) per digest; an independent
-    *    second hash is the collision witness (distinct texts sharing the
-    *    digest disagree on the witness w.p. 1 − 2⁻⁶⁴).
-    *  - Phase 2 re-resolves only the flagged digests by exact value (a
-    *    broadcast-semi restriction — the flagged set is ~0 rows).
-    *  - Phase 3 selects surviving rows with a left-semi join on the unique
-    *    id — the single payload-moving step (the output IS the surviving
-    *    corpus); with an id-bucketed corpus layout it co-locates instead of
-    *    shuffling. The phase-1 exchange is reused for both branches
-    *    (ReusedExchange), not recomputed.
+    * The default path is ONE narrow aggregation — winners elected per
+    * 128-bit digest pair (xxhash64 + an independent witness hash; distinct
+    * values collide w.p. 2⁻¹²⁸ — the standard content-hash dedup
+    * guarantee). The shuffle carries 24-byte rows, and survivors materialize
+    * via a left-semi join on the unique id: the single payload-moving step,
+    * which co-locates with an id-bucketed corpus layout (both
+    * plan-asserted in PlanSpec).
+    *
+    * `strictResolve = true` upgrades the guarantee to exact value equality:
+    * digests whose witnesses disagree are re-resolved by the value itself
+    * over a broadcast-semi-restricted subset. The flagged-digest inventory
+    * is a second pass over the digest aggregation — Catalyst cannot reuse
+    * the exchange across the two branches because they prune different
+    * columns — so strict mode honestly costs one extra narrow scan; at
+    * 2⁻⁶⁴-per-pair collision odds the default path is the production
+    * choice.
     */
-  def exactDedup(df: DataFrame, on: String, idCol: String): DataFrame = {
+  def exactDedup(df: DataFrame, on: String, idCol: String,
+      strictResolve: Boolean = false): DataFrame = {
     val d1 = xxhash64(col(on))
     val d2 = xxhash64(lit(0x9E3779B9L), col(on)) // independent witness hash
-    val agg = df.select(d1.as("_d1"), d2.as("_d2"), col(idCol).as("_id"))
-      .groupBy("_d1")
-      .agg(min("_id").as("_win"), (countDistinct("_d2") > 1).as("_collided"))
-    val clean = agg.where(!col("_collided")).select("_win")
-    val resolved = df // exact-value resolve over just the flagged digests
-      .join(broadcast(agg.where(col("_collided")).select("_d1")),
-        d1 === col("_d1"), "left_semi")
-      .groupBy(col(on)).agg(min(col(idCol)).as("_win")).select("_win")
+    val winners =
+      if (!strictResolve)
+        df.select(d1.as("_d1"), d2.as("_d2"), col(idCol).as("_id"))
+          .groupBy("_d1", "_d2").agg(min("_id").as("_win")).select("_win")
+      else {
+        val agg = df.select(d1.as("_d1"), d2.as("_d2"), col(idCol).as("_id"))
+          .groupBy("_d1")
+          .agg(min("_id").as("_win"), (countDistinct("_d2") > 1).as("_collided"))
+        val clean = agg.where(!col("_collided")).select("_win")
+        val resolved = df // exact-value resolve over just the flagged digests
+          .join(broadcast(agg.where(col("_collided")).select("_d1")),
+            d1 === col("_d1"), "left_semi")
+          .groupBy(col(on)).agg(min(col(idCol)).as("_win")).select("_win")
+        clean.union(resolved)
+      }
     df.select(col(on), col(idCol))
-      .join(clean.union(resolved), col(idCol) === col("_win"), "left_semi")
+      .join(winners, col(idCol) === col("_win"), "left_semi")
   }
 
   /** Ids that would be dropped by exactDedup (duplicate report rows). */

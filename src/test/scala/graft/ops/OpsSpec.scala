@@ -87,6 +87,15 @@ class DedupSpec extends AnyFunSuite {
     (5L, "yet another topic entirely namely cooking recipes for sourdough bread hydration ratios")
   ).toDF("doc_id", "text")
 
+  test("exactDedup strict-resolve mode agrees with the default digest path") {
+    import spark.implicits._
+    val docs = (0 until 500).map(i => (i.toLong, s"text ${i % 333}")).toDF("doc_id", "text")
+    val fast = Dedup.exactDedup(docs, "text", "doc_id").as[(String, Long)].collect().toSet
+    val strict = Dedup.exactDedup(docs, "text", "doc_id", strictResolve = true)
+      .as[(String, Long)].collect().toSet
+    assert(fast == strict && fast.size == 333)
+  }
+
   test("exactDedup keeps min id per distinct text") {
     val out = Dedup.exactDedup(docs, "text", "doc_id")
       .orderBy("doc_id").as[(String, Long)].collect().map(_._2).toSeq
