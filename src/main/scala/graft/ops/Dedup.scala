@@ -142,8 +142,17 @@ object Dedup {
     * aggregation and is tiny by construction (a key is hot only past
     * maxBucket members — pathologies, not the norm), so it broadcasts back
     * onto the blocking relation; the cap adds NO extra shuffle or sort of
-    * the (16-byte) blocking rows, and the self-join's exchange is still
-    * computed once and reused for both sides.
+    * the (16-byte) blocking rows.
+    *
+    * Multi-consumption contract: `blocked` feeds the hot-key aggregation,
+    * both self-join sides, and the star branch, and Catalyst does NOT unify
+    * those subtrees (AQE may plan the small-bucket join as broadcast,
+    * duplicating the subtree outright). Callers therefore persist the
+    * COMPACT upstream sketch frame (signatures / simhashes / vec+norm)
+    * before exploding band keys — each branch then re-derives the blocking
+    * rows with a cheap cached projection, instead of re-running the sketch
+    * scan up to three times or caching the ×bands-larger exploded relation
+    * (measurably worse on both counts — verified by plan/bench inspection).
     *
     * `carry` names columns of `blocked` (functionally dependent on _id) to
     * thread through to the output as <c>A/<c>B — lets a caller with a
@@ -166,7 +175,10 @@ object Dedup {
       .where(col("_rep").isNotNull && col("_id") =!= col("_rep._id"))
       .select(col("_rep._id").as("idA") +: col("_id").as("idB") +:
         carry.flatMap(c => Seq(col(s"_rep.$c").as(c + "A"), col(c).as(c + "B"))): _*)
-    allPairs.union(starPairs).distinct()
+    // pair-dedup keys on the ids only — carried columns are id-functional,
+    // so they need not enter the dedup comparison (they can be wide: q49
+    // carries 64-double vectors)
+    allPairs.union(starPairs).dropDuplicates(Seq("idA", "idB"))
   }
 
   /** MinHash+LSH near-duplicate pairs.
@@ -282,9 +294,13 @@ object Dedup {
       shingle: Int = 5, maxDistance: Int = 3, maxBucket: Int = 1024): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
     // the 8-byte simhash rides along the block join (carry) — re-attach
-    // joins would cost more than the payload they avoid moving
-    val chunked = spread(df)
+    // joins would cost more than the payload they avoid moving. The sketch
+    // frame persists; the exploded blocking rows re-derive from the cache
+    // per consuming branch (see cappedPairs contract).
+    val sh = spread(df)
       .select(col(idCol).as("_id"), simhash(col(textCol), shingle).as("_sh"))
+      .persist()
+    val chunked = sh
       .select(col("_id"), col("_sh"),
         explode(array((0 until 4).map { i =>
           struct(lit(i).as("chunk"), shiftright(col("_sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
@@ -316,9 +332,11 @@ object Dedup {
     require(planes % bands == 0, s"planes=$planes must divide by bands=$bands")
     val sig = Similarity.srpSignature(col(vecCol), dim, planes, seed)
     val rows = planes / bands
-    val banded = df
+    val v = df
       .select(col(idCol).as("_id"), col(vecCol).as("_vec"), sig.as("_sig"))
       .withColumn("_nrm", sqrt(Similarity.dot(col("_vec"), col("_vec"))))
+      .persist() // sketch frame cached; explode re-derives per branch
+    val banded = v
       .select(col("_id"), col("_vec"), col("_nrm"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"), shiftright(col("_sig"), b * rows)
