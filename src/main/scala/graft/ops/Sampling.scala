@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset-split operators.
+  *
+  * Training pipelines need split assignment and downsampling that are
+  * STABLE — re-running the pipeline (or running it on another engine) must
+  * put every document in the same split, or train/test contamination creeps
+  * in across dataset versions. Randomness is therefore derived from the
+  * content itself: md5(salt ++ value) — and decisions compare the hex prefix
+  * LEXICALLY (hex digits order '0'<'9'<'a'<'f' numerically), which every
+  * engine reproduces byte-for-byte, so a DuckDB oracle can replay the exact
+  * assignment. All expressions are built-in Catalyst functions — one
+  * codegen'd projection, no shuffle, no RNG state.
+  */
+object Sampling {
+
+  /** First 4 hex chars of md5(salt ++ value) — a uniform deterministic
+    * bucket label in '0000'..'ffff' (65536 buckets, compared lexically). */
+  def hashKey(value: Column, salt: String = ""): Column =
+    substring(md5(encode(concat(lit(salt), value), "UTF-8")), 1, 4)
+
+  private def hexThreshold(cum: Double): String =
+    f"${math.min((cum * 65536).round, 65536L)}%04x"
+
+  /** Deterministic split assignment. `weights` are (name, fraction) in
+    * declaration order, summing to 1.0 — e.g. ("train",0.8) :: ("val",0.1)
+    * :: ("test",0.1). Equal inputs land in equal splits, forever. */
+  def hashSplit(value: Column, weights: Seq[(String, Double)],
+      salt: String = ""): Column = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1.0: $weights")
+    val key = hashKey(value, salt)
+    var cum = 0.0
+    val bounded = weights.init.map { case (name, w) =>
+      cum += w
+      (name, hexThreshold(cum))
+    }
+    bounded.foldRight(lit(weights.last._1): Column) { case ((name, hi), rest) =>
+      when(key < lit(hi), lit(name)).otherwise(rest)
+    }
+  }
+
+  /** Deterministic Bernoulli-style sample predicate: keeps ~fraction of
+    * rows, always the same ones. */
+  def sampledBy(value: Column, fraction: Double, salt: String = ""): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0)
+    hashKey(value, salt) < lit(hexThreshold(fraction))
+  }
+
+  /** Per-key quota: keep the first `quota` rows of each key by a
+    * deterministic order (the per-domain document cap of a crawl pipeline).
+    * One shuffle on the key; ranking stays inside the window stage. */
+  def quotaPerKey(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      orderCol: String, quota: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(orderCol)
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= quota).drop("_rn")
+  }
+
+  /** The same thresholds as SQL literals, for oracle construction. */
+  private[graft] def thresholdsFor(weights: Seq[(String, Double)]): Seq[(String, String)] = {
+    var cum = 0.0
+    weights.init.map { case (name, w) => cum += w; (name, hexThreshold(cum)) }
+  }
+}
