@@ -121,7 +121,10 @@ object Main {
             val (lo, hi) = LinkJob.dayWindowMicros(day)
             val spans = graft.codec.V1SpanFold.foldWindow(
               spark.read.parquet(req("in")), lo, hi)
-            val linked = LinkJob.linkSpans(spans, day, Admission.IndexDay, strict).persist()
+            // the fold already applied the day window at the scan, so
+            // PerSpanWindow (the mysql profile default) is a no-op here;
+            // an explicit --admission root-in-window must still take effect
+            val linked = LinkJob.linkSpans(spans, day, admission, strict).persist()
             if (!linked.isEmpty) LinkJob.writeLinks(linked, day, req("out"))
             linked
           case "v1-tables" =>
@@ -130,7 +133,7 @@ object Main {
             val spans = graft.codec.V1SpanFold.fromV1Tables(
               spark.read.parquet(req("in-spans")),
               spark.read.parquet(req("in-annotations")), lo, hi)
-            val linked = LinkJob.linkSpans(spans, day, Admission.IndexDay, strict).persist()
+            val linked = LinkJob.linkSpans(spans, day, admission, strict).persist()
             if (!linked.isEmpty) LinkJob.writeLinks(linked, day, req("out"))
             linked
           case other =>

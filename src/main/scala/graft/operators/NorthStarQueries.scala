@@ -421,8 +421,10 @@ object NorthStarQueries {
   /** q50 oracle: same md5-hex-prefix thresholds, computed from the same
     * weights so the literals can never drift from the Spark side. */
   private def q50OracleSql: String = {
-    val Seq((_, tTrain), (_, tVal)) = graft.ops.Sampling.thresholdsFor(splitWeights)
-    val tQuarter = graft.ops.Sampling.thresholdsFor(Seq("in" -> 0.25, "out" -> 0.75)).head._2
+    // These weights can't saturate (cumulative < 1.0 by construction of
+    // init), so a None threshold here is a programming error — fail loudly.
+    val Seq((_, Some(tTrain)), (_, Some(tVal))) = graft.ops.Sampling.thresholdsFor(splitWeights): @unchecked
+    val Some(tQuarter) = graft.ops.Sampling.thresholdsFor(Seq("in" -> 0.25, "out" -> 0.75)).head._2: @unchecked
     "WITH s AS (SELECT lang, " +
       s"CASE WHEN substr(md5('v1' || text), 1, 4) < '$tTrain' THEN 'train' " +
       s"WHEN substr(md5('v1' || text), 1, 4) < '$tVal' THEN 'val' ELSE 'test' END AS split, " +

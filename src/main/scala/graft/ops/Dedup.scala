@@ -34,14 +34,19 @@ object Dedup {
     * which co-locates with an id-bucketed corpus layout (both
     * plan-asserted in PlanSpec).
     *
-    * `strictResolve = true` upgrades the guarantee to exact value equality:
-    * digests whose witnesses disagree are re-resolved by the value itself
-    * over a broadcast-semi-restricted subset. The flagged-digest inventory
-    * is a second pass over the digest aggregation — Catalyst cannot reuse
-    * the exchange across the two branches because they prune different
-    * columns — so strict mode honestly costs one extra narrow scan; at
-    * 2⁻⁶⁴-per-pair collision odds the default path is the production
-    * choice.
+    * `strictResolve = true` additionally value-resolves every d1-digest
+    * group whose witness hashes disagree. Note what that does and does not
+    * buy: it catches d1 collisions that the witness detects, but two values
+    * colliding on BOTH hashes would still merge silently — the same
+    * ~2⁻¹²⁸-order event the default path accepts (an order-of-magnitude
+    * heuristic, not a proof: d2 is xxhash64 under a derived seed, not an
+    * independently-drawn hash). Unconditional exactness requires grouping
+    * by the value itself, i.e. paying the payload shuffle this operator
+    * exists to avoid. The flagged-digest inventory is a second pass over
+    * the digest aggregation — Catalyst cannot reuse the exchange across
+    * the two branches because they prune different columns — so strict
+    * mode honestly costs one extra narrow scan; the default path is the
+    * production choice.
     */
   def exactDedup(df: DataFrame, on: String, idCol: String,
       strictResolve: Boolean = false): DataFrame = {
@@ -368,6 +373,13 @@ object Dedup {
     * decides convergence. The standard MapReduce-CC shape — at scale each
     * round moves |edges| 16-byte rows, never payloads (swap localCheckpoint
     * for a reliable checkpoint dir when executor loss must be survivable).
+    *
+    * Throws IllegalStateException if labels are still changing after
+    * `maxIter` rounds: a truncated propagation silently splits one
+    * component into several clusters, which a caller cannot distinguish
+    * from converged output — failing loudly beats returning wrong labels.
+    * A diameter beyond the default 20 means a degenerate chain-shaped
+    * corpus; raise `maxIter` deliberately for those.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("idA").as("_src"), col("idB").as("_dst"))
@@ -397,6 +409,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge within maxIter=$maxIter rounds; " +
+        "labels were still changing (component diameter exceeds maxIter). " +
+        "Returning them would silently split components — raise maxIter.")
     labels
   }
 }

@@ -11,16 +11,15 @@ object Partitioning {
     * costs nothing. */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // inputFiles is metadata-only (the relation's cached file listing) —
-    // unlike df.rdd, it doesn't force physical planning of the whole frame.
-    // One file can still hold many row groups, but the guard exists for the
-    // opposite hazard (fewer splits than cores), for which file count is the
-    // right signal; non-file frames (in-memory test data) report no files
-    // and fall through to the planned-RDD count.
+    // Two-step check. inputFiles is metadata-only (the relation's cached
+    // file listing), so use it as a free pre-filter: many files ⇒ many
+    // splits ⇒ nothing to do. Few (or zero: in-memory frames) files does
+    // NOT imply few tasks — Spark splits large parquet files by
+    // maxPartitionBytes — so only then consult the planned partition
+    // count (df.rdd, which forces physical planning; acceptable on the
+    // rare narrow path) before paying for a full repartition shuffle.
     val files = df.inputFiles.length
-    val narrow =
-      if (files > 0) files < target
-      else df.rdd.getNumPartitions < target
+    val narrow = (files == 0 || files < target) && df.rdd.getNumPartitions < target
     if (narrow) df.repartition(target) else df
   }
 }

@@ -22,8 +22,16 @@ object Sampling {
   def hashKey(value: Column, salt: String = ""): Column =
     substring(md5(encode(concat(lit(salt), value), "UTF-8")), 1, 4)
 
-  private def hexThreshold(cum: Double): String =
-    f"${math.min((cum * 65536).round, 65536L)}%04x"
+  /** Hex threshold for a cumulative fraction, or None when the rounded
+    * value reaches 65536: no 4-char hex key exists at or above that point,
+    * and formatting it would yield the 5-char '10000', which compares
+    * lexically BELOW most 4-char keys ('ffff' > '10000') — a match-all
+    * fraction would silently keep ~6% of rows. None means "matches every
+    * key" and callers must special-case it. */
+  private def hexThreshold(cum: Double): Option[String] = {
+    val t = (cum * 65536).round
+    if (t >= 65536L) None else Some(f"$t%04x")
+  }
 
   /** Deterministic split assignment. `weights` are (name, fraction) in
     * declaration order, summing to 1.0 — e.g. ("train",0.8) :: ("val",0.1)
@@ -38,17 +46,21 @@ object Sampling {
       cum += w
       (name, hexThreshold(cum))
     }
-    bounded.foldRight(lit(weights.last._1): Column) { case ((name, hi), rest) =>
-      when(key < lit(hi), lit(name)).otherwise(rest)
+    bounded.foldRight(lit(weights.last._1): Column) {
+      // A saturated threshold absorbs every remaining key: later splits
+      // (necessarily zero-weight) get nothing, matching their fraction.
+      case ((name, None), _)        => lit(name)
+      case ((name, Some(hi)), rest) => when(key < lit(hi), lit(name)).otherwise(rest)
     }
   }
 
   /** Deterministic Bernoulli-style sample predicate: keeps ~fraction of
     * rows, always the same ones. */
-  def sampledBy(value: Column, fraction: Double, salt: String = ""): Column = {
-    require(fraction >= 0.0 && fraction <= 1.0)
-    hashKey(value, salt) < lit(hexThreshold(fraction))
-  }
+  def sampledBy(value: Column, fraction: Double, salt: String = ""): Column =
+    hexThreshold({ require(fraction >= 0.0 && fraction <= 1.0); fraction }) match {
+      case None     => lit(true) // fraction ~1.0: keep everything
+      case Some(hi) => hashKey(value, salt) < lit(hi)
+    }
 
   /** Per-key quota: keep the first `quota` rows of each key by a
     * deterministic order (the per-domain document cap of a crawl pipeline).
@@ -61,8 +73,9 @@ object Sampling {
       .where(col("_rn") <= quota).drop("_rn")
   }
 
-  /** The same thresholds as SQL literals, for oracle construction. */
-  private[graft] def thresholdsFor(weights: Seq[(String, Double)]): Seq[(String, String)] = {
+  /** The same thresholds as SQL literals, for oracle construction.
+    * None mirrors hexThreshold's saturation: render as TRUE in SQL. */
+  private[graft] def thresholdsFor(weights: Seq[(String, Double)]): Seq[(String, Option[String])] = {
     var cum = 0.0
     weights.init.map { case (name, w) => cum += w; (name, hexThreshold(cum)) }
   }

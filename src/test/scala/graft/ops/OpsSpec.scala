@@ -174,6 +174,24 @@ class DedupSpec extends AnyFunSuite {
     assert(kept > 400 && kept < 600)
   }
 
+  test("sampledBy/hashSplit: saturated thresholds keep everything (no 5-char hex)") {
+    import spark.implicits._
+    val docs = (0 until 1000).map(i => s"document number $i").toDF("text")
+    // fraction 1.0 used to emit threshold '10000' which lexically sits
+    // BELOW most 4-char keys ('ffff' > '10000') — keeping only ~6% of rows
+    assert(docs.where(Sampling.sampledBy($"text", 1.0, salt = "q")).count() == 1000)
+    assert(docs.where(Sampling.sampledBy($"text", 0.9999999, salt = "q")).count() == 1000)
+    assert(docs.where(Sampling.sampledBy($"text", 0.0, salt = "q")).count() == 0)
+    // a zero-weight tail split: the saturated middle threshold absorbs the
+    // remainder; the tail split gets exactly its declared 0% share
+    val w = Seq("a" -> 0.5, "b" -> 0.5, "c" -> 0.0)
+    val counts = docs.withColumn("s", Sampling.hashSplit($"text", w))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.getOrElse("c", 0L) == 0L)
+    assert(counts("a") + counts("b") == 1000L)
+    assert(counts("a") > 400 && counts("b") > 400)
+  }
+
   test("dupClusters: transitive chains collapse to min-id components") {
     import spark.implicits._
     // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; pair list order-free
@@ -184,6 +202,15 @@ class DedupSpec extends AnyFunSuite {
     val chain = (0L until 12L).map(i => (i, i + 1)).toDF("idA", "idB")
     val reps = Dedup.dupClusters(chain).as[(Long, Long)].collect()
     assert(reps.forall(_._2 == 0L) && reps.length == 13)
+  }
+
+  test("dupClusters: fails loudly instead of returning truncated labels") {
+    import spark.implicits._
+    // diameter 12 > maxIter 3: silently returning would split the chain
+    // into several clusters indistinguishable from converged output
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val e = intercept[IllegalStateException] { Dedup.dupClusters(chain, maxIter = 3) }
+    assert(e.getMessage.contains("maxIter"))
   }
 
   test("hot-bucket cap: pathological identical corpus stays linear (star pairs)") {
