@@ -331,7 +331,11 @@ object NorthStarQueries {
         countDistinct(col("text")).as("exact_uniq"),
         count(lit(1)).as("n"))
       .select(col("source"), col("exact_uniq"), col("n"),
-        (abs(col("approx_uniq") - col("exact_uniq")) <= col("exact_uniq") * 0.06).as("approx_ok"))
+        // 3× rsd relative + a small absolute floor: at tiny cardinalities
+        // (sf0.001: 25/source) the relative term alone is < 2 counts,
+        // tighter than the sketch's integer resolution
+        (abs(col("approx_uniq") - col("exact_uniq")) <=
+          col("exact_uniq") * 0.06 + lit(3.0)).as("approx_ok"))
       .orderBy("source")
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(

@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.ops.{Sampling, Temporal}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 pipeline operators: temporal joins (as-of, range), gap
+  * sessionization, distribution sketches (quantiles), vocabulary statistics,
+  * and stratified sampling — the remaining standard verbs of a large-scale
+  * training-data / log-analytics pipeline, each DuckDB-oracled.
+  *
+  * Timestamp convention: `events.ts` is long NANOS on the Spark side
+  * (TESTDATA.md; nanosAsLong), but DuckDB 1.0 truncates TIMESTAMP(NANOS) to
+  * micros at read. Every query here therefore compares/aggregates
+  * `ts DIV 1000` (micros), which equals DuckDB's `epoch_us(ts)` exactly —
+  * nano-resolution comparisons would diverge in the oracle's truncated view.
+  */
+object PipelineQueries {
+  import ContractQueries.table
+
+  private val tsU = expr("ts DIV 1000") // micros, == DuckDB epoch_us(ts)
+
+  /** q53 — as-of join: each click event matched to the most recent
+    * prior-or-equal view event of the same user (backward as-of). Clicks
+    * with no prior view are dropped (inner as-of). */
+  def asofViewBeforeClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), tsU.as("tsu"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), tsU.as("tsu"))
+    Temporal.asofJoinPrior(clicks, views, "user_id", "tsu", "tsu",
+      rightPick = Seq("view_id"), rightTieBreak = "view_id")
+      .where(col("view_id").isNotNull)
+      .select("user_id", "click_id", "view_id")
+      .orderBy("user_id", "click_id")
+  }
+
+  private val sixHoursU = 21600L * 1000000L
+  private val bucketU = 3600L * 1000000L // 1 h buckets: intervals span ≤ 7
+
+  /** q54 — range join: per-event-type "incident windows" (first occurrence +
+    * 6 h), counting ALL events falling inside each window. The interval
+    * join runs as a bucketed equi-join (Temporal.bucketedRangeJoin), not a
+    * nested-loop theta join. */
+  def windowRangeCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val windows = ev.groupBy(col("event_type").as("wtype"))
+      .agg(min(tsU).as("lo"))
+      .withColumn("hi", col("lo") + sixHoursU)
+    Temporal.bucketedRangeJoin(ev.select(tsU.as("tsu")), "tsu",
+      windows, "lo", "hi", bucketWidth = bucketU)
+      .groupBy("wtype").agg(count(lit(1)).as("n"))
+      .orderBy("wtype")
+  }
+
+  private val gapU = 1800L * 1000000L // 30 min session gap (micros)
+
+  /** q55 — gap sessionization: per-user sessions at a 30-minute silence
+    * threshold, rolled up to per-user session stats. */
+  def userSessions(spark: SparkSession, dir: String): DataFrame =
+    Temporal.sessionize(
+      table(spark, dir, "events").select(col("user_id"), tsU.as("tsu"), col("event_id")),
+      "user_id", "tsu", "event_id", gapU)
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n"), (max("tsu") - min("tsu")).as("dur"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"),
+        round(avg("n"), 4).as("avg_events"), max("dur").as("max_dur_us"))
+      .orderBy("user_id")
+
+  /** q56 — distribution quantiles per language: exact percentiles
+    * (interpolated, matching DuckDB quantile_cont) alongside the
+    * fixed-size-sketch approximation (approx_percentile / KLL-style) that a
+    * 100 TB run would use — surfaced like q34's HLL as an `approx_ok`
+    * accuracy bound the oracle pins TRUE, since DuckDB cannot reproduce
+    * Spark's sketch internals. */
+  def charQuantiles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        round(expr("percentile(n_chars, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.9D)"), 4).as("p90"),
+        round(expr("percentile(n_chars, 0.99D)"), 4).as("p99"),
+        expr("approx_percentile(n_chars, 0.5D, 10000)").as("_ap50"))
+      .select(col("lang"), col("p50"), col("p90"), col("p99"),
+        (abs(col("_ap50") - col("p50")) <= col("p50") * 0.05 + lit(2.0)).as("approx_ok"))
+      .orderBy("lang")
+
+  /** q57 — vocabulary statistics: top-5 tokens per language by document
+    * frequency (each token counted once per document — the inverted-index /
+    * stopword-mining primitive). Count-based, so the oracle is exact. */
+  def topTokensPerLang(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("lang"),
+        explode(array_distinct(filter(split(col("text"), "\\s+"), t => t =!= lit("")))).as("token"))
+    val w = Window.partitionBy("lang").orderBy(col("df").desc, col("token").asc)
+    toks.groupBy("lang", "token").agg(count(lit(1)).as("df"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .orderBy("lang", "rank")
+  }
+
+  /** Per-language sampling fractions for q58 — 'es' at 1.0 exercises the
+    * saturated-threshold path in a production query. */
+  private val strataFractions = Seq(
+    "en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 1.0, "zh" -> 0.1)
+
+  /** q58 — stratified deterministic sampling: per-language keep fractions
+    * over content hashes (rebalancing a corpus mix), rolled up to counts. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .where(Sampling.stratifiedKeep(col("lang"), col("text"), strataFractions, salt = "s1"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("first_id"))
+      .orderBy("lang")
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q53_asof_join" -> (asofViewBeforeClick _),
+    "q54_range_join" -> (windowRangeCounts _),
+    "q55_sessionization" -> (userSessions _),
+    "q56_quantiles" -> (charQuantiles _),
+    "q57_top_tokens" -> (topTokensPerLang _),
+    "q58_stratified_sample" -> (stratifiedSample _)
+  )
+
+  /** q58 oracle: thresholds derived from the SAME fractions as the Spark
+    * side (saturated fractions render as a match-all TRUE). */
+  private def q58OracleSql: String = {
+    val preds = strataFractions.map { case (lang, f) =>
+      Sampling.thresholdFor(f) match {
+        case None     => s"(lang = '$lang')"
+        case Some(hi) => s"(lang = '$lang' AND substr(md5('s1' || text), 1, 4) < '$hi')"
+      }
+    }.mkString(" OR ")
+    s"SELECT lang, count(*) AS n, MIN(doc_id) AS first_id FROM documents " +
+      s"WHERE $preds GROUP BY lang ORDER BY lang"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q53_asof_join" ->
+      ("WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'click'), " +
+        "v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'view'), " +
+        "j AS (SELECT c.user_id, c.click_id, v.view_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY c.user_id, c.click_id ORDER BY v.tsu DESC, v.view_id DESC) AS rn " +
+        "FROM c JOIN v ON c.user_id = v.user_id AND v.tsu <= c.tsu) " +
+        "SELECT user_id, click_id, view_id FROM j WHERE rn = 1 ORDER BY user_id, click_id"),
+    "q54_range_join" ->
+      ("WITH w AS (SELECT event_type AS wtype, MIN(epoch_us(ts)) AS lo, MIN(epoch_us(ts)) + 21600000000 AS hi " +
+        "FROM events GROUP BY event_type) " +
+        "SELECT wtype, count(*) AS n FROM w JOIN events e ON epoch_us(e.ts) BETWEEN w.lo AND w.hi " +
+        "GROUP BY wtype ORDER BY wtype"),
+    "q55_sessionization" ->
+      ("WITH o AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events), " +
+        "l AS (SELECT user_id, tsu, event_id, LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev FROM o), " +
+        "f AS (SELECT user_id, tsu, CASE WHEN prev IS NULL OR tsu - prev > 1800000000 THEN 1 ELSE 0 END AS brk, event_id FROM l), " +
+        "s AS (SELECT user_id, tsu, SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f), " +
+        "g AS (SELECT user_id, sid, count(*) AS n, MAX(tsu) - MIN(tsu) AS dur FROM s GROUP BY user_id, sid) " +
+        "SELECT user_id, count(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events, " +
+        "ROUND(AVG(n), 4) AS avg_events, CAST(MAX(dur) AS BIGINT) AS max_dur_us " +
+        "FROM g GROUP BY user_id ORDER BY user_id"),
+    "q56_quantiles" ->
+      ("SELECT lang, ROUND(quantile_cont(n_chars, 0.5), 4) AS p50, " +
+        "ROUND(quantile_cont(n_chars, 0.9), 4) AS p90, " +
+        "ROUND(quantile_cont(n_chars, 0.99), 4) AS p99, TRUE AS approx_ok " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "q57_top_tokens" ->
+      ("WITH t AS (SELECT lang, UNNEST(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS token FROM documents), " +
+        "g AS (SELECT lang, token, count(*) AS df FROM t GROUP BY lang, token), " +
+        "r AS (SELECT lang, token, df, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, token) AS INTEGER) AS rank FROM g) " +
+        "SELECT lang, token, df, rank FROM r WHERE rank <= 5 ORDER BY lang, rank"),
+    "q58_stratified_sample" -> q58OracleSql
+  )
+}

@@ -62,6 +62,16 @@ object Sampling {
       case Some(hi) => hashKey(value, salt) < lit(hi)
     }
 
+  /** Stratified deterministic sampling: each stratum keeps its own fraction
+    * (the per-language / per-source downsampling of a corpus mix). Rows in
+    * strata not listed are dropped. Same content-hash stability as
+    * sampledBy — one codegen'd predicate, no shuffle, no RNG state. */
+  def stratifiedKeep(strata: Column, value: Column,
+      fractions: Seq[(String, Double)], salt: String = ""): Column =
+    fractions.foldLeft(lit(false)) { case (acc, (s, f)) =>
+      when(strata === lit(s), sampledBy(value, f, salt)).otherwise(acc)
+    }
+
   /** Per-key quota: keep the first `quota` rows of each key by a
     * deterministic order (the per-domain document cap of a crawl pipeline).
     * One shuffle on the key; ranking stays inside the window stage. */
@@ -72,6 +82,11 @@ object Sampling {
     df.withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= quota).drop("_rn")
   }
+
+  /** A single fraction's threshold as a SQL literal (None = saturated:
+    * render as TRUE), for oracle construction. */
+  private[graft] def thresholdFor(fraction: Double): Option[String] =
+    hexThreshold(fraction)
 
   /** The same thresholds as SQL literals, for oracle construction.
     * None mirrors hexThreshold's saturation: render as TRUE in SQL. */
