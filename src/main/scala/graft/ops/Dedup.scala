@@ -361,25 +361,31 @@ object Dedup {
     * (id, rep = the component's minimum id): the step that turns pairwise
     * near-dup evidence into keep-one-per-cluster decisions.
     *
-    * Iterative min-label propagation: each round every node adopts the
-    * smallest label among itself and its neighbors, converging in
-    * O(component diameter) rounds — near-dup clusters are shallow (dup
-    * groups, not long chains), so few rounds suffice; `maxIter` bounds the
-    * pathological chain. Each round is one equi-join plus one aggregation
-    * shuffling only (id, label) pairs; the new labels are eagerly
+    * Iterative min-label propagation with adaptive pointer jumping:
+    * each round every node adopts the smallest label among itself and its
+    * neighbors; from round 3 on, labels additionally compress through their
+    * own representative (rep := rep-of-rep, the path-doubling step), so a
+    * depth-D component converges in O(log D) rounds instead of O(D) — a
+    * degenerate chain-shaped corpus (overlapping boilerplate forming one
+    * long near-dup path) stays tractable. Near-dup clusters are typically
+    * shallow (dup groups), so the first rounds skip the jump join and pay
+    * nothing for the safeguard. Each round is one equi-join plus one
+    * aggregation shuffling only (id, label) pairs; new labels are eagerly
     * local-checkpointed each round — the label frame appears twice per
     * iteration, so without lineage truncation the logical plan doubles every
-    * round (exponential planning cost). An isEmpty probe on changed labels
-    * decides convergence. The standard MapReduce-CC shape — at scale each
-    * round moves |edges| 16-byte rows, never payloads (swap localCheckpoint
-    * for a reliable checkpoint dir when executor loss must be survivable).
+    * round (exponential planning cost), and the jump self-joins the
+    * materialized checkpoint, not the un-truncated subtree. An isEmpty
+    * probe on changed labels decides convergence. The standard MapReduce-CC
+    * shape — at scale each round moves |edges| 16-byte rows, never payloads
+    * (swap localCheckpoint for a reliable checkpoint dir when executor loss
+    * must be survivable).
     *
     * Throws IllegalStateException if labels are still changing after
     * `maxIter` rounds: a truncated propagation silently splits one
     * component into several clusters, which a caller cannot distinguish
     * from converged output — failing loudly beats returning wrong labels.
-    * A diameter beyond the default 20 means a degenerate chain-shaped
-    * corpus; raise `maxIter` deliberately for those.
+    * With pointer jumping the default 20 rounds covers components ~2^17
+    * deep; hitting it means something is genuinely wrong.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("idA").as("_src"), col("idB").as("_dst"))
@@ -398,12 +404,28 @@ object Dedup {
         .groupBy(col("_src")).agg(min(col("rep")).as("_nrep"))
       // carry the previous label through so convergence is a filter on the
       // checkpointed frame, not another join against the old labels
-      val next = labels.as("cur")
+      val stepped = labels.as("cur")
         .join(neighborMin, col("cur.id") === col("_src"), "left_outer")
         .select(col("cur.id").as("id"),
           least(col("cur.rep"), coalesce(col("_nrep"), col("cur.rep"))).as("rep"),
           col("cur.rep").as("_prev"))
         .localCheckpoint() // eager: materializes AND truncates lineage
+      val next =
+        if (iter < 2) stepped
+        else {
+          // pointer jump (path doubling): rep := rep's rep. Only engaged
+          // once a component has shown depth (> 2 rounds), so the common
+          // shallow case never pays this extra join. Every rep IS a node
+          // id (min over self ∪ neighbors ∪ earlier reps), so the lookup
+          // joins labels back to themselves on the materialized checkpoint.
+          val reps = stepped.select(col("id").as("_jid"), col("rep").as("_jrep"))
+          stepped
+            .join(reps, col("rep") === col("_jid"), "left_outer")
+            .select(col("id"),
+              least(col("rep"), coalesce(col("_jrep"), col("rep"))).as("rep"),
+              col("_prev"))
+            .localCheckpoint()
+        }
       converged = next.where(col("rep") =!= col("_prev")).isEmpty
       labels = next.drop("_prev")
       iter += 1

@@ -204,6 +204,15 @@ class DedupSpec extends AnyFunSuite {
     assert(reps.forall(_._2 == 0L) && reps.length == 13)
   }
 
+  test("dupClusters: pointer jumping converges a 300-deep chain in O(log D) rounds") {
+    import spark.implicits._
+    // plain min-propagation needs ~300 rounds; path doubling needs ~12,
+    // inside the default maxIter=20
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val reps = Dedup.dupClusters(chain).as[(Long, Long)].collect()
+    assert(reps.length == 301 && reps.forall(_._2 == 0L))
+  }
+
   test("dupClusters: fails loudly instead of returning truncated labels") {
     import spark.implicits._
     // diameter 12 > maxIter 3: silently returning would split the chain
