@@ -41,7 +41,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => SimHash64(args.head, intArg(args, 1, "graft_simhash"))),
     (FunctionIdentifier("graft_fingerprint64"),
       new ExpressionInfo(classOf[Fingerprint64].getName, "graft_fingerprint64"),
-      (args: Seq[Expression]) => Fingerprint64(args.head, intArg(args, 1, "graft_fingerprint64")))
+      (args: Seq[Expression]) => Fingerprint64(args.head, intArg(args, 1, "graft_fingerprint64"))),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1)))
   )
 
   /** Idempotently register on a live session (no-op when installed via the
@@ -71,4 +74,7 @@ object GraftFunctions {
   /** Fused min-window-hash fingerprint over lowercased byte n-grams. */
   def fingerprint64(text: Column, n: Int): Column =
     call_function("graft_fingerprint64", lower(text), lit(n))
+
+  /** Fused double-array dot product (float arrays widen implicitly). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 }

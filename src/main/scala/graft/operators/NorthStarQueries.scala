@@ -98,6 +98,7 @@ object NorthStarQueries {
     * rule: IVF centroids are a small driver-side model by construction
     * (broadcast to every executor as expression literals). */
   def embeddingIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark) // ivfAssign/cosine use graft_dot
     val emb = table(spark, dir, "embeddings")
       .withColumn("embedding", col("embedding").cast("array<double>"))
     // nlist capped at 16: the literal-expression assignment unrolls K×dim

@@ -335,6 +335,7 @@ object Dedup {
       threshold: Double = 0.95, seed: Long = 42L,
       maxBucket: Int = 1024): DataFrame = {
     require(planes % bands == 0, s"planes=$planes must divide by bands=$bands")
+    graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
     val sig = Similarity.srpSignature(col(vecCol), dim, planes, seed)
     val rows = planes / bands
     val v = df

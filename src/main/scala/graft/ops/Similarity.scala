@@ -12,9 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float arrays — zip_with + aggregate (Catalyst
-    * higher-order functions; no UDF, no serialization hop). */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product — the fused codegen kernel (graft.expr.VecOps): one
+    * primitive loop inside the stage, vs the higher-order-function
+    * formulation (below) whose lambdas evaluate interpretively per element.
+    * Requires GraftFunctions registration (every DataFrame-level entry
+    * point here ensures it). */
+  def dot(a: Column, b: Column): Column = graft.expr.GraftFunctions.dot(a, b)
+
+  /** The reference expression-tree formulation the kernel is pinned
+    * bit-equal against (VecExprSpec): same left-to-right summation. */
+  private[graft] def dotBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -56,6 +63,7 @@ object Similarity {
       corpus: DataFrame, corpusVec: String, corpusId: String,
       queries: DataFrame, queryVec: String, queryId: String,
       k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val q = broadcast(queries.select(col(queryId).as("queryId"), col(queryVec).as("_qv")))
     val c = corpus.select(col(corpusId).as("neighborId"), col(corpusVec).as("_cv"))
     val scored = q.crossJoin(c)
@@ -74,6 +82,7 @@ object Similarity {
       corpus: DataFrame, corpusVec: String, corpusId: String,
       queries: DataFrame, queryVec: String, queryId: String,
       dim: Int, k: Int = 10, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col(corpusId).as("neighborId"), col(corpusVec).as("_cv"),
       srpSignature(col(corpusVec), dim, nPlanes, seed).as("_sig"))
     val q = broadcast(queries.select(col(queryId).as("queryId"), col(queryVec).as("_qv"),
