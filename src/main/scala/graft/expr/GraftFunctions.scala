@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions.{call_function, lit, lower}
   * `GraftFunctions.ensureRegistered` (used by the ops layer, so the library
   * works on sessions built without the extension). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => DotProductRewrite)
+  }
 }
 
 object GraftFunctions {
@@ -48,12 +50,17 @@ object GraftFunctions {
   )
 
   /** Idempotently register on a live session (no-op when installed via the
-    * extension or a prior call). */
+    * extension or a prior call). Also attaches the DotProductRewrite
+    * optimizer rule through the experimental-methods hook — the live-session
+    * equivalent of injectOptimizerRule. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     injections.foreach { case (id, info, builder) =>
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(DotProductRewrite))
+      spark.experimental.extraOptimizations = extra :+ DotProductRewrite
   }
 
   // Column-side helpers (the session must have the functions registered)

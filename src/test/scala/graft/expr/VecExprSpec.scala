@@ -31,6 +31,35 @@ class VecExprSpec extends AnyFunSuite {
     assert(got == 1.5 * 4.0 + -2.25 * 2.0 + 0.5 * -8.0)
   }
 
+  test("optimizer rule rewrites the HOF dot pattern to the fused kernel") {
+    // the user-written formulation — no graft function in sight
+    val df = spark.range(50)
+      .select(array(col("id").cast("double"), lit(2.0), lit(-1.5)).as("a"),
+        array(lit(3.0), col("id").cast("double"), lit(4.0)).as("b"))
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0d),
+        (acc, x) => acc + x).as("d"))
+    val opt = hof.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_dot"), s"rewrite must fire\n$opt")
+    assert(!opt.contains("aggregate("), s"HOF form must be gone\n$opt")
+    // and the rewritten plan computes the same values as the kernel directly
+    val direct = df.select(Similarity.dot(col("a"), col("b")).as("d"))
+    assert(hof.as[Double].collect().toSeq == direct.as[Double].collect().toSeq)
+  }
+
+  test("optimizer rule leaves non-matching folds alone") {
+    val df = spark.range(10)
+      .select(array(col("id").cast("double"), lit(2.0)).as("a"),
+        array(lit(3.0), lit(4.0)).as("b"))
+    // a sum-of-sums, not a dot product
+    val other = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x + y), lit(0.0d),
+        (acc, x) => acc + x).as("d"))
+    val opt = other.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("graft_dot"), s"must not rewrite a non-multiply lambda\n$opt")
+    assert(other.as[Double].head() == 0.0 + (0.0 + 3.0) + (2.0 + 4.0))
+  }
+
   test("dot kernel runs inside whole-stage codegen") {
     // non-literal input: a literal frame constant-folds to LocalTableScan
     val df = spark.range(4)
