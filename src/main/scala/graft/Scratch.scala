@@ -28,13 +28,28 @@ object Scratch {
     time("warmup-lsh")(noop(Dedup.minhashNearDups(docs, "text", "doc_id",
       k = 64, bands = 16, shingle = 3, threshold = 0.35, wordGrams = true)))
     spark.sharedState.cacheManager.clearCache()
-    time("word minhash sig")(noop(spreadDocs.select(
-      Dedup.minhash(col("text"), 64, 3, 42L, wordGrams = true).as("sig"))))
-    time("q24 full")(noop(graft.operators.NorthStarQueries.ngramNearDups(spark, dir)))
+
+    // A: current q24 (est 0.35 screen, then exact verify at 0.5)
+    def variantA() = graft.operators.NorthStarQueries.ngramNearDups(spark, dir)
+    // B: raw capped candidates straight into the exact verify
+    def variantB() = {
+      val cand = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+        k = 64, bands = 16, shingle = 3, wordGrams = true)
+        .select("idA", "idB").persist()
+      Dedup.ngramJaccardVerify(docs, cand, "text", "doc_id", n = 3, threshold = 0.5)
+        .select("idA", "idB", "jaccard").orderBy("idA", "idB")
+    }
+    // order-swapped double measurement within one JVM
+    for (round <- 1 to 2) {
+      time(s"q24 A (est screen) r$round")(noop(variantA()))
+      spark.sharedState.cacheManager.clearCache()
+      time(s"q24 B (direct verify) r$round")(noop(variantB()))
+      spark.sharedState.cacheManager.clearCache()
+    }
+    val a = variantA().collect().map(_.toString).toSet
     spark.sharedState.cacheManager.clearCache()
-    time("q25 full")(noop(graft.operators.NorthStarQueries.minhashNearDups(spark, dir)))
-    spark.sharedState.cacheManager.clearCache()
-    time("q26 full")(noop(graft.operators.NorthStarQueries.simhashNearDups(spark, dir)))
+    val b = variantB().collect().map(_.toString).toSet
+    println(s"identical output: ${a == b} (|A|=${a.size}, |B|=${b.size})")
     spark.stop()
   }
 }

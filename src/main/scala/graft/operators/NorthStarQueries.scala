@@ -23,19 +23,22 @@ object NorthStarQueries {
       .orderBy("doc_id")
 
   /** Near-duplicate pairs — MinHash LSH candidates verified with EXACT
-    * word-3-gram Jaccard ≥ 0.5. The sketch uses the same unit as the verify
-    * metric (word 3-grams), so the estimate pre-filter at 0.35 is a valid
-    * lower bound screen for true ≥0.5 pairs (k=64 binomial tail: miss
-    * probability ≈ 3e-4 at j=0.5, ≈ 0 at the ≥0.9 pairs in this corpus) and
-    * background pairs (j≈0.01) never reach the exact verify. Output equals
-    * the brute-force all-pairs oracle. */
+    * word-3-gram Jaccard ≥ 0.5. The raw capped candidate relation feeds the
+    * exact verify DIRECTLY: the banding unit matches the verify metric
+    * (word 3-grams), so an estimated-Jaccard screen could only re-filter
+    * what the verify decides anyway while paying two signature re-attach
+    * joins — dropping it measured 4.6→4.3 s at sf0.1 with byte-identical
+    * output (and recall can only improve: banding, not the estimate, is
+    * the lossy step — k=64 miss probability ≈ 3e-4 at j=0.5, ≈ 0 at this
+    * corpus's ≥0.9 pairs). Output equals the brute-force all-pairs
+    * oracle. */
   def ngramNearDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     // persist: the verify stage consumes candidates twice (broadcast id set +
     // pair join) — without this the whole LSH pipeline would run twice.
     // Ownership: Verify/Bench clear the cache after each query's action.
-    val candidates = Dedup.minhashNearDups(docs, "text", "doc_id",
-      k = 64, bands = 16, shingle = 3, threshold = 0.35, wordGrams = true)
+    val candidates = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+      k = 64, bands = 16, shingle = 3, wordGrams = true)
       .select("idA", "idB").persist()
     Dedup.ngramJaccardVerify(docs, candidates, "text", "doc_id", n = 3, threshold = 0.5)
       .select("idA", "idB", "jaccard")

@@ -197,6 +197,34 @@ object Dedup {
       k: Int = 64, bands: Int = 16, shingle: Int = 5,
       threshold: Double = 0.7, seed: Long = 42L,
       wordGrams: Boolean = false, maxBucket: Int = 1024): DataFrame = {
+    val (candidates, sigs) = bandedCandidates(df, textCol, idCol, k, bands,
+      shingle, seed, wordGrams, maxBucket)
+    candidates
+      .join(sigs.select(col("_id").as("idA"), col("_sig").as("sigA")), "idA")
+      .join(sigs.select(col("_id").as("idB"), col("_sig").as("sigB")), "idB")
+      .withColumn("est_jaccard", round(minhashEstimate(col("sigA"), col("sigB"), k), 6))
+      .where(col("est_jaccard") >= threshold)
+      .select("idA", "idB", "est_jaccard")
+  }
+
+  /** The raw LSH candidate relation (idA, idB) — banding + hot-bucket cap,
+    * WITHOUT the signature re-attach / estimated-Jaccard screen. The right
+    * input for a downstream EXACT verify (ngramJaccardVerify): when the
+    * banding unit matches the verify metric, the estimate screen only
+    * re-filters what the exact verify decides anyway, at the cost of two
+    * signature joins. Use minhashNearDups when the estimate itself is the
+    * output. */
+  def minhashCandidatePairs(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 64, bands: Int = 16, shingle: Int = 5, seed: Long = 42L,
+      wordGrams: Boolean = false, maxBucket: Int = 1024): DataFrame =
+    bandedCandidates(df, textCol, idCol, k, bands, shingle, seed, wordGrams,
+      maxBucket)._1
+
+  private def bandedCandidates(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int, bands: Int, shingle: Int, seed: Long,
+      wordGrams: Boolean, maxBucket: Int): (DataFrame, DataFrame) = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
     val rows = k / bands
@@ -208,13 +236,7 @@ object Dedup {
     // never the k-long signatures; sigs re-attach afterwards (small side).
     val banded = sigs.select(col("_id"),
       explode(minhashBands(col("_sig"), bands, rows)).as("_b"))
-    val candidates = cappedPairs(banded, maxBucket)
-    candidates
-      .join(sigs.select(col("_id").as("idA"), col("_sig").as("sigA")), "idA")
-      .join(sigs.select(col("_id").as("idB"), col("_sig").as("sigB")), "idB")
-      .withColumn("est_jaccard", round(minhashEstimate(col("sigA"), col("sigB"), k), 6))
-      .where(col("est_jaccard") >= threshold)
-      .select("idA", "idB", "est_jaccard")
+    (cappedPairs(banded, maxBucket), sigs)
   }
 
   // --- n-gram Jaccard (exact) ---------------------------------------------
