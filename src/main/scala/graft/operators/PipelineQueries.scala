@@ -116,13 +116,51 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n"), min("doc_id").as("first_id"))
       .orderBy("lang")
 
+  /** q59 — corpus-overlap matrix: word-3-gram Jaccard between sources
+    * (pairs sharing ≥1 gram), the corpus-granularity contamination view.
+    * Exact overlap is computed relationally (distinct (source, gram) →
+    * equi-self-join on the gram → sizes); alongside it, the bottom-k sketch
+    * UDAF (graft.expr.BottomKSketch — mergeable O(k) state per group,
+    * map-side partial aggregation) estimates the same Jaccard from two
+    * 256-slot sketches, surfaced as an `approx_ok` bound the oracle pins
+    * TRUE. At 100 TB the exact self-join is the expensive path and the
+    * sketch is the one you'd ship: per-source state stays 2 KB no matter
+    * the corpus. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val sg = docs.select(col("source"),
+      explode(array_distinct(graft.ops.TextOps.wordShingles(col("text"), 3))).as("g"))
+      .distinct()
+    val sizes = sg.groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = sg.select(col("source").as("srcA"), col("g"))
+      .join(sg.select(col("source").as("srcB"), col("g")), "g")
+      .where(col("srcA") < col("srcB"))
+      .groupBy("srcA", "srcB").agg(count(lit(1)).as("inter"))
+    val sketches = sg.groupBy("source")
+      .agg(graft.expr.BottomKSketch.bottomK(xxhash64(col("g")), 256).as("sk"))
+    val est = graft.expr.BottomKSketch.jaccardEstimate(col("skA"), col("skB"), 256)
+    inter
+      .join(broadcast(sizes.select(col("source").as("srcA"), col("sz").as("szA"))), "srcA")
+      .join(broadcast(sizes.select(col("source").as("srcB"), col("sz").as("szB"))), "srcB")
+      .join(broadcast(sketches.select(col("source").as("srcA"), col("sk").as("skA"))), "srcA")
+      .join(broadcast(sketches.select(col("source").as("srcB"), col("sk").as("skB"))), "srcB")
+      .withColumn("exact_jaccard",
+        round(col("inter").cast("double") / (col("szA") + col("szB") - col("inter")), 4))
+      // 256-slot sketch: sigma <= sqrt(J(1-J)/256) ~ 0.031; 0.15 is ~5 sigma
+      .withColumn("approx_ok",
+        abs(est - col("inter").cast("double") / (col("szA") + col("szB") - col("inter"))) <= 0.15)
+      .select("srcA", "srcB", "exact_jaccard", "approx_ok")
+      .orderBy("srcA", "srcB")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q53_asof_join" -> (asofViewBeforeClick _),
     "q54_range_join" -> (windowRangeCounts _),
     "q55_sessionization" -> (userSessions _),
     "q56_quantiles" -> (charQuantiles _),
     "q57_top_tokens" -> (topTokensPerLang _),
-    "q58_stratified_sample" -> (stratifiedSample _)
+    "q58_stratified_sample" -> (stratifiedSample _),
+    "q59_source_overlap" -> (sourceOverlap _)
   )
 
   /** q58 oracle: thresholds derived from the SAME fractions as the Spark
@@ -170,6 +208,17 @@ object PipelineQueries {
         "g AS (SELECT lang, token, count(*) AS df FROM t GROUP BY lang, token), " +
         "r AS (SELECT lang, token, df, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, token) AS INTEGER) AS rank FROM g) " +
         "SELECT lang, token, df, rank FROM r WHERE rank <= 5 ORDER BY lang, rank"),
-    "q58_stratified_sample" -> q58OracleSql
+    "q58_stratified_sample" -> q58OracleSql,
+    // exact columns replayed in SQL (same word-3-gram family as the q24/q51
+    // oracles); the sketch estimate surfaces only through approx_ok = TRUE
+    "q59_source_overlap" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t FROM documents), " +
+        "grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' ')) END) AS g FROM toks), " +
+        "sg AS (SELECT DISTINCT d.source, u.gr FROM grams JOIN documents d USING (doc_id), UNNEST(grams.g) AS u(gr)), " +
+        "sz AS (SELECT source, count(*) AS n FROM sg GROUP BY source), " +
+        "inter AS (SELECT a.source AS srcA, b.source AS srcB, count(*) AS i FROM sg a JOIN sg b ON a.gr = b.gr AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT srcA, srcB, ROUND(CAST(i AS DOUBLE) / (za.n + zb.n - i), 4) AS exact_jaccard, TRUE AS approx_ok " +
+        "FROM inter JOIN sz za ON za.source = srcA JOIN sz zb ON zb.source = srcB ORDER BY srcA, srcB")
   )
 }
