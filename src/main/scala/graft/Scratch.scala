@@ -29,27 +29,17 @@ object Scratch {
       k = 64, bands = 16, shingle = 3, threshold = 0.35, wordGrams = true)))
     spark.sharedState.cacheManager.clearCache()
 
-    // A: current q24 (est 0.35 screen, then exact verify at 0.5)
-    def variantA() = graft.operators.NorthStarQueries.ngramNearDups(spark, dir)
-    // B: raw capped candidates straight into the exact verify
-    def variantB() = {
-      val cand = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
-        k = 64, bands = 16, shingle = 3, wordGrams = true)
-        .select("idA", "idB").persist()
-      Dedup.ngramJaccardVerify(docs, cand, "text", "doc_id", n = 3, threshold = 0.5)
-        .select("idA", "idB", "jaccard").orderBy("idA", "idB")
-    }
-    // order-swapped double measurement within one JVM
+    // q26 stage anatomy: sketch scan alone vs full pipeline
+    time("simhash scan only")(noop(graft.ops.Partitioning.spread(docs)
+      .select(col("doc_id"), Dedup.simhash(col("text"), 5).as("sh"))))
     for (round <- 1 to 2) {
-      time(s"q24 A (est screen) r$round")(noop(variantA()))
+      time(s"q26 full r$round")(noop(graft.operators.NorthStarQueries.simhashNearDups(spark, dir)))
       spark.sharedState.cacheManager.clearCache()
-      time(s"q24 B (direct verify) r$round")(noop(variantB()))
+      time(s"q24 full r$round")(noop(graft.operators.NorthStarQueries.ngramNearDups(spark, dir)))
+      spark.sharedState.cacheManager.clearCache()
+      time(s"q48 full r$round")(noop(graft.operators.NorthStarQueries.dupClusters(spark, dir)))
       spark.sharedState.cacheManager.clearCache()
     }
-    val a = variantA().collect().map(_.toString).toSet
-    spark.sharedState.cacheManager.clearCache()
-    val b = variantB().collect().map(_.toString).toSet
-    println(s"identical output: ${a == b} (|A|=${a.size}, |B|=${b.size})")
     spark.stop()
   }
 }

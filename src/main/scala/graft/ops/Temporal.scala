@@ -16,7 +16,10 @@ object Temporal {
     * right row of the same key with `rightTs` <= `leftTs` (ties at equal
     * timestamp include the right row; among equal-timestamp right rows the
     * greatest `rightTieBreak` wins — deterministic). Left rows with no prior
-    * right row keep NULLs in the picked columns.
+    * right row keep NULLs in the picked columns. `tolerance >= 0` (same
+    * units as the timestamp columns, which must then be numeric) drops
+    * matches older than `leftTs - tolerance` — the max-staleness bound a
+    * feature-lookup join needs.
     *
     * Scale design: the naive formulation is a non-equi join (every left row
     * × every earlier right row of the key) — quadratic per key and planned
@@ -31,10 +34,30 @@ object Temporal {
     */
   def asofJoinPrior(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightPick: Seq[String],
-      rightTieBreak: String): DataFrame = {
+      rightTieBreak: String, tolerance: Long = -1L): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, rightPick, rightTieBreak,
+      forward = false, tolerance)
+
+  /** Forward as-of join: the mirror — the EARLIEST right row with
+    * `rightTs` >= `leftTs` (equal timestamps match; among equal-timestamp
+    * right rows the smallest `rightTieBreak` wins). `tolerance >= 0` drops
+    * matches beyond `leftTs + tolerance`. Same single-shuffle plan, scanned
+    * in reverse time order. */
+  def asofJoinNext(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightPick: Seq[String],
+      rightTieBreak: String, tolerance: Long = -1L): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, rightPick, rightTieBreak,
+      forward = true, tolerance)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightPick: Seq[String],
+      rightTieBreak: String, forward: Boolean, tolerance: Long): DataFrame = {
     val lCols = left.columns.toSeq
     val lrowType = left.select(struct(lCols.map(col): _*)).schema.head.dataType
-    val rpType = right.select(struct(rightPick.map(col): _*)).schema.head.dataType
+    // the match's own timestamp always rides the pick struct (for the
+    // tolerance screen); "_rts" is reserved inside the struct only
+    val rpStruct = struct(col(rightTs).as("_rts") +: rightPick.map(col): _*)
+    val rpType = right.select(rpStruct).schema.head.dataType
     val tieType = right.select(col(rightTieBreak)).schema.head.dataType
     val l = left.select(col(key).as("_k"), col(leftTs).as("_ts"),
       lit(1).as("_side"), lit(null).cast(tieType).as("_tie"),
@@ -43,15 +66,25 @@ object Temporal {
     val r = right.select(col(key).as("_k"), col(rightTs).as("_ts"),
       lit(0).as("_side"), col(rightTieBreak).as("_tie"),
       lit(null).cast(lrowType).as("_lrow"),
-      struct(rightPick.map(col): _*).as("_rp"))
+      rpStruct.as("_rp"))
     // right rows sort before left rows at the same timestamp (side 0 < 1),
-    // so an equal-ts right row is visible to the left row's running frame
-    val w = Window.partitionBy("_k")
-      .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc_nulls_first)
+    // so an equal-ts right row is visible to the left row's running frame.
+    // Backward scans time ascending (last seen = max (ts, tie)); forward
+    // scans descending (last seen = min (ts, tie) among ts >= leftTs).
+    val ord =
+      if (forward) Seq(col("_ts").desc, col("_side").asc, col("_tie").desc_nulls_first)
+      else Seq(col("_ts").asc, col("_side").asc, col("_tie").asc_nulls_first)
+    val w = Window.partitionBy("_k").orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    val matched = l.unionByName(r)
       .withColumn("_m", last(col("_rp"), ignoreNulls = true).over(w))
       .where(col("_side") === 1)
+    val inTolerance =
+      if (tolerance < 0) col("_m").isNotNull
+      else if (forward) col("_m._rts") - col("_ts") <= tolerance
+      else col("_ts") - col("_m._rts") <= tolerance
+    matched
+      .withColumn("_m", when(inTolerance, col("_m"))) // null out stale picks
       .select(lCols.map(c => col(s"_lrow.$c").as(c)) ++
         rightPick.map(c => col(s"_m.$c").as(c)): _*)
   }

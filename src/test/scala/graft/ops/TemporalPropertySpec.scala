@@ -36,6 +36,24 @@ class TemporalPropertySpec extends Properties("temporal") {
       got == expect
     }
 
+  property("asofJoinNext matches the brute-force earliest-following pick") =
+    Prop.forAll(genRows, genRows) { (probeRows, quoteRows) =>
+      val s = spark
+      import s.implicits._
+      val probes = probeRows.toDF("k", "ts", "pid")
+      val quotes = quoteRows.map { case (k, ts, i) => (k, ts, i + 1000L) }.toDF("k", "ts", "qid")
+      val got = Temporal.asofJoinNext(probes, quotes, "k", "ts", "ts",
+        rightPick = Seq("qid"), rightTieBreak = "qid")
+        .select("pid", "qid").as[(Long, Option[Long])].collect().toMap
+      val quoteSeq = quoteRows.map { case (k, ts, i) => (k, ts, i + 1000L) }
+      val expect = probeRows.map { case (k, ts, pid) =>
+        val eligible = quoteSeq.filter { case (qk, qts, _) => qk == k && qts >= ts }
+        pid -> (if (eligible.isEmpty) None
+                else Some(eligible.minBy { case (_, qts, qid) => (qts, qid) }._3))
+      }.toMap
+      got == expect
+    }
+
   property("sessionize assigns the same sessions as a sequential scan") =
     Prop.forAll(genRows, Gen.choose(1L, 6L)) { (rows, gap) =>
       val s = spark

@@ -33,6 +33,28 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == 7L)
   }
 
+  test("asofJoinNext: picks earliest following row, equal ts matches, min tie-break") {
+    val probes = Seq(("k", 50L, "p1"), ("k", 121L, "p2")).toDF("k", "ts", "pid")
+    val quotes = Seq(("k", 50L, 7L), ("k", 50L, 3L), ("k", 40L, 99L), ("k", 120L, 1L))
+      .toDF("k", "ts", "qid")
+    val got = Temporal.asofJoinNext(probes, quotes, "k", "ts", "ts", Seq("qid"), "qid")
+      .select("pid", "qid").as[(String, Option[Long])].collect().toMap
+    // p1 at 50: quotes at 50 qualify (>=), min tie-break 3 wins; 40 is past
+    // p2 at 121: nothing follows -> null
+    assert(got == Map("p1" -> Some(3L), "p2" -> None))
+  }
+
+  test("asof tolerance drops stale (backward) and far-future (forward) matches") {
+    val probes = Seq(("k", 100L, "p")).toDF("k", "ts", "pid")
+    val quotes = Seq(("k", 40L, 1L), ("k", 130L, 2L)).toDF("k", "ts", "qid")
+    def prior(tol: Long) = Temporal.asofJoinPrior(probes, quotes, "k", "ts", "ts",
+      Seq("qid"), "qid", tolerance = tol).select("qid").as[Option[Long]].head()
+    def next(tol: Long) = Temporal.asofJoinNext(probes, quotes, "k", "ts", "ts",
+      Seq("qid"), "qid", tolerance = tol).select("qid").as[Option[Long]].head()
+    assert(prior(60L).contains(1L) && prior(59L).isEmpty) // match is 60 old
+    assert(next(30L).contains(2L) && next(29L).isEmpty)   // match is 30 ahead
+  }
+
   test("asofJoinPrior plans one shuffle and no join") {
     val probes = Seq(("k", 10L, 1L)).toDF("k", "ts", "pid")
     val quotes = Seq(("k", 5L, 2L)).toDF("k", "ts", "qid")
