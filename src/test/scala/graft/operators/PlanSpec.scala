@@ -89,6 +89,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q54: range join plans as a hash equi-join on the time bucket") {
+    val p = plan(PipelineQueries.windowRangeCounts(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), s"bucket equi-join expected\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval containment must not plan a theta join\n$p")
+  }
+
+  test("q59: the bottom-k sketch aggregates partially before the exchange") {
+    val p = plan(PipelineQueries.sourceOverlap(spark, sf))
+    // typed Aggregator UDAFs plan as ObjectHashAggregate partial -> final;
+    // the sketch must combine map-side, not ship raw hashes to one reducer
+    assert(p.contains("ObjectHashAggregate"), s"sketch UDAF aggregate expected\n$p")
+    assert(p.contains("partial_bottomkaggregator"),
+      s"map-side partial sketch aggregation expected\n$p")
+  }
+
   test("no accidental cartesian/nested-loop joins anywhere in the query surface") {
     // the only legitimate non-equi joins: q27's documented brute-force
     // broadcast-cross oracle path and q35's cross-join operator itself
