@@ -94,6 +94,48 @@ class StreamingLinkJobSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("a day of spans streamed in disorder equals the batch links exactly") {
+    // the strongest streaming artifact: same input, arbitrary batch split,
+    // summed deltas == the batch pipeline's links, link for link
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = getClass.getResource("/fixtures/spans_day.jsonl").getPath
+    val all = graft.pipeline.LinkJob.readJsonV2(spark, path)
+      .filter((s: Span) => s.timestamp.isDefined) // stream requires event time
+      .collect().toSeq
+    assert(all.nonEmpty)
+    val batch = graft.pipeline.LinkJob
+      .linkSpans(all.toDS(), "2025-08-11", graft.pipeline.Admission.IndexDay)
+      .collect().map(l => (l.parent, l.child) -> (l.callCount, l.errorCount)).toMap
+
+    val input = MemoryStream[Span]
+    // gap > 1 day: every trace of the day sessions exactly once
+    val deltas = StreamingLinkJob.linkStream(input.toDS(), gapMinutes = 25 * 60)
+    val query = deltas.writeStream.format("memory").queryName("links_eq")
+      .outputMode("append").start()
+    try {
+      val disordered = all.sortBy(_.id.hashCode) // deterministic disorder
+      val (h1, h2) = disordered.splitAt(disordered.size / 2)
+      input.addData(h1: _*); query.processAllAvailable()
+      input.addData(h2: _*); query.processAllAvailable()
+      // two far-future sentinels: first advances the watermark past every
+      // session's gap, second triggers the timed-out state flush
+      val tMax = all.flatMap(_.timestamp).max
+      input.addData(span("00000000000000aa", "f1", None, "CLIENT",
+        "zz-sentinel", "zz-sentinel", tMax + 3L * 86400L * 1000000L))
+      query.processAllAvailable()
+      input.addData(span("00000000000000ab", "f2", None, "CLIENT",
+        "zz-sentinel", "zz-sentinel", tMax + 6L * 86400L * 1000000L))
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT parent, child, callCount, errorCount FROM links_eq")
+        .as[(String, String, Long, Long)].collect().toSeq
+        .filter(r => !r._1.startsWith("zz-") && !r._2.startsWith("zz-"))
+        .groupBy(r => (r._1, r._2))
+        .view.mapValues(v => (v.map(_._3).sum, v.map(_._4).sum)).toMap
+      assert(streamed == batch, s"stream deltas $streamed != batch $batch")
+    } finally query.stop()
+  }
+
   test("giant-trace cap keeps earliest spans and still links") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
