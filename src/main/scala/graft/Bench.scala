@@ -44,6 +44,7 @@ object Bench {
     exec("warmup", (s, d) => SparkEntry.entry(s))
     exec("warmup-lsh", (s, d) => graft.operators.NorthStarQueries.ngramNearDups(s, d))
     exec("warmup-emb", (s, d) => graft.operators.NorthStarQueries.embeddingTopK(s, d))
+    exec("warmup-udaf", (s, d) => graft.operators.PipelineQueries.sourceOverlap(s, d))
     spark.sharedState.cacheManager.clearCache()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -29,15 +29,8 @@ object Scratch {
       k = 64, bands = 16, shingle = 3, threshold = 0.35, wordGrams = true)))
     spark.sharedState.cacheManager.clearCache()
 
-    // q26 stage anatomy: sketch scan alone vs full pipeline
-    time("simhash scan only")(noop(graft.ops.Partitioning.spread(docs)
-      .select(col("doc_id"), Dedup.simhash(col("text"), 5).as("sh"))))
     for (round <- 1 to 2) {
-      time(s"q26 full r$round")(noop(graft.operators.NorthStarQueries.simhashNearDups(spark, dir)))
-      spark.sharedState.cacheManager.clearCache()
-      time(s"q24 full r$round")(noop(graft.operators.NorthStarQueries.ngramNearDups(spark, dir)))
-      spark.sharedState.cacheManager.clearCache()
-      time(s"q48 full r$round")(noop(graft.operators.NorthStarQueries.dupClusters(spark, dir)))
+      time(s"q59 full r$round")(noop(graft.operators.PipelineQueries.sourceOverlap(spark, dir)))
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()

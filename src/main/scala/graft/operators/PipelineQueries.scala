@@ -92,7 +92,9 @@ object PipelineQueries {
     * frequency (each token counted once per document — the inverted-index /
     * stopword-mining primitive). Count-based, so the oracle is exact. */
   def topTokensPerLang(spark: SparkSession, dir: String): DataFrame = {
-    val toks = table(spark, dir, "documents")
+    // spread: tokenization is per-row compute ahead of the first shuffle —
+    // a single-file corpus must not serialize it on one task
+    val toks = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
       .select(col("lang"),
         explode(array_distinct(filter(split(col("text"), "\\s+"), t => t =!= lit("")))).as("token"))
     val w = Window.partitionBy("lang").orderBy(col("df").desc, col("token").asc)
@@ -127,17 +129,23 @@ object PipelineQueries {
     * sketch is the one you'd ship: per-source state stays 2 KB no matter
     * the corpus. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents")
+    val docs = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+    // every downstream shuffle/join/aggregate moves the 8-byte gram hash,
+    // never the gram string (the exactDedup rule applied to set overlap).
+    // A 64-bit collision would perturb the counts: ~n²/2⁶⁵ odds (~1e-7 at
+    // sf0.1's ~1M distinct grams) — the standard content-hash trade, and
+    // the DuckDB oracle (string equality) would catch a hit.
     val sg = docs.select(col("source"),
       explode(array_distinct(graft.ops.TextOps.wordShingles(col("text"), 3))).as("g"))
+      .select(col("source"), xxhash64(col("g")).as("h"))
       .distinct()
     val sizes = sg.groupBy("source").agg(count(lit(1)).as("sz"))
-    val inter = sg.select(col("source").as("srcA"), col("g"))
-      .join(sg.select(col("source").as("srcB"), col("g")), "g")
+    val inter = sg.select(col("source").as("srcA"), col("h"))
+      .join(sg.select(col("source").as("srcB"), col("h")), "h")
       .where(col("srcA") < col("srcB"))
       .groupBy("srcA", "srcB").agg(count(lit(1)).as("inter"))
     val sketches = sg.groupBy("source")
-      .agg(graft.expr.BottomKSketch.bottomK(xxhash64(col("g")), 256).as("sk"))
+      .agg(graft.expr.BottomKSketch.bottomK(col("h"), 256).as("sk"))
     val est = graft.expr.BottomKSketch.jaccardEstimate(col("skA"), col("skB"), 256)
     inter
       .join(broadcast(sizes.select(col("source").as("srcA"), col("sz").as("szA"))), "srcA")
