@@ -161,6 +161,42 @@ object PipelineQueries {
       .orderBy("srcA", "srcB")
   }
 
+  /** q60 — salted skew join, oracle-checked for result equivalence: events
+    * join a per-type dimension on `event_type`, a key with only 5 distinct
+    * values — every key is hot, the exact shape where an unsalted shuffle
+    * join serializes on 5 reducers. The salt spreads each key across 8
+    * shuffle keys; the oracle is the plain join (same result by
+    * construction, proven on real data). */
+  def saltedJoinRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val dim = ev.groupBy(col("event_type").as("etype"))
+      .agg(countDistinct("user_id").as("dim_users"))
+    graft.ops.Skew.saltedJoin(
+      ev.select(col("event_type").as("etype"), col("value")),
+      dim, "etype", salts = 8)
+      .groupBy("etype")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_v"),
+        max("dim_users").as("dim_users"))
+      .orderBy("etype")
+  }
+
+  /** q61 — forward as-of with staleness bound: each error event matched to
+    * the next purchase of the same user within 30 minutes (the
+    * "did-the-user-recover" lookup). */
+  def asofNextPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), tsU.as("tsu"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), tsU.as("tsu"))
+    Temporal.asofJoinNext(errors, purchases, "user_id", "tsu", "tsu",
+      rightPick = Seq("purchase_id"), rightTieBreak = "purchase_id",
+      tolerance = gapU)
+      .where(col("purchase_id").isNotNull)
+      .select("user_id", "error_id", "purchase_id")
+      .orderBy("user_id", "error_id")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q53_asof_join" -> (asofViewBeforeClick _),
     "q54_range_join" -> (windowRangeCounts _),
@@ -168,7 +204,9 @@ object PipelineQueries {
     "q56_quantiles" -> (charQuantiles _),
     "q57_top_tokens" -> (topTokensPerLang _),
     "q58_stratified_sample" -> (stratifiedSample _),
-    "q59_source_overlap" -> (sourceOverlap _)
+    "q59_source_overlap" -> (sourceOverlap _),
+    "q60_salted_join" -> (saltedJoinRollup _),
+    "q61_asof_next" -> (asofNextPurchase _)
   )
 
   /** q58 oracle: thresholds derived from the SAME fractions as the Spark
@@ -227,6 +265,19 @@ object PipelineQueries {
         "sz AS (SELECT source, count(*) AS n FROM sg GROUP BY source), " +
         "inter AS (SELECT a.source AS srcA, b.source AS srcB, count(*) AS i FROM sg a JOIN sg b ON a.gr = b.gr AND a.source < b.source GROUP BY 1, 2) " +
         "SELECT srcA, srcB, ROUND(CAST(i AS DOUBLE) / (za.n + zb.n - i), 4) AS exact_jaccard, TRUE AS approx_ok " +
-        "FROM inter JOIN sz za ON za.source = srcA JOIN sz zb ON zb.source = srcB ORDER BY srcA, srcB")
+        "FROM inter JOIN sz za ON za.source = srcA JOIN sz zb ON zb.source = srcB ORDER BY srcA, srcB"),
+    // the oracle is the PLAIN join — the salt must be result-invisible
+    "q60_salted_join" ->
+      ("WITH dim AS (SELECT event_type AS etype, count(DISTINCT user_id) AS dim_users FROM events GROUP BY 1) " +
+        "SELECT etype, count(*) AS n, ROUND(SUM(value), 4) AS sum_v, MAX(dim_users) AS dim_users " +
+        "FROM (SELECT event_type AS etype, value FROM events) e JOIN dim USING (etype) " +
+        "GROUP BY etype ORDER BY etype"),
+    "q61_asof_next" ->
+      ("WITH er AS (SELECT user_id, event_id AS error_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'error'), " +
+        "pu AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'purchase'), " +
+        "j AS (SELECT er.user_id, er.error_id, pu.purchase_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY er.user_id, er.error_id ORDER BY pu.tsu ASC, pu.purchase_id ASC) AS rn " +
+        "FROM er JOIN pu ON er.user_id = pu.user_id AND pu.tsu >= er.tsu AND pu.tsu - er.tsu <= 1800000000) " +
+        "SELECT user_id, error_id, purchase_id FROM j WHERE rn = 1 ORDER BY user_id, error_id")
   )
 }
