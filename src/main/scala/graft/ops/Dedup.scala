@@ -71,10 +71,14 @@ object Dedup {
       .join(winners, col(idCol) === col("_win"), "left_semi")
   }
 
-  /** Ids that would be dropped by exactDedup (duplicate report rows). */
+  /** Ids that would be dropped by exactDedup (duplicate report rows).
+    * Windows on the same 128-bit digest pair as exactDedup — a single
+    * 64-bit key would co-partition two distinct colliding texts and
+    * misreport one as a duplicate. */
   def exactDupIds(df: DataFrame, on: String, idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(xxhash64(col(on))).orderBy(col(idCol))
+      .partitionBy(xxhash64(col(on)), xxhash64(lit(0x9E3779B9L), col(on)))
+      .orderBy(col(idCol))
     df.select(col(idCol), row_number().over(w).as("_rn"))
       .where(col("_rn") > 1).drop("_rn")
   }
