@@ -47,6 +47,17 @@ class VecExprSpec extends AnyFunSuite {
     assert(hof.as[Double].collect().toSeq == direct.as[Double].collect().toSeq)
   }
 
+  test("optimizer rule fires for SQL-text queries too") {
+    spark.range(5).selectExpr("array(cast(id as double), 2.0d) AS a",
+      "array(3.0d, 4.0d) AS b").createOrReplaceTempView("vec_pairs")
+    val df = spark.sql(
+      "SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x) AS d " +
+        "FROM vec_pairs")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_dot"), s"SQL surface must get the kernel too\n$opt")
+    assert(df.as[Double].collect().sorted.head == 8.0)
+  }
+
   test("optimizer rule leaves non-matching folds alone") {
     val df = spark.range(10)
       .select(array(col("id").cast("double"), lit(2.0)).as("a"),

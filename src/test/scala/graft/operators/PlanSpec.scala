@@ -89,6 +89,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q53: the event-type filters reach the events scan") {
+    val p = plan(PipelineQueries.asofViewBeforeClick(spark, sf))
+    assert(p.contains("EqualTo(event_type,click)") && p.contains("EqualTo(event_type,view)"),
+      s"as-of inputs must prune at the scan\n$p")
+  }
+
   test("q54: range join plans as a hash equi-join on the time bucket") {
     val p = plan(PipelineQueries.windowRangeCounts(spark, sf))
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
