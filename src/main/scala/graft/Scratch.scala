@@ -30,7 +30,7 @@ object Scratch {
     spark.sharedState.cacheManager.clearCache()
 
     for (round <- 1 to 2) {
-      time(s"q59 full r$round")(noop(graft.operators.PipelineQueries.sourceOverlap(spark, dir)))
+      time(s"q24 full r$round")(noop(graft.operators.NorthStarQueries.ngramNearDups(spark, dir)))
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()

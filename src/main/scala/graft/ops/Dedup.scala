@@ -256,9 +256,13 @@ object Dedup {
     // broadcast candidate-id set) — at scale |candidates| ≪ |docs|
     val neededIds = pairs.select(col("idA").as("_nid"))
       .union(pairs.select(col("idB").as("_nid"))).distinct()
+    // persist: both join sides consume the shingle sets under different
+    // column renames, which Catalyst won't unify — without the cache the
+    // semi-join + shingling runs twice. Verify/Bench clear per query.
     val sets = spread(df)
       .join(broadcast(neededIds), col(idCol) === col("_nid"), "left_semi")
       .select(col(idCol).as("_id"), TextOps.wordShingles(col(textCol), n).as("_set"))
+      .persist()
     pairs
       .join(sets.withColumnRenamed("_id", "idA").withColumnRenamed("_set", "_setA"), "idA")
       .join(sets.withColumnRenamed("_id", "idB").withColumnRenamed("_set", "_setB"), "idB")
