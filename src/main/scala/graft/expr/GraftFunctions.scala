@@ -46,7 +46,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => Fingerprint64(args.head, intArg(args, 1, "graft_fingerprint64"))),
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1)))
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
+      (args: Seq[Expression]) => Winnow(args.head,
+        intArg(args, 1, "graft_winnow"), intArg(args, 2, "graft_winnow")))
   )
 
   /** Idempotently register on a live session (no-op when installed via the
@@ -84,4 +88,8 @@ object GraftFunctions {
 
   /** Fused double-array dot product (float arrays widen implicitly). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Fused winnowing fingerprint set over lowercased byte n-grams. */
+  def winnow(text: Column, n: Int, w: Int): Column =
+    call_function("graft_winnow", lower(text), lit(n), lit(w))
 }

@@ -172,6 +172,43 @@ object TextHash {
     out
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    * public algorithm): hash every byte n-gram, slide a window of `w`
+    * consecutive hashes, select each window's minimum (rightmost occurrence
+    * on ties), emit the distinct selected hashes sorted ascending (a
+    * canonical set). Guarantee the bottom-k fingerprint lacks: any shared
+    * substring of length >= w + n - 1 contributes at least one shared
+    * fingerprint, position-independently — the contamination/plagiarism
+    * detection primitive. One pass, O(m) via a monotonic deque. */
+  def winnow(s: UTF8String, n: Int, w: Int): UnsafeArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    val m = windowCount(nb, n)
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) { hs(i) = windowHash(base, off, nb, i, n); i += 1 }
+    val win = math.max(w, 1)
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    // monotonic deque of indices with increasing hash values; popping on
+    // >= makes the rightmost of equal minima the survivor
+    val dq = new Array[Int](m + 1)
+    var head = 0; var tail = 0 // [head, tail) indexes into dq
+    i = 0
+    while (i < m) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - win) head += 1
+      if (i >= win - 1 || i == m - 1) selected.add(hs(dq(head)))
+      i += 1
+    }
+    val out = new Array[Long](selected.size)
+    val it = selected.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Min window hash — the rolling 64-bit document fingerprint. */
   def fingerprint64(s: UTF8String, n: Int): Long = {
     val base = s.getBaseObject
@@ -228,6 +265,20 @@ case class SimHash64(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expr.TextHash.simhash($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `graft_winnow(text)` — fused winnowing fingerprint set. */
+case class Winnow(child: Expression, n: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.winnow(input.asInstanceOf[UTF8String], n, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextHash.winnow($c, $n, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
     copy(child = newChild)
 }
 

@@ -197,6 +197,23 @@ object PipelineQueries {
       .orderBy("user_id", "error_id")
   }
 
+  /** q62 — winnowing fingerprint buckets: documents sharing a selected
+    * winnow hash (Schleimer/Wilkerson/Aiken local fingerprinting — any
+    * shared substring >= w+n-1 chars is guaranteed to surface, which the
+    * bottom-k fingerprint of q30 cannot promise). Rows-only for the driver
+    * (xxhash64 family, like q30); the kernel itself is pinned against a
+    * brute-force formulation in WinnowSpec. */
+  def winnowBuckets(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id"),
+        explode(graft.expr.GraftFunctions.winnow(col("text"), 8, 16)).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
+      .where(col("n") > 1)
+      .orderBy("fp")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q53_asof_join" -> (asofViewBeforeClick _),
     "q54_range_join" -> (windowRangeCounts _),
@@ -206,7 +223,8 @@ object PipelineQueries {
     "q58_stratified_sample" -> (stratifiedSample _),
     "q59_source_overlap" -> (sourceOverlap _),
     "q60_salted_join" -> (saltedJoinRollup _),
-    "q61_asof_next" -> (asofNextPurchase _)
+    "q61_asof_next" -> (asofNextPurchase _),
+    "q62_winnow_buckets" -> (winnowBuckets _)
   )
 
   /** q58 oracle: thresholds derived from the SAME fractions as the Spark
