@@ -20,14 +20,19 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *
   * Semantics note (same contract as VecOps.dot): equal-length, null-free
   * arrays — the vector invariant every embedding pipeline already holds.
-  * For mismatched lengths the HOF form null-poisons the sum while the
-  * kernel sums the common prefix; the rule ships in the opt-in
-  * GraftExtensions, not injected behind anyone's back.
+  * The match additionally requires `containsNull = false` element types, so
+  * an array that CAN hold null elements (where the HOF form null-poisons
+  * the sum but the kernel would return a number) is never rewritten. The
+  * remaining divergence — mismatched lengths null-poison the HOF form but
+  * sum the common prefix in the kernel — cannot be checked statically and
+  * is part of the opt-in contract. The rule is installed only via the
+  * explicit `GraftExtensions` / `GraftFunctions.installDotRewrite` opt-in,
+  * never injected behind anyone's back.
   */
 object DotProductRewrite extends Rule[LogicalPlan] {
 
   private def isDoubleArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(DoubleType, _) => true
+    case ArrayType(DoubleType, containsNull) => !containsNull
     case _ => false
   }
 

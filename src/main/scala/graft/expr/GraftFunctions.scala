@@ -53,15 +53,28 @@ object GraftFunctions {
         intArg(args, 1, "graft_winnow"), intArg(args, 2, "graft_winnow")))
   )
 
-  /** Idempotently register on a live session (no-op when installed via the
-    * extension or a prior call). Also attaches the DotProductRewrite
-    * optimizer rule through the experimental-methods hook — the live-session
-    * equivalent of injectOptimizerRule. */
+  /** Idempotently register the fused functions on a live session (no-op when
+    * installed via the extension or a prior call). Registers FUNCTIONS only —
+    * a function registration is invisible until someone calls it by name, so
+    * the ops layer may do this on any session without changing the behavior
+    * of unrelated queries. The DotProductRewrite optimizer rule, which DOES
+    * change how user-written plans compile, is never installed here: it ships
+    * only via the `GraftExtensions` opt-in or an explicit
+    * [[installDotRewrite]] call. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     injections.foreach { case (id, info, builder) =>
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
+  }
+
+  /** Explicitly attach the DotProductRewrite optimizer rule to a live
+    * session (the experimental-methods equivalent of the
+    * `GraftExtensions` injectOptimizerRule). Opt-in only: the rule rewrites
+    * user-written HOF dot products to the fused kernel, whose contract is
+    * equal-length vectors — see DotProductRewrite's scaladoc for the exact
+    * match conditions. Idempotent. */
+  def installDotRewrite(spark: SparkSession): Unit = {
     val extra = spark.experimental.extraOptimizations
     if (!extra.contains(DotProductRewrite))
       spark.experimental.extraOptimizations = extra :+ DotProductRewrite

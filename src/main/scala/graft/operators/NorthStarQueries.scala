@@ -34,8 +34,9 @@ object NorthStarQueries {
     * oracle. */
   def ngramNearDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    // persist: the verify stage consumes candidates twice (broadcast id set +
-    // pair join) — without this the whole LSH pipeline would run twice.
+    // persist: the verify stage references the candidate relation several
+    // times (broadcast id set, unpivot, final pair join) — without this the
+    // whole LSH pipeline would re-run per reference.
     // Ownership: Verify/Bench clear the cache after each query's action.
     val candidates = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
       k = 64, bands = 16, shingle = 3, wordGrams = true)

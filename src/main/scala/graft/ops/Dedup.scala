@@ -256,16 +256,28 @@ object Dedup {
     // broadcast candidate-id set) — at scale |candidates| ≪ |docs|
     val neededIds = pairs.select(col("idA").as("_nid"))
       .union(pairs.select(col("idB").as("_nid"))).distinct()
-    // persist: both join sides consume the shingle sets under different
-    // column renames, which Catalyst won't unify — without the cache the
-    // semi-join + shingling runs twice. Verify/Bench clear per query.
     val sets = spread(df)
       .join(broadcast(neededIds), col(idCol) === col("_nid"), "left_semi")
       .select(col(idCol).as("_id"), TextOps.wordShingles(col(textCol), n).as("_set"))
-      .persist()
-    pairs
-      .join(sets.withColumnRenamed("_id", "idA").withColumnRenamed("_set", "_setA"), "idA")
-      .join(sets.withColumnRenamed("_id", "idB").withColumnRenamed("_set", "_setB"), "idB")
+    // Attach both sets with ONE pass over the shingle frame: each pair
+    // unpivots to two (side, id) rows, joins `sets` once, and folds back per
+    // pair (singleton sides, so max() just picks the value). The shingle
+    // frame appears a single time in the DAG — the docs scan + shingling run
+    // once WITHOUT caching, so a library caller leaks nothing (the earlier
+    // two-rename double join read it twice and needed a persist whose
+    // cleanup no one owned).
+    val tall = pairs.select(col("idA"), col("idB"), explode(array(
+        struct(lit("A").as("_side"), col("idA").as("_sid")),
+        struct(lit("B").as("_side"), col("idB").as("_sid")))).as("_e"))
+      .select(col("idA"), col("idB"), col("_e._side").as("_side"), col("_e._sid").as("_sid"))
+    val bothSets = tall.join(sets, col("_sid") === col("_id"))
+      .groupBy("idA", "idB")
+      .agg(max(when(col("_side") === "A", col("_set"))).as("_setA"),
+        max(when(col("_side") === "B", col("_set"))).as("_setB"))
+      // a pair whose doc is absent from `df` has a null side: drop it (the
+      // old inner joins did the same)
+      .where(col("_setA").isNotNull && col("_setB").isNotNull)
+    pairs.join(bothSets, Seq("idA", "idB"))
       .withColumn("jaccard", round(
         size(array_intersect(col("_setA"), col("_setB"))).cast("double") /
           greatest(size(array_union(col("_setA"), col("_setB"))), lit(1)), 6))

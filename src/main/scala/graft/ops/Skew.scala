@@ -23,10 +23,21 @@ object Skew {
     * re-runs shuffle identically. Byte-identical duplicate left rows share
     * a salt — they carry no information to spread. Right-side cost is
     * explicit: `salts`× replication of its shuffle volume; pick the
-    * smallest `salts` that flattens the hot reducer. */
+    * smallest `salts` that flattens the hot reducer.
+    *
+    * Only left-preserving join types are accepted (inner / left_outer /
+    * left_semi / left_anti): the right side is replicated `salts`-fold
+    * before the join, so a right- or full-outer variant would emit each
+    * unmatched right row once PER SALT — silently wrong. Salt the other
+    * side (swap the arguments) for a right-skewed outer join. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive: $salts")
+    val normalized = joinType.toLowerCase.replace("outer", "").replace("_", "").trim
+    require(Set("inner", "left", "leftsemi", "semi", "leftanti", "anti")(normalized),
+      s"saltedJoin replicates the right side $salts-fold, so only " +
+        s"left-preserving join types are correct (inner/left_outer/left_semi/" +
+        s"left_anti); got '$joinType'. Swap the sides to salt a right join.")
     val l = left.withColumn("_salt",
       pmod(xxhash64(struct(left.columns.map(col).toIndexedSeq: _*)), lit(salts)))
     val r = right.withColumn("_salt",

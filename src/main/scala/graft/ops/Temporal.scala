@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -99,14 +99,33 @@ object Temporal {
     * sizes dictate) plus a residual BETWEEN filter. No duplicate elimination
     * is needed — a left row matches an interval in exactly one bucket (its
     * own). Pick `bucketWidth` so intervals span few buckets (fan-out =
-    * span/width + 1); wide intervals want a coarser width. Timestamps must
-    * be non-negative (integer DIV truncation = floor only then). */
+    * span/width + 1); wide intervals want a coarser width. Negative
+    * timestamps are handled (true floor division, not DIV's
+    * truncate-toward-zero). Left and right column names must be disjoint —
+    * after the join both sides' columns are in scope, so a shared name would
+    * make the BETWEEN residual ambiguous. */
   def bucketedRangeJoin(left: DataFrame, leftTs: String,
       right: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Long): DataFrame = {
-    val lb = left.withColumn("_bk", expr(s"$leftTs DIV $bucketWidth"))
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint (alias before joining): " +
+        overlap.mkString(", "))
+    require(!left.columns.contains("_bk") && !right.columns.contains("_bk"),
+      "'_bk' is reserved by bucketedRangeJoin")
+    // exact floor division on typed columns (no SQL-text splicing, so odd
+    // column names are fine; correct for negative timestamps too): integral
+    // `div` truncates toward zero, so shift down one bucket when a negative
+    // timestamp has a remainder. Stays in long arithmetic throughout —
+    // double division would lose exactness past 2^53.
+    def bucket(c: Column): Column = {
+      val d = call_function("div", c, lit(bucketWidth))
+      when(c % bucketWidth < 0, d - 1).otherwise(d)
+    }
+    val lb = left.withColumn("_bk", bucket(col(leftTs)))
     val rb = right.withColumn("_bk",
-      explode(sequence(expr(s"$loCol DIV $bucketWidth"), expr(s"$hiCol DIV $bucketWidth"))))
+      explode(sequence(bucket(col(loCol)), bucket(col(hiCol)))))
     lb.join(rb, "_bk")
       .where(col(leftTs).between(col(loCol), col(hiCol)))
       .drop("_bk")

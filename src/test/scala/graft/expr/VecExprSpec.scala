@@ -32,6 +32,7 @@ class VecExprSpec extends AnyFunSuite {
   }
 
   test("optimizer rule rewrites the HOF dot pattern to the fused kernel") {
+    GraftFunctions.installDotRewrite(spark) // explicit opt-in (idempotent)
     // the user-written formulation — no graft function in sight
     val df = spark.range(50)
       .select(array(col("id").cast("double"), lit(2.0), lit(-1.5)).as("a"),
@@ -47,7 +48,37 @@ class VecExprSpec extends AnyFunSuite {
     assert(hof.as[Double].collect().toSeq == direct.as[Double].collect().toSeq)
   }
 
+  test("optimizer rule is NOT installed by ensureRegistered (function-only)") {
+    // a fresh session with only ensureRegistered must leave user plans alone
+    val clean = spark.newSession()
+    GraftFunctions.ensureRegistered(clean)
+    assert(!clean.experimental.extraOptimizations.contains(DotProductRewrite))
+    val df = clean.range(5)
+      .select(array(col("id").cast("double"), lit(2.0)).as("a"),
+        array(lit(3.0), lit(4.0)).as("b"))
+      .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0d),
+        (acc, x) => acc + x).as("d"))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+  }
+
+  test("optimizer rule leaves nullable-element arrays alone") {
+    GraftFunctions.installDotRewrite(spark)
+    // if(id > 2, …, null) makes the element type containsNull = true: the
+    // HOF form null-poisons such sums, so the rewrite must not fire
+    val df = spark.range(5).selectExpr(
+      "array(if(id > 2, cast(id as double), null), 2.0d) AS a",
+      "array(3.0d, 4.0d) AS b")
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0d),
+        (acc, x) => acc + x).as("d"))
+    val opt = hof.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("graft_dot"), s"must not rewrite nullable elements\n$opt")
+    // and the null-poisoning semantics are preserved
+    assert(hof.as[java.lang.Double].collect().count(_ == null) == 3)
+  }
+
   test("optimizer rule fires for SQL-text queries too") {
+    GraftFunctions.installDotRewrite(spark)
     spark.range(5).selectExpr("array(cast(id as double), 2.0d) AS a",
       "array(3.0d, 4.0d) AS b").createOrReplaceTempView("vec_pairs")
     val df = spark.sql(
@@ -59,6 +90,7 @@ class VecExprSpec extends AnyFunSuite {
   }
 
   test("optimizer rule leaves non-matching folds alone") {
+    GraftFunctions.installDotRewrite(spark)
     val df = spark.range(10)
       .select(array(col("id").cast("double"), lit(2.0)).as("a"),
         array(lit(3.0), lit(4.0)).as("b"))

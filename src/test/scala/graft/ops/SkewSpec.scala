@@ -38,4 +38,19 @@ class SkewSpec extends AnyFunSuite {
       .as[(String, Long, Option[String])].collect().toSet
     assert(got == Set(("a", 1L, Some("x")), ("missing", 2L, None)))
   }
+
+  test("saltedJoin rejects right-preserving join types (replicated side)") {
+    val fact = Seq(("a", 1L)).toDF("key", "v")
+    val dim = Seq(("a", "x"), ("b", "y")).toDF("key", "attr")
+    // an unmatched right row would surface once per salt — refuse up front
+    for (jt <- Seq("right_outer", "rightouter", "full_outer", "full", "outer")) {
+      val e = intercept[IllegalArgumentException] {
+        Skew.saltedJoin(fact, dim, "key", salts = 4, joinType = jt)
+      }
+      assert(e.getMessage.contains("left-preserving"), jt)
+    }
+    // the accepted spellings still work
+    for (jt <- Seq("inner", "left", "left_outer", "leftouter", "left_semi", "semi", "left_anti", "anti"))
+      Skew.saltedJoin(fact, dim, "key", salts = 4, joinType = jt).collect()
+  }
 }

@@ -84,6 +84,28 @@ class TemporalSpec extends AnyFunSuite {
     assert(n == 1L)
   }
 
+  test("bucketedRangeJoin handles negative timestamps (true floor buckets)") {
+    // -5 lies in [-10, -1]; truncate-toward-zero bucketing would put -5 in
+    // bucket 0 while the interval explodes to buckets [-1, 0] — a miss
+    val events = Seq((1L, -5L), (2L, -50L), (3L, 5L)).toDF("id", "ts")
+    val ivals = Seq((1L, -10L, -1L), (2L, -60L, 12L)).toDF("wid", "lo", "hi")
+    val got = Temporal.bucketedRangeJoin(events, "ts", ivals, "lo", "hi", 50L)
+      .select("id", "wid").as[(Long, Long)].collect().toSet
+    val brute = events.crossJoin(ivals)
+      .where(col("ts").between(col("lo"), col("hi")))
+      .select("id", "wid").as[(Long, Long)].collect().toSet
+    assert(got == brute && got((1L, 1L)))
+  }
+
+  test("bucketedRangeJoin rejects colliding column names") {
+    val events = Seq((1L, 100L)).toDF("id", "ts")
+    val ivals = Seq((1L, 0L, 1000L)).toDF("id", "lo", "hi") // shares "id"
+    val e = intercept[IllegalArgumentException] {
+      Temporal.bucketedRangeJoin(events, "ts", ivals, "lo", "hi", 10L)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
   test("sessionize: gap splits, within-gap rows share a session, per-key numbering") {
     val rows = Seq(
       ("a", 0L, 1L), ("a", 100L, 2L), ("a", 150L, 3L), // session 1
