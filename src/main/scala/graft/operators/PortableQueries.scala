@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.ops.PortableSketch
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 queries: the engine-portable sketch family (ops.PortableSketch).
+  *
+  * q63–q65 mirror the xxhash64-kernel near-dup queries (q25/q26/q62) over
+  * the md5-based 60-bit hash family, which any SQL engine reproduces
+  * bit-for-bit. The payoff is oracle depth: where the kernel queries are
+  * rows-only for the driver (DuckDB has no xxhash64), these three are FULL
+  * hash-matched replications of the near-dup pipeline — DuckDB independently
+  * recomputes the signatures, replays the banding self-join (q63), runs the
+  * brute-force all-pairs scan the pigeonhole blocking must equal (q64), and
+  * re-derives every winnow fingerprint (q65). One oracle checks semantics
+  * end to end, not just row counts.
+  */
+object PortableQueries {
+  import ContractQueries.table
+
+  /** q63 — portable MinHash+LSH near-dup pairs (k=16, 4 bands × 4 rows,
+    * word 3-grams, estimated Jaccard ≥ 0.5). The DuckDB oracle replays the
+    * whole pipeline: signatures, band keys, candidate self-join, estimate. */
+  def portableMinhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    PortableSketch.minhashNearDups(table(spark, dir, "documents"),
+      "text", "doc_id", k = 16, bands = 4, n = 3, threshold = 0.5)
+      .orderBy("idA", "idB")
+
+  /** q64 — portable simhash near-dup pairs (char 5-grams, 60 bits, hamming
+    * ≤ 3). The oracle is the brute-force all-pairs scan — equality PROVES
+    * the 4×15-bit pigeonhole blocking loses nothing at this distance. */
+  def portableSimhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    PortableSketch.simhashNearDups(table(spark, dir, "documents"),
+      "text", "doc_id", n = 5, maxDistance = 3)
+      .orderBy("idA", "idB")
+
+  /** q65 — portable winnowing fingerprint buckets (char 8-grams, window 16):
+    * documents sharing a selected winnow hash, fully recomputed by the
+    * oracle. */
+  def portableWinnowBuckets(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      // fused single-pass kernel (pinned equal to the expression-tree form)
+      .select(col("doc_id"),
+        explode(PortableSketch.winnowText(col("text"), 8, 16)).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
+      .where(col("n") > 1)
+      .orderBy("fp")
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q63_portable_minhash_neardups" -> (portableMinhashNearDups _),
+    "q64_portable_simhash_neardups" -> (portableSimhashNearDups _),
+    "q65_portable_winnow_buckets" -> (portableWinnowBuckets _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q63_portable_minhash_neardups" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+        |         ELSE list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)])
+        |    END AS grams
+        |  FROM w),
+        |s AS (
+        |  SELECT doc_id,
+        |    [list_min([('0x'||substr(md5(i||':'||g2),1,15))::BIGINT for g2 in grams]) for i in range(0,16)] AS sig
+        |  FROM g),
+        |b AS (
+        |  SELECT doc_id, band, array_to_string(sig[band*4+1 : band*4+4], ',') AS key
+        |  FROM s, (SELECT unnest(range(0,4)) AS band)),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS idA, c.doc_id AS idB
+        |  FROM b a JOIN b c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id),
+        |j AS (
+        |  SELECT idA, idB,
+        |    round(len([i for i in range(1,17) if sa.sig[i] = sb.sig[i]]) / 16.0, 6) AS est_jaccard
+        |  FROM p JOIN s sa ON sa.doc_id = p.idA JOIN s sb ON sb.doc_id = p.idB)
+        |SELECT idA, idB, est_jaccard FROM j WHERE est_jaccard >= 0.5 ORDER BY idA, idB""".stripMargin,
+    "q64_portable_simhash_neardups" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN length(t) < 5 THEN [t]
+        |         ELSE [substr(t, i, 5) for i in range(1, length(t)-3)] END) AS grams
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id, [('0x'||substr(md5(g2),1,15))::BIGINT for g2 in grams] AS hs
+        |  FROM g),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_sum([CASE WHEN 2*len([x for x in hs if (x >> b) & 1 = 1]) > len(hs)
+        |                   THEN (1::BIGINT << b) ELSE 0 END for b in range(0,60)])::BIGINT AS sh
+        |  FROM h)
+        |SELECT a.doc_id AS idA, c.doc_id AS idB, bit_count(xor(a.sh, c.sh))::BIGINT AS hamming
+        |FROM s a JOIN s c ON a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.sh, c.sh)) <= 3
+        |ORDER BY idA, idB""".stripMargin,
+    "q65_portable_winnow_buckets" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(t) < 8 THEN [('0x'||substr(md5(t),1,15))::BIGINT]
+        |         ELSE [('0x'||substr(md5(substr(t, i, 8)),1,15))::BIGINT for i in range(1, length(t)-6)]
+        |    END AS hs
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) < 16 THEN [list_min(hs)]
+        |         ELSE list_distinct([list_min(hs[i:i+15]) for i in range(1, len(hs)-14)])
+        |    END AS fps
+        |  FROM h)
+        |SELECT fp, count(*) AS n, min(doc_id) AS first_doc
+        |FROM (SELECT doc_id, unnest(fps) AS fp FROM f)
+        |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin
+  )
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PortableSketchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  test("h60 equals the cross-engine definition (top 15 md5 hex chars)") {
+    // pinned against DuckDB: SELECT ('0x'||substr(md5('abc'),1,15))::BIGINT
+    val got = Seq("abc").toDF("s")
+      .select(PortableSketch.h60(col("s")).as("h")).as[Long].head()
+    assert(got == 648541476951500027L)
+  }
+
+  test("minhashNearDups: exact duplicates pair at est_jaccard 1.0") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content with no overlap at all here"),
+      (4L, "yet another unrelated document about spark and shuffles")
+    ).toDF("doc_id", "text")
+    val got = PortableSketch.minhashNearDups(docs, "text", "doc_id",
+      k = 16, bands = 4, n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0)))
+  }
+
+  test("simhashNearDups equals the brute-force all-pairs scan (pigeonhole exact)") {
+    val docs = (0L until 40L).map { i =>
+      // ten near-identical docs (one char varies) + thirty distinct ones
+      if (i < 10) (i, s"shared boilerplate text that repeats almost verbatim $i")
+      else (i, s"unique document number $i with its own words ${i * 37} ${i * 101}")
+    }.toDF("doc_id", "text")
+    val got = PortableSketch.simhashNearDups(docs, "text", "doc_id", n = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    val sh = docs.select(col("doc_id"),
+      PortableSketch.simhash60(col("text"), 5).as("sh"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("d"))
+      .where(col("d") <= 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute)
+    assert(got.nonEmpty, "fixture must produce at least one near-dup pair")
+  }
+
+  test("winnowSet: shared substring >= w+n-1 chars forces a shared fingerprint") {
+    val shared = "a very long shared passage lifted verbatim" // 42 >= 16+8-1
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix one"),
+      (2L, s"totally different start $shared and end"),
+      (3L, "no overlap with the others at all, separate text")
+    ).toDF("doc_id", "text")
+    val fps = docs
+      .select(col("doc_id"), PortableSketch.charGramHashes(col("text"), 8).as("_hs"))
+      .select(col("doc_id"), PortableSketch.winnowFromHashes(col("_hs"), 16).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty,
+      "winnowing guarantees a shared window-min for long shared substrings")
+    assert(fps(1L).toSet.intersect(fps(3L).toSet).isEmpty)
+  }
+
+  test("winnowFromHashesFast (deque) equals the expression-tree winnow set") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 60L).map { i =>
+      val len = 1 + rnd.nextInt(120)
+      (i, (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    }.toDF("doc_id", "text")
+      .select(col("doc_id"), PortableSketch.charGramHashes(col("text"), 8).as("_hs"))
+    val both = docs.select(col("doc_id"),
+      PortableSketch.winnowFromHashes(col("_hs"), 16).as("ref"),
+      PortableSketch.winnowFromHashesFast(col("_hs"), 16).as("fast"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    both.foreach { case (id, ref, fast) =>
+      assert(ref == fast, s"doc $id: deque path must match the spec form exactly")
+    }
+  }
+
+  test("winnowText fused kernel equals the expression-tree winnow set") {
+    val rnd = new scala.util.Random(13)
+    val alphabets = Seq("abcd", "αβγδ εζ", "mixé Ünïcode and ASCII ")
+    val docs = (0L until 90L).map { i =>
+      val alpha = alphabets((i % 3).toInt)
+      val len = 1 + rnd.nextInt(200)
+      (i, (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }.toDF("doc_id", "text")
+    val both = docs
+      .select(col("doc_id"), col("text"),
+        PortableSketch.charGramHashes(col("text"), 8).as("_hs"))
+      .select(col("doc_id"),
+        PortableSketch.winnowFromHashes(col("_hs"), 16).as("ref"),
+        PortableSketch.winnowText(col("text"), 8, 16).as("fused"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    both.foreach { case (id, ref, fused) =>
+      assert(ref == fused, s"doc $id: fused kernel must match the spec form exactly")
+    }
+  }
+
+  test("winnowSet: document shorter than one window keeps its global min") {
+    val fps = Seq((1L, "tiny doc")).toDF("doc_id", "text")
+      .select(PortableSketch.charGramHashes(col("text"), 8).as("_hs"))
+      .select(PortableSketch.winnowFromHashes(col("_hs"), 16).as("fps"))
+      .as[Seq[Long]].head()
+    assert(fps.length == 1)
+  }
+}
