@@ -67,7 +67,9 @@ object PortableQueries {
         |  FROM w),
         |s AS (
         |  SELECT doc_id,
-        |    [list_min([('0x'||substr(md5(i||':'||g2),1,15))::BIGINT for g2 in grams]) for i in range(0,16)] AS sig
+        |    [list_min([(('0x'||substr(md5(g2),1,15))::BIGINT
+        |               + i * (('0x'||substr(md5(g2),17,15))::BIGINT % 72057594037927936)) % 1152921504606846976
+        |              for g2 in grams]) for i in range(0,16)] AS sig
         |  FROM g),
         |b AS (
         |  SELECT doc_id, band, array_to_string(sig[band*4+1 : band*4+4], ',') AS key

@@ -28,23 +28,73 @@ object PortableSketch {
   def h60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
-  /** Seeded variant: hash of "<seed>:<value>" — the per-permutation family
-    * for minhash (same construction is one string-concat in any engine). */
-  def h60Seeded(seed: Int, c: Column): Column = h60(concat(lit(s"$seed:"), c))
+  /** Second independent 60-bit hash from the SAME digest: hex chars 17-31
+    * (bytes 8-15 of md5). One md5 yields both halves of the
+    * Kirsch-Mitzenmacher double-hash family below. */
+  def h60b(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 17, 15), 16, 10).cast("long")
+
+  /** Double-hash minhash family: h_i(g) = (h1 + i·(h2 mod 2^56)) mod 2^60.
+    * One md5 per gram for ALL k permutations (vs k seeded digests), and the
+    * arithmetic stays strictly inside signed-64 range (h1 < 2^60,
+    * i·h2' ≤ 15·2^56 < 2^60, sum < 2^61), so any engine's BIGINT computes
+    * it without overflow — DuckDB's checked arithmetic included. */
+  private[ops] val H2Mod = 1L << 56
+  private[ops] val SigMod = 1L << 60
 
   // --- portable minhash ----------------------------------------------------
 
-  /** k-permutation minhash signature from a MATERIALIZED gram-array column
-    * (pass an attribute, not the shingling expression: an expression
-    * captured inside a lambda re-evaluates per element/permutation — Catalyst
-    * caches nothing across lambda invocations — so inlining the shingles
-    * here would re-tokenize the document k times). Grams come from
-    * TextOps.wordShingles, whose semantics (fewer than n tokens collapse to
-    * one whole-text gram) make every signature total, even for empty text. */
+  /** k-permutation minhash signature from a MATERIALIZED gram-array column —
+    * the expression-tree reference formulation of the double-hash family
+    * (the SQL oracle mirrors this shape; queries run the fused UDF pinned
+    * against it). Pass an attribute, not the shingling expression: an
+    * expression captured inside a lambda re-evaluates per element/
+    * permutation — Catalyst caches nothing across lambda invocations — so
+    * inlining the shingles here would re-tokenize the document k times.
+    * Grams come from TextOps.wordShingles, whose semantics (fewer than n
+    * tokens collapse to one whole-text gram) make every signature total,
+    * even for empty text. */
   def minhashSigFromGrams(grams: Column, k: Int): Column =
     array((0 until k).map { i =>
-      array_min(transform(grams, g => h60Seeded(i, g)))
+      array_min(transform(grams, g =>
+        (h60(g) + lit(i.toLong) * (h60b(g) % lit(H2Mod))) % lit(SigMod)))
     }: _*)
+
+  /** Fused single-pass signature: one reused MessageDigest, one md5 per
+    * gram, both 60-bit halves read straight off the digest bytes, k affine
+    * mins in a primitive loop. Pinned element-for-element against
+    * minhashSigFromGrams in PortableSketchSpec. */
+  private val minhashFused = udf { (grams: Seq[String], k: Int) =>
+    if (grams == null) null
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sig = Array.fill(k)(Long.MaxValue)
+      grams.foreach { g =>
+        val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val h1 = beLong(d, 0) >>> 4
+        val h2m = (beLong(d, 8) >>> 4) % H2Mod
+        var i = 0
+        while (i < k) {
+          val v = (h1 + i * h2m) % SigMod
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      sig.toSeq
+    }
+  }
+
+  def minhashSigFromGramsFast(grams: Column, k: Int): Column =
+    minhashFused(grams, lit(k))
+
+  /** Big-endian long from 8 digest bytes at `off`; >>> 4 of the first/second
+    * half equals parsing md5 hex chars 1-15 / 17-31 — the cross-engine
+    * definition (h60/h60b) without the hex round-trip. */
+  private def beLong(d: Array[Byte], off: Int): Long =
+    ((d(off) & 0xFFL) << 56) | ((d(off + 1) & 0xFFL) << 48) |
+      ((d(off + 2) & 0xFFL) << 40) | ((d(off + 3) & 0xFFL) << 32) |
+      ((d(off + 4) & 0xFFL) << 24) | ((d(off + 5) & 0xFFL) << 16) |
+      ((d(off + 6) & 0xFFL) << 8) | (d(off + 7) & 0xFFL)
 
   /** Band key for positions [b*rows, (b+1)*rows): the signature slice joined
     * with commas — a STRING key on purpose (decimal rendering of integers is
@@ -67,7 +117,7 @@ object PortableSketch {
     // (CollapseProject leaves multi-referenced non-trivial aliases alone)
     val sigs = Partitioning.spread(df)
       .select(col(idCol).as("_id"), TextOps.wordShingles(col(textCol), n).as("_grams"))
-      .select(col("_id"), minhashSigFromGrams(col("_grams"), k).as("_sig"))
+      .select(col("_id"), minhashSigFromGramsFast(col("_grams"), k).as("_sig"))
       .persist() // compact sketch frame; band explode re-derives per branch
     val banded = sigs.select(col("_id"), explode(array((0 until bands).map { b =>
       struct(lit(b).as("band"), bandKey(col("_sig"), b, rows).as("key"))
@@ -104,9 +154,56 @@ object PortableSketch {
     }
   }
 
-  /** Portable 60-bit simhash over distinct lowercased char n-grams. */
+  /** Portable 60-bit simhash over distinct lowercased char n-grams — the
+    * expression-tree reference formulation (what the SQL oracle mirrors). */
   def simhash60(text: Column, n: Int): Column =
     vote60(array_distinct(transform(TextOps.charShingles(text, n), g => h60(g))))
+
+  /** Fused single-pass simhash: lowercase, walk distinct code-point n-grams,
+    * one reused MessageDigest per row, vote inline. Pinned against
+    * simhash60 in PortableSketchSpec. */
+  private val simhashTextFused = udf { (textRaw: String, n: Int) =>
+    if (textRaw == null) 0L // matches the expression form: vote60(null) = 0
+    else {
+      val t = textRaw.toLowerCase(java.util.Locale.ROOT)
+      val cps = {
+        val b = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = 0
+        while (i < t.length) { b += i; i = t.offsetByCodePoints(i, 1) }
+        b += t.length
+        b.toArray
+      }
+      val nCp = cps.length - 1
+      val grams =
+        if (nCp < n) Iterator.single(t)
+        else Iterator.range(0, nCp - n + 1).map(i => t.substring(cps(i), cps(i + n)))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      val votes = new Array[Int](60)
+      var any = false
+      grams.foreach { g =>
+        if (seen.add(g)) {
+          any = true
+          val h = beLong(md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)), 0) >>> 4
+          var b = 0
+          while (b < 60) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+      }
+      if (!any) 0L
+      else {
+        var out = 0L
+        var b = 0
+        while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+        out
+      }
+    }
+  }
+
+  def simhash60Fast(text: Column, n: Int): Column =
+    simhashTextFused(text, lit(n))
 
   /** Portable simhash near-dups: block on 4×15-bit chunks, verify exact
     * hamming ≤ maxDistance. For maxDistance ≤ 3 the pigeonhole blocking is
@@ -118,7 +215,7 @@ object PortableSketch {
       n: Int = 5, maxDistance: Int = 3, maxBucket: Int = 1024): DataFrame = {
     require(maxDistance <= 3, "4-chunk pigeonhole blocking is exact only for hamming <= 3")
     val sh = Partitioning.spread(df)
-      .select(col(idCol).as("_id"), simhash60(col(textCol), n).as("_sh"))
+      .select(col(idCol).as("_id"), simhash60Fast(col(textCol), n).as("_sh"))
       .persist()
     val chunked = sh.select(col("_id"), col("_sh"),
       explode(array((0 until 4).map { i =>

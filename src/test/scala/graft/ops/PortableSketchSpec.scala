@@ -79,6 +79,32 @@ class PortableSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("fused minhash/simhash kernels equal the expression-tree forms") {
+    val rnd = new scala.util.Random(17)
+    val alphabets = Seq("ab cd ef gh ij", "αβ γδ εζ ηθ", "wörds ünd möre tëxt")
+    val docs = (0L until 60L).map { i =>
+      val alpha = alphabets((i % 3).toInt)
+      val len = 1 + rnd.nextInt(90)
+      (i, (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }.toDF("doc_id", "text")
+    val mh = docs
+      .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("_g"))
+      .select(col("doc_id"),
+        PortableSketch.minhashSigFromGrams(col("_g"), 16).as("ref"),
+        PortableSketch.minhashSigFromGramsFast(col("_g"), 16).as("fast"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    mh.foreach { case (id, ref, fast) =>
+      assert(ref == fast, s"doc $id: fused minhash must match the spec form")
+    }
+    val sh = docs.select(col("doc_id"),
+      PortableSketch.simhash60(col("text"), 5).as("ref"),
+      PortableSketch.simhash60Fast(col("text"), 5).as("fast"))
+      .as[(Long, Long, Long)].collect()
+    sh.foreach { case (id, ref, fast) =>
+      assert(ref == fast, s"doc $id: fused simhash must match the spec form")
+    }
+  }
+
   test("winnowText fused kernel equals the expression-tree winnow set") {
     val rnd = new scala.util.Random(13)
     val alphabets = Seq("abcd", "αβγδ εζ", "mixé Ünïcode and ASCII ")
