@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.ops.PortableSketch
+import graft.ops.{Dedup, PortableSketch, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -48,40 +48,83 @@ object PortableQueries {
       .where(col("n") > 1)
       .orderBy("fp")
 
+  /** q66 — the dedup pipeline end to end: portable near-dup pairs (q63's
+    * candidate machinery) → connected components (Dedup.dupClusters, the
+    * O(log D) pointer-jumping propagation) → keep-best-per-cluster (most
+    * tokens, ties to the smallest doc_id — the standard "keep the richest
+    * copy" training-data rule). Every stage is independently recomputed by
+    * the oracle: signatures + banding in list SQL, components by recursive
+    * CTE, the keep rule by arg-max. One hash match certifies the WHOLE
+    * pipeline composition, not just its operators in isolation. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = PortableSketch.minhashNearDups(docs, "text", "doc_id",
+      k = 16, bands = 4, n = 3, threshold = 0.5).select("idA", "idB")
+    val toks = docs.select(col("doc_id"), TextOps.tokenCount(col("text")).as("tokens"))
+    Dedup.dupClusters(pairs)
+      .join(toks, col("id") === col("doc_id"))
+      .groupBy(col("rep").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col("id"), struct(col("tokens"), -col("id"))).as("keep_doc"),
+        max(col("tokens")).as("keep_tokens"))
+      .orderBy("cluster_rep")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q63_portable_minhash_neardups" -> (portableMinhashNearDups _),
     "q64_portable_simhash_neardups" -> (portableSimhashNearDups _),
-    "q65_portable_winnow_buckets" -> (portableWinnowBuckets _)
+    "q65_portable_winnow_buckets" -> (portableWinnowBuckets _),
+    "q66_dedup_keep_best" -> (dedupKeepBest _)
   )
+
+  /** Shared DuckDB fragments: the portable minhash pipeline (tokenize →
+    * word 3-grams → double-hash signatures → band keys → candidate self-join
+    * → estimate) as CTEs, reused verbatim by the q63 and q66 oracles. */
+  private val minhashPipelineCtes =
+    """w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+      |         ELSE list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)])
+      |    END AS grams
+      |  FROM w),
+      |s AS (
+      |  SELECT doc_id,
+      |    [list_min([(('0x'||substr(md5(g2),1,15))::BIGINT
+      |               + i * (('0x'||substr(md5(g2),17,15))::BIGINT % 72057594037927936)) % 1152921504606846976
+      |              for g2 in grams]) for i in range(0,16)] AS sig
+      |  FROM g),
+      |b AS (
+      |  SELECT doc_id, band, array_to_string(sig[band*4+1 : band*4+4], ',') AS key
+      |  FROM s, (SELECT unnest(range(0,4)) AS band)),
+      |p AS (
+      |  SELECT DISTINCT a.doc_id AS idA, c.doc_id AS idB
+      |  FROM b a JOIN b c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id),
+      |j AS (
+      |  SELECT idA, idB,
+      |    round(len([i for i in range(1,17) if sa.sig[i] = sb.sig[i]]) / 16.0, 6) AS est_jaccard
+      |  FROM p JOIN s sa ON sa.doc_id = p.idA JOIN s sb ON sb.doc_id = p.idB)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q63_portable_minhash_neardups" ->
-      """WITH w AS (
-        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
-        |         ELSE list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)])
-        |    END AS grams
-        |  FROM w),
-        |s AS (
-        |  SELECT doc_id,
-        |    [list_min([(('0x'||substr(md5(g2),1,15))::BIGINT
-        |               + i * (('0x'||substr(md5(g2),17,15))::BIGINT % 72057594037927936)) % 1152921504606846976
-        |              for g2 in grams]) for i in range(0,16)] AS sig
-        |  FROM g),
-        |b AS (
-        |  SELECT doc_id, band, array_to_string(sig[band*4+1 : band*4+4], ',') AS key
-        |  FROM s, (SELECT unnest(range(0,4)) AS band)),
-        |p AS (
-        |  SELECT DISTINCT a.doc_id AS idA, c.doc_id AS idB
-        |  FROM b a JOIN b c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id),
-        |j AS (
-        |  SELECT idA, idB,
-        |    round(len([i for i in range(1,17) if sa.sig[i] = sb.sig[i]]) / 16.0, 6) AS est_jaccard
-        |  FROM p JOIN s sa ON sa.doc_id = p.idA JOIN s sb ON sb.doc_id = p.idB)
-        |SELECT idA, idB, est_jaccard FROM j WHERE est_jaccard >= 0.5 ORDER BY idA, idB""".stripMargin,
+      (s"WITH $minhashPipelineCtes\n" +
+        "SELECT idA, idB, est_jaccard FROM j WHERE est_jaccard >= 0.5 ORDER BY idA, idB"),
+    "q66_dedup_keep_best" ->
+      (s"WITH RECURSIVE $minhashPipelineCtes,\n" +
+        """pairs AS (SELECT idA, idB FROM j WHERE est_jaccard >= 0.5),
+          |edges AS (SELECT idA AS src, idB AS dst FROM pairs UNION ALL SELECT idB, idA FROM pairs),
+          |reach(id, r) AS (SELECT src, src FROM edges
+          |  UNION SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+          |cl AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+          |tk AS (SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tokens
+          |       FROM documents)
+          |SELECT cl.rep AS cluster_rep, count(*) AS n_docs,
+          |  max_by(cl.id, tk.tokens * 10000000 - cl.id) AS keep_doc,
+          |  max(tk.tokens) AS keep_tokens
+          |FROM cl JOIN tk ON tk.doc_id = cl.id
+          |GROUP BY cl.rep ORDER BY cluster_rep""".stripMargin),
     "q64_portable_simhash_neardups" ->
       """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
         |g AS (

@@ -125,6 +125,30 @@ class PortableSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup keep-best rule: most tokens wins, ties to the smallest id") {
+    // three exact-dup groups with varying richness; via the full q66 path
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),          // cluster {10,11,12}
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"), // richest → keep
+      (12L, "alpha beta gamma delta epsilon zeta"),
+      (20L, "one two three four five six seven"),             // cluster {20,21}: tie
+      (21L, "one two three four five six seven"),             //   → keep min id 20
+      (30L, "lonely document with no duplicate partner text")
+    ).toDF("doc_id", "text")
+    val spark2 = spark
+    import org.apache.spark.sql.functions.{col => c}
+    val pairs = PortableSketch.minhashNearDups(docs, "text", "doc_id",
+      k = 16, bands = 4, n = 3, threshold = 0.5).select("idA", "idB")
+    val toks = docs.select(c("doc_id"), TextOps.tokenCount(c("text")).as("tokens"))
+    val got = Dedup.dupClusters(pairs)
+      .join(toks, c("id") === c("doc_id"))
+      .groupBy(c("rep").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(c("id"), struct(c("tokens"), -c("id"))).as("keep_doc"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 3L, 11L), (20L, 2L, 20L)))
+  }
+
   test("winnowSet: document shorter than one window keeps its global min") {
     val fps = Seq((1L, "tiny doc")).toDF("doc_id", "text")
       .select(PortableSketch.charGramHashes(col("text"), 8).as("_hs"))
