@@ -214,6 +214,26 @@ object PipelineQueries {
       .orderBy("fp")
   }
 
+  private val bm25Terms = Seq("spark", "table", "join", "hash", "window")
+
+  /** q67 — BM25 top-10 retrieval for a fixed query-term set (ops.Retrieval):
+    * inverted-index postings restricted to the query terms, df + corpus
+    * stats joined back, Robertson k1=1.2 b=0.75 scoring, per-term rank.
+    * The oracle recomputes the identical formula with the same literal
+    * grouping (left-associated idf·num/den — IEEE arithmetic is then
+    * bit-reproducible across engines; only ln() may differ by 1 ulp, a
+    * term-constant factor that cannot reorder a term's ranking). */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.ops.Retrieval.bm25(
+      table(spark, dir, "documents"), "text", "doc_id", bm25Terms)
+    val w = Window.partitionBy("term").orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 10)
+      .select(col("term"), col("doc_id"), col("tf"),
+        round(col("score"), 4).as("score"), col("rnk"))
+      .orderBy("term", "rnk")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q53_asof_join" -> (asofViewBeforeClick _),
     "q54_range_join" -> (windowRangeCounts _),
@@ -224,7 +244,8 @@ object PipelineQueries {
     "q59_source_overlap" -> (sourceOverlap _),
     "q60_salted_join" -> (saltedJoinRollup _),
     "q61_asof_next" -> (asofNextPurchase _),
-    "q62_winnow_buckets" -> (winnowBuckets _)
+    "q62_winnow_buckets" -> (winnowBuckets _),
+    "q67_bm25_topk" -> (bm25TopK _)
   )
 
   /** q58 oracle: thresholds derived from the SAME fractions as the Spark
@@ -241,6 +262,28 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q67_bm25_topk" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |st AS (SELECT count(*) AS n, avg(len(ts)) AS avgl FROM tk),
+        |post AS (
+        |  SELECT t.term, tk.doc_id, len(ts) AS dl, len(list_filter(ts, x -> x = t.term)) AS tf
+        |  FROM tk, (SELECT unnest(['spark','table','join','hash','window']) AS term) t
+        |  WHERE len(list_filter(ts, x -> x = t.term)) > 0),
+        |dfq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        |scored AS (
+        |  -- every literal cast to DOUBLE: DuckDB parses bare decimals as
+        |  -- DECIMAL, whose exact arithmetic would diverge from Spark's IEEE
+        |  -- doubles in the last ulps; with doubles the grouping below is
+        |  -- bit-identical to the Spark expression
+        |  SELECT post.term, post.doc_id, post.tf,
+        |    ln((st.n - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE) + 1) * (post.tf * (1.2::DOUBLE + 1)) /
+        |      (post.tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE * post.dl / st.avgl)) AS score
+        |  FROM post JOIN dfq ON post.term = dfq.term, st)
+        |SELECT term, doc_id, tf, round(score, 4) AS score, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rnk
+        |  FROM scored) WHERE rnk <= 10 ORDER BY term, rnk""".stripMargin,
     "q53_asof_join" ->
       ("WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'click'), " +
         "v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'view'), " +
