@@ -270,7 +270,10 @@ object NorthStarQueries {
     * component's min-id representative — pairwise evidence → keep-one-per-
     * cluster decisions. Oracle: recursive-CTE transitive closure. */
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.dupClusters(ngramNearDups(spark, dir).select("idA", "idB"))
+    // persist: dupClusters reads the pair relation twice (edges = pairs ∪
+    // swapped) — uncached, the whole LSH + exact-verify pipeline would run
+    // twice. Ownership: Verify/Bench clear the cache after each query.
+    Dedup.dupClusters(ngramNearDups(spark, dir).select("idA", "idB").persist())
       .withColumnRenamed("id", "doc_id").withColumnRenamed("rep", "cluster_rep")
       .orderBy("doc_id")
 

@@ -114,8 +114,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("no accidental cartesian/nested-loop joins anywhere in the query surface") {
     // the only legitimate non-equi joins: q27's documented brute-force
-    // broadcast-cross oracle path and q35's cross-join operator itself
-    val allowNestedLoop = Set("q27_embedding_topk", "q35_cross_join")
+    // broadcast-cross oracle path, q35's cross-join operator itself, and
+    // q67's one-row corpus-constants broadcast (attaching N/avgLen to the
+    // postings — a keyless 1-row join is BNLJ by construction and O(|postings|))
+    val allowNestedLoop = Set("q27_embedding_topk", "q35_cross_join", "q67_bm25_topk")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
