@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.ops.{Sampling, Temporal}
+import graft.ops.{Sampling, Temporal, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -234,6 +234,34 @@ object PipelineQueries {
       .orderBy("term", "rnk")
   }
 
+  /** q68 — repetition quality stats (the Gopher/RefinedWeb duplicate-gram
+    * rule): per document, the fraction of word bigrams that are repeats
+    * (1 − distinct/total); rolled up per language. Determinism note: the
+    * corpus-level ratio divides two exact integer SUMS (summation order
+    * can't perturb it, unlike averaging per-doc double ratios); per-doc
+    * ratios surface only through order-insensitive max and a threshold
+    * count. Tokens materialize as a column before the bigram transform
+    * (lambda-captured expressions re-evaluate per element). */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val tk = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("_ts"))
+    val g = tk.withColumn("_grams",
+      when(size(col("_ts")) < 2, array(concat_ws(" ", col("_ts"))))
+        .otherwise(transform(sequence(lit(0), size(col("_ts")) - 2),
+          i => concat_ws(" ", slice(col("_ts"), i + 1, lit(2))))))
+    val r = g.select(col("lang"), size(col("_grams")).as("total"),
+      size(array_distinct(col("_grams"))).as("uniq"))
+      .withColumn("rep", lit(1.0) - col("uniq").cast("double") / col("total"))
+    r.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("total").as("grams_total"),
+      sum("uniq").as("grams_uniq"),
+      round(lit(1.0) - sum("uniq").cast("double") / sum("total"), 4).as("dup_ratio"),
+      round(max("rep"), 4).as("max_rep"),
+      count(when(col("rep") >= 0.1, 1)).as("high_rep"))
+      .orderBy("lang")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q53_asof_join" -> (asofViewBeforeClick _),
     "q54_range_join" -> (windowRangeCounts _),
@@ -245,7 +273,8 @@ object PipelineQueries {
     "q60_salted_join" -> (saltedJoinRollup _),
     "q61_asof_next" -> (asofNextPurchase _),
     "q62_winnow_buckets" -> (winnowBuckets _),
-    "q67_bm25_topk" -> (bm25TopK _)
+    "q67_bm25_topk" -> (bm25TopK _),
+    "q68_repetition_stats" -> (repetitionStats _)
   )
 
   /** q58 oracle: thresholds derived from the SAME fractions as the Spark
@@ -262,6 +291,27 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q68_repetition_stats" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')]
+        |         ELSE [array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))]
+        |    END AS grams
+        |  FROM tk),
+        |r AS (
+        |  SELECT lang, len(grams) AS total, len(list_distinct(grams)) AS uniq,
+        |    1 - len(list_distinct(grams))::DOUBLE / len(grams) AS rep
+        |  FROM g)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(total) AS BIGINT) AS grams_total,
+        |  CAST(sum(uniq) AS BIGINT) AS grams_uniq,
+        |  round(1 - sum(uniq)::DOUBLE / sum(total), 4) AS dup_ratio,
+        |  round(max(rep), 4) AS max_rep,
+        |  count(*) FILTER (WHERE rep >= 0.1) AS high_rep
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "q67_bm25_topk" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts

@@ -112,6 +112,25 @@ class PlanSpec extends AnyFunSuite {
       s"map-side partial sketch aggregation expected\n$p")
   }
 
+  test("q67: df aggregation combines map-side; term filter applied before grouping") {
+    val p = plan(PipelineQueries.bm25TopK(spark, sf))
+    assert(p.contains("partial_count"), s"postings/df aggregation must combine map-side\n$p")
+    // the term restriction must appear as a literal IN filter (postings are
+    // built for the query terms only - the corpus never reaches the shuffle)
+    assert(p.contains("IN (spark,table,join,hash,window)"),
+      s"broadcast term-set filter expected in plan\n$p")
+  }
+
+  test("q68: per-lang rollup is one partial+final aggregation (no extra shuffle)") {
+    val p = plan(PipelineQueries.repetitionStats(spark, sf))
+    val exchangeCount = p.linesIterator.count(l => l.trim.matches("\\(\\d+\\) Exchange.*"))
+    // one shuffle for the lang rollup, one for the final orderBy range
+    // partitioning - nothing else
+    assert(exchangeCount <= 2, s"lang rollup + sort expected, got $exchangeCount\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"map-side partial aggregation expected\n$p")
+  }
+
   test("no accidental cartesian/nested-loop joins anywhere in the query surface") {
     // the only legitimate non-equi joins: q27's documented brute-force
     // broadcast-cross oracle path, q35's cross-join operator itself, and
