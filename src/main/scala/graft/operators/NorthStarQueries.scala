@@ -187,9 +187,17 @@ object NorthStarQueries {
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     val assets = Multimodal.resizePayload(
       Multimodal.fakeAssets(table(spark, dir, "documents")), maxBytes = 256)
+    // min/max of per-row float features, widened to double BEFORE rounding:
+    // order-insensitive aggregates make the rollup bit-deterministic under
+    // parallel execution (an avg of floats is not), which is what lets the
+    // DuckDB oracle replay the stub decode's float32 arithmetic exactly
+    def bin(i: Int) = element_at(col("features"), i + 1).cast("double")
     Multimodal.extractFeatures(assets, batchSize = 64)
       .groupBy("modality")
-      .agg(count(lit(1)).as("n"), round(avg(element_at(col("features"), 1)), 4).as("avg_bin0"))
+      .agg(count(lit(1)).as("n"),
+        round(min(bin(6)), 4).as("min_bin6"),
+        round(max(bin(6)), 4).as("max_bin6"),
+        round(max(bin(7)), 4).as("max_bin7"))
       .orderBy("modality")
   }
 
@@ -448,6 +456,41 @@ object NorthStarQueries {
 
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracles: Map[String, String] = Map(
+    // q31/q32: the decode STUB is deterministic byte arithmetic, so the
+    // oracle replays it — byte histogram via hex-nibble counting (float32
+    // division ::FLOAT matches the JVM's binary32 exactly), resize as a
+    // 512-hex-char (256-byte) prefix, frame admission as pure arithmetic on
+    // byte lengths. A real codec would demote these to rows-only again;
+    // until then the full Spark plumbing (modality routing, resize bounds,
+    // batching neutrality, explode shape) is hash-checked.
+    "q31_multimodal_features" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    ['image','audio','video'][(doc_id % 3 + 1)] AS modality,
+        |    substr(hex(encode(text)), 1, 512) AS h
+        |  FROM documents),
+        |f AS (
+        |  SELECT modality,
+        |    CASE WHEN len(h) = 0 THEN 0.0::FLOAT ELSE
+        |      (len(list_filter([h[i] for i in range(1, len(h)+1, 2)], c -> c = '6'))::FLOAT
+        |        / ((len(h) // 2)::FLOAT)) END AS bin6,
+        |    CASE WHEN len(h) = 0 THEN 0.0::FLOAT ELSE
+        |      (len(list_filter([h[i] for i in range(1, len(h)+1, 2)], c -> c = '7'))::FLOAT
+        |        / ((len(h) // 2)::FLOAT)) END AS bin7
+        |  FROM a)
+        |SELECT modality, count(*) AS n,
+        |  round(min(bin6)::DOUBLE, 4) AS min_bin6,
+        |  round(max(bin6)::DOUBLE, 4) AS max_bin6,
+        |  round(max(bin7)::DOUBLE, 4) AS max_bin7
+        |FROM f GROUP BY modality ORDER BY modality""".stripMargin,
+    "q32_video_frames" ->
+      """WITH v AS (
+        |  SELECT octet_length(encode(text)) AS len
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT frame_no, count(*) AS n
+        |FROM (SELECT unnest(range(0,4)) AS frame_no), v
+        |WHERE frame_no * greatest(len // 4, 1) < len
+        |GROUP BY frame_no ORDER BY frame_no""".stripMargin,
     "q49_embedding_neardups" -> q49OracleSql,
     "q50_train_splits" -> q50OracleSql,
     "q51_contamination" ->
