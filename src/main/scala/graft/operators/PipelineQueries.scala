@@ -262,6 +262,24 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** q69 — Z-order layout profile over events (user × time-of-day): the
+    * Morton key ops.Layout computes for multi-dimensional file clustering,
+    * bucketed to its top 8 bits with per-bucket row/user counts. The oracle
+    * recomputes the bit interleave in SQL (the key is engine-portable
+    * arithmetic), certifying the exact layout key a 100 TB writer would
+    * range-partition on. */
+  def zorderBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val tod = pmod(tsU, lit(86400000000L)) // micros within the UTC day
+    val x = pmod(col("user_id"), lit(65536L))
+    val y = call_function("div", tod * 65536L, lit(86400000000L))
+    ev.select(graft.ops.Layout.zorder2(x, y, 16).as("z"), col("user_id"))
+      .select(shiftright(col("z"), 24).as("zbucket"), col("user_id"))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("zbucket")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q53_asof_join" -> (asofViewBeforeClick _),
     "q54_range_join" -> (windowRangeCounts _),
@@ -274,7 +292,8 @@ object PipelineQueries {
     "q61_asof_next" -> (asofNextPurchase _),
     "q62_winnow_buckets" -> (winnowBuckets _),
     "q67_bm25_topk" -> (bm25TopK _),
-    "q68_repetition_stats" -> (repetitionStats _)
+    "q68_repetition_stats" -> (repetitionStats _),
+    "q69_zorder_buckets" -> (zorderBuckets _)
   )
 
   /** q58 oracle: thresholds derived from the SAME fractions as the Spark
@@ -291,6 +310,19 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q69_zorder_buckets" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    user_id % 65536 AS x,
+        |    ((epoch_us(ts) % 86400000000) * 65536) // 86400000000 AS y
+        |  FROM events),
+        |z AS (
+        |  SELECT user_id,
+        |    list_sum([((x >> i) & 1) * (1::BIGINT << (2*i))
+        |              + ((y >> i) & 1) * (1::BIGINT << (2*i+1)) for i in range(0,16)])::BIGINT AS z
+        |  FROM e)
+        |SELECT (z >> 24) AS zbucket, count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
     "q68_repetition_stats" ->
       """WITH tk AS (
         |  SELECT doc_id, lang, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts

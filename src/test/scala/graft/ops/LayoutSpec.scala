@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def refMorton(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("zorder2 equals the reference bit interleave") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L)) ++
+      Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = rows.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zorder2(col("x"), col("y"), 16).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z == refMorton(x, y, 16), s"($x, $y)")
+    }
+    // spot-pin the canonical small values
+    assert(refMorton(1, 0, 16) == 1L && refMorton(0, 1, 16) == 2L &&
+      refMorton(1, 1, 16) == 3L)
+  }
+
+  test("zorder2 stays inside whole-stage codegen (no UDF in the key path)") {
+    val df = spark.range(100).select(
+      Layout.zorder2(col("id"), col("id") + 1, 16).as("z"))
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("Project [codegen id"), s"morton key must be codegen'd\n$p")
+  }
+
+  test("zorderRepartition range-partitions on the morton key and keeps all rows") {
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 500).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong, rnd.nextInt()))
+      .toDF("a", "b", "v")
+    val out = Layout.zorderRepartition(df, col("a"), col("b"), partitions = 4)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"range partitioning on the z key expected\n$p")
+    assert(out.count() == 500 && out.columns.toSeq == Seq("a", "b", "v"))
+    // locality: within each output partition the morton key is sorted, so
+    // both dimensions stay range-bounded per partition far below the global
+    // range — the min/max-stats pruning property
+    val spans = out.withColumn("_p", spark_partition_id())
+      .groupBy("_p").agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+      .as[(Int, Long, Long)].collect()
+    assert(spans.length == 4)
+    assert(spans.forall { case (_, sa, sb) => sa < 1000 && sb < 1000 })
+  }
+}
