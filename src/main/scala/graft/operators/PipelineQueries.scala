@@ -280,6 +280,29 @@ object PipelineQueries {
       .orderBy("zbucket")
   }
 
+  /** q70 — heavy hitters via the mergeable Misra-Gries UDAF: global token
+    * frequencies sketched in one bounded-state aggregation (width 64, map-
+    * side partials + executor merges), then the exact top-10 joined back
+    * against the sketch. At oracle scale the corpus vocabulary fits the
+    * width, so the sketch runs in its exact mode and `sketch_exact` is
+    * provably TRUE for every row — which makes the UDAF's reduce AND merge
+    * paths hash-checkable by DuckDB (any lost or double count breaks
+    * equality). The saturated regime's order-independent bounds are pinned
+    * in HeavyHittersSpec. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+    val sketch = toks
+      .agg(graft.expr.HeavyHitters.misraGries(col("token"), 64).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e._1").as("token"), col("e._2").as("mg_n"))
+    toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .join(sketch, Seq("token"), "left_outer")
+      .withColumn("sketch_exact", col("mg_n") === col("n"))
+      .orderBy(col("n").desc, col("token")).limit(10)
+      .select("token", "n", "mg_n", "sketch_exact")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q53_asof_join" -> (asofViewBeforeClick _),
     "q54_range_join" -> (windowRangeCounts _),
@@ -293,7 +316,8 @@ object PipelineQueries {
     "q62_winnow_buckets" -> (winnowBuckets _),
     "q67_bm25_topk" -> (bm25TopK _),
     "q68_repetition_stats" -> (repetitionStats _),
-    "q69_zorder_buckets" -> (zorderBuckets _)
+    "q69_zorder_buckets" -> (zorderBuckets _),
+    "q70_heavy_hitters" -> (heavyHitters _)
   )
 
   /** q58 oracle: thresholds derived from the SAME fractions as the Spark
@@ -310,6 +334,13 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q70_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |x AS (SELECT token, count(*) AS n FROM t GROUP BY token)
+        |SELECT token, n, n AS mg_n, TRUE AS sketch_exact
+        |FROM x ORDER BY n DESC, token LIMIT 10""".stripMargin,
     "q69_zorder_buckets" ->
       """WITH e AS (
         |  SELECT user_id,
