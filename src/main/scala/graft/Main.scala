@@ -8,9 +8,14 @@ import org.apache.spark.sql.SparkSession
   * instead of env vars):
   *
   *   runMain graft.Main --day 2025-08-11 --in spans.jsonl --out /path/links \
+  *     [--backfill yyyy-MM-dd..yyyy-MM-dd] \
   *     [--admission index-day|per-span-window|root-in-window] \
   *     [--strict-trace-id] [--master local[N]] \
   *     [--format json-v2|v1-rows] [--stream]
+  *
+  * --backfill runs the same per-day job for every day of the inclusive
+  * range (oldest first) — the reference's cron re-run model as one command;
+  * day-partition overwrite makes each day idempotent.
   *
   * --format v1-rows reads a parquet of tall Zipkin v1 annotation rows (the
   * MySQL-path input shape, SURVEY §2.2) and reconstructs spans via
@@ -53,6 +58,30 @@ object MainConfig {
         case Array(k, v) => Some(k -> v)
         case _ => None
       }
+    }
+
+  /** `--backfill from..to` (inclusive, yyyy-MM-dd both sides) → the day
+    * list to run, oldest first. The reference achieves backfills by
+    * re-invoking its cron entrypoint once per day (the docker/periodic
+    * hourly+daily entrypoints); because the sink is an idempotent
+    * day-partition overwrite, running the same window twice is safe. Capped at 400 days — a fat-fingered year
+    * range should fail loudly, not launch 10k Spark jobs. */
+  def parseBackfill(raw: String): Either[String, Seq[String]] =
+    raw.split("\\.\\.", -1) match {
+      case Array(from, to) =>
+        try {
+          val (f, t) = (java.time.LocalDate.parse(from), java.time.LocalDate.parse(to))
+          if (t.isBefore(f)) Left(s"--backfill end $to precedes start $from")
+          else {
+            val n = java.time.temporal.ChronoUnit.DAYS.between(f, t) + 1
+            if (n > 400) Left(s"--backfill spans $n days (max 400)")
+            else Right((0L until n).map(i => f.plusDays(i).toString))
+          }
+        } catch {
+          case _: java.time.format.DateTimeParseException =>
+            Left(s"--backfill must be yyyy-MM-dd..yyyy-MM-dd, got: $raw")
+        }
+      case _ => Left(s"--backfill must be yyyy-MM-dd..yyyy-MM-dd, got: $raw")
     }
 
   def admissionOf(name: String): Either[String, Admission] = name match {
@@ -114,35 +143,44 @@ object Main {
       if (opts.contains("stream")) runStreaming(spark, opts, day)
       else {
         val strict = resolved.strict
-        val links = resolved.format match {
-          case "json-v2" =>
-            LinkJob.runDay(spark, req("in"), req("out"), day, admission, strict)
-          case "v1-rows" =>
-            val (lo, hi) = LinkJob.dayWindowMicros(day)
-            val spans = graft.codec.V1SpanFold.foldWindow(
-              spark.read.parquet(req("in")), lo, hi)
-            // the fold already applied the day window at the scan, so
-            // PerSpanWindow (the mysql profile default) is a no-op here;
-            // an explicit --admission root-in-window must still take effect
-            val linked = LinkJob.linkSpans(spans, day, admission, strict).persist()
-            if (!linked.isEmpty) LinkJob.writeLinks(linked, day, req("out"))
-            linked
-          case "v1-tables" =>
-            // M1: the two-table v1 ingest (zipkin_spans ⟕ zipkin_annotations)
-            val (lo, hi) = LinkJob.dayWindowMicros(day)
-            val spans = graft.codec.V1SpanFold.fromV1Tables(
-              spark.read.parquet(req("in-spans")),
-              spark.read.parquet(req("in-annotations")), lo, hi)
-            val linked = LinkJob.linkSpans(spans, day, admission, strict).persist()
-            if (!linked.isEmpty) LinkJob.writeLinks(linked, day, req("out"))
-            linked
-          case other =>
-            System.err.println(s"unknown --format $other (json-v2|v1-rows|v1-tables)"); sys.exit(2)
+        def runOneDay(d: String): Unit = {
+          val links = resolved.format match {
+            case "json-v2" =>
+              LinkJob.runDay(spark, req("in"), req("out"), d, admission, strict)
+            case "v1-rows" =>
+              val (lo, hi) = LinkJob.dayWindowMicros(d)
+              val spans = graft.codec.V1SpanFold.foldWindow(
+                spark.read.parquet(req("in")), lo, hi)
+              // the fold already applied the day window at the scan, so
+              // PerSpanWindow (the mysql profile default) is a no-op here;
+              // an explicit --admission root-in-window must still take effect
+              val linked = LinkJob.linkSpans(spans, d, admission, strict).persist()
+              if (!linked.isEmpty) LinkJob.writeLinks(linked, d, req("out"))
+              linked
+            case "v1-tables" =>
+              // M1: the two-table v1 ingest (zipkin_spans ⟕ zipkin_annotations)
+              val (lo, hi) = LinkJob.dayWindowMicros(d)
+              val spans = graft.codec.V1SpanFold.fromV1Tables(
+                spark.read.parquet(req("in-spans")),
+                spark.read.parquet(req("in-annotations")), lo, hi)
+              val linked = LinkJob.linkSpans(spans, d, admission, strict).persist()
+              if (!linked.isEmpty) LinkJob.writeLinks(linked, d, req("out"))
+              linked
+            case other =>
+              System.err.println(s"unknown --format $other (json-v2|v1-rows|v1-tables)"); sys.exit(2)
+          }
+          val n = links.count()
+          println(s"day=$d links=$n out=${req("out")}")
+          links.orderBy("parent", "child").show(100, truncate = false)
+          links.unpersist()
         }
-        val n = links.count()
-        println(s"day=$day links=$n out=${req("out")}")
-        links.orderBy("parent", "child").show(100, truncate = false)
-        links.unpersist()
+        opts.get("backfill") match {
+          case Some(range) => MainConfig.parseBackfill(range) match {
+            case Right(days) => days.foreach(runOneDay)
+            case Left(err) => System.err.println(s"$err\n$usage"); sys.exit(2)
+          }
+          case None => runOneDay(day)
+        }
       }
     } finally spark.stop()
   }
@@ -170,6 +208,7 @@ object Main {
 
   private val usage =
     "usage: graft.Main --day yyyy-MM-dd --in <spans path> --out <links path> " +
+      "[--backfill yyyy-MM-dd..yyyy-MM-dd] " +
       "[--admission index-day|per-span-window|root-in-window] [--strict-trace-id] [--master local[N]]"
 
   private def parseArgs(args: Array[String]): Map[String, String] = {

@@ -105,7 +105,22 @@ object ExtendedQueries {
         round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("c"))
       .orderBy("l_returnflag")
 
+  /** q71 — unpivot/melt: wide numeric lineitem columns to (metric, value)
+    * rows, profiled per metric with order-insensitive aggregates. */
+  def q71(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 4).as("min_v"),
+        round(max(col("value")), 4).as("max_v"))
+      .orderBy("metric")
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q71_unpivot_metrics" -> (q71 _),
     "q35_cross_join" -> (q35 _),
     "q36_full_outer_join" -> (q36 _),
     "q37_semi_join" -> (q37 _),
@@ -120,6 +135,11 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q71_unpivot_metrics" ->
+      ("SELECT metric, count(*) AS n, ROUND(MIN(value), 4) AS min_v, ROUND(MAX(value), 4) AS max_v " +
+        "FROM (UNPIVOT (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem) " +
+        "ON l_quantity, l_extendedprice, l_discount, l_tax INTO NAME metric VALUE value) " +
+        "GROUP BY metric ORDER BY metric"),
     "q35_cross_join" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
     "q36_full_outer_join" ->

@@ -8,6 +8,23 @@ import org.scalatest.funsuite.AnyFunSuite
 class MainSpec extends AnyFunSuite {
   private val today = "2026-08-12"
 
+  test("backfill range parses inclusively, oldest first") {
+    assert(MainConfig.parseBackfill("2025-08-10..2025-08-12") ==
+      Right(Seq("2025-08-10", "2025-08-11", "2025-08-12")))
+    assert(MainConfig.parseBackfill("2025-08-10..2025-08-10") == Right(Seq("2025-08-10")))
+    // month boundary
+    assert(MainConfig.parseBackfill("2025-01-31..2025-02-01") ==
+      Right(Seq("2025-01-31", "2025-02-01")))
+  }
+
+  test("backfill rejects reversed, oversized, and malformed ranges") {
+    assert(MainConfig.parseBackfill("2025-08-12..2025-08-10").isLeft)
+    assert(MainConfig.parseBackfill("2024-01-01..2026-01-01").isLeft) // > 400 days
+    assert(MainConfig.parseBackfill("2025-08-10").isLeft)
+    assert(MainConfig.parseBackfill("2025-08-10..not-a-date").isLeft)
+    assert(MainConfig.parseBackfill("2025-08-10..2025-08-11..2025-08-12").isLeft)
+  }
+
   test("STORAGE_TYPE selects the backend profile (format + admission)") {
     val es = MainConfig.resolve(Map(), Map("STORAGE_TYPE" -> "elasticsearch"), today)
     assert(es == Right(MainConfig.Resolved(today, "json-v2", Admission.IndexDay,
