@@ -39,4 +39,16 @@ object Layout {
       .repartitionByRange(partitions, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
+
+  /** Write `df` as a bucketed+sorted table: rows hash-partition into
+    * `buckets` files per partition by `key`, pre-sorted on it. Two tables
+    * bucketed the same way equi-join WITHOUT any shuffle or sort — the
+    * exchange that dominates fact-fact joins at 100 TB disappears because
+    * co-location was paid once at write time (BucketingSpec asserts the
+    * zero-Exchange plan). Bucketing metadata lives in the session catalog,
+    * so readers must go through `spark.table(name)`. */
+  def writeBucketed(df: DataFrame, name: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(name)
 }

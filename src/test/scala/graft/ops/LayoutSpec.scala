@@ -41,6 +41,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(p.contains("Project [codegen id"), s"morton key must be codegen'd\n$p")
   }
 
+  test("bucketed tables equi-join with no shuffle and no extra sort") {
+    val rnd = new scala.util.Random(5)
+    val fact = (0 until 2000).map(i => (i.toLong % 97, s"f$i")).toDF("k", "fv")
+    val dim = (0 until 500).map(i => (i.toLong % 97, rnd.nextInt())).toDF("k", "dv")
+    Layout.writeBucketed(fact, "bkt_fact", "k", buckets = 8)
+    Layout.writeBucketed(dim, "bkt_dim", "k", buckets = 8)
+    try {
+      // disable broadcast so the join would otherwise need a full shuffle
+      val joined = spark.table("bkt_fact")
+        .hint("merge")
+        .join(spark.table("bkt_dim"), "k")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed co-located join must plan zero exchanges\n$p")
+      // multiset equality with the plain (shuffled) join
+      val plain = fact.join(dim, "k")
+      assert(joined.count() == plain.count())
+      assert(joined.groupBy("k").count().orderBy("k").collect().toSeq ==
+        plain.groupBy("k").count().orderBy("k").collect().toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_fact")
+      spark.sql("DROP TABLE IF EXISTS bkt_dim")
+    }
+  }
+
   test("zorderRepartition range-partitions on the morton key and keeps all rows") {
     val rnd = new scala.util.Random(11)
     val df = (0 until 500).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong, rnd.nextInt()))
