@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-input robustness: null text, empty strings, whitespace-only docs,
+  * and single-char payloads must flow through every sketch/text operator
+  * without NPEs or crashes, producing the documented degenerate values.
+  * (A 100 TB corpus ALWAYS contains these rows; an operator that throws on
+  * one poisons its whole task.) */
+class EdgeInputSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private val edgeDocs = Seq(
+    (1L, null.asInstanceOf[String]),
+    (2L, ""),
+    (3L, "   "),
+    (4L, "x"),
+    (5L, "normal document with several words in it"),
+    (6L, "normal document with several words in it") // dup of 5
+  ).toDF("doc_id", "text")
+
+  test("exact dedup survives null/empty/whitespace texts") {
+    val kept = Dedup.exactDedup(edgeDocs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(5L) && !kept.contains(6L), "dup of 5 must drop")
+    assert(kept.intersect(Set(2L, 3L, 4L)) == Set(2L, 3L, 4L), "distinct edge docs survive")
+  }
+
+  test("minhash + LSH pipelines survive edge inputs (both hash families)") {
+    val fused = Dedup.minhashNearDups(edgeDocs, "text", "doc_id",
+      k = 16, bands = 4, shingle = 3, threshold = 0.5, wordGrams = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fused.contains((5L, 6L, 1.0)), s"exact dups must pair: $fused")
+    val portable = PortableSketch.minhashNearDups(edgeDocs, "text", "doc_id",
+      k = 16, bands = 4, n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(portable.contains((5L, 6L, 1.0)), s"exact dups must pair: $portable")
+  }
+
+  test("simhash, winnow, fingerprint and token ops survive edge inputs") {
+    val out = edgeDocs.select(
+      col("doc_id"),
+      PortableSketch.simhash60(col("text"), 5).as("sh"),
+      PortableSketch.winnowText(col("text"), 8, 16).as("wn"),
+      TextOps.tokenCount(col("text")).as("ntok"))
+      .collect()
+    assert(out.length == 6) // no task death
+    val ntoks = out.map(r => r.getLong(0) ->
+      (if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+    // null text null-propagates; empty/whitespace tokenize to zero
+    assert(ntoks(1L).isEmpty)
+    assert(ntoks(2L).contains(0) && ntoks(3L).contains(0) && ntoks(4L).contains(1))
+  }
+
+  test("bm25 ignores degenerate docs without crashing") {
+    val scored = Retrieval.bm25(edgeDocs, "text", "doc_id", Seq("document"))
+      .as[(String, Long, Long, Double)].collect()
+    assert(scored.map(_._2).toSet == Set(5L, 6L))
+    assert(scored.forall(_._4 > 0.0))
+  }
+
+  test("repetition/annotation path survives edge inputs") {
+    // same shape as q68's per-doc stage
+    val tk = edgeDocs.select(col("doc_id"), TextOps.tokens(col("text")).as("_ts"))
+    val g = tk.withColumn("_grams",
+      when(size(col("_ts")) < 2, array(concat_ws(" ", col("_ts"))))
+        .otherwise(transform(sequence(lit(0), size(col("_ts")) - 2),
+          i => concat_ws(" ", slice(col("_ts"), i + 1, lit(2))))))
+    val rows = g.select(col("doc_id"), size(col("_grams")).as("n")).collect()
+    assert(rows.length == 6)
+  }
+}

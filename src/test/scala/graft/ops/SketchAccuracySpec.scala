@@ -32,6 +32,36 @@ class SketchAccuracySpec extends AnyFunSuite {
     }
   }
 
+  test("portable minhash estimate tracks exact jaccard within 3 sigma (k=16)") {
+    // the md5 double-hash family must be a sound estimator too, not just
+    // engine-portable. k=16 has sd = sqrt(p(1-p)/16) ≈ 0.12 at p=0.5 —
+    // bound each (deterministic, seeded) draw at 3 sigma, not a flat 0.2
+    for ((shared, total) <- Seq((50, 50), (40, 50), (25, 50), (10, 50))) {
+      val (ta, tb) = pair(shared, total)
+      val exact = shared.toDouble / (2 * total - shared)
+      val df = Seq((1L, ta), (2L, tb)).toDF("doc_id", "text")
+      val est = PortableSketch.minhashNearDups(df, "text", "doc_id",
+        k = 16, bands = 8, n = 1, threshold = 0.0)
+        .select("est_jaccard").as[Double].collect().headOption.getOrElse(0.0)
+      val sigma = math.sqrt(exact * (1 - exact) / 16).max(0.05)
+      assert(math.abs(est - exact) <= 3 * sigma,
+        s"shared=$shared: est=$est exact=$exact sigma=$sigma")
+    }
+  }
+
+  test("portable simhash hamming grows with dissimilarity") {
+    val dists = Seq(50, 35, 15, 0).map { shared =>
+      val (ta, tb) = pair(shared, 50)
+      val df = Seq((1L, ta), (2L, tb)).toDF("doc_id", "text")
+      val sh = df.select(PortableSketch.simhash60(col("text"), 5).as("s"))
+        .as[Long].collect()
+      java.lang.Long.bitCount(sh(0) ^ sh(1))
+    }
+    assert(dists.head == 0, "identical docs must have identical simhash")
+    assert(dists.last > dists(1), s"disjoint docs must be farthest: $dists")
+    assert(dists(1) < dists(2) + 10, s"roughly monotone expected: $dists")
+  }
+
   test("simhash hamming distance is monotone in dissimilarity") {
     val texts = Seq(1.0, 0.8, 0.5, 0.0).zipWithIndex.map { case (sim, i) =>
       val (a, b) = pair((sim * 50).toInt, 50)
