@@ -301,15 +301,8 @@ object PortableSketch {
         b.toArray
       }
       val md = java.security.MessageDigest.getInstance("MD5")
-      def h60of(s: String): Long = {
-        md.reset()
-        val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val be = ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
-          ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
-          ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
-          ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
-        be >>> 4
-      }
+      def h60of(s: String): Long =
+        beLong(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)), 0) >>> 4
       val nCp = cps.length - 1
       val hs: Array[Long] =
         if (nCp < n) Array(h60of(t))
