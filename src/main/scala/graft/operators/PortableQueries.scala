@@ -21,7 +21,10 @@ object PortableQueries {
 
   /** q63 — portable MinHash+LSH near-dup pairs (k=16, 4 bands × 4 rows,
     * word 3-grams, estimated Jaccard ≥ 0.5). The DuckDB oracle replays the
-    * whole pipeline: signatures, band keys, candidate self-join, estimate. */
+    * whole pipeline: signatures, band keys, candidate self-join, estimate.
+    * The oracle replays UNCAPPED banding — sound because the hot-bucket cap
+    * cannot fire at oracle scale (a band bucket holds at most the corpus,
+    * 500 docs at sf0.01, under the 1024 default). */
   def portableMinhashNearDups(spark: SparkSession, dir: String): DataFrame =
     PortableSketch.minhashNearDups(table(spark, dir, "documents"),
       "text", "doc_id", k = 16, bands = 4, n = 3, threshold = 0.5)
@@ -123,6 +126,9 @@ object PortableQueries {
           |tk AS (SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tokens
           |       FROM documents)
           |SELECT cl.rep AS cluster_rep, count(*) AS n_docs,
+          |  -- (tokens desc, id asc) arg-max, encoded arithmetically because
+          |  -- DuckDB 1.0 max_by lacks struct keys; exact while doc_id < 10^7
+          |  -- (the Spark side uses the domain-free struct ordering)
           |  max_by(cl.id, tk.tokens * 10000000 - cl.id) AS keep_doc,
           |  max(tk.tokens) AS keep_tokens
           |FROM cl JOIN tk ON tk.doc_id = cl.id

@@ -149,6 +149,32 @@ class PortableSketchSpec extends AnyFunSuite {
     assert(got == Set((10L, 3L, 11L), (20L, 2L, 20L)))
   }
 
+  test("winnowing guarantee: every shared substring >= w+n-1 chars surfaces (randomized)") {
+    // Schleimer/Wilkerson/Aiken theorem: with n-gram hashes and window w,
+    // two documents sharing any substring of length >= w+n-1 must share at
+    // least one selected fingerprint. 60 random plants across alphabets.
+    val rnd = new scala.util.Random(41)
+    def rand(len: Int, alpha: String) =
+      (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val cases = (0 until 60).map { i =>
+      val alpha = Seq("ab", "abcd", "abcdefgh ")(i % 3)
+      val shared = rand(23 + rnd.nextInt(30), alpha) // >= w+n-1 = 23
+      (i.toLong,
+        rand(rnd.nextInt(40), alpha) + shared + rand(rnd.nextInt(40), alpha),
+        rand(rnd.nextInt(40), alpha) + shared + rand(rnd.nextInt(40), alpha))
+    }
+    val fps = cases.flatMap { case (i, a, b) => Seq((i, "A", a), (i, "B", b)) }
+      .toDF("case_id", "side", "text")
+      .select(col("case_id"), col("side"),
+        PortableSketch.winnowText(col("text"), 8, 16).as("fps"))
+      .as[(Long, String, Seq[Long])].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3.toSet).toMap).toMap
+    cases.foreach { case (i, _, _) =>
+      assert(fps(i)("A").intersect(fps(i)("B")).nonEmpty,
+        s"case $i: planted shared substring produced no shared fingerprint")
+    }
+  }
+
   test("winnowSet: document shorter than one window keeps its global min") {
     val fps = Seq((1L, "tiny doc")).toDF("doc_id", "text")
       .select(PortableSketch.charGramHashes(col("text"), 8).as("_hs"))

@@ -57,7 +57,7 @@ class TemporalPropertySpec extends Properties("temporal") {
   private val genIntervals: Gen[Seq[(Long, Long, Long)]] = for {
     n <- Gen.choose(0, 15)
     ivs <- Gen.listOfN(n, for {
-      lo <- Gen.choose(0L, 200L)
+      lo <- Gen.choose(-150L, 200L) // negatives: floor-div bucketing must hold
       span <- Gen.choose(0L, 120L)
     } yield (lo, lo + span))
   } yield ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
@@ -67,14 +67,14 @@ class TemporalPropertySpec extends Properties("temporal") {
       val s = spark
       import s.implicits._
       import org.apache.spark.sql.functions.col
-      val events = (0L until 50L).map(i => (i, i * 7L % 211L)).toDF("id", "ts")
+      val events = (0L until 50L).map(i => (i, i * 7L % 211L - 70L)).toDF("id", "ts")
       val ivals = ivs.toDF("wid", "lo", "hi")
       val got =
         if (ivs.isEmpty) Set.empty[(Long, Long)]
         else Temporal.bucketedRangeJoin(events, "ts", ivals, "lo", "hi", width)
           .select("id", "wid").as[(Long, Long)].collect().toSet
       val brute = (for {
-        (id, ts) <- (0L until 50L).map(i => (i, i * 7L % 211L))
+        (id, ts) <- (0L until 50L).map(i => (i, i * 7L % 211L - 70L))
         (wid, lo, hi) <- ivs if ts >= lo && ts <= hi
       } yield (id, wid)).toSet
       got == brute
