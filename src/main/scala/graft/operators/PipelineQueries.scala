@@ -303,6 +303,39 @@ object PipelineQueries {
       .select("token", "n", "mg_n", "sketch_exact")
   }
 
+  /** q72 — snapshot diff (the change-data verb): orders vs a derived second
+    * snapshot (every 97th key removed, every 89th status-flipped, every
+    * 101st re-keyed as an addition), classified per key in one full-outer
+    * join over 128-bit content digests. The oracle classifies by direct
+    * column comparison — digest classification equals value classification
+    * up to a 2^-128 double collision. */
+  def snapshotDiffRollup(spark: SparkSession, dir: String): DataFrame = {
+    val prev = table(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus"), col("o_totalprice"))
+    val next = prev.where(col("k") % 97 =!= 0)
+      .withColumn("o_orderstatus",
+        when(col("k") % 89 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      .unionByName(prev.where(col("k") % 101 === 0)
+        .withColumn("k", col("k") + 3000000L))
+    graft.ops.Diff.snapshotDiff(prev, next, "k", Seq("o_orderstatus", "o_totalprice"))
+      .groupBy("change").agg(count(lit(1)).as("n"))
+      .orderBy("change")
+  }
+
+  /** q73 — data-quality gate: declarative expectations over lineitem
+    * evaluated in one scan (row rules) + key-only aggregations (uniqueness),
+    * reported as violations per rule. */
+  def qualityReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Quality
+    Quality.check(table(spark, dir, "lineitem"), Seq(
+      Quality.notNull("l_orderkey"),
+      Quality.inRange("l_quantity", 1, 49),
+      Quality.inRange("l_discount", 0, 0.05),
+      Quality.unique("l_orderkey", "l_linenumber"),
+      Quality.unique("l_suppkey")))
+      .orderBy("rule")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q53_asof_join" -> (asofViewBeforeClick _),
     "q54_range_join" -> (windowRangeCounts _),
@@ -317,7 +350,9 @@ object PipelineQueries {
     "q67_bm25_topk" -> (bm25TopK _),
     "q68_repetition_stats" -> (repetitionStats _),
     "q69_zorder_buckets" -> (zorderBuckets _),
-    "q70_heavy_hitters" -> (heavyHitters _)
+    "q70_heavy_hitters" -> (heavyHitters _),
+    "q72_snapshot_diff" -> (snapshotDiffRollup _),
+    "q73_quality_report" -> (qualityReport _)
   )
 
   /** q58 oracle: thresholds derived from the SAME fractions as the Spark
@@ -334,6 +369,44 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q72_snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT o_orderkey AS k, o_orderstatus, o_totalprice FROM orders),
+        |nxt AS (
+        |  SELECT k, CASE WHEN k % 89 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |         o_totalprice
+        |  FROM prev WHERE k % 97 <> 0
+        |  UNION ALL
+        |  SELECT k + 3000000, o_orderstatus, o_totalprice FROM prev WHERE k % 101 = 0),
+        |d AS (
+        |  SELECT CASE
+        |    WHEN p.k IS NULL THEN 'added'
+        |    WHEN n.k IS NULL THEN 'removed'
+        |    WHEN p.o_orderstatus = n.o_orderstatus AND p.o_totalprice = n.o_totalprice
+        |      THEN 'unchanged'
+        |    ELSE 'changed' END AS change
+        |  FROM prev p FULL OUTER JOIN nxt n ON p.k = n.k)
+        |SELECT change, count(*) AS n FROM d GROUP BY change ORDER BY change""".stripMargin,
+    "q73_quality_report" ->
+      """WITH row_rules AS (
+        |  SELECT count(*) AS total,
+        |    CAST(sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_notnull,
+        |    CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 49 THEN 0 ELSE 1 END) AS BIGINT) AS v_qty,
+        |    CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 0.05 THEN 0 ELSE 1 END) AS BIGINT) AS v_disc
+        |  FROM lineitem),
+        |uniq_ol AS (
+        |  SELECT CAST(sum(n - 1) AS BIGINT) AS v, CAST(sum(n) AS BIGINT) AS total FROM
+        |    (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+        |uniq_s AS (
+        |  SELECT CAST(sum(n - 1) AS BIGINT) AS v, CAST(sum(n) AS BIGINT) AS total FROM
+        |    (SELECT count(*) AS n FROM lineitem GROUP BY l_suppkey))
+        |SELECT rule, violations, total_rows FROM (
+        |  SELECT 'not_null(l_orderkey)' AS rule, v_notnull AS violations, total AS total_rows FROM row_rules
+        |  UNION ALL SELECT 'range(l_quantity)', v_qty, total FROM row_rules
+        |  UNION ALL SELECT 'range(l_discount)', v_disc, total FROM row_rules
+        |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', v, total FROM uniq_ol
+        |  UNION ALL SELECT 'unique(l_suppkey)', v, total FROM uniq_s)
+        |ORDER BY rule""".stripMargin,
     "q70_heavy_hitters" ->
       """WITH t AS (
         |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DiffQualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  test("snapshotDiff classifies added/removed/changed/unchanged per key") {
+    val prev = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "s", "v")
+    val next = Seq((2L, "b", 20), (3L, "CHANGED", 30), (4L, "d", 40)).toDF("k", "s", "v")
+    val got = Diff.snapshotDiff(prev, next, "k", Seq("s", "v"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshotDiff treats null column values consistently") {
+    val prev = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("k", "s")
+    val next = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("k", "s")
+    val got = Diff.snapshotDiff(prev, next, "k", Seq("s"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed"))
+  }
+
+  test("quality report counts violations per rule in one pass") {
+    val df = Seq(
+      (1L, 1, 5.0, Some("x")),
+      (1L, 1, 60.0, Some("y")), // dup key + out-of-range v
+      (2L, 1, -1.0, None),      // out-of-range v + null s
+      (3L, 2, 7.0, Some("z"))
+    ).toDF("k", "sub", "v", "s")
+    val got = Quality.check(df, Seq(
+      Quality.notNull("s"),
+      Quality.inRange("v", 0, 50),
+      Quality.unique("k", "sub")))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("not_null(s)") == ((1L, 4L)))
+    assert(got("range(v)") == ((2L, 4L)))
+    assert(got("unique(k,sub)") == ((1L, 4L)))
+  }
+
+  test("quality report: null predicate input counts as a violation") {
+    val df = Seq((Some(5.0)), (None), (Some(99.0))).toDF("v")
+    val got = Quality.check(df, Seq(Quality.inRange("v", 0, 50)))
+      .as[(String, Long, Long)].head()
+    assert(got == (("range(v)", 2L, 3L))) // null AND out-of-range both violate
+  }
+}
