@@ -24,6 +24,29 @@ class DiffQualitySpec extends AnyFunSuite {
     assert(got == Map(1L -> "unchanged", 2L -> "changed"))
   }
 
+  test("snapshotDiff equals brute-force classification on random snapshots") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 10) {
+      val prev = (0 until 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(5), rnd.nextInt(3)))
+        .distinctBy(_._1)
+      val next = (0 until 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(5), rnd.nextInt(3)))
+        .distinctBy(_._1)
+      val got = Diff.snapshotDiff(
+        prev.toDF("k", "a", "b"), next.toDF("k", "a", "b"), "k", Seq("a", "b"))
+        .as[(Long, String)].collect().toMap
+      val pm = prev.map(r => r._1 -> ((r._2, r._3))).toMap
+      val nm = next.map(r => r._1 -> ((r._2, r._3))).toMap
+      val brute = (pm.keySet ++ nm.keySet).map { k =>
+        k -> ((pm.get(k), nm.get(k)) match {
+          case (None, _) => "added"
+          case (_, None) => "removed"
+          case (Some(p), Some(n)) => if (p == n) "unchanged" else "changed"
+        })
+      }.toMap
+      assert(got == brute, s"trial $trial")
+    }
+  }
+
   test("quality report counts violations per rule in one pass") {
     val df = Seq(
       (1L, 1, 5.0, Some("x")),

@@ -62,6 +62,11 @@ class EdgeInputSpec extends AnyFunSuite {
     assert(scored.forall(_._4 > 0.0))
   }
 
+  test("bm25 with no matching term returns an empty frame, not an error") {
+    val scored = Retrieval.bm25(edgeDocs, "text", "doc_id", Seq("zzz_absent_term"))
+    assert(scored.count() == 0)
+  }
+
   test("repetition/annotation path survives edge inputs") {
     // same shape as q68's per-doc stage
     val tk = edgeDocs.select(col("doc_id"), TextOps.tokens(col("text")).as("_ts"))
