@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions._
   * turns the driver's DuckDB oracle into a full replication of the near-dup
   * pipeline (banding, pigeonhole blocking, verification thresholds — q63 -
   * q65), and at 100 TB lets an auditor spot-check any doc's sketch without
-  * a JVM. Everything below is built from codegen'd Catalyst built-ins
-  * (md5/conv/transform/array_min) — no UDF in the minhash or winnow paths.
+  * a JVM. Each sketch has two formulations: an expression-tree reference
+  * built from codegen'd Catalyst built-ins (md5/conv/transform/array_min) —
+  * the shape the SQL oracle mirrors — and a fused single-pass UDF the
+  * queries run (one reused MessageDigest, 60-bit values read off digest
+  * bytes), pinned element-for-element against the reference in
+  * PortableSketchSpec.
   */
 object PortableSketch {
 
