@@ -119,8 +119,29 @@ object ExtendedQueries {
         round(max(col("value")), 4).as("max_v"))
       .orderBy("metric")
 
+  /** q74 — distribution window functions (ntile / percent_rank / cume_dist /
+    * first+last value over a running frame): the remaining standard window
+    * verbs, on a totally-ordered window (value, then event_id) so every
+    * function is tie-deterministic across engines. */
+  def q74(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("value"), col("event_id"))
+    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    table(spark, dir, "events")
+      .where(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 4).as("pr"),
+        round(cume_dist().over(w), 4).as("cd"),
+        first(col("event_id")).over(run).as("first_ev"),
+        last(col("event_id")).over(run).as("last_ev"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q71_unpivot_metrics" -> (q71 _),
+    "q74_dist_windows" -> (q74 _),
     "q35_cross_join" -> (q35 _),
     "q36_full_outer_join" -> (q36 _),
     "q37_semi_join" -> (q37 _),
@@ -135,6 +156,17 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q74_dist_windows" ->
+      ("SELECT user_id, event_id, " +
+        "ntile(4) OVER w AS quartile, " +
+        "ROUND(percent_rank() OVER w, 4) AS pr, " +
+        "ROUND(cume_dist() OVER w, 4) AS cd, " +
+        "first_value(event_id) OVER wr AS first_ev, " +
+        "last_value(event_id) OVER wr AS last_ev " +
+        "FROM events WHERE user_id < 20 " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id), " +
+        "wr AS (PARTITION BY user_id ORDER BY value, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, event_id"),
     "q71_unpivot_metrics" ->
       ("SELECT metric, count(*) AS n, ROUND(MIN(value), 4) AS min_v, ROUND(MAX(value), 4) AS max_v " +
         "FROM (UNPIVOT (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem) " +
