@@ -131,6 +131,15 @@ class PlanSpec extends AnyFunSuite {
       s"map-side partial aggregation expected\n$p")
   }
 
+  test("q73: row rules share ONE scan; uniqueness adds one key-only scan each") {
+    val p = plan(PipelineQueries.qualityReport(spark, sf))
+    val scans = p.linesIterator.count(l => l.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    // 1 scan for all three row rules + 1 per unique rule = 3 total
+    assert(scans == 3, s"expected 3 scans (row rules fused into one), got $scans\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"violation counting must combine map-side\n$p")
+  }
+
   test("no accidental cartesian/nested-loop joins anywhere in the query surface") {
     // the only legitimate non-equi joins: q27's documented brute-force
     // broadcast-cross oracle path, q35's cross-join operator itself, and
