@@ -144,9 +144,18 @@ object Main {
       else {
         val strict = resolved.strict
         def runOneDay(d: String): Unit = {
+          val outFmt = opts.getOrElse("out-format", "parquet")
+          if (!Set("parquet", "orc", "json", "csv")(outFmt)) {
+            System.err.println(s"unknown --out-format $outFmt (parquet|orc|json|csv)"); sys.exit(2)
+          }
           val links = resolved.format match {
             case "json-v2" =>
-              LinkJob.runDay(spark, req("in"), req("out"), d, admission, strict)
+              LinkJob.runDay(spark, req("in"), req("out"), d, admission, strict, outFmt)
+            case "csv" =>
+              val linked = LinkJob.linkSpans(
+                LinkJob.readCsvSpans(spark, req("in")), d, admission, strict).persist()
+              if (!linked.isEmpty) LinkJob.writeLinks(linked, d, req("out"), outFmt)
+              linked
             case "v1-rows" =>
               val (lo, hi) = LinkJob.dayWindowMicros(d)
               val spans = graft.codec.V1SpanFold.foldWindow(
@@ -167,7 +176,7 @@ object Main {
               if (!linked.isEmpty) LinkJob.writeLinks(linked, d, req("out"))
               linked
             case other =>
-              System.err.println(s"unknown --format $other (json-v2|v1-rows|v1-tables)"); sys.exit(2)
+              System.err.println(s"unknown --format $other (json-v2|csv|v1-rows|v1-tables)"); sys.exit(2)
           }
           val n = links.count()
           println(s"day=$d links=$n out=${req("out")}")

@@ -82,6 +82,37 @@ object LinkJob {
       .as[Span]
   }
 
+  /** Flattened-CSV span source (header row required): columns
+    * `traceId,parentId,id,kind,timestamp,duration,shared,localServiceName,
+    * remoteServiceName,error` — the JSON v2 projection with endpoints and
+    * the error tag pre-flattened (CSV has no nested types). An `error` cell
+    * that is non-empty marks the span errored, matching the
+    * only-key-presence-matters tag semantics of P7. Reuses the same
+    * normalization path as every other source (fromJsonV2Shape). */
+  val csvSpanSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("traceId", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("parentId", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("duration", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("shared", org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("localServiceName", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("remoteServiceName", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("error", org.apache.spark.sql.types.StringType)))
+
+  def readCsvSpans(spark: SparkSession, path: String): Dataset[Span] = {
+    val raw = spark.read.schema(csvSpanSchema).option("header", "true").csv(path)
+    fromJsonV2Shape(raw.select(
+      col("traceId"), col("parentId"), col("id"), col("kind"),
+      col("timestamp"), col("duration"), col("shared"),
+      struct(col("localServiceName").as("serviceName")).as("localEndpoint"),
+      struct(col("remoteServiceName").as("serviceName")).as("remoteEndpoint"),
+      when(col("error").isNotNull && col("error") =!= "",
+        map(lit("error"), col("error"))).as("tags")))
+  }
+
   /** UTC day window [startMicros, endMicros] for a yyyy-MM-dd day string —
     * day*1000_000 … +86399999999 (CassandraDependenciesJob.java:168-169). */
   def dayWindowMicros(day: String): (Long, Long) = {
@@ -154,10 +185,15 @@ object LinkJob {
 
   /** Sink: day-partitioned parquet with dynamic partition overwrite — the
     * idempotent re-run/upsert semantics of the reference sinks (P15-P17). */
-  def writeLinks(links: Dataset[DependencyLink], day: String, outPath: String): Unit = {
+  /** Day-partitioned dynamic-overwrite sink. `format` selects the storage
+    * codec (parquet default; orc/json/csv all keep the same idempotent
+    * day-overwrite semantics — the partition layout, not the codec, is what
+    * makes re-runs safe). */
+  def writeLinks(links: Dataset[DependencyLink], day: String, outPath: String,
+      format: String = "parquet"): Unit = {
     links.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     links.withColumn("day", lit(java.sql.Date.valueOf(day)))
-      .write.mode("overwrite").partitionBy("day").parquet(outPath)
+      .write.mode("overwrite").partitionBy("day").format(format).save(outPath)
   }
 
   /** ES/OS-document-shaped sink parity (P16 — ElasticsearchDependenciesJob
@@ -178,10 +214,11 @@ object LinkJob {
       outPath: String,
       day: String,
       admission: Admission = Admission.IndexDay,
-      strict: Boolean = false
+      strict: Boolean = false,
+      outFormat: String = "parquet"
   ): Dataset[DependencyLink] = {
     val links = linkSpans(readJsonV2(spark, inPath), day, admission, strict).persist()
-    if (!links.isEmpty) writeLinks(links, day, outPath)
+    if (!links.isEmpty) writeLinks(links, day, outPath, outFormat)
     links
   }
 }

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.model.{DependencyLink, Span}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, element_at}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
@@ -129,6 +130,39 @@ class LinkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     // re-run overwrites (same doc count)
     LinkJob.writeLinksAsJsonDocs(links, Day, out)
     assert(spark.read.json(s"$out/dependency-$Day").count() == ids.size)
+  }
+
+  test("flattened-CSV source links identically to the JSON v2 fixture") {
+    import spark.implicits._
+    // flatten the fixture day to the documented CSV contract and read back
+    val csvDir = java.nio.file.Files.createTempDirectory("spanscsv").toString
+    spark.read.schema(graft.model.Span.jsonV2Schema).json(fixture)
+      .select(col("traceId"), col("parentId"), col("id"), col("kind"),
+        col("timestamp"), col("duration"), col("shared"),
+        col("localEndpoint.serviceName").as("localServiceName"),
+        col("remoteEndpoint.serviceName").as("remoteServiceName"),
+        element_at(col("tags"), "error").as("error"))
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
+    def canon(links: org.apache.spark.sql.Dataset[graft.model.DependencyLink]) =
+      links.as[(String, String, Long, Long)].collect().toSet
+    val viaCsv = canon(LinkJob.linkSpans(
+      LinkJob.readCsvSpans(spark, csvDir), Day, Admission.PerSpanWindow))
+    val viaJson = canon(LinkJob.linkSpans(
+      LinkJob.readJsonV2(spark, fixture), Day, Admission.PerSpanWindow))
+    assert(viaCsv == viaJson && viaCsv.nonEmpty)
+  }
+
+  test("ORC sink round-trips links with the same day-overwrite semantics") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("orclinks").toString
+    val links = LinkJob.linkSpans(LinkJob.readJsonV2(spark, fixture), Day,
+      Admission.PerSpanWindow)
+    LinkJob.writeLinks(links, Day, out, format = "orc")
+    LinkJob.writeLinks(links, Day, out, format = "orc") // idempotent re-run
+    val read = spark.read.format("orc").load(out)
+      .select("parent", "child", "callCount", "errorCount")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(read == links.as[(String, String, Long, Long)].collect().toSet)
   }
 
   test("heavy single trace (50k spans) links without skew blowup") {
