@@ -148,7 +148,12 @@ object Main {
           if (!Set("parquet", "orc", "json", "csv")(outFmt)) {
             System.err.println(s"unknown --out-format $outFmt (parquet|orc|json|csv)"); sys.exit(2)
           }
-          val links = resolved.format match {
+          // STORAGE_TYPE=mysql + --jdbc-url upgrades the fixture two-table
+          // read to the live partitioned-JDBC source (same fold + linker)
+          val effFormat =
+            if (resolved.format == "v1-tables" && opts.contains("jdbc-url")) "v1-jdbc"
+            else resolved.format
+          val links = effFormat match {
             case "json-v2" =>
               LinkJob.runDay(spark, req("in"), req("out"), d, admission, strict, outFmt)
             case "csv" =>
@@ -164,7 +169,22 @@ object Main {
               // PerSpanWindow (the mysql profile default) is a no-op here;
               // an explicit --admission root-in-window must still take effect
               val linked = LinkJob.linkSpans(spans, d, admission, strict).persist()
-              if (!linked.isEmpty) LinkJob.writeLinks(linked, d, req("out"))
+              if (!linked.isEmpty) LinkJob.writeLinks(linked, d, req("out"), outFmt)
+              linked
+            case "v1-jdbc" =>
+              // live v1 SQL store via partitioned JDBC (fixes the
+              // reference's single-connection read — see JdbcV1Source)
+              val (lo, hi) = LinkJob.dayWindowMicros(d)
+              val cfg = graft.sources.JdbcV1Config.fromEnv(
+                url = req("jdbc-url"),
+                numPartitions = opts.getOrElse("jdbc-partitions",
+                  sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).toInt,
+                env = sys.env).copy(
+                spansTable = opts.getOrElse("jdbc-spans-table", "zipkin_spans"),
+                annotationsTable = opts.getOrElse("jdbc-annotations-table", "zipkin_annotations"))
+              val spans = graft.sources.JdbcV1Source.spansWindow(spark, cfg, lo, hi)
+              val linked = LinkJob.linkSpans(spans, d, admission, strict).persist()
+              if (!linked.isEmpty) LinkJob.writeLinks(linked, d, req("out"), outFmt)
               linked
             case "v1-tables" =>
               // M1: the two-table v1 ingest (zipkin_spans ⟕ zipkin_annotations)
@@ -173,10 +193,10 @@ object Main {
                 spark.read.parquet(req("in-spans")),
                 spark.read.parquet(req("in-annotations")), lo, hi)
               val linked = LinkJob.linkSpans(spans, d, admission, strict).persist()
-              if (!linked.isEmpty) LinkJob.writeLinks(linked, d, req("out"))
+              if (!linked.isEmpty) LinkJob.writeLinks(linked, d, req("out"), outFmt)
               linked
             case other =>
-              System.err.println(s"unknown --format $other (json-v2|csv|v1-rows|v1-tables)"); sys.exit(2)
+              System.err.println(s"unknown --format $other (json-v2|csv|v1-rows|v1-tables|v1-jdbc)"); sys.exit(2)
           }
           val n = links.count()
           println(s"day=$d links=$n out=${req("out")}")

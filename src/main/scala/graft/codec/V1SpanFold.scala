@@ -39,6 +39,10 @@ import org.apache.spark.sql.functions._
   */
 object V1SpanFold {
 
+  /** The annotation keys the reference's pushdown query admits
+    * (MySQLDependenciesJob.java:185-198) — shared with the JDBC source. */
+  val coreKeys: Seq[String] = Seq("lc", "ca", "cs", "sa", "sr", "ma", "ms", "mr", "error")
+
   private def svc(key: String): Column =
     max(when(col("a_key") === key && length(col("endpoint_service_name")) > 0,
       col("endpoint_service_name")))
@@ -129,7 +133,6 @@ object V1SpanFold {
   def fromV1Tables(
       spansT: DataFrame, annotations: DataFrame,
       loMicros: Long, hiMicros: Long): Dataset[Span] = {
-    val coreKeys = Seq("lc", "ca", "cs", "sa", "sr", "ma", "ms", "mr", "error")
     val s = spansT
       .where(col("start_ts").isNotNull && col("start_ts").between(loMicros, hiMicros))
       .select(col("trace_id"), col("parent_id"), col("id"), col("start_ts"))

@@ -250,9 +250,15 @@ object PortableSketch {
     * Documents shorter than one window fingerprint to their global
     * minimum. */
   def winnowFromHashes(hs: Column, w: Int): Column =
-    when(size(hs) < w, array(array_min(hs))).otherwise(
-      array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
-        i => array_min(slice(hs, i, lit(w))))))
+    // empty guard: array_min of an empty array is null — an empty hash
+    // sequence must fingerprint to [], matching winnowFromHashesFast
+    // (unreachable via charGramHashes, which always emits >= 1 gram, but
+    // both forms are public API and documented element-for-element equal)
+    when(size(hs) === 0, typedLit(Seq.empty[Long]))
+      .when(size(hs) < w, array(array_min(hs)))
+      .otherwise(
+        array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
+          i => array_min(slice(hs, i, lit(w))))))
 
   /** O(len) winnowing via a monotonic deque — same output as
     * winnowFromHashes (pinned element-for-element in PortableSketchSpec),

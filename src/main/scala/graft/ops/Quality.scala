@@ -37,7 +37,10 @@ object Quality {
       else Some(df.agg(
         count(lit(1)).as("_total"),
         rowRules.map(r =>
-          sum(when(coalesce(r.pred, lit(false)), 0L).otherwise(1L)).as(r.name)): _*)
+          // coalesce: sum over zero rows is null — an empty table must read
+          // as 0 violations (passing), matching the unique-rule branch
+          coalesce(sum(when(coalesce(r.pred, lit(false)), 0L).otherwise(1L)), lit(0L))
+            .as(r.name)): _*)
         .select(explode(map(rowRules.flatMap(r =>
           Seq(lit(r.name), col(r.name))): _*)).as(Seq("rule", "violations")),
           col("_total").as("total_rows")))

@@ -192,8 +192,11 @@ object LinkJob {
   def writeLinks(links: Dataset[DependencyLink], day: String, outPath: String,
       format: String = "parquet"): Unit = {
     links.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    links.withColumn("day", lit(java.sql.Date.valueOf(day)))
-      .write.mode("overwrite").partitionBy("day").format(format).save(outPath)
+    val w = links.withColumn("day", lit(java.sql.Date.valueOf(day)))
+      .write.mode("overwrite").partitionBy("day").format(format)
+    // csv keeps a header row — symmetric with readCsvSpans (which requires
+    // one) and non-lossy for downstream consumers of the links table
+    (if (format == "csv") w.option("header", "true") else w).save(outPath)
   }
 
   /** ES/OS-document-shaped sink parity (P16 — ElasticsearchDependenciesJob

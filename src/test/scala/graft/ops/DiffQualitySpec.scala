@@ -70,4 +70,17 @@ class DiffQualitySpec extends AnyFunSuite {
       .as[(String, Long, Long)].head()
     assert(got == (("range(v)", 2L, 3L))) // null AND out-of-range both violate
   }
+
+  test("quality report on an empty table: every rule reads 0 violations / 0 rows") {
+    val df = Seq((1L, Some(5.0))).toDF("k", "v").where(lit(false))
+    val got = Quality.check(df, Seq(
+      Quality.notNull("v"),
+      Quality.inRange("v", 0, 50),
+      Quality.unique("k")))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      "not_null(v)" -> ((0L, 0L)),
+      "range(v)" -> ((0L, 0L)),
+      "unique(k)" -> ((0L, 0L))))
+  }
 }

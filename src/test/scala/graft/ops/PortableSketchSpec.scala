@@ -79,6 +79,17 @@ class PortableSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowFromHashes on an empty hash array yields [] (matches the deque path)") {
+    val df = Seq(Tuple1(Seq.empty[Long]), Tuple1(Seq(7L)), Tuple1((1L to 20L).toSeq))
+      .toDF("_hs")
+    val both = df.select(
+      PortableSketch.winnowFromHashes(col("_hs"), 16).as("ref"),
+      PortableSketch.winnowFromHashesFast(col("_hs"), 16).as("fast"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    both.foreach { case (ref, fast) => assert(ref == fast) }
+    assert(both.head._1 == Seq.empty[Long])
+  }
+
   test("fused minhash/simhash kernels equal the expression-tree forms") {
     val rnd = new scala.util.Random(17)
     val alphabets = Seq("ab cd ef gh ij", "αβ γδ εζ ηθ", "wörds ünd möre tëxt")

@@ -165,18 +165,44 @@ class LinkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read == links.as[(String, String, Long, Long)].collect().toSet)
   }
 
-  test("heavy single trace (50k spans) links without skew blowup") {
+  test("heavy single trace (100k spans) links bounded and matches the linker oracle") {
+    // mirror of the reference's ITDependenciesHeavy (cassandra3/src/test/java/
+    // zipkin2/storage/cassandra/ITCassandraDependenciesHeavy.java:17): one
+    // giant trace must aggregate in bounded memory. The whole trace lands in
+    // ONE flatMapGroups task (same as the reference); the deterministic
+    // maxSpansPerTrace cap is the documented mitigation beyond that.
     import spark.implicits._
-    val n = 50000
-    val spans = spark.range(n).map { i =>
-      val id = f"$i%016x"
+    val n = 100000
+    def mk(i: Long): Span = {
       val parent = if (i == 0) None else Some(f"${(i - 1) / 2}%016x")
-      Span("000000000000dead", parent, id, Some(if (i % 2 == 0) "CLIENT" else "SERVER"),
+      Span("000000000000dead", parent, f"$i%016x",
+        Some(if (i % 2 == 0) "CLIENT" else "SERVER"),
         Some(1754870400000000L + i), None, false,
         Some(s"svc${i % 7}"), Some(s"svc${(i + 1) % 7}"), i % 11 == 0)
     }
+    val spans = spark.range(n).map(i => mk(i))
+    val t0 = System.nanoTime()
     val out = LinkJob.linkSpans(spans, Day, Admission.IndexDay).collect()
-    assert(out.map(_.callCount).sum > 0)
-    assert(out.forall(l => l.errorCount <= l.callCount))
+    val fullSec = (System.nanoTime() - t0) / 1e9
+    info(f"100k-span trace linked in $fullSec%.1f s")
+
+    // oracle: the same per-trace walk run directly, aggregated locally
+    def agg(links: Seq[graft.model.DependencyLink]) =
+      links.groupBy(l => (l.parent, l.child)).map { case (k, ls) =>
+        k -> ((ls.map(_.callCount).sum, ls.map(_.errorCount).sum))
+      }
+    val allLocal = (0L until n).map(mk)
+    val expected = agg(graft.link.DependencyLinker.link(allLocal))
+    assert(out.map(l => (l.parent, l.child) -> ((l.callCount, l.errorCount))).toMap
+      == expected)
+
+    // capped run == linking exactly the documented earliest-10k subset
+    val cap = 10000
+    val capped = LinkJob.linkSpans(spans, Day, Admission.IndexDay,
+      maxSpansPerTrace = cap).collect()
+    val subset = allLocal.sortBy(s => (s.timestamp.getOrElse(Long.MaxValue), s.id, s.shared))
+      .take(cap)
+    assert(capped.map(l => (l.parent, l.child) -> ((l.callCount, l.errorCount))).toMap
+      == agg(graft.link.DependencyLinker.link(subset)))
   }
 }
