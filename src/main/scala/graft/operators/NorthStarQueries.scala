@@ -107,14 +107,45 @@ object NorthStarQueries {
       .withColumn("embedding", col("embedding").cast("array<double>"))
     // nlist capped at 16: the literal-expression assignment unrolls K×dim
     // constants into one codegen'd projection — right for a small coarse
-    // quantizer; a larger centroid model should join a broadcast centroid
-    // table instead of inlining literals (codegen methods have size limits)
+    // quantizer; past that cap use the broadcast-model form
+    // (Similarity.ivfAssignModel, exercised at nlist=40 by q75)
     val centroids = emb
       .where(pmod(col("vec_id"), lit(50)) === 0 && col("vec_id") < 800)
       .orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Double](0).toArray)
     val assigned = emb.withColumn("cid",
       Similarity.ivfAssign(col("embedding"), centroids))
+    val q = assigned.where(col("vec_id") < 10)
+      .select(col("vec_id").as("queryId"), col("embedding").as("_qv"), col("cid"))
+    val scored = broadcast(q)
+      .join(assigned.select(col("vec_id").as("neighborId"), col("embedding").as("_cv"), col("cid")), "cid")
+      .where(col("queryId") =!= col("neighborId"))
+      .select(col("queryId"), col("neighborId"),
+        round(Similarity.cosine(col("_qv"), col("_cv")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("queryId").orderBy(col("cosine").desc, col("neighborId").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .orderBy("queryId", "rank")
+  }
+
+  /** q75 — IVF with a broadcast centroid MODEL (nlist=40): the scale form
+    * q47's scaladoc promises for centroid counts past the ~16-literal
+    * codegen cap. Same pipeline shape as q47 — assign, probe own bucket,
+    * exact re-rank — but the quantizer is [[Similarity.ivfAssignModel]]:
+    * the 40×64 model is ONE array literal folded with a higher-order
+    * aggregate, so nlist can grow to thousands without touching the
+    * generated-method size limit, and the assignment stays a zero-shuffle
+    * projection. */
+  def embeddingIvfModelTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val emb = table(spark, dir, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val centroids = emb
+      .where(pmod(col("vec_id"), lit(20)) === 0 && col("vec_id") < 800)
+      .orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Double](0).toArray)
+    val assigned = emb.withColumn("cid",
+      Similarity.ivfAssignModel(col("embedding"), centroids))
     val q = assigned.where(col("vec_id") < 10)
       .select(col("vec_id").as("queryId"), col("embedding").as("_qv"), col("cid"))
     val scored = broadcast(q)
@@ -375,7 +406,8 @@ object NorthStarQueries {
     "q49_embedding_neardups" -> (embeddingNearDupPairs _),
     "q50_train_splits" -> (trainSplits _),
     "q51_contamination" -> (contaminationReport _),
-    "q52_source_quota" -> (sourceQuota _)
+    "q52_source_quota" -> (sourceQuota _),
+    "q75_embedding_ivf_model" -> (embeddingIvfModelTopK _)
   )
 
   /** Shared DuckDB fragments for the word-3-gram pair oracles (q24, q48). */
@@ -454,6 +486,25 @@ object NorthStarQueries {
       "FROM s GROUP BY lang, split ORDER BY lang, split"
   }
 
+  /** Shared IVF oracle (q47 literal / q75 model forms): assignment by
+    * argmax cosine over an every-`centroidEvery`th-vector coarse model,
+    * ties to the larger centroid index, then a single-bucket probe with
+    * exact re-rank. */
+  private def ivfOracleSql(centroidEvery: Int): String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci, v AS cv " +
+      s"FROM e WHERE vec_id % $centroidEvery = 0 AND vec_id < 800), " +
+      "sa AS (SELECT e.vec_id, e.v, c.ci, " + cosineAssignSql("e.v", "c.cv") + " AS sim " +
+      "FROM e CROSS JOIN cent c), " +
+      "assigned AS (SELECT vec_id, v, ci AS cid FROM " +
+      "(SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, ci DESC) AS rn FROM sa) WHERE rn = 1), " +
+      "q AS (SELECT vec_id AS qid, v AS qv, cid FROM assigned WHERE vec_id < 10), " +
+      "scored AS (SELECT q.qid AS \"queryId\", c.vec_id AS \"neighborId\", " +
+      cosineSql("q.qv", "c.v") + " AS cosine " +
+      "FROM q JOIN assigned c ON c.cid = q.cid AND c.vec_id <> q.qid), " +
+      "ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY \"queryId\" ORDER BY cosine DESC, \"neighborId\") AS INTEGER) AS rank FROM scored) " +
+      "SELECT \"queryId\", \"neighborId\", cosine, rank FROM ranked WHERE rank <= 5 ORDER BY \"queryId\", rank"
+
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracles: Map[String, String] = Map(
     // q31/q32: the decode STUB is deterministic byte arithmetic, so the
@@ -513,21 +564,12 @@ object NorthStarQueries {
     "q28_embedding_lsh_topk" -> q28OracleSql,
     // IVF oracle: replays the centroid assignment (argmax cosine, ties to
     // the larger centroid index — Spark's struct-max semantics) and the
-    // single-bucket probe entirely in SQL.
-    "q47_embedding_ivf_topk" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        "cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci, v AS cv " +
-        "FROM e WHERE vec_id % 50 = 0 AND vec_id < 800), " +
-        "sa AS (SELECT e.vec_id, e.v, c.ci, " + cosineAssignSql("e.v", "c.cv") + " AS sim " +
-        "FROM e CROSS JOIN cent c), " +
-        "assigned AS (SELECT vec_id, v, ci AS cid FROM " +
-        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, ci DESC) AS rn FROM sa) WHERE rn = 1), " +
-        "q AS (SELECT vec_id AS qid, v AS qv, cid FROM assigned WHERE vec_id < 10), " +
-        "scored AS (SELECT q.qid AS \"queryId\", c.vec_id AS \"neighborId\", " +
-        cosineSql("q.qv", "c.v") + " AS cosine " +
-        "FROM q JOIN assigned c ON c.cid = q.cid AND c.vec_id <> q.qid), " +
-        "ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY \"queryId\" ORDER BY cosine DESC, \"neighborId\") AS INTEGER) AS rank FROM scored) " +
-        "SELECT \"queryId\", \"neighborId\", cosine, rank FROM ranked WHERE rank <= 5 ORDER BY \"queryId\", rank"),
+    // single-bucket probe entirely in SQL. q75 is the same semantics at
+    // nlist=40 (every-20th sampling) — the SQL is quantizer-representation-
+    // independent, so ONE oracle shape covers both the literal-unrolled and
+    // the broadcast-model Spark forms.
+    "q47_embedding_ivf_topk" -> ivfOracleSql(centroidEvery = 50),
+    "q75_embedding_ivf_model" -> ivfOracleSql(centroidEvery = 20),
     "q29_lang_quality" ->
       ("WITH base AS (SELECT text, " +
         "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts_raw, " +

@@ -107,4 +107,34 @@ object Similarity {
     }
     array_max(array(scored.toIndexedSeq: _*)).getField("cid")
   }
+
+  /** IVF assignment against a centroid MODEL too large for [[ivfAssign]]'s
+    * literal unrolling (K×dim separate expression nodes blow the codegen
+    * method-size limit past nlist≈16). The whole model ships as ONE
+    * `array<array<double>>` literal — a single broadcast object in the plan,
+    * not K×dim expression nodes — and the argmax folds over it with a
+    * higher-order `aggregate`, carrying (bestSim, bestCid, idx) through the
+    * accumulator. Still zero shuffle and zero join: one projection per row,
+    * exactly like the literal form, so it composes with the same
+    * bucket-probe joins downstream. Tie rule matches [[ivfAssign]]
+    * (`array_max` over (sim, cid) structs): equal similarity resolves to
+    * the HIGHER centroid id — here via `>=` with ascending fold order.
+    * Pinned equal to ivfAssign on shared nlist in SimilaritySpec. */
+  def ivfAssignModel(vec: Column, centroids: Array[Array[Double]]): Column = {
+    require(centroids.nonEmpty, "empty centroid model")
+    val model = typedLit(centroids.map(_.toSeq).toSeq)
+    val init = struct(
+      lit(Double.NegativeInfinity).as("sim"), lit(-1).as("cid"), lit(0).as("i"))
+    aggregate(
+      model, init,
+      (acc, c) => {
+        val s = cosine(vec, c)
+        val better = s >= acc.getField("sim")
+        struct(
+          when(better, s).otherwise(acc.getField("sim")).as("sim"),
+          when(better, acc.getField("i")).otherwise(acc.getField("cid")).as("cid"),
+          (acc.getField("i") + lit(1)).as("i"))
+      },
+      acc => acc.getField("cid"))
+  }
 }

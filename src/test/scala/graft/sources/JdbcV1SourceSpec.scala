@@ -4,12 +4,15 @@ import graft.codec.V1SpanFold
 import graft.link.DependencyLinker
 import graft.model.DependencyLink
 import graft.pipeline.{Admission, LinkJob, SparkTestSession}
+import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Partitioned-JDBC v1 source round-trip against an embedded Derby database
   * (the only JDBC engine in the container's jar set) — the live-store
   * counterpart of V1SpanFoldSpec's two-table fixture test. */
-class JdbcV1SourceSpec extends AnyFunSuite with SparkTestSession {
+class JdbcV1SourceSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkTestSession.get
 
   private val EVENT = -1
   private val STRING = 6
