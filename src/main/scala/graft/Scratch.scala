@@ -19,10 +19,12 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    time("warmup")(noop(graft.operators.ExtendedQueries.q41(spark, dir)))
+    time("warmup entry")(noop(SparkEntry.entry(spark)))
     for (round <- 1 to 6)
-      time(s"q41 r$round")(noop(graft.operators.ExtendedQueries.q41(spark, dir)))
-    graft.operators.ExtendedQueries.q41(spark, dir).explain("formatted")
+      time(s"q32 r$round")(noop(graft.operators.NorthStarQueries.videoFrameSample(spark, dir)))
+    for (round <- 1 to 3)
+      time(s"q31 r$round")(noop(graft.operators.NorthStarQueries.multimodalFeatures(spark, dir)))
+    graft.operators.NorthStarQueries.videoFrameSample(spark, dir).explain("formatted")
     spark.stop()
   }
 }

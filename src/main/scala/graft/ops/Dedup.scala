@@ -414,14 +414,20 @@ object Dedup {
     * shallow (dup groups), so the first rounds skip the jump join and pay
     * nothing for the safeguard. Each round is one equi-join plus one
     * aggregation shuffling only (id, label) pairs; new labels are eagerly
-    * local-checkpointed each round — the label frame appears twice per
+    * checkpointed each round — the label frame appears twice per
     * iteration, so without lineage truncation the logical plan doubles every
     * round (exponential planning cost), and the jump self-joins the
     * materialized checkpoint, not the un-truncated subtree. An isEmpty
     * probe on changed labels decides convergence. The standard MapReduce-CC
-    * shape — at scale each round moves |edges| 16-byte rows, never payloads
-    * (swap localCheckpoint for a reliable checkpoint dir when executor loss
-    * must be survivable).
+    * shape — at scale each round moves |edges| 16-byte rows, never payloads.
+    *
+    * `checkpointDir`: None (default) truncates lineage with localCheckpoint —
+    * blocks live on executor storage, fastest, but an executor loss
+    * mid-iteration kills the job. On a long-running cluster job pass a
+    * reliable directory (HDFS/S3) instead: each round's labels are written
+    * to `checkpointDir` via `Dataset.checkpoint(eager = true)` and survive
+    * executor loss; the per-round (id, rep) frame is tiny relative to the
+    * near-dup pair evidence, so the durability costs little.
     *
     * Throws IllegalStateException if labels are still changing after
     * `maxIter` rounds: a truncated propagation silently splits one
@@ -430,16 +436,23 @@ object Dedup {
     * With pointer jumping the default 20 rounds covers components ~2^17
     * deep; hitting it means something is genuinely wrong.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dupClusters(
+      pairs: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach { dir =>
+      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+    }
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col("idA").as("_src"), col("idB").as("_dst"))
       .union(pairs.select(col("idB").as("_src"), col("idA").as("_dst")))
       .persist()
     // round 0 folded into the init: every node starts from min(self, direct
     // neighbors) — one aggregation instead of a full propagate round
-    var labels = edges
+    var labels = ckpt(edges
       .groupBy(col("_src").as("id"))
-      .agg(least(min(col("_dst")), min(col("_src"))).as("rep"))
-      .localCheckpoint()
+      .agg(least(min(col("_dst")), min(col("_src"))).as("rep")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -447,12 +460,11 @@ object Dedup {
         .groupBy(col("_src")).agg(min(col("rep")).as("_nrep"))
       // carry the previous label through so convergence is a filter on the
       // checkpointed frame, not another join against the old labels
-      val stepped = labels.as("cur")
+      val stepped = ckpt(labels.as("cur")
         .join(neighborMin, col("cur.id") === col("_src"), "left_outer")
         .select(col("cur.id").as("id"),
           least(col("cur.rep"), coalesce(col("_nrep"), col("cur.rep"))).as("rep"),
-          col("cur.rep").as("_prev"))
-        .localCheckpoint() // eager: materializes AND truncates lineage
+          col("cur.rep").as("_prev"))) // eager: materializes AND truncates lineage
       val next =
         if (iter < 2) stepped
         else {
@@ -462,12 +474,11 @@ object Dedup {
           // id (min over self ∪ neighbors ∪ earlier reps), so the lookup
           // joins labels back to themselves on the materialized checkpoint.
           val reps = stepped.select(col("id").as("_jid"), col("rep").as("_jrep"))
-          stepped
+          ckpt(stepped
             .join(reps, col("rep") === col("_jid"), "left_outer")
             .select(col("id"),
               least(col("rep"), coalesce(col("_jrep"), col("rep"))).as("rep"),
-              col("_prev"))
-            .localCheckpoint()
+              col("_prev")))
         }
       converged = next.where(col("rep") =!= col("_prev")).isEmpty
       labels = next.drop("_prev")

@@ -99,13 +99,19 @@ object Similarity {
   /** IVF-style coarse quantization: assign each vector to its nearest of
     * `centroids` (broadcast literal), producing a partition key for
     * bucket-pruned search / co-clustered storage. Centroids are provided by
-    * the caller (e.g. a sampled k-means done offline). */
+    * the caller (e.g. a sampled k-means done offline).
+    *
+    * Ties (equal similarity) resolve to the HIGHER centroid id. Vectors whose
+    * cosine is NULL against every centroid (null embedding / null elements)
+    * get the `-1` sentinel — same rule as [[ivfAssignModel]], so literal and
+    * model quantizers bucket dirty data identically (SimilaritySpec). */
   def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column = {
     val scored = centroids.zipWithIndex.map { case (cVec, i) =>
       val cLit = array(cVec.toIndexedSeq.map(lit): _*)
       struct(cosine(vec, cLit).as("sim"), lit(i).as("cid"))
     }
-    array_max(array(scored.toIndexedSeq: _*)).getField("cid")
+    val best = array_max(array(scored.toIndexedSeq: _*))
+    when(best.getField("sim").isNull, lit(-1)).otherwise(best.getField("cid"))
   }
 
   /** IVF assignment against a centroid MODEL too large for [[ivfAssign]]'s
@@ -118,8 +124,11 @@ object Similarity {
     * exactly like the literal form, so it composes with the same
     * bucket-probe joins downstream. Tie rule matches [[ivfAssign]]
     * (`array_max` over (sim, cid) structs): equal similarity resolves to
-    * the HIGHER centroid id — here via `>=` with ascending fold order.
-    * Pinned equal to ivfAssign on shared nlist in SimilaritySpec. */
+    * the HIGHER centroid id — here via `>=` with ascending fold order. A
+    * vector whose cosine is NULL against every centroid keeps the init
+    * accumulator and returns the `-1` sentinel, matching [[ivfAssign]].
+    * Pinned equal to ivfAssign (ties, nulls, random vectors) in
+    * SimilaritySpec. */
   def ivfAssignModel(vec: Column, centroids: Array[Array[Double]]): Column = {
     require(centroids.nonEmpty, "empty centroid model")
     val model = typedLit(centroids.map(_.toSeq).toSeq)

@@ -213,6 +213,28 @@ class DedupSpec extends AnyFunSuite {
     assert(reps.length == 301 && reps.forall(_._2 == 0L))
   }
 
+  test("dupClusters: reliable checkpointDir path produces identical labels") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      val pairs = Seq((2L, 3L), (1L, 2L), (3L, 9L), (5L, 7L)).toDF("idA", "idB")
+      // deep enough to run several rounds INCLUDING the pointer-jump branch,
+      // so every ckpt() call site exercises the reliable path
+      val chain = (100L until 140L).map(i => (i, i + 1)).toDF("idA", "idB")
+      val got = Dedup.dupClusters(pairs.union(chain), checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val expected = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (7L, 5L), (9L, 1L)) ++
+        (100L to 140L).map(i => (i, 100L))
+      assert(got == expected)
+      // the labels really were checkpointed to the reliable dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .anyMatch(p => java.nio.file.Files.isRegularFile(p))
+      assert(wrote, s"expected checkpoint files under $dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("dupClusters: fails loudly instead of returning truncated labels") {
     import spark.implicits._
     // diameter 12 > maxIter 3: silently returning would split the chain
@@ -300,6 +322,78 @@ class SimilaritySpec extends AnyFunSuite {
       corpus.where($"vec_id" === 1), "embedding", "vec_id", dim = 8, k = 1, nPlanes = 6)
     val first = top.select("neighborId").as[Long].head()
     assert(first == 2L)
+  }
+
+  // --- literal vs model IVF quantizer equivalence pin -----------------------
+
+  test("ivfAssignModel === ivfAssign on random vectors over a shared model") {
+    val dim = 8
+    val centroids: Array[Array[Double]] = {
+      val rnd = new scala.util.Random(7)
+      Array.fill(6)(Array.fill(dim)(rnd.nextGaussian()))
+    }
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 200).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Similarity.ivfAssign(col("embedding"), centroids).as("lit_cid"),
+        Similarity.ivfAssignModel(col("embedding"), centroids).as("model_cid"))
+    assert(df.where(col("lit_cid") =!= col("model_cid")).count() == 0)
+    // and the assignment is non-degenerate: more than one bucket used
+    assert(df.select("lit_cid").distinct().count() > 1)
+  }
+
+  test("ivf exact tie resolves to the higher centroid id in both forms") {
+    // duplicate centroid => two cids with bit-identical cosine; array_max on
+    // (sim, cid) structs and the >=-ascending fold must both take the later id
+    val dup: Array[Array[Double]] = Array(
+      Array(1.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0),
+      Array(1.0, 0.0, 0.0)) // same direction as cid 0
+    val got = Seq((1L, Seq(2.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 3.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Similarity.ivfAssign(col("embedding"), dup).as("lit_cid"),
+        Similarity.ivfAssignModel(col("embedding"), dup).as("model_cid"))
+      .orderBy("vec_id")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got == Seq((1L, 2, 2), (2L, 1, 1)))
+  }
+
+  test("ivf NULL embedding returns the -1 sentinel in both forms") {
+    val rows = Seq(
+      (1L, Some(Seq(1.0f, 0.5f, 0.1f))), // clean
+      (2L, None)) // null embedding -> cosine NULL vs every centroid
+    val cs: Array[Array[Double]] = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val got = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Similarity.ivfAssign(col("embedding"), cs).as("lit_cid"),
+        Similarity.ivfAssignModel(col("embedding"), cs).as("model_cid"))
+      .orderBy("vec_id")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got.head._1 == 1L && got.head._2 == got.head._3 && got.head._2 >= 0)
+    assert(got(1) == ((2L, -1, -1)))
+    // null ELEMENTS are outside the dot kernel's contract (reads as 0.0, see
+    // VecExpressions scaladoc) — but the two quantizers must still agree
+    val dirty = Seq((3L, Seq(Some(1.0f), None, Some(0.1f))))
+      .toDF("vec_id", "embedding")
+      .select(
+        Similarity.ivfAssign(col("embedding"), cs).as("lit_cid"),
+        Similarity.ivfAssignModel(col("embedding"), cs).as("model_cid"))
+      .as[(Int, Int)].head()
+    assert(dirty._1 == dirty._2)
+  }
+
+  test("ivf zero vector is a defined (non-null) assignment, identical in both forms") {
+    // cosine() maps zero-norm to 0.0 for every centroid -> an all-tie, so the
+    // rule says: highest cid, not the sentinel
+    val cs: Array[Array[Double]] = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 1.0))
+    val got = Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(
+        Similarity.ivfAssign(col("embedding"), cs).as("lit_cid"),
+        Similarity.ivfAssignModel(col("embedding"), cs).as("model_cid"))
+      .as[(Int, Int)].head()
+    assert(got == ((2, 2)))
   }
 }
 
