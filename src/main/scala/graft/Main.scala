@@ -199,6 +199,19 @@ object Main {
               System.err.println(s"unknown --format $other (json-v2|csv|v1-rows|v1-tables|v1-jdbc)"); sys.exit(2)
           }
           val n = links.count()
+          // --es-bulk: additionally push the day's links to a live ES/OS
+          // cluster via the bulk-upsert sink (id=parent|child overwrite
+          // semantics — ElasticsearchDependenciesJob.java:198-221). Hosts /
+          // index / credentials come from the reference's env surface
+          // (ES_HOSTS, ES_INDEX, ES_USERNAME, ES_PASSWORD,
+          // ES_DATE_SEPARATOR), --es-hosts overriding ES_HOSTS.
+          if (opts.contains("es-bulk")) {
+            val env = sys.env ++ opts.get("es-hosts").map("ES_HOSTS" -> _)
+            if (n > 0) graft.sinks.EsBulkSink.writeLinks(
+              links, d, graft.util.EsFlavor.esConf(env),
+              dateSeparator = env.getOrElse("ES_DATE_SEPARATOR", "-"))
+            else println(s"day=$d no links; skipping ES bulk write")
+          }
           println(s"day=$d links=$n out=${req("out")}")
           links.orderBy("parent", "child").show(100, truncate = false)
           links.unpersist()
@@ -238,10 +251,11 @@ object Main {
   private val usage =
     "usage: graft.Main --day yyyy-MM-dd --in <spans path> --out <links path> " +
       "[--backfill yyyy-MM-dd..yyyy-MM-dd] " +
-      "[--admission index-day|per-span-window|root-in-window] [--strict-trace-id] [--master local[N]]"
+      "[--admission index-day|per-span-window|root-in-window] [--strict-trace-id] [--master local[N]] " +
+      "[--es-bulk [--es-hosts http://h1:9200,h2]]"
 
   private def parseArgs(args: Array[String]): Map[String, String] = {
-    val flags = Set("strict-trace-id", "stream")
+    val flags = Set("strict-trace-id", "stream", "es-bulk")
     @annotation.tailrec
     def go(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
       case Nil => acc
