@@ -11,11 +11,16 @@ import org.apache.spark.sql.SparkSession
   *    runs (count() would let Catalyst drop sorts/projections and
   *    under-measure).
   *  - A warmup pass absorbs JVM/classloader/JIT costs per kernel family.
-  *  - Each query then runs SPARK_GRAFT_BENCH_RUNS times (default 3) in this
-  *    one JVM and reports the per-query MEDIAN. Single runs on this box
-  *    drift ±1–2 s run-to-run (BASELINE.md documents 35–92 s session
-  *    spread for the same suite), so medians are the only defensible
-  *    per-query number; cross-session single-run comparisons are noise.
+  *  - Each query then runs 1 + SPARK_GRAFT_BENCH_RUNS times (default 1+3)
+  *    in this one JVM: the FIRST run is a DISCARD (it carries first-touch
+  *    costs — plan-specific codegen compilation, JIT of the generated
+  *    classes, file-metadata cache; the r5 artifact showed run-1 outliers
+  *    like 13.7 s for a 0.17 s query) and the per-query MEDIAN is taken
+  *    over the remaining runs. All raw samples, discard included, are
+  *    recorded in raw_runs for audit. Single runs on this box drift
+  *    ±1–2 s run-to-run (BASELINE.md documents 35–92 s session spread for
+  *    the same suite), so warm medians are the only defensible per-query
+  *    number; cross-session single-run comparisons are noise.
   *  - The cache manager is cleared between runs so persisted intermediates
   *    (LSH signatures, candidate sets) never leak into the next measurement.
   */
@@ -61,11 +66,12 @@ object Bench {
 
     def round3(v: Double): Double = math.round(v * 1000.0) / 1000.0
 
-    // runs-per-query samples, in name order; cache cleared after every run
-    // so no query's persisted blocks subsidize its later samples
+    // 1 discard + runs measured samples per query, in name order; cache
+    // cleared after every run so no query's persisted blocks subsidize its
+    // later samples
     val samples: Seq[(String, Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val ts = (1 to runs).map { _ =>
+        val ts = (0 to runs).map { _ =>
           val sec = exec(name, fn)
           spark.sharedState.cacheManager.clearCache()
           round3(sec)
@@ -80,13 +86,13 @@ object Bench {
       else round3((ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0)
     }
 
-    val medians = samples.map { case (name, ts) => name -> median(ts) }
+    val medians = samples.map { case (name, ts) => name -> median(ts.tail) }
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val raw = samples.map { case (k, ts) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = round3(medians.map(_._2).filter(_ >= 0).sum)
     val json =
-      s"""{"metric":"total_wall_sec","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"aggregation":"median","raw_runs":$raw}"""
+      s"""{"metric":"total_wall_sec","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"aggregation":"median_after_discarding_run1","raw_runs":$raw}"""
     // the artifact file is the number of record — stdout scraping loses the
     // line in sbt noise (r3/r4 artifacts both parsed as null)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

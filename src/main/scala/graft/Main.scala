@@ -195,8 +195,17 @@ object Main {
               val linked = LinkJob.linkSpans(spans, d, admission, strict).persist()
               if (!linked.isEmpty) LinkJob.writeLinks(linked, d, req("out"), outFmt)
               linked
+            case "c3-span-table" =>
+              // Cassandra-v3-shaped token-range source (fixture-backed
+              // transport; ring split + decode are the real thing)
+              val cfg = graft.sources.CassandraV3Source.fromEnv(sys.env,
+                numRanges = opts.getOrElse("c3-ranges", "32").toInt)
+              val spans = graft.sources.CassandraV3Source.spans(spark, req("in"), cfg)
+              val linked = LinkJob.linkSpans(spans, d, admission, strict).persist()
+              if (!linked.isEmpty) LinkJob.writeLinks(linked, d, req("out"), outFmt)
+              linked
             case other =>
-              System.err.println(s"unknown --format $other (json-v2|csv|v1-rows|v1-tables|v1-jdbc)"); sys.exit(2)
+              System.err.println(s"unknown --format $other (json-v2|csv|v1-rows|v1-tables|v1-jdbc|c3-span-table)"); sys.exit(2)
           }
           val n = links.count()
           // --es-bulk: additionally push the day's links to a live ES/OS

@@ -20,11 +20,10 @@ object Scratch {
       df.write.format("noop").mode("overwrite").save()
 
     time("warmup entry")(noop(SparkEntry.entry(spark)))
-    for (round <- 1 to 6)
-      time(s"q32 r$round")(noop(graft.operators.NorthStarQueries.videoFrameSample(spark, dir)))
-    for (round <- 1 to 3)
-      time(s"q31 r$round")(noop(graft.operators.NorthStarQueries.multimodalFeatures(spark, dir)))
-    graft.operators.NorthStarQueries.videoFrameSample(spark, dir).explain("formatted")
+    for (round <- 1 to 4)
+      time(s"q47 r$round")(noop(graft.operators.NorthStarQueries.embeddingIvfTopK(spark, dir)))
+    for (round <- 1 to 2)
+      time(s"q75 r$round")(noop(graft.operators.NorthStarQueries.embeddingIvfModelTopK(spark, dir)))
     spark.stop()
   }
 }

@@ -104,14 +104,20 @@ object Similarity {
     * Ties (equal similarity) resolve to the HIGHER centroid id. Vectors whose
     * cosine is NULL against every centroid (null embedding / null elements)
     * get the `-1` sentinel — same rule as [[ivfAssignModel]], so literal and
-    * model quantizers bucket dirty data identically (SimilaritySpec). */
+    * model quantizers bucket dirty data identically (SimilaritySpec). The
+    * sentinel is an extra (sim=-2, cid=-1) struct in the argmax rather than
+    * a null test on the winner: real cosines live in [-1, 1] and NULL ones
+    * coalesce to -3, so the sentinel wins exactly when every centroid's
+    * cosine is NULL — and the scoring tree is referenced ONCE (a
+    * `when(max.sim isNull …)` wrapper would duplicate the whole K×dim
+    * argmax expression; measured +43% on q47). */
   def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column = {
     val scored = centroids.zipWithIndex.map { case (cVec, i) =>
       val cLit = array(cVec.toIndexedSeq.map(lit): _*)
-      struct(cosine(vec, cLit).as("sim"), lit(i).as("cid"))
+      struct(coalesce(cosine(vec, cLit), lit(-3.0d)).as("sim"), lit(i).as("cid"))
     }
-    val best = array_max(array(scored.toIndexedSeq: _*))
-    when(best.getField("sim").isNull, lit(-1)).otherwise(best.getField("cid"))
+    val sentinel = struct(lit(-2.0d).as("sim"), lit(-1).as("cid"))
+    array_max(array((scored :+ sentinel).toIndexedSeq: _*)).getField("cid")
   }
 
   /** IVF assignment against a centroid MODEL too large for [[ivfAssign]]'s

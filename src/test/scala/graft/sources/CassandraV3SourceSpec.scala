@@ -1,0 +1,110 @@
+package graft.sources
+
+import graft.pipeline.{Admission, LinkJob, SparkTestSession}
+import graft.sources.CassandraV3Source.CassandraV3Config
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CassandraV3SourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  test("tokenRanges: contiguous, non-overlapping, covers the full signed-64 ring") {
+    for (n <- Seq(1, 2, 4, 32)) {
+      val rs = CassandraV3Source.tokenRanges(n)
+      assert(rs.size == n)
+      assert(rs.head._1 == Long.MinValue && rs.last._2 == Long.MaxValue)
+      rs.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => assert(lo2 == hi + 1)
+        case _ =>
+      }
+    }
+    intercept[IllegalArgumentException](CassandraV3Source.tokenRanges(3))
+  }
+
+  test("rangeId agrees with tokenRanges bounds, including ring edges") {
+    import spark.implicits._
+    val n = 8
+    val rs = CassandraV3Source.tokenRanges(n)
+    val probe = rs.zipWithIndex.flatMap { case ((lo, hi), i) =>
+      Seq(lo -> i, hi -> i) } :+ (0L -> n / 2)
+    val got = probe.map(_._1).toDF("t")
+      .select(CassandraV3Source.rangeId(col("t"), n).as("r")).as[Int].collect()
+    assert(got.toSeq == probe.map(_._2))
+  }
+
+  test("rangeCql renders the live driver's per-partition predicate") {
+    val cfg = CassandraV3Config(keyspace = "zipkin2", table = "span")
+    val Seq((lo0, hi0), (lo1, hi1)) = CassandraV3Source.tokenRanges(2)
+    assert(CassandraV3Source.rangeCql(cfg, lo0, hi0, first = true) ==
+      s"SELECT * FROM zipkin2.span WHERE token(trace_id) >= $lo0 AND token(trace_id) <= $hi0")
+    assert(CassandraV3Source.rangeCql(cfg, lo1, hi1, first = false) ==
+      s"SELECT * FROM zipkin2.span WHERE token(trace_id) > $lo1 AND token(trace_id) <= $hi1")
+  }
+
+  private def spanRow(traceId: String, parentId: String, id: String, kind: String,
+      ts: java.lang.Long, local: String, remote: String,
+      tags: Map[String, String] = null, shared: Boolean = false): Row =
+    Row(traceId, parentId, id, kind, ts, null,
+      shared, Row(local), if (remote == null) null else Row(remote), tags)
+
+  private def writeFixture(rows: Seq[Row]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("c3-fixture").toString
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), CassandraV3Source.spanTableSchema)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("scan partitions hold contiguous, non-overlapping token spans (ring ownership)") {
+    import spark.implicits._
+    val rows = (0 until 200).map(i =>
+      spanRow(f"$i%016x", null, f"$i%016x", "CLIENT", 1754870400000000L, s"svc$i", null))
+    val dir = writeFixture(rows)
+    val byPart = CassandraV3Source
+      .scanSpanTable(spark, dir, CassandraV3Config(numRanges = 4))
+      .select(spark_partition_id().as("p"), col("_token"))
+      .groupBy("p").agg(min("_token").as("lo"), max("_token").as("hi"))
+      .orderBy("lo")
+      .as[(Int, Long, Long)].collect()
+    assert(byPart.length > 1)
+    byPart.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+  }
+
+  test("decode parity: kind validation, error tag presence, endpoint services, shared") {
+    import spark.implicits._
+    val rows = Seq(
+      spanRow("00000000000000aa", null, "0000000000000001", "CLIENT",
+        1754870400000000L, "frontend", "backend", Map("error" -> "500")),
+      spanRow("00000000000000aa", "0000000000000001", "0000000000000002", "bogus-kind",
+        1754870400000001L, "backend", null, Map("other" -> "x"), shared = true),
+      spanRow("00000000000000AA", "0000000000000001", "0000000000000003", null,
+        null, "backend", "db"))
+    val dir = writeFixture(rows)
+    val spans = CassandraV3Source.spans(spark, dir, CassandraV3Config(numRanges = 2))
+      .collect().sortBy(_.id)
+    assert(spans.length == 3)
+    assert(spans(0).kind.contains("CLIENT") && spans(0).errorTag)
+    assert(spans(1).kind.isEmpty && !spans(1).errorTag && spans(1).shared)
+    assert(spans(2).traceId == "00000000000000aa") // lowercased like every source
+    assert(spans(2).remoteServiceName.contains("db") && spans(2).timestamp.isEmpty)
+  }
+
+  test("end-to-end: token-range source links a client/server day like the json path") {
+    import spark.implicits._
+    val ts = 1754870400000000L // inside 2025-08-11 UTC
+    val rows = Seq(
+      spanRow("00000000000000aa", null, "0000000000000001", "CLIENT", ts, "frontend", "backend"),
+      spanRow("00000000000000aa", "0000000000000001", "0000000000000002", "SERVER",
+        ts + 1000, "backend", null, Map("error" -> "true"), shared = true))
+    val dir = writeFixture(rows)
+    val links = LinkJob.linkSpans(
+      CassandraV3Source.spans(spark, dir, CassandraV3Config(numRanges = 2)),
+      "2025-08-11", Admission.RootInWindow)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(links == Set(("frontend", "backend", 1L, 1L)))
+  }
+}
