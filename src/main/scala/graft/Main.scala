@@ -195,6 +195,19 @@ object Main {
               val linked = LinkJob.linkSpans(spans, d, admission, strict).persist()
               if (!linked.isEmpty) LinkJob.writeLinks(linked, d, req("out"), outFmt)
               linked
+            case "es-scroll" =>
+              // live ES/OS daily-index read via sliced scroll over the JDK
+              // transport (missing index => empty day, like the reference)
+              val env = sys.env ++ opts.get("es-hosts").map("ES_HOSTS" -> _)
+              val cfg = graft.sources.EsSpanSource.ScrollConfig(
+                graft.util.EsFlavor.esConf(env),
+                slices = opts.getOrElse("es-slices",
+                  sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).toInt,
+                dateSeparator = env.getOrElse("ES_DATE_SEPARATOR", "-"))
+              val spans = graft.sources.EsSpanSource.readDay(spark, cfg, d)
+              val linked = LinkJob.linkSpans(spans, d, admission, strict).persist()
+              if (!linked.isEmpty) LinkJob.writeLinks(linked, d, req("out"), outFmt)
+              linked
             case "c3-span-table" =>
               // Cassandra-v3-shaped token-range source (fixture-backed
               // transport; ring split + decode are the real thing)
@@ -205,7 +218,7 @@ object Main {
               if (!linked.isEmpty) LinkJob.writeLinks(linked, d, req("out"), outFmt)
               linked
             case other =>
-              System.err.println(s"unknown --format $other (json-v2|csv|v1-rows|v1-tables|v1-jdbc|c3-span-table)"); sys.exit(2)
+              System.err.println(s"unknown --format $other (json-v2|csv|v1-rows|v1-tables|v1-jdbc|c3-span-table|es-scroll)"); sys.exit(2)
           }
           val n = links.count()
           // --es-bulk: additionally push the day's links to a live ES/OS

@@ -1,0 +1,125 @@
+package graft.sources
+
+import graft.model.Span
+import graft.pipeline.LinkJob
+import graft.util.{EsFlavor, EsHttpTransport}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+
+/** Live Elasticsearch/OpenSearch span source: the read half of the
+  * reference's ES backend (ElasticsearchDependenciesJob.java:180 reads the
+  * daily `<index>-span-<date>` index as JSON docs through es-hadoop), over
+  * the same JDK HTTP transport as [[graft.sinks.EsBulkSink]].
+  *
+  * Parallel read model: the sliced scroll API — slice s of N sees a
+  * disjoint 1/N of the index, so N Spark tasks stream N independent
+  * scrolls concurrently; that is exactly how es-hadoop maps shards to
+  * Spark partitions, expressed in plain `_search` calls. Each task owns
+  * one slice end-to-end (open → page → clear), so a 1000-executor cluster
+  * drains a day at `slices`-way parallelism with no driver involvement
+  * beyond the tiny slice-id range.
+  *
+  * Semantics parity:
+  *  - missing day index ⇒ EMPTY dataset, not a failure (the reference sets
+  *    ES_INDEX_READ_MISSING_AS_EMPTY=true, job builder :66) — a 404 on the
+  *    initial search is "no spans today";
+  *  - hit `_source` documents are Zipkin JSON v2 spans and flow through the
+  *    same permissive decode as the file-backed path
+  *    (`LinkJob.fromJsonV2Shape` via the shared schema) — corrupt docs drop;
+  *  - index naming honors ES_DATE_SEPARATOR like the sink.
+  */
+object EsSpanSource {
+
+  /** `zipkin` + 2025-08-11 → `zipkin-span-2025-08-11` (run() :173). */
+  def spanIndex(prefix: String, day: String, dateSeparator: String = "-"): String =
+    s"$prefix-span-${day.replace("-", dateSeparator)}"
+
+  /** Scroll-read knobs. `slices` is the read parallelism (ES requires
+    * max > 1 for the slice parameter; 1 = plain un-sliced scroll). */
+  final case class ScrollConfig(
+      conf: EsFlavor.EsConf,
+      slices: Int = 8,
+      pageSize: Int = 1000,
+      scrollTtl: String = "5m",
+      dateSeparator: String = "-")
+
+  /** Initial sliced-search body. */
+  private[sources] def searchBody(sliceId: Int, maxSlices: Int, pageSize: Int): String = {
+    val slice = if (maxSlices > 1) s""""slice":{"id":$sliceId,"max":$maxSlices},""" else ""
+    s"""{${slice}"size":$pageSize,"query":{"match_all":{}}}"""
+  }
+
+  private[sources] def continueBody(scrollTtl: String, scrollId: String): String =
+    s"""{"scroll":"$scrollTtl","scroll_id":"$scrollId"}"""
+
+  /** Pull `_scroll_id` and the raw `_source` JSON of every hit out of a
+    * search/scroll response — Jackson (shipped with Spark) rather than a
+    * regex, because `_source` is a nested object. */
+  private[sources] def parsePage(resp: String): (Option[String], Seq[String]) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(resp)
+    val scrollId = Option(root.get("_scroll_id")).map(_.asText())
+    val hits = Option(root.get("hits")).flatMap(h => Option(h.get("hits")))
+    val sources = hits match {
+      case Some(arr) if arr.isArray =>
+        (0 until arr.size()).flatMap(i =>
+          Option(arr.get(i).get("_source")).map(_.toString))
+      case _ => Seq.empty
+    }
+    (scrollId, sources)
+  }
+
+  /** Stream every `_source` of one slice: open the scroll on the first host
+    * that answers, page until empty, then best-effort clear. A 404 on the
+    * open means the day's index does not exist ⇒ empty. */
+  private[sources] def scrollSlice(
+      transport: EsHttpTransport, hosts: Seq[String], index: String,
+      sliceId: Int, cfg: ScrollConfig): Iterator[String] = {
+    val open = hosts.iterator
+      .map(h => h -> transport.post(
+        s"$h/$index/_search?scroll=${cfg.scrollTtl}",
+        searchBody(sliceId, cfg.slices, cfg.pageSize), "application/json"))
+      .collectFirst { case (h, r @ Right(_)) => h -> r
+                      case (h, l @ Left(msg)) if msg.startsWith("HTTP 404") => h -> l }
+    open match {
+      case None => throw new java.io.IOException(
+        s"ES scroll open failed on every host: ${hosts.mkString(", ")}")
+      case Some((_, Left(_))) => Iterator.empty // 404: missing day index
+      case Some((host, Right(first))) =>
+        new Iterator[Seq[String]] {
+          private var page = parsePage(first)
+          private var exhausted = false
+          override def hasNext: Boolean = !exhausted && page._2.nonEmpty
+          override def next(): Seq[String] = {
+            val out = page._2
+            page._1 match {
+              case Some(sid) if out.nonEmpty =>
+                transport.post(s"$host/_search/scroll",
+                  continueBody(cfg.scrollTtl, sid), "application/json") match {
+                  case Right(resp) => page = parsePage(resp)
+                  case Left(msg) => throw new java.io.IOException(
+                    s"ES scroll continuation failed on $host: $msg")
+                }
+              case _ => exhausted = true
+            }
+            out
+          }
+        }.flatten
+    }
+  }
+
+  /** One day of spans, read live at `slices`-way parallelism and decoded
+    * through the shared normalization path. */
+  def readDay(spark: SparkSession, cfg: ScrollConfig, day: String): Dataset[Span] = {
+    val index = spanIndex(cfg.conf.index, day, cfg.dateSeparator)
+    val hosts = cfg.conf.hosts
+    val (user, pass) = (cfg.conf.username, cfg.conf.password)
+    val cfgB = cfg // stable reference for the closure
+    val raw: Dataset[String] = spark.range(cfg.slices.toLong)
+      .repartition(cfg.slices)
+      .mapPartitions { ids =>
+        val transport = new EsHttpTransport(user, pass)
+        ids.flatMap(id => scrollSlice(transport, hosts, index, id.toInt, cfgB))
+      }(Encoders.STRING)
+    LinkJob.fromJsonV2Shape(spark.read.schema(Span.jsonV2Schema).json(raw))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.sources
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.pipeline.{Admission, LinkJob, SparkTestSession}
+import graft.util.EsFlavor
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Scripted-cluster spec for the sliced-scroll span source: an embedded
+  * HTTP server plays the ES search/scroll protocol so slice fan-out,
+  * pagination, missing-index and decode semantics are all pinned without a
+  * live cluster. */
+class EsSpanSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  private def spanDoc(traceId: String, id: String, parentId: Option[String],
+      kind: String, ts: Long, local: String, remote: Option[String]): String = {
+    val parent = parentId.map(p => s""""parentId":"$p",""").getOrElse("")
+    val rem = remote.map(r => s""","remoteEndpoint":{"serviceName":"$r"}""").getOrElse("")
+    s"""{"traceId":"$traceId",$parent"id":"$id","kind":"$kind","timestamp":$ts,""" +
+      s""""localEndpoint":{"serviceName":"$local"}$rem}"""
+  }
+
+  private def page(scrollId: String, docs: Seq[String]): String =
+    s"""{"_scroll_id":"$scrollId","hits":{"hits":[${
+      docs.map(d => s"""{"_id":"x","_source":$d}""").mkString(",")}]}}"""
+
+  /** Plays: initial search per slice → page 1; one continuation → page 2;
+    * next continuation → empty page. Unknown index → 404. */
+  private final class ScriptedEs(index: String, pages: Map[Int, Seq[Seq[String]]]) {
+    val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val path = ex.getRequestURI.getPath
+        val out: Array[Byte] =
+          if (path == s"/$index/_search") {
+            val slice = """"slice":\{"id":(\d+)""".r.findFirstMatchIn(body)
+              .map(_.group(1).toInt).getOrElse(0)
+            page(s"scroll-$slice-1", pages(slice).head).getBytes(UTF_8)
+          } else if (path == "/_search/scroll") {
+            val m = """"scroll_id":"scroll-(\d+)-(\d+)"""".r.findFirstMatchIn(body).get
+            val (slice, pageNo) = (m.group(1).toInt, m.group(2).toInt)
+            val remaining = pages(slice).drop(pageNo)
+            val docs = if (remaining.isEmpty) Seq.empty else remaining.head
+            page(s"scroll-$slice-${pageNo + 1}", docs).getBytes(UTF_8)
+          } else {
+            ex.sendResponseHeaders(404, -1); ex.close(); return
+          }
+        ex.sendResponseHeaders(200, out.length)
+        ex.getResponseBody.write(out)
+        ex.close()
+      }
+    })
+    server.start()
+    def conf: EsFlavor.EsConf = EsFlavor.EsConf(
+      "zipkin", Seq(s"http://127.0.0.1:${server.getAddress.getPort}"), None, None, false)
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("spanIndex / searchBody / parsePage pure pieces") {
+    assert(EsSpanSource.spanIndex("zipkin", "2025-08-11") == "zipkin-span-2025-08-11")
+    assert(EsSpanSource.spanIndex("zipkin", "2025-08-11", ".") == "zipkin-span-2025.08.11")
+    assert(EsSpanSource.searchBody(2, 4, 100) ==
+      """{"slice":{"id":2,"max":4},"size":100,"query":{"match_all":{}}}""")
+    assert(EsSpanSource.searchBody(0, 1, 100) ==
+      """{"size":100,"query":{"match_all":{}}}""") // un-sliced when max=1
+    val (sid, docs) = EsSpanSource.parsePage(
+      page("abc", Seq("""{"traceId":"aa","id":"01"}""")))
+    assert(sid.contains("abc") && docs == Seq("""{"traceId":"aa","id":"01"}"""))
+    assert(EsSpanSource.parsePage("""{"hits":{"hits":[]}}""") == ((None, Seq.empty)))
+  }
+
+  test("sliced scroll read: all slices, all pages, decoded through the shared path") {
+    val ts = 1754870400000000L
+    val client = spanDoc("00000000000000aa", "0000000000000001", None, "CLIENT", ts, "frontend", Some("backend"))
+    val server0 = spanDoc("00000000000000aa", "0000000000000002", Some("0000000000000001"), "SERVER", ts + 1, "backend", None)
+    val other = spanDoc("00000000000000bb", "0000000000000003", None, "CLIENT", ts + 2, "web", Some("db"))
+    val es = new ScriptedEs("zipkin-span-2025-08-11", Map(
+      0 -> Seq(Seq(client), Seq(server0)), // slice 0: two pages
+      1 -> Seq(Seq(other)))) // slice 1: one page
+    try {
+      val cfg = EsSpanSource.ScrollConfig(es.conf, slices = 2, pageSize = 10)
+      val spans = EsSpanSource.readDay(spark, cfg, "2025-08-11").collect()
+      assert(spans.map(_.id).toSet ==
+        Set("0000000000000001", "0000000000000002", "0000000000000003"))
+      import spark.implicits._
+      val links = LinkJob.linkSpans(
+        EsSpanSource.readDay(spark, cfg, "2025-08-11"), "2025-08-11", Admission.IndexDay)
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(links == Set(("frontend", "backend", 1L, 0L), ("web", "db", 1L, 0L)))
+    } finally es.stop()
+  }
+
+  test("missing day index (404) is an empty dataset, not a failure") {
+    val es = new ScriptedEs("zipkin-span-2025-08-11", Map.empty)
+    try {
+      val cfg = EsSpanSource.ScrollConfig(es.conf, slices = 2)
+      assert(EsSpanSource.readDay(spark, cfg, "2025-08-12").isEmpty) // wrong day -> 404
+    } finally es.stop()
+  }
+}
