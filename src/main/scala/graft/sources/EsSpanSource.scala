@@ -114,8 +114,10 @@ object EsSpanSource {
     val hosts = cfg.conf.hosts
     val (user, pass) = (cfg.conf.username, cfg.conf.password)
     val cfgB = cfg // stable reference for the closure
-    val raw: Dataset[String] = spark.range(cfg.slices.toLong)
-      .repartition(cfg.slices)
+    // one slice id per partition, placed at the source (no shuffle; a
+    // repartition(n) would hash-bucket ids and leave some tasks 2 slices
+    // and others none)
+    val raw: Dataset[String] = spark.range(0L, cfg.slices.toLong, 1L, cfg.slices)
       .mapPartitions { ids =>
         val transport = new EsHttpTransport(user, pass)
         ids.flatMap(id => scrollSlice(transport, hosts, index, id.toInt, cfgB))

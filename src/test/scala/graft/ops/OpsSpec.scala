@@ -384,6 +384,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dirty._1 == dirty._2)
   }
 
+  test("ivfAssign's scoring tree appears exactly once in the plan (no duplicated argmax)") {
+    // regression guard: a when(max.sim isNull ...) wrapper around the argmax
+    // referenced the whole K*dim scoring tree twice and cost q47 +43%; the
+    // sentinel-struct formulation must keep a single array_max node
+    val centroids: Array[Array[Double]] = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // range input: non-foldable, so the expression survives into the plan
+    val df = spark.range(3)
+      .select(array(col("id").cast("double"), lit(0.0d)).as("embedding"))
+      .select(Similarity.ivfAssign(col("embedding"), centroids).as("cid"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("array_max".r.findAllIn(plan).size == 1, plan.take(800))
+  }
+
   test("ivf zero vector is a defined (non-null) assignment, identical in both forms") {
     // cosine() maps zero-norm to 0.0 for every centroid -> an all-tie, so the
     // rule says: highest cid, not the sentinel

@@ -71,6 +71,18 @@ class EsBulkSinkSpec extends AnyFunSuite {
     } finally es.stop()
   }
 
+  test("service names with quotes/backslashes/control chars stay valid JSON") {
+    val lines = EsBulkSink.bulkLines("zipkin-dependency-2025-08-11",
+      "svc\"quoted\\", "child\ttabbed", 1L, 0L).trim.split("\n")
+    // both lines must parse as JSON and round-trip the raw names
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val action = mapper.readTree(lines(0))
+    val doc = mapper.readTree(lines(1))
+    assert(action.get("index").get("_id").asText() == "svc\"quoted\\|child\ttabbed")
+    assert(doc.get("parent").asText() == "svc\"quoted\\")
+    assert(doc.get("child").asText() == "child\ttabbed")
+  }
+
   test("ES_DATE_SEPARATOR rewrites the daily index date stamp") {
     assert(EsBulkSink.indexName("zipkin", "2025-08-11", ".") == "zipkin-dependency-2025.08.11")
     assert(EsBulkSink.indexName("zipkin", "2025-08-11", "") == "zipkin-dependency-20250811")
