@@ -83,7 +83,10 @@ class EsSpanSourceSpec extends AnyFunSuite {
       1 -> Seq(Seq(other)))) // slice 1: one page
     try {
       val cfg = EsSpanSource.ScrollConfig(es.conf, slices = 2, pageSize = 10)
-      val spans = EsSpanSource.readDay(spark, cfg, "2025-08-11").collect()
+      val ds = EsSpanSource.readDay(spark, cfg, "2025-08-11")
+      // scale contract: read parallelism == slices, one scroll per task
+      assert(ds.rdd.getNumPartitions == 2)
+      val spans = ds.collect()
       assert(spans.map(_.id).toSet ==
         Set("0000000000000001", "0000000000000002", "0000000000000003"))
       import spark.implicits._
