@@ -88,20 +88,30 @@ object EsSpanSource {
         new Iterator[Seq[String]] {
           private var page = parsePage(first)
           private var exhausted = false
-          override def hasNext: Boolean = !exhausted && page._2.nonEmpty
+          if (page._2.isEmpty) finish() // index exists but slice is empty
+          override def hasNext: Boolean = !exhausted
           override def next(): Seq[String] = {
             val out = page._2
             page._1 match {
-              case Some(sid) if out.nonEmpty =>
+              case Some(sid) =>
                 transport.post(s"$host/_search/scroll",
                   continueBody(cfg.scrollTtl, sid), "application/json") match {
-                  case Right(resp) => page = parsePage(resp)
+                  case Right(resp) =>
+                    page = parsePage(resp)
+                    if (page._2.isEmpty) finish()
                   case Left(msg) => throw new java.io.IOException(
                     s"ES scroll continuation failed on $host: $msg")
                 }
-              case _ => exhausted = true
+              case None => finish()
             }
             out
+          }
+          private def finish(): Unit = {
+            exhausted = true
+            // free the server-side scroll context now rather than letting it
+            // pin ES heap until the TTL expires; best-effort by contract
+            page._1.foreach(sid => transport.delete(
+              s"$host/_search/scroll", s"""{"scroll_id":"$sid"}"""))
           }
         }.flatten
     }

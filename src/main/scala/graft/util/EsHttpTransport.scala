@@ -56,4 +56,18 @@ final class EsHttpTransport(
       if (resp.statusCode() / 100 == 2) Right(resp.body())
       else Left(s"HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
     } catch { case e: Exception => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+
+  /** DELETE with a body (ES clear-scroll shape); outcome-reported, never
+    * throws — callers treat cleanup as best-effort. */
+  def delete(url: String, body: String,
+      contentType: String = "application/json"): Either[String, String] =
+    try {
+      val resp = client.send(
+        request(url)
+          .header("Content-Type", contentType)
+          .method("DELETE", HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 == 2) Right(resp.body())
+      else Left(s"HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
+    } catch { case e: Exception => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
 }

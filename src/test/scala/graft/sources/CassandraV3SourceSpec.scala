@@ -93,6 +93,28 @@ class CassandraV3SourceSpec extends AnyFunSuite {
     assert(spans(2).remoteServiceName.contains("db") && spans(2).timestamp.isEmpty)
   }
 
+  test("128-bit trace ids: low-64 unification by default, full-id separation under strict") {
+    import spark.implicits._
+    val ts = 1754870400000000L
+    // two traces sharing the low 64 bits, differing in the high 64
+    val rows = Seq(
+      spanRow("111111110000000000000000000000aa", null, "0000000000000001", "CLIENT", ts, "a", "b"),
+      spanRow("222222220000000000000000000000aa", null, "0000000000000002", "CLIENT", ts, "c", "d"))
+    val dir = writeFixture(rows)
+    def links(strict: Boolean) = LinkJob.linkSpans(
+      CassandraV3Source.spans(spark, dir, CassandraV3Config(numRanges = 2)),
+      "2025-08-11", Admission.IndexDay, strict = strict)
+      .as[(String, String, Long, Long)].collect().toSet
+    val spans = CassandraV3Source.spans(spark, dir, CassandraV3Config(numRanges = 2))
+    assert(spans.collect().map(_.traceIdLow64).distinct.length == 1) // unified low-64
+    assert(spans.collect().map(_.traceId).distinct.length == 2) // strict keys differ
+    // strict: two independent single-span traces, each a root client link
+    assert(links(strict = true) == Set(("a", "b", 1L, 0L), ("c", "d", 1L, 0L)))
+    // low-64 merge: one trace, second parentless span attaches under the
+    // root, so the root's client edge re-points at it (linker ancestor walk)
+    assert(links(strict = false) == Set(("a", "c", 1L, 0L), ("c", "d", 1L, 0L)))
+  }
+
   test("end-to-end: token-range source links a client/server day like the json path") {
     import spark.implicits._
     val ts = 1754870400000000L // inside 2025-08-11 UTC

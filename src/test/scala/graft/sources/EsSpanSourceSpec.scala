@@ -30,13 +30,18 @@ class EsSpanSourceSpec extends AnyFunSuite {
   /** Plays: initial search per slice → page 1; one continuation → page 2;
     * next continuation → empty page. Unknown index → 404. */
   private final class ScriptedEs(index: String, pages: Map[Int, Seq[Seq[String]]]) {
+    val cleared = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
         val path = ex.getRequestURI.getPath
         val out: Array[Byte] =
-          if (path == s"/$index/_search") {
+          if (path == "/_search/scroll" && ex.getRequestMethod == "DELETE") {
+            """"scroll_id":"([^"]+)"""".r.findFirstMatchIn(body)
+              .foreach(m => cleared.add(m.group(1)))
+            """{"succeeded":true}""".getBytes(UTF_8)
+          } else if (path == s"/$index/_search") {
             val slice = """"slice":\{"id":(\d+)""".r.findFirstMatchIn(body)
               .map(_.group(1).toInt).getOrElse(0)
             page(s"scroll-$slice-1", pages(slice).head).getBytes(UTF_8)
@@ -89,6 +94,8 @@ class EsSpanSourceSpec extends AnyFunSuite {
       val spans = ds.collect()
       assert(spans.map(_.id).toSet ==
         Set("0000000000000001", "0000000000000002", "0000000000000003"))
+      // both slices' scroll contexts were cleared after exhaustion
+      assert(es.cleared.size == 2)
       import spark.implicits._
       val links = LinkJob.linkSpans(
         EsSpanSource.readDay(spark, cfg, "2025-08-11"), "2025-08-11", Admission.IndexDay)
