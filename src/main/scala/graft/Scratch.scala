@@ -14,16 +14,20 @@ object Scratch {
     graft.expr.GraftFunctions.ensureRegistered(spark)
     def time(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s  " +
+        f"(persistentRDDs=${spark.sparkContext.getPersistentRDDs.size})")
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // q48 storage-lifecycle A/B: 6 back-to-back runs in ONE JVM used to show
+    // a 3.3–17.5 s spread from accumulated localCheckpoint blocks
     time("warmup entry")(noop(SparkEntry.entry(spark)))
-    for (round <- 1 to 4)
-      time(s"q47 r$round")(noop(graft.operators.NorthStarQueries.embeddingIvfTopK(spark, dir)))
-    for (round <- 1 to 2)
-      time(s"q75 r$round")(noop(graft.operators.NorthStarQueries.embeddingIvfModelTopK(spark, dir)))
+    time("warmup lsh")(noop(graft.operators.NorthStarQueries.ngramNearDups(spark, dir)))
+    for (round <- 1 to 6) {
+      time(s"q48 r$round")(noop(graft.operators.NorthStarQueries.dupClusters(spark, dir)))
+      spark.sharedState.cacheManager.clearCache()
+    }
     spark.stop()
   }
 }

@@ -429,6 +429,19 @@ object Dedup {
     * executor loss; the per-round (id, rep) frame is tiny relative to the
     * near-dup pair evidence, so the durability costs little.
     *
+    * Storage lifecycle: once round N's checkpoint has eagerly materialized,
+    * round N−1 can never be referenced again (N's lineage is truncated), so
+    * its blocks are unpersisted and its reliable checkpoint files deleted
+    * immediately. Without this, repeated calls in one JVM accumulate every
+    * round's blocks until GC/ContextCleaner pressure stalls a run (observed
+    * as a 3.3–17.5 s spread across identical q48 bench runs). OWNERSHIP of
+    * the returned frame: it is backed by the FINAL round's checkpoint; its
+    * blocks (and, on the reliable path, files) stay live until the caller
+    * either lets the frame be garbage-collected (ContextCleaner frees the
+    * blocks; reliable files need
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`) or calls
+    * [[releaseClusterLabels]] after its terminal action.
+    *
     * Throws IllegalStateException if labels are still changing after
     * `maxIter` rounds: a truncated propagation silently splits one
     * component into several clusters, which a caller cannot distinguish
@@ -441,7 +454,10 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     checkpointDir.foreach { dir =>
-      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      // setCheckpointDir stores a qualified <dir>/<UUID> path, so equality
+      // (Option.contains) never matches and every call would reset the dir
+      // and mint a fresh UUID subdir — compare by substring instead
+      if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
     }
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
@@ -450,9 +466,10 @@ object Dedup {
       .persist()
     // round 0 folded into the init: every node starts from min(self, direct
     // neighbors) — one aggregation instead of a full propagate round
-    var labels = ckpt(edges
+    var current = ckpt(edges
       .groupBy(col("_src").as("id"))
       .agg(least(min(col("_dst")), min(col("_src"))).as("rep")))
+    var labels = current
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -474,13 +491,17 @@ object Dedup {
           // id (min over self ∪ neighbors ∪ earlier reps), so the lookup
           // joins labels back to themselves on the materialized checkpoint.
           val reps = stepped.select(col("id").as("_jid"), col("rep").as("_jrep"))
-          ckpt(stepped
+          val jumped = ckpt(stepped
             .join(reps, col("rep") === col("_jid"), "left_outer")
             .select(col("id"),
               least(col("rep"), coalesce(col("_jrep"), col("rep"))).as("rep"),
               col("_prev")))
+          releaseClusterLabels(stepped) // jumped is materialized; the half-step is dead
+          jumped
         }
       converged = next.where(col("rep") =!= col("_prev")).isEmpty
+      releaseClusterLabels(current) // next is materialized; round N−1 is unreachable
+      current = next
       labels = next.drop("_prev")
       iter += 1
     }
@@ -490,5 +511,28 @@ object Dedup {
         "labels were still changing (component diameter exceeds maxIter). " +
         "Returning them would silently split components — raise maxIter.")
     labels
+  }
+
+  /** Free the storage backing a checkpointed frame from [[dupClusters]]:
+    * unpersists the truncated-lineage RDD blocks and deletes reliable
+    * checkpoint files. Used internally to release each superseded round the
+    * moment its successor materializes; callers may invoke it on the
+    * returned labels after their terminal action instead of waiting for
+    * ContextCleaner. Safe on any frame (non-checkpoint leaves are ignored),
+    * but the frame must not be read again afterwards — its lineage is
+    * truncated, so lost blocks cannot be recomputed.
+    */
+  def releaseClusterLabels(df: DataFrame): Unit = {
+    val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
+    df.queryExecution.logical.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+        lr.rdd.getCheckpointFile.foreach { f => // reliable path: files, not blocks
+          val p = new org.apache.hadoop.fs.Path(f)
+          try p.getFileSystem(hadoopConf).delete(p, true)
+          catch { case _: java.io.IOException => () } // cleanup is best-effort
+        }
+      case _ => ()
+    }
   }
 }

@@ -213,6 +213,25 @@ class DedupSpec extends AnyFunSuite {
     assert(reps.length == 301 && reps.forall(_._2 == 0L))
   }
 
+  test("dupClusters: superseded round checkpoints are released, not accumulated") {
+    import spark.implicits._
+    // r6 bench showed a 3.3–17.5 s spread across identical q48 runs in one
+    // JVM: every round's localCheckpoint blocks stayed persisted until GC
+    // pressure stalled a run. The 300-chain runs ~12 rounds including the
+    // pointer-jump branch (two checkpoints per round), so an accumulation
+    // regression shows up as dozens of leaked persistent RDDs here.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val out = Dedup.dupClusters(chain)
+    val reps = out.as[(Long, Long)].collect()
+    assert(reps.length == 301 && reps.forall(_._2 == 0L))
+    val afterRun = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(afterRun.size <= 1, s"leaked persisted RDDs beyond the final frame: $afterRun")
+    Dedup.releaseClusterLabels(out) // caller-side release of the final frame
+    val afterRelease = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(afterRelease.isEmpty, s"final frame not released: $afterRelease")
+  }
+
   test("dupClusters: reliable checkpointDir path produces identical labels") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
@@ -226,10 +245,15 @@ class DedupSpec extends AnyFunSuite {
       val expected = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (7L, 5L), (9L, 1L)) ++
         (100L to 140L).map(i => (i, 100L))
       assert(got == expected)
-      // the labels really were checkpointed to the reliable dir
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .anyMatch(p => java.nio.file.Files.isRegularFile(p))
-      assert(wrote, s"expected checkpoint files under $dir")
+      // the labels really were checkpointed to the reliable dir, and every
+      // superseded round's rdd-* directory was deleted — only the final
+      // round's checkpoint survives the call
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isDirectory(p)
+          && p.getFileName.toString.startsWith("rdd-"))
+        .toArray.toSeq
+      assert(rddDirs.size == 1,
+        s"expected exactly the final round's checkpoint under $dir, got $rddDirs")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
