@@ -32,8 +32,8 @@ import org.apache.spark.sql.SparkSession
   *  - STORAGE_TYPE selects the backend profile — the input format + admission
   *    semantics each reference backend hardcodes (cassandra3 → root-in-window
   *    over span documents; mysql → per-span window over the two v1 tables;
-  *    elasticsearch → daily-index admission over JSON v2 docs). Explicit
-  *    --format/--admission flags override the profile.
+  *    elasticsearch → daily-index admission over the live sliced-scroll
+  *    source). Explicit --format/--admission flags override the profile.
   *  - SPARK_CONF is a comma-separated k=v list applied to the SparkSession
   *    (reference :34-43 — pairs without exactly one '=' are skipped).
   *  - GRAFT_LOG_LEVEL mirrors ZIPKIN_LOG_LEVEL (:29-32).
@@ -44,11 +44,18 @@ object MainConfig {
       day: String, format: String, admission: Admission, strict: Boolean,
       sparkConf: Seq[(String, String)], logLevel: String)
 
-  /** format + admission each STORAGE_TYPE implies in the reference. */
+  /** format + admission each STORAGE_TYPE implies in the reference.
+    * elasticsearch maps to the LIVE sliced-scroll source (hosts from
+    * ES_HOSTS, default 127.0.0.1) so the env-only periodic invocation —
+    * `STORAGE_TYPE=elasticsearch bin/graft-today` — reads a real cluster
+    * exactly like the reference's docker entrypoint; a file-backed run
+    * stays one explicit `--format json-v2 --in …` away. cassandra3 stays
+    * file-backed: its token-range source is fixture-fed by design (no CQL
+    * driver in this sandbox, SURVEY §7.4). */
   val storageProfiles: Map[String, (String, String)] = Map(
     "cassandra3" -> (("json-v2", "root-in-window")),
     "mysql" -> (("v1-tables", "per-span-window")),
-    "elasticsearch" -> (("json-v2", "index-day")))
+    "elasticsearch" -> (("es-scroll", "index-day")))
 
   /** Reference parse: split(",", -1) then split("=", -1), keep len==2. */
   def parseSparkConf(raw: String): Seq[(String, String)] =
@@ -118,17 +125,11 @@ object MainConfig {
 object Main {
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
-    def req(k: String): String = opts.getOrElse(k,
-      { System.err.println(s"missing required --$k\n$usage"); sys.exit(2) })
-
     val resolved = MainConfig.resolve(opts, sys.env,
       java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString) match {
       case Right(r) => r
       case Left(err) => System.err.println(s"$err\n$usage"); sys.exit(2)
     }
-    val day = resolved.day
-    val admission = resolved.admission
-
     val builder = SparkSession.builder()
       .master(opts.getOrElse("master", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
       .appName("graft-link-job")
@@ -139,11 +140,24 @@ object Main {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel(resolved.logLevel)
     graft.expr.GraftFunctions.ensureRegistered(spark)
-    try {
-      if (opts.contains("stream")) runStreaming(spark, opts, day)
-      else {
-        val strict = resolved.strict
-        def runOneDay(d: String): Unit = {
+    try dispatch(spark, opts, resolved)
+    finally spark.stop()
+  }
+
+  /** Full post-session CLI dispatch (format fan-out, admission, sinks,
+    * backfill) — separated from main so MainSpec can drive a backend
+    * profile end-to-end against the shared test session; main owns and
+    * stops its own session, which a test must never do. */
+  private[graft] def dispatch(spark: SparkSession, opts: Map[String, String],
+      resolved: MainConfig.Resolved): Unit = {
+    val day = resolved.day
+    val admission = resolved.admission
+    def req(k: String): String = opts.getOrElse(k,
+      { System.err.println(s"missing required --$k\n$usage"); sys.exit(2) })
+    if (opts.contains("stream")) runStreaming(spark, opts, day)
+    else {
+      val strict = resolved.strict
+      def runOneDay(d: String): Unit = {
           val outFmt = opts.getOrElse("out-format", "parquet")
           if (!Set("parquet", "orc", "json", "csv")(outFmt)) {
             System.err.println(s"unknown --out-format $outFmt (parquet|orc|json|csv)"); sys.exit(2)
@@ -246,7 +260,6 @@ object Main {
           case None => runOneDay(day)
         }
       }
-    } finally spark.stop()
   }
 
   private def runStreaming(spark: SparkSession, opts: Map[String, String], day: String): Unit = {
@@ -276,7 +289,7 @@ object Main {
       "[--admission index-day|per-span-window|root-in-window] [--strict-trace-id] [--master local[N]] " +
       "[--es-bulk [--es-hosts http://h1:9200,h2]]"
 
-  private def parseArgs(args: Array[String]): Map[String, String] = {
+  private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
     val flags = Set("strict-trace-id", "stream", "es-bulk")
     @annotation.tailrec
     def go(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {

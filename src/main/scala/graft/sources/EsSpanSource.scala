@@ -34,28 +34,38 @@ object EsSpanSource {
     s"$prefix-span-${day.replace("-", dateSeparator)}"
 
   /** Scroll-read knobs. `slices` is the read parallelism (ES requires
-    * max > 1 for the slice parameter; 1 = plain un-sliced scroll). */
+    * max > 1 for the slice parameter; 1 = plain un-sliced scroll).
+    * `continuationRetries` bounds in-task retries of a failed scroll
+    * continuation POST before surfacing the IOException: without it one
+    * transient 429 makes Spark's task retry re-read the whole slice. */
   final case class ScrollConfig(
       conf: EsFlavor.EsConf,
       slices: Int = 8,
       pageSize: Int = 1000,
       scrollTtl: String = "5m",
-      dateSeparator: String = "-")
+      dateSeparator: String = "-",
+      continuationRetries: Int = 2,
+      retryBackoffMs: Long = 200L)
 
-  /** Initial sliced-search body. */
+  /** Initial sliced-search body. `"sort":["_doc"]` is ES's documented
+    * no-scoring scroll path — hits stream in index order with relevance
+    * scoring skipped entirely. */
   private[sources] def searchBody(sliceId: Int, maxSlices: Int, pageSize: Int): String = {
     val slice = if (maxSlices > 1) s""""slice":{"id":$sliceId,"max":$maxSlices},""" else ""
-    s"""{${slice}"size":$pageSize,"query":{"match_all":{}}}"""
+    s"""{${slice}"size":$pageSize,"sort":["_doc"],"query":{"match_all":{}}}"""
   }
 
   private[sources] def continueBody(scrollTtl: String, scrollId: String): String =
     s"""{"scroll":"$scrollTtl","scroll_id":"$scrollId"}"""
 
+  // one mapper per JVM, not per page: ObjectMapper is thread-safe for reads
+  // once constructed, and a slice can turn over thousands of pages
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Pull `_scroll_id` and the raw `_source` JSON of every hit out of a
     * search/scroll response — Jackson (shipped with Spark) rather than a
     * regex, because `_source` is a nested object. */
   private[sources] def parsePage(resp: String): (Option[String], Seq[String]) = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(resp)
     val scrollId = Option(root.get("_scroll_id")).map(_.asText())
     val hits = Option(root.get("hits")).flatMap(h => Option(h.get("hits")))
@@ -66,6 +76,23 @@ object EsSpanSource {
       case _ => Seq.empty
     }
     (scrollId, sources)
+  }
+
+  /** POST with a bounded in-task retry (linear backoff): a transient 429 /
+    * connection blip on a scroll continuation would otherwise bubble an
+    * IOException that makes Spark re-run the task and re-read the WHOLE
+    * slice from the start — correct, but wasteful at scale. */
+  private[sources] def postWithRetry(
+      transport: EsHttpTransport, url: String, body: String,
+      retries: Int, backoffMs: Long): Either[String, String] = {
+    var last: Either[String, String] = transport.post(url, body, "application/json")
+    var attempt = 0
+    while (last.isLeft && attempt < retries) {
+      attempt += 1
+      Thread.sleep(backoffMs * attempt)
+      last = transport.post(url, body, "application/json")
+    }
+    last
   }
 
   /** Stream every `_source` of one slice: open the scroll on the first host
@@ -94,13 +121,15 @@ object EsSpanSource {
             val out = page._2
             page._1 match {
               case Some(sid) =>
-                transport.post(s"$host/_search/scroll",
-                  continueBody(cfg.scrollTtl, sid), "application/json") match {
+                postWithRetry(transport, s"$host/_search/scroll",
+                  continueBody(cfg.scrollTtl, sid),
+                  cfg.continuationRetries, cfg.retryBackoffMs) match {
                   case Right(resp) =>
                     page = parsePage(resp)
                     if (page._2.isEmpty) finish()
                   case Left(msg) => throw new java.io.IOException(
-                    s"ES scroll continuation failed on $host: $msg")
+                    s"ES scroll continuation failed on $host " +
+                      s"after ${cfg.continuationRetries + 1} attempts: $msg")
                 }
               case None => finish()
             }

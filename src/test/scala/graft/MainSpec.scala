@@ -26,8 +26,10 @@ class MainSpec extends AnyFunSuite {
   }
 
   test("STORAGE_TYPE selects the backend profile (format + admission)") {
+    // elasticsearch reaches the LIVE scroll source env-only, so the periodic
+    // entrypoints (bin/graft-today) work without flags, like the reference
     val es = MainConfig.resolve(Map(), Map("STORAGE_TYPE" -> "elasticsearch"), today)
-    assert(es == Right(MainConfig.Resolved(today, "json-v2", Admission.IndexDay,
+    assert(es == Right(MainConfig.Resolved(today, "es-scroll", Admission.IndexDay,
       strict = false, Nil, "WARN")))
     val my = MainConfig.resolve(Map(), Map("STORAGE_TYPE" -> "mysql"), today)
     assert(my.map(r => (r.format, r.admission)) == Right(("v1-tables", Admission.PerSpanWindow)))
@@ -76,5 +78,42 @@ class MainSpec extends AnyFunSuite {
     assert(MainConfig.resolve(Map(), Map("GRAFT_LOG_LEVEL" -> "INFO"), today)
       .map(_.logLevel) == Right("INFO"))
     assert(MainConfig.resolve(Map(), Map(), today).map(_.logLevel) == Right("WARN"))
+  }
+
+  test("c3 profile end-to-end through the CLI dispatch: fixture table → links → sink") {
+    // the same driven-entrypoint coverage the ES and MySQL paths have: real
+    // argv parse → cassandra3 profile resolve (root-in-window admission,
+    // --format overriding to the token-range source) → link → parquet sink
+    val spark = graft.pipeline.SparkTestSession.get
+    val ts = 1754870400000000L // inside 2025-08-11 UTC
+    val rows = Seq(
+      org.apache.spark.sql.Row("00000000000000aa", null, "0000000000000001",
+        "CLIENT", java.lang.Long.valueOf(ts), null, false,
+        org.apache.spark.sql.Row("frontend"), org.apache.spark.sql.Row("backend"), null),
+      org.apache.spark.sql.Row("00000000000000aa", "0000000000000001", "0000000000000002",
+        "SERVER", java.lang.Long.valueOf(ts + 1000), null, true,
+        org.apache.spark.sql.Row("backend"), null, Map("error" -> "true")))
+    val in = java.nio.file.Files.createTempDirectory("c3-cli-fixture").toString
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      graft.sources.CassandraV3Source.spanTableSchema)
+      .write.mode("overwrite").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("c3-cli-out").toString
+    val opts = Main.parseArgs(Array(
+      "--day", "2025-08-11", "--format", "c3-span-table",
+      "--in", in, "--out", out, "--c3-ranges", "2"))
+    val resolved = MainConfig.resolve(opts,
+      Map("STORAGE_TYPE" -> "cassandra3"), today).toOption.get
+    assert(resolved.admission == Admission.RootInWindow) // profile held
+    assert(resolved.format == "c3-span-table") // explicit flag overrode json-v2
+    Main.dispatch(spark, opts, resolved)
+    import spark.implicits._
+    val links = spark.read.parquet(out)
+      .select("parent", "child", "callCount", "errorCount")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(links == Set(("frontend", "backend", 1L, 1L)))
+    // re-run is an idempotent day overwrite, like every sink in the engine
+    Main.dispatch(spark, opts, resolved)
+    assert(spark.read.parquet(out).count() == 1)
   }
 }

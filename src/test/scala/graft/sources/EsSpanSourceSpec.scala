@@ -28,9 +28,14 @@ class EsSpanSourceSpec extends AnyFunSuite {
       docs.map(d => s"""{"_id":"x","_source":$d}""").mkString(",")}]}}"""
 
   /** Plays: initial search per slice → page 1; one continuation → page 2;
-    * next continuation → empty page. Unknown index → 404. */
-  private final class ScriptedEs(index: String, pages: Map[Int, Seq[Seq[String]]]) {
+    * next continuation → empty page. Unknown index → 404. The first
+    * `failContinuations` scroll continuations answer 429 (then succeed on
+    * retry) to pin the bounded in-task retry. */
+  private final class ScriptedEs(index: String, pages: Map[Int, Seq[Seq[String]]],
+      failContinuations: Int = 0) {
     val cleared = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val searchBodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    private val failsLeft = new java.util.concurrent.atomic.AtomicInteger(failContinuations)
     val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
@@ -42,9 +47,12 @@ class EsSpanSourceSpec extends AnyFunSuite {
               .foreach(m => cleared.add(m.group(1)))
             """{"succeeded":true}""".getBytes(UTF_8)
           } else if (path == s"/$index/_search") {
+            searchBodies.add(body)
             val slice = """"slice":\{"id":(\d+)""".r.findFirstMatchIn(body)
               .map(_.group(1).toInt).getOrElse(0)
             page(s"scroll-$slice-1", pages(slice).head).getBytes(UTF_8)
+          } else if (path == "/_search/scroll" && failsLeft.getAndDecrement() > 0) {
+            ex.sendResponseHeaders(429, -1); ex.close(); return
           } else if (path == "/_search/scroll") {
             val m = """"scroll_id":"scroll-(\d+)-(\d+)"""".r.findFirstMatchIn(body).get
             val (slice, pageNo) = (m.group(1).toInt, m.group(2).toInt)
@@ -69,9 +77,9 @@ class EsSpanSourceSpec extends AnyFunSuite {
     assert(EsSpanSource.spanIndex("zipkin", "2025-08-11") == "zipkin-span-2025-08-11")
     assert(EsSpanSource.spanIndex("zipkin", "2025-08-11", ".") == "zipkin-span-2025.08.11")
     assert(EsSpanSource.searchBody(2, 4, 100) ==
-      """{"slice":{"id":2,"max":4},"size":100,"query":{"match_all":{}}}""")
+      """{"slice":{"id":2,"max":4},"size":100,"sort":["_doc"],"query":{"match_all":{}}}""")
     assert(EsSpanSource.searchBody(0, 1, 100) ==
-      """{"size":100,"query":{"match_all":{}}}""") // un-sliced when max=1
+      """{"size":100,"sort":["_doc"],"query":{"match_all":{}}}""") // un-sliced when max=1
     val (sid, docs) = EsSpanSource.parsePage(
       page("abc", Seq("""{"traceId":"aa","id":"01"}""")))
     assert(sid.contains("abc") && docs == Seq("""{"traceId":"aa","id":"01"}"""))
@@ -96,11 +104,54 @@ class EsSpanSourceSpec extends AnyFunSuite {
         Set("0000000000000001", "0000000000000002", "0000000000000003"))
       // both slices' scroll contexts were cleared after exhaustion
       assert(es.cleared.size == 2)
+      // every initial search asked for the no-scoring scroll path
+      assert(es.searchBodies.size == 2)
+      es.searchBodies.forEach(b => assert(b.contains(""""sort":["_doc"]"""), b))
       import spark.implicits._
       val links = LinkJob.linkSpans(
         EsSpanSource.readDay(spark, cfg, "2025-08-11"), "2025-08-11", Admission.IndexDay)
         .as[(String, String, Long, Long)].collect().toSet
       assert(links == Set(("frontend", "backend", 1L, 0L), ("web", "db", 1L, 0L)))
+    } finally es.stop()
+  }
+
+  test("transient continuation failure is retried in-task, links unchanged") {
+    val ts = 1754870400000000L
+    val client = spanDoc("00000000000000aa", "0000000000000001", None, "CLIENT", ts, "frontend", Some("backend"))
+    val server0 = spanDoc("00000000000000aa", "0000000000000002", Some("0000000000000001"), "SERVER", ts + 1, "backend", None)
+    // two pages on one slice forces a continuation; the scripted cluster
+    // 429s the first continuation POST, so without the bounded in-task
+    // retry the read would surface an IOException (Spark would then retry
+    // the whole task — correct but the waste this retry exists to avoid)
+    val es = new ScriptedEs("zipkin-span-2025-08-11",
+      Map(0 -> Seq(Seq(client), Seq(server0))), failContinuations = 1)
+    try {
+      val cfg = EsSpanSource.ScrollConfig(es.conf, slices = 1, pageSize = 1,
+        continuationRetries = 2, retryBackoffMs = 10L)
+      import spark.implicits._
+      val links = LinkJob.linkSpans(
+        EsSpanSource.readDay(spark, cfg, "2025-08-11"), "2025-08-11", Admission.IndexDay)
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(links == Set(("frontend", "backend", 1L, 0L)))
+    } finally es.stop()
+  }
+
+  test("exhausted retries surface as an IOException, not silent truncation") {
+    val ts = 1754870400000000L
+    val client = spanDoc("00000000000000aa", "0000000000000001", None, "CLIENT", ts, "frontend", Some("backend"))
+    val server0 = spanDoc("00000000000000aa", "0000000000000002", Some("0000000000000001"), "SERVER", ts + 1, "backend", None)
+    val es = new ScriptedEs("zipkin-span-2025-08-11",
+      Map(0 -> Seq(Seq(client), Seq(server0))), failContinuations = 10)
+    try {
+      val cfg = EsSpanSource.ScrollConfig(es.conf, slices = 1, pageSize = 1,
+        continuationRetries = 1, retryBackoffMs = 10L)
+      val e = intercept[Exception] {
+        EsSpanSource.readDay(spark, cfg, "2025-08-11").collect()
+      }
+      // a dropped page would silently lose spans; the failure must propagate
+      val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).map(String.valueOf(_)).mkString(" | ")
+      assert(msgs.contains("scroll continuation failed"), msgs)
     } finally es.stop()
   }
 
