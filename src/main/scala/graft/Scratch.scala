@@ -20,12 +20,12 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // q48 storage-lifecycle A/B: 6 back-to-back runs in ONE JVM used to show
-    // a 3.3–17.5 s spread from accumulated localCheckpoint blocks
     time("warmup entry")(noop(SparkEntry.entry(spark)))
     time("warmup lsh")(noop(graft.operators.NorthStarQueries.ngramNearDups(spark, dir)))
-    for (round <- 1 to 6) {
-      time(s"q48 r$round")(noop(graft.operators.NorthStarQueries.dupClusters(spark, dir)))
+    val q76 = graft.operators.PortableQueries.incrementalDedup(spark, dir)
+    q76.explain("formatted")
+    for (round <- 1 to 3) {
+      time(s"q76 r$round")(noop(graft.operators.PortableQueries.incrementalDedup(spark, dir)))
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()

@@ -75,11 +75,32 @@ object PortableQueries {
       .orderBy("cluster_rep")
   }
 
+  /** q76 — incremental near-dup admission: sources src18/src19 play the
+    * arriving batch, everything else the already-deduplicated corpus. A
+    * batch doc is admitted unless some PRIOR doc (any corpus doc, or a
+    * smaller-id batch doc) is an estimated near-dup at the q63 parameters.
+    * The asymmetric candidate join never forms corpus×corpus pairs — the
+    * steady-state daily-ingest shape, where the corpus band table is a
+    * persisted artifact and cost is ∝ |batch|. The oracle replays the whole
+    * admission: signatures, banding, the prior-doc predicate, the estimate
+    * threshold. (The hot-bucket cap cannot fire at oracle scale — a bucket
+    * holds at most the corpus, 500 docs at sf0.01, under the 1024 default.) */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val isBatch = col("source").isin("src18", "src19")
+    PortableSketch.incrementalAdmit(
+      docs.where(!isBatch), docs.where(isBatch), "text", "doc_id",
+      k = 16, bands = 4, n = 3, threshold = 0.5)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q63_portable_minhash_neardups" -> (portableMinhashNearDups _),
     "q64_portable_simhash_neardups" -> (portableSimhashNearDups _),
     "q65_portable_winnow_buckets" -> (portableWinnowBuckets _),
-    "q66_dedup_keep_best" -> (dedupKeepBest _)
+    "q66_dedup_keep_best" -> (dedupKeepBest _),
+    "q76_incremental_dedup" -> (incrementalDedup _)
   )
 
   /** Shared DuckDB fragments: the portable minhash pipeline (tokenize →
@@ -152,6 +173,22 @@ object PortableQueries {
         |FROM s a JOIN s c ON a.doc_id < c.doc_id
         |WHERE bit_count(xor(a.sh, c.sh)) <= 3
         |ORDER BY idA, idB""".stripMargin,
+    "q76_incremental_dedup" ->
+      (s"WITH $minhashPipelineCtes,\n" +
+        """nb AS (SELECT b.* FROM b JOIN documents d ON d.doc_id = b.doc_id
+          |       WHERE d.source IN ('src18','src19')),
+          |pr AS (SELECT b.*, d.source NOT IN ('src18','src19') AS is_corpus
+          |       FROM b JOIN documents d ON d.doc_id = b.doc_id),
+          |rej AS (
+          |  SELECT DISTINCT nb.doc_id
+          |  FROM nb JOIN pr ON nb.band = pr.band AND nb.key = pr.key
+          |            AND (pr.is_corpus OR pr.doc_id < nb.doc_id)
+          |  JOIN s sn ON sn.doc_id = nb.doc_id
+          |  JOIN s so ON so.doc_id = pr.doc_id
+          |  WHERE len([i for i in range(1,17) if sn.sig[i] = so.sig[i]]) / 16.0 >= 0.5)
+          |SELECT doc_id, lang, source FROM documents
+          |WHERE source IN ('src18','src19') AND doc_id NOT IN (SELECT doc_id FROM rej)
+          |ORDER BY doc_id""".stripMargin),
     "q65_portable_winnow_buckets" ->
       """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
         |h AS (

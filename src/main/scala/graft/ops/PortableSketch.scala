@@ -336,4 +336,65 @@ object PortableSketch {
 
   def winnowText(text: Column, n: Int, w: Int): Column =
     winnowTextFused(text, lit(n), lit(w))
+
+  /** Incremental near-dup ADMISSION: which new-batch documents may enter a
+    * corpus that is already deduplicated? A batch doc is rejected when its
+    * estimated Jaccard against any PRIOR document — any corpus doc, or a
+    * smaller-id batch doc (deterministic arrival order within the batch) —
+    * reaches `threshold`; everything else is admitted.
+    *
+    * This is the steady-state shape of training-data dedup at 100 TB: the
+    * corpus is sketched ONCE (in production its band table is a persisted,
+    * bucket-partitioned artifact that each arriving batch probes), and the
+    * incremental cost is ∝ |batch| × bucket overlap. The candidate join is
+    * deliberately asymmetric — batch bands probe (corpus ∪ smaller-id
+    * batch) — so corpus×corpus pairs are never formed, unlike re-running
+    * the full self-join dedup on corpus+batch, whose cost regrows with the
+    * corpus every day. Skew guard: a batch doc needs only SOME prior
+    * near-dup to be rejected, so each hot bucket keeps its `maxBucket`
+    * smallest prior ids (deterministic; at hot-bucket scale those are
+    * boilerplate-identical and any member witnesses the rejection).
+    *
+    * Returns the admitted rows of `batch`, schema unchanged. */
+  def incrementalAdmit(
+      corpus: DataFrame, batch: DataFrame, textCol: String, idCol: String,
+      k: Int = 16, bands: Int = 4, n: Int = 3, threshold: Double = 0.5,
+      maxBucket: Int = 1024): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rows = k / bands
+    def sigs(df: DataFrame): DataFrame = Partitioning.spread(df)
+      .select(col(idCol).as("_id"), TextOps.wordShingles(col(textCol), n).as("_grams"))
+      .select(col("_id"), minhashSigFromGramsFast(col("_grams"), k).as("_sig"))
+    def banded(s: DataFrame): DataFrame = s.select(col("_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), bandKey(col("_sig"), b, rows).as("key"))
+      }: _*)).as("_b"))
+      .select(col("_id"), col("_b.band").as("_band"), col("_b.key").as("_key"))
+    // both sketch frames are read twice (banding + estimate lookup); same
+    // cache ownership rule as q66 — Verify/Bench clear after each query
+    val sigB = sigs(batch).persist()
+    val sigC = sigs(corpus).persist()
+    val newBands = banded(sigB)
+    val priorBands = banded(sigC).withColumn("_isCorpus", lit(true))
+      .unionByName(newBands.withColumn("_isCorpus", lit(false)))
+    // hot-bucket cap on the PRIOR side only: one shuffle on the same
+    // (band, key) the probe join hashes on, so AQE coalesces them
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_band"), col("_key")).orderBy(col("_id"))
+    val capped = priorBands.withColumn("_rk", row_number().over(byBucket))
+      .where(col("_rk") <= maxBucket).drop("_rk")
+    val cand = newBands.as("nw")
+      .join(capped.as("pr"),
+        col("nw._band") === col("pr._band") && col("nw._key") === col("pr._key") &&
+          (col("pr._isCorpus") || col("pr._id") < col("nw._id")))
+      .select(col("nw._id").as("idNew"), col("pr._id").as("idOld")).distinct()
+    val priorSigs = sigC.unionByName(sigB)
+      .select(col("_id").as("idOld"), col("_sig").as("_sigOld"))
+    val rejected = cand
+      .join(sigB.select(col("_id").as("idNew"), col("_sig").as("_sigNew")), "idNew")
+      .join(priorSigs, "idOld")
+      .where(Dedup.minhashEstimate(col("_sigNew"), col("_sigOld"), k) >= threshold)
+      .select(col("idNew").as("_rejId")).distinct()
+    batch.join(rejected, col(idCol) === col("_rejId"), "left_anti")
+  }
 }

@@ -28,6 +28,35 @@ class PortableSketchSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 1.0)))
   }
 
+  test("incrementalAdmit: corpus dups reject, intra-batch keeps first arrival") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of corpus 1 → rejected
+      (11L, "yet another unrelated document about spark and shuffles"), // fresh → admitted
+      (12L, "yet another unrelated document about spark and shuffles"), // dup of batch 11 → rejected
+      (13L, "a third novel text mentioning catalyst plans and codegen") // fresh → admitted
+    ).toDF("doc_id", "text")
+    val admitted = PortableSketch.incrementalAdmit(
+      corpus, batch, "text", "doc_id", k = 16, bands = 4, n = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // 11 survives its own duplicate (smaller id = earlier arrival wins);
+    // the corpus rows themselves never appear — output is batch-only
+    assert(admitted == Set(11L, 13L))
+  }
+
+  test("incrementalAdmit: an empty batch admits nothing and a disjoint batch admits all") {
+    val corpus = Seq((1L, "some corpus text body here")).toDF("doc_id", "text")
+    val empty = corpus.where(lit(false))
+    assert(PortableSketch.incrementalAdmit(corpus, empty, "text", "doc_id").count() == 0)
+    val fresh = Seq((7L, "entirely new material"), (8L, "more new material entirely"))
+      .toDF("doc_id", "text")
+    assert(PortableSketch.incrementalAdmit(corpus, fresh, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet == Set(7L, 8L))
+  }
+
   test("simhashNearDups equals the brute-force all-pairs scan (pigeonhole exact)") {
     val docs = (0L until 40L).map { i =>
       // ten near-identical docs (one char varies) + thirty distinct ones
