@@ -21,11 +21,10 @@ object Scratch {
       df.write.format("noop").mode("overwrite").save()
 
     time("warmup entry")(noop(SparkEntry.entry(spark)))
-    time("warmup lsh")(noop(graft.operators.NorthStarQueries.ngramNearDups(spark, dir)))
-    val q76 = graft.operators.PortableQueries.incrementalDedup(spark, dir)
-    q76.explain("formatted")
+    time("warmup emb")(noop(graft.operators.NorthStarQueries.embeddingTopK(spark, dir)))
     for (round <- 1 to 3) {
-      time(s"q76 r$round")(noop(graft.operators.PortableQueries.incrementalDedup(spark, dir)))
+      time(s"q47 r$round")(noop(graft.operators.NorthStarQueries.embeddingIvfTopK(spark, dir)))
+      time(s"q77 r$round")(noop(graft.operators.NorthStarQueries.embeddingIvfProbe2TopK(spark, dir)))
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()

@@ -128,6 +128,40 @@ object NorthStarQueries {
       .orderBy("queryId", "rank")
   }
 
+  /** q77 — multi-probe IVF (nprobe=2): q47's pipeline with the recall knob
+    * turned. The corpus keeps its single codegen'd bucket assignment; each
+    * QUERY probes its 2 nearest coarse buckets ([[Similarity.ivfProbe]],
+    * same tie rule as the assignment), so the candidate set is the union of
+    * both buckets — neighbors just across a Voronoi boundary, which
+    * single-probe IVF misses by construction, become reachable. Probed cids
+    * are distinct and every corpus vector lives in exactly one bucket, so
+    * the bucket join yields each (query, neighbor) pair at most once — no
+    * dedup stage. At scale this is the standard recall/latency dial: cost
+    * grows linearly in nprobe while the scan stays partition-pruned. */
+  def embeddingIvfProbe2TopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val emb = table(spark, dir, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val centroids = emb
+      .where(pmod(col("vec_id"), lit(50)) === 0 && col("vec_id") < 800)
+      .orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Double](0).toArray)
+    val assigned = emb.withColumn("cid",
+      Similarity.ivfAssign(col("embedding"), centroids))
+    val q = assigned.where(col("vec_id") < 10)
+      .select(col("vec_id").as("queryId"), col("embedding").as("_qv"),
+        explode(Similarity.ivfProbe(col("embedding"), centroids, 2)).as("cid"))
+    val scored = broadcast(q)
+      .join(assigned.select(col("vec_id").as("neighborId"), col("embedding").as("_cv"), col("cid")), "cid")
+      .where(col("queryId") =!= col("neighborId"))
+      .select(col("queryId"), col("neighborId"),
+        round(Similarity.cosine(col("_qv"), col("_cv")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("queryId").orderBy(col("cosine").desc, col("neighborId").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .orderBy("queryId", "rank")
+  }
+
   /** q75 — IVF with a broadcast centroid MODEL (nlist=40): the scale form
     * q47's scaladoc promises for centroid counts past the ~16-literal
     * codegen cap. Same pipeline shape as q47 — assign, probe own bucket,
@@ -407,7 +441,8 @@ object NorthStarQueries {
     "q50_train_splits" -> (trainSplits _),
     "q51_contamination" -> (contaminationReport _),
     "q52_source_quota" -> (sourceQuota _),
-    "q75_embedding_ivf_model" -> (embeddingIvfModelTopK _)
+    "q75_embedding_ivf_model" -> (embeddingIvfModelTopK _),
+    "q77_embedding_ivf_probe2" -> (embeddingIvfProbe2TopK _)
   )
 
   /** Shared DuckDB fragments for the word-3-gram pair oracles (q24, q48). */
@@ -490,15 +525,18 @@ object NorthStarQueries {
     * argmax cosine over an every-`centroidEvery`th-vector coarse model,
     * ties to the larger centroid index, then a single-bucket probe with
     * exact re-rank. */
-  private def ivfOracleSql(centroidEvery: Int): String =
+  /** IVF oracle: corpus assignment is always rn=1; queries take their
+    * `nprobe` best buckets under the same (sim DESC, ci DESC) order the
+    * Spark quantizer uses. */
+  private def ivfOracleSql(centroidEvery: Int, nprobe: Int = 1): String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci, v AS cv " +
       s"FROM e WHERE vec_id % $centroidEvery = 0 AND vec_id < 800), " +
       "sa AS (SELECT e.vec_id, e.v, c.ci, " + cosineAssignSql("e.v", "c.cv") + " AS sim " +
       "FROM e CROSS JOIN cent c), " +
-      "assigned AS (SELECT vec_id, v, ci AS cid FROM " +
-      "(SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, ci DESC) AS rn FROM sa) WHERE rn = 1), " +
-      "q AS (SELECT vec_id AS qid, v AS qv, cid FROM assigned WHERE vec_id < 10), " +
+      "rs AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, ci DESC) AS rn FROM sa), " +
+      "assigned AS (SELECT vec_id, v, ci AS cid FROM rs WHERE rn = 1), " +
+      s"q AS (SELECT vec_id AS qid, v AS qv, ci AS cid FROM rs WHERE rn <= $nprobe AND vec_id < 10), " +
       "scored AS (SELECT q.qid AS \"queryId\", c.vec_id AS \"neighborId\", " +
       cosineSql("q.qv", "c.v") + " AS cosine " +
       "FROM q JOIN assigned c ON c.cid = q.cid AND c.vec_id <> q.qid), " +
@@ -570,6 +608,7 @@ object NorthStarQueries {
     // the broadcast-model Spark forms.
     "q47_embedding_ivf_topk" -> ivfOracleSql(centroidEvery = 50),
     "q75_embedding_ivf_model" -> ivfOracleSql(centroidEvery = 20),
+    "q77_embedding_ivf_probe2" -> ivfOracleSql(centroidEvery = 50, nprobe = 2),
     "q29_lang_quality" ->
       ("WITH base AS (SELECT text, " +
         "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts_raw, " +

@@ -120,6 +120,32 @@ object Similarity {
     array_max(array((scored :+ sentinel).toIndexedSeq: _*)).getField("cid")
   }
 
+  /** Top-`nprobe` coarse buckets for a QUERY vector — the recall knob of
+    * IVF search. The corpus keeps ONE bucket per vector ([[ivfAssign]], the
+    * codegen'd hot path over billions of rows); queries probe their
+    * `nprobe` nearest buckets, trading a linear candidate-set growth for
+    * recall lost at bucket boundaries. Ordering and tie rule match
+    * ivfAssign exactly — descending similarity, ties to the HIGHER cid —
+    * so element 1 of the result IS ivfAssign's bucket (pinned in
+    * SimilaritySpec), and a vector whose cosine is NULL against every
+    * centroid probes the `-1` sentinel first (entries after the sentinel
+    * are NULL-cosine centroids; dirty-data callers stop at -1). Uses
+    * interpreted higher-order ops (array_sort/slice/transform) — fine on
+    * the query side, whose cardinality is small by definition; do NOT use
+    * it as the corpus-side quantizer. */
+  def ivfProbe(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    require(nprobe >= 1, s"nprobe=$nprobe must be >= 1")
+    val scored = centroids.zipWithIndex.map { case (cVec, i) =>
+      val cLit = array(cVec.toIndexedSeq.map(lit): _*)
+      struct(coalesce(cosine(vec, cLit), lit(-3.0d)).as("sim"), lit(i).as("cid"))
+    }
+    val sentinel = struct(lit(-2.0d).as("sim"), lit(-1).as("cid"))
+    // ascending lexicographic sort on (sim, cid) reversed = sim desc, ties
+    // cid desc — exactly ivfAssign's array_max order
+    val sorted = reverse(array_sort(array((scored :+ sentinel).toIndexedSeq: _*)))
+    transform(slice(sorted, 1, nprobe), _.getField("cid"))
+  }
+
   /** IVF assignment against a centroid MODEL too large for [[ivfAssign]]'s
     * literal unrolling (K×dim separate expression nodes blow the codegen
     * method-size limit past nlist≈16). The whole model ships as ONE

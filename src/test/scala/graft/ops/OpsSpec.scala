@@ -408,6 +408,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dirty._1 == dirty._2)
   }
 
+  test("ivfProbe slot 1 equals ivfAssign; probes are distinct, similarity-ordered") {
+    val dim = 8
+    val centroids: Array[Array[Double]] = {
+      val rnd = new scala.util.Random(7)
+      Array.fill(6)(Array.fill(dim)(rnd.nextGaussian()))
+    }
+    val rnd = new scala.util.Random(29)
+    val vecs = (0 until 200).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Similarity.ivfAssign(col("embedding"), centroids).as("cid"),
+        Similarity.ivfProbe(col("embedding"), centroids, 3).as("probes"))
+      .as[(Long, Int, Seq[Int])].collect()
+    df.foreach { case (id, cid, probes) =>
+      assert(probes.length == 3 && probes.head == cid,
+        s"vec $id: probe head ${probes.head} != assigned $cid")
+      assert(probes.distinct.length == 3, s"vec $id: duplicate probed buckets $probes")
+    }
+    // tie rule carries over: a duplicated centroid direction probes the
+    // HIGHER cid first, like the assignment
+    val dup: Array[Array[Double]] = Array(
+      Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(1.0, 0.0, 0.0))
+    val tied = Seq((1L, Seq(2.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.ivfProbe(col("embedding"), dup, 2).as("p"))
+      .as[Seq[Int]].head()
+    assert(tied == Seq(2, 0))
+    // an all-NULL-cosine vector probes the -1 sentinel first
+    val nul = Seq((2L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding")
+      .select(Similarity.ivfProbe(col("embedding"), dup, 2).as("p"))
+      .as[Seq[Int]].head()
+    assert(nul.head == -1)
+  }
+
   test("ivfAssign's scoring tree appears exactly once in the plan (no duplicated argmax)") {
     // regression guard: a when(max.sim isNull ...) wrapper around the argmax
     // referenced the whole K*dim scoring tree twice and cost q47 +43%; the
