@@ -56,28 +56,45 @@ object EsBulkSink {
       s"""{"id":"$id","parent":"${jsonEscape(parent)}","child":"${jsonEscape(child)}","callCount":$callCount,"errorCount":$errorCount}""" + "\n"
   }
 
-  /** POST one bulk body, trying hosts in order; error if all refuse or the
-    * accepted response reports item-level errors. */
+  /** POST one bulk body with bounded in-task retries (linear backoff): a
+    * pass tries hosts in order; a pass fails when every host refuses OR the
+    * accepted response reports item-level errors — the most common of which
+    * is per-item 429 (es_rejected_execution, bulk-queue backpressure), which
+    * a moment's backoff usually clears. Replaying the WHOLE batch is safe
+    * because every action is an `_id`-keyed index (idempotent upsert);
+    * exhausted retries still fail loudly — a silently dropped link is a
+    * wrong dependency graph, not a degraded one. */
   private[sinks] def postBulk(
-      transport: EsHttpTransport, hosts: Seq[String], body: String): Unit = {
-    val attempts = hosts.iterator.map(h => h -> transport.post(s"$h/_bulk", body))
-    val outcome = attempts.collectFirst { case (h, Right(resp)) => (h, resp) }
-    outcome match {
-      case None =>
-        throw new java.io.IOException(
-          s"ES bulk write failed on every host: ${hosts.mkString(", ")}")
-      case Some((host, resp)) if resp.replaceAll("\\s", "").contains("\"errors\":true") =>
-        throw new java.io.IOException(
-          s"ES bulk response from $host reports item errors: ${resp.take(500)}")
-      case _ => ()
+      transport: EsHttpTransport, hosts: Seq[String], body: String,
+      retries: Int = 2, backoffMs: Long = 200L): Unit = {
+    def onePass(): Option[String] = { // Some(error) | None = success
+      val outcome = hosts.iterator.map(h => h -> transport.post(s"$h/_bulk", body))
+        .collectFirst { case (h, Right(resp)) => (h, resp) }
+      outcome match {
+        case None =>
+          Some(s"ES bulk write failed on every host: ${hosts.mkString(", ")}")
+        case Some((host, resp)) if resp.replaceAll("\\s", "").contains("\"errors\":true") =>
+          Some(s"ES bulk response from $host reports item errors: ${resp.take(500)}")
+        case _ => None
+      }
     }
+    var last = onePass()
+    var attempt = 0
+    while (last.isDefined && attempt < retries) {
+      attempt += 1
+      Thread.sleep(backoffMs * attempt)
+      last = onePass()
+    }
+    last.foreach(err => throw new java.io.IOException(
+      s"$err (after ${attempt + 1} attempts)"))
   }
 
   /** Write one day of links to the daily index. `conf.hosts` come from
     * [[EsFlavor.parseHosts]] (`scheme://host:port`). */
   def writeLinks(
       links: Dataset[DependencyLink], day: String, conf: EsFlavor.EsConf,
-      dateSeparator: String = "-", batchSize: Int = 500): Unit = {
+      dateSeparator: String = "-", batchSize: Int = 500,
+      retries: Int = 2, backoffMs: Long = 200L): Unit = {
     require(batchSize > 0, "batchSize must be positive")
     val index = indexName(conf.index, day, dateSeparator)
     val hosts = conf.hosts
@@ -89,7 +106,7 @@ object EsBulkSink {
           rows.grouped(batchSize).foreach { batch =>
             val body = batch.map(r => bulkLines(index,
               r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).mkString
-            postBulk(transport, hosts, body)
+            postBulk(transport, hosts, body, retries, backoffMs)
           }
         }
       }

@@ -16,8 +16,11 @@ import java.nio.charset.StandardCharsets.UTF_8
 class EsBulkSinkSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.get
 
-  /** (method, path, authHeader, body) of every request, in arrival order. */
-  private final class Recorder(response: String = """{"took":1,"errors":false,"items":[]}""") {
+  /** (method, path, authHeader, body) of every request, in arrival order.
+    * The first `failFirst` requests answer with an item-level-429 bulk
+    * rejection (the backpressure shape), then `response` takes over. */
+  private final class Recorder(response: String = """{"took":1,"errors":false,"items":[]}""",
+      failFirst: Int = 0) {
     val requests = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String, String)]()
     val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", new HttpHandler {
@@ -25,7 +28,10 @@ class EsBulkSinkSpec extends AnyFunSuite {
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
         requests.add((ex.getRequestMethod, ex.getRequestURI.toString,
           ex.getRequestHeaders.getFirst("Authorization"), body))
-        val out = response.getBytes(UTF_8)
+        val resp = if (requests.size <= failFirst)
+          """{"took":1,"errors":true,"items":[{"index":{"status":429}}]}"""
+        else response
+        val out = resp.getBytes(UTF_8)
         ex.sendResponseHeaders(200, out.length)
         ex.getResponseBody.write(out)
         ex.close()
@@ -103,14 +109,29 @@ class EsBulkSinkSpec extends AnyFunSuite {
     try {
       val conf = EsFlavor.EsConf("zipkin", Seq(es.host), None, None, false)
       val e = intercept[org.apache.spark.SparkException] {
-        EsBulkSink.writeLinks(linksDs, "2025-08-11", conf)
+        EsBulkSink.writeLinks(linksDs, "2025-08-11", conf, retries = 1, backoffMs = 10L)
       }
       assert(Option(e.getCause).map(_.toString).getOrElse(e.getMessage).contains("item errors"))
+      // the bounded retry replayed the batch exactly retries+1 times
+      assert(es.requests.size == 2)
       val down = EsFlavor.EsConf("zipkin", Seq("http://127.0.0.1:1"), None, None, false)
       val e2 = intercept[org.apache.spark.SparkException] {
-        EsBulkSink.writeLinks(linksDs, "2025-08-11", down)
+        EsBulkSink.writeLinks(linksDs, "2025-08-11", down, retries = 0)
       }
       assert(Option(e2.getCause).map(_.toString).getOrElse(e2.getMessage).contains("every host"))
+    } finally es.stop()
+  }
+
+  test("transient item-level 429 clears on the in-task retry; batch replay is idempotent") {
+    // first bulk POST is rejected with the backpressure shape, the retry
+    // succeeds — safe to replay because every action is an _id-keyed upsert
+    val es = new Recorder(failFirst = 1)
+    try {
+      val conf = EsFlavor.EsConf("zipkin", Seq(es.host), None, None, false)
+      EsBulkSink.writeLinks(linksDs, "2025-08-11", conf, retries = 2, backoffMs = 10L)
+      assert(es.requests.size == 2) // reject + successful replay, then stop
+      val (_, _, _, body) = es.requests.toArray.last.asInstanceOf[(String, String, String, String)]
+      assert(body.contains(""""_id":"frontend|backend"""") && body.contains(""""_id":"backend|db""""))
     } finally es.stop()
   }
 
