@@ -20,11 +20,15 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    import graft.ops.TextOps
+    import graft.operators.ContractQueries.table
+    import org.apache.spark.sql.functions._
     time("warmup entry")(noop(SparkEntry.entry(spark)))
-    time("warmup emb")(noop(graft.operators.NorthStarQueries.embeddingTopK(spark, dir)))
+    val docs = table(spark, dir, "documents")
+    val probes = docs.where(pmod(col("doc_id"), lit(100)) === 0)
     for (round <- 1 to 3) {
-      time(s"q47 r$round")(noop(graft.operators.NorthStarQueries.embeddingIvfTopK(spark, dir)))
-      time(s"q77 r$round")(noop(graft.operators.NorthStarQueries.embeddingIvfProbe2TopK(spark, dir)))
+      time(s"q51 r$round")(noop(graft.operators.NorthStarQueries.contaminationReport(spark, dir)))
+      time(s"q78 r$round")(noop(graft.operators.NorthStarQueries.containmentDecontam(spark, dir)))
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()

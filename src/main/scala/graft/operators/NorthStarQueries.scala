@@ -302,6 +302,26 @@ object NorthStarQueries {
       .orderBy("doc_id", "probe_id")
   }
 
+  /** q78 — the decontamination review queue: for each probe (eval item),
+    * the 3 corpus documents that CONTAIN most of it — containment =
+    * shared/|probe grams|, the asymmetric score that catches a short
+    * benchmark item verbatim inside a long training doc where Jaccard
+    * vanishes. Threshold-free on purpose: absolute cutoffs are
+    * corpus-dependent (this synthetic corpus tops out at ~0.09), while
+    * "the top-k suspects per probe" is the shape a human review or a
+    * downstream drop-rule consumes at any scale. Ties break to the
+    * smaller doc_id, so ranks are deterministic. */
+  def containmentDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val probes = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+    val scored = TextOps.containmentScores(
+      docs, "text", "doc_id", probes, "text", "doc_id", n = 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("containment").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .orderBy("probe_id", "rank")
+  }
+
   /** Per-source document quota (the crawl pipeline's per-domain cap):
     * first 20 docs per source by id, rolled up. */
   def sourceQuota(spark: SparkSession, dir: String): DataFrame =
@@ -442,7 +462,8 @@ object NorthStarQueries {
     "q51_contamination" -> (contaminationReport _),
     "q52_source_quota" -> (sourceQuota _),
     "q75_embedding_ivf_model" -> (embeddingIvfModelTopK _),
-    "q77_embedding_ivf_probe2" -> (embeddingIvfProbe2TopK _)
+    "q77_embedding_ivf_probe2" -> (embeddingIvfProbe2TopK _),
+    "q78_containment_decontam" -> (containmentDecontam _)
   )
 
   /** Shared DuckDB fragments for the word-3-gram pair oracles (q24, q48). */
@@ -588,6 +609,17 @@ object NorthStarQueries {
         "SELECT c.doc_id, p.probe_id, CAST(len(list_intersect(c.g, p.pg)) AS BIGINT) AS shared_ngrams " +
         "FROM grams c JOIN pr p ON c.doc_id <> p.probe_id " +
         "WHERE len(list_intersect(c.g, p.pg)) >= 2 ORDER BY doc_id, probe_id"),
+    "q78_containment_decontam" ->
+      (s"WITH $gramsCte, " +
+        "pr AS (SELECT doc_id AS probe_id, g AS pg, len(g) AS ptot FROM grams WHERE doc_id % 100 = 0), " +
+        "scored AS (SELECT c.doc_id, p.probe_id, " +
+        "CAST(len(list_intersect(c.g, p.pg)) AS BIGINT) AS shared_ngrams, " +
+        "round(len(list_intersect(c.g, p.pg)) / p.ptot, 6) AS containment " +
+        "FROM grams c JOIN pr p ON c.doc_id <> p.probe_id " +
+        "WHERE len(list_intersect(c.g, p.pg)) >= 1), " +
+        "ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY containment DESC, doc_id) AS INTEGER) AS rank FROM scored) " +
+        "SELECT doc_id, probe_id, shared_ngrams, containment, rank FROM ranked " +
+        "WHERE rank <= 3 ORDER BY probe_id, rank"),
     "q52_source_quota" ->
       ("SELECT source, count(*) AS n, MAX(doc_id) AS max_kept FROM " +
         "(SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM documents) " +

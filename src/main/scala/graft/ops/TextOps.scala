@@ -132,6 +132,40 @@ object TextOps {
     * documents; the count-distinct-per-pair aggregation clusters on the
     * pair key. The probe side is small by definition (an eval set) so the
     * join broadcasts it; corpus-side grams stream through. */
+  /** Containment-scored contamination: like [[contamination]], but each
+    * (corpus doc, probe) pair carries `containment` = |G(probe) ∩ G(doc)| /
+    * |G(probe)| — the asymmetric overlap that symmetric Jaccard misses when
+    * a SHORT benchmark item sits inside a LONG training document (the
+    * common contamination shape: Jaccard divides by the big doc's gram
+    * count and vanishes; containment divides by the probe's and saturates).
+    * Same scale posture as [[contamination]]: inverted-index equi-join on
+    * grams with the (small by definition) probe side broadcast, plus one
+    * broadcast-joined probe gram total. */
+  def containmentScores(
+      corpus: DataFrame, corpusText: String, corpusId: String,
+      probes: DataFrame, probeText: String, probeId: String,
+      n: Int = 3, minShared: Int = 1): DataFrame = {
+    // wordShingles returns distinct grams, so the per-pair join-match count
+    // IS the distinct shared-gram count — and |G(probe)| is count(*) over
+    // the exploded frame, NOT size(array) next to explode(array) in one
+    // projection: Catalyst substitutes the generator child into sibling
+    // references, re-tokenizing the probe once per EXPLODED ROW (measured
+    // 4 s vs 0.2 s on 50 probes at sf0.1)
+    val pgx = probes.select(col(probeId).as("probe_id"),
+      explode(wordShingles(col(probeText), n)).as("_g"))
+    val ptot = pgx.groupBy("probe_id").agg(count(lit(1)).as("_ptot"))
+    val cs = Partitioning.spread(corpus).select(col(corpusId).as("doc_id"),
+      explode(wordShingles(col(corpusText), n)).as("_g"))
+    cs.join(broadcast(pgx), "_g")
+      .where(col("doc_id") =!= col("probe_id"))
+      .groupBy("doc_id", "probe_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+      .join(broadcast(ptot), "probe_id")
+      .withColumn("containment", round(col("shared_ngrams") / col("_ptot"), 6))
+      .select("doc_id", "probe_id", "shared_ngrams", "containment")
+  }
+
   def contamination(
       corpus: DataFrame, corpusText: String, corpusId: String,
       probes: DataFrame, probeText: String, probeId: String,

@@ -73,6 +73,41 @@ class TextOpsSpec extends AnyFunSuite {
   }
 }
 
+class ContainmentSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  test("short probe verbatim inside a long doc scores containment 1.0") {
+    // the asymmetric case Jaccard misses: the probe's grams are a tiny
+    // fraction of the long doc's, so Jaccard ~ |probe|/|doc| → 0, while
+    // containment divides by the probe and saturates
+    val longDoc = (1 to 40).map(i => s"w$i").mkString(" ") +
+      " beta gamma delta epsilon " + (41 to 80).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, longDoc),
+      (2L, "entirely unrelated words about completely other things")
+    ).toDF("doc_id", "text")
+    val probes = Seq((100L, "beta gamma delta epsilon")).toDF("doc_id", "text")
+    val got = TextOps.containmentScores(
+      corpus, "text", "doc_id", probes, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // probe has 2 word-3-grams, both present in doc 1; doc 2 shares none
+    assert(got == Set((1L, 100L, 2L, 1.0)))
+  }
+
+  test("containment is probe-normalized: same shared grams, different probe sizes") {
+    val corpus = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val probes = Seq(
+      (100L, "a b c"), // 1 gram, shared → 1.0
+      (200L, "a b c x y z")) // 4 grams, 1 shared → 0.25
+      .toDF("doc_id", "text")
+    val got = TextOps.containmentScores(
+      corpus, "text", "doc_id", probes, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 100L, 1L, 1.0), (1L, 200L, 1L, 0.25)))
+  }
+}
+
 class DedupSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.get
   import spark.implicits._
