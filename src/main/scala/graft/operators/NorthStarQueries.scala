@@ -193,6 +193,38 @@ object NorthStarQueries {
       .orderBy("queryId", "rank")
   }
 
+  /** q79 — the full scale form of IVF search: broadcast centroid MODEL
+    * (nlist=40, past the literal-unroll codegen cap) AND the nprobe=2
+    * recall dial together — q75's quantizer with q77's probe, composing
+    * [[Similarity.ivfAssignModel]] (corpus, codegen-safe at any nlist) with
+    * [[Similarity.ivfProbeModel]] (query side). At 40 buckets the Voronoi
+    * cells are small, so single-probe recall loss is worst exactly where
+    * the model form is needed — this is the configuration a real
+    * billion-vector corpus would run. */
+  def embeddingIvfModelProbe2TopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val emb = table(spark, dir, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val centroids = emb
+      .where(pmod(col("vec_id"), lit(20)) === 0 && col("vec_id") < 800)
+      .orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Double](0).toArray)
+    val assigned = emb.withColumn("cid",
+      Similarity.ivfAssignModel(col("embedding"), centroids))
+    val q = assigned.where(col("vec_id") < 10)
+      .select(col("vec_id").as("queryId"), col("embedding").as("_qv"),
+        explode(Similarity.ivfProbeModel(col("embedding"), centroids, 2)).as("cid"))
+    val scored = broadcast(q)
+      .join(assigned.select(col("vec_id").as("neighborId"), col("embedding").as("_cv"), col("cid")), "cid")
+      .where(col("queryId") =!= col("neighborId"))
+      .select(col("queryId"), col("neighborId"),
+        round(Similarity.cosine(col("_qv"), col("_cv")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("queryId").orderBy(col("cosine").desc, col("neighborId").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .orderBy("queryId", "rank")
+  }
+
   /** Embedding-cosine near-duplicates (SRP-LSH banded + exact verify). This
     * corpus is near-orthogonal (max pairwise cosine ≈ 0.51), so the
     * threshold sits at 0.35 to exercise the full path with non-empty
@@ -463,7 +495,8 @@ object NorthStarQueries {
     "q52_source_quota" -> (sourceQuota _),
     "q75_embedding_ivf_model" -> (embeddingIvfModelTopK _),
     "q77_embedding_ivf_probe2" -> (embeddingIvfProbe2TopK _),
-    "q78_containment_decontam" -> (containmentDecontam _)
+    "q78_containment_decontam" -> (containmentDecontam _),
+    "q79_embedding_ivf_model_probe2" -> (embeddingIvfModelProbe2TopK _)
   )
 
   /** Shared DuckDB fragments for the word-3-gram pair oracles (q24, q48). */
@@ -641,6 +674,7 @@ object NorthStarQueries {
     "q47_embedding_ivf_topk" -> ivfOracleSql(centroidEvery = 50),
     "q75_embedding_ivf_model" -> ivfOracleSql(centroidEvery = 20),
     "q77_embedding_ivf_probe2" -> ivfOracleSql(centroidEvery = 50, nprobe = 2),
+    "q79_embedding_ivf_model_probe2" -> ivfOracleSql(centroidEvery = 20, nprobe = 2),
     "q29_lang_quality" ->
       ("WITH base AS (SELECT text, " +
         "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts_raw, " +

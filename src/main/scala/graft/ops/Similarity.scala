@@ -146,6 +146,24 @@ object Similarity {
     transform(slice(sorted, 1, nprobe), _.getField("cid"))
   }
 
+  /** [[ivfProbe]] against a centroid MODEL too large for literal unrolling —
+    * the probe-side companion of [[ivfAssignModel]]: the whole model is ONE
+    * `array<array<double>>` literal scored with an index-aware `transform`,
+    * so nlist can grow to thousands. Same order and tie rule as every other
+    * quantizer here (sim desc, ties to higher cid, all-NULL → -1 sentinel
+    * first); slot 1 ≡ ivfAssignModel ≡ ivfAssign, pinned in SimilaritySpec.
+    * Query-side only, like ivfProbe. */
+  def ivfProbeModel(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    require(centroids.nonEmpty, "empty centroid model")
+    require(nprobe >= 1, s"nprobe=$nprobe must be >= 1")
+    val model = typedLit(centroids.map(_.toSeq).toSeq)
+    val scored = transform(model, (c, i) =>
+      struct(coalesce(cosine(vec, c), lit(-3.0d)).as("sim"), i.cast("integer").as("cid")))
+    val withSentinel = concat(scored,
+      array(struct(lit(-2.0d).as("sim"), lit(-1).as("cid"))))
+    transform(slice(reverse(array_sort(withSentinel)), 1, nprobe), _.getField("cid"))
+  }
+
   /** IVF assignment against a centroid MODEL too large for [[ivfAssign]]'s
     * literal unrolling (K×dim separate expression nodes blow the codegen
     * method-size limit past nlist≈16). The whole model ships as ONE

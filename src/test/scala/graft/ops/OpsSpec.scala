@@ -476,6 +476,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nul.head == -1)
   }
 
+  test("ivfProbeModel === ivfProbe slot-for-slot (random, tie, and NULL vectors)") {
+    val dim = 8
+    val centroids: Array[Array[Double]] = {
+      val rnd = new scala.util.Random(17)
+      Array.fill(6)(Array.fill(dim)(rnd.nextGaussian()))
+    }
+    val rnd = new scala.util.Random(31)
+    val vecs = (0 until 200).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val diff = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Similarity.ivfProbe(col("embedding"), centroids, 3).as("lit_p"),
+        Similarity.ivfProbeModel(col("embedding"), centroids, 3).as("model_p"))
+      .where(col("lit_p") =!= col("model_p"))
+    assert(diff.count() == 0)
+    val dup: Array[Array[Double]] = Array(
+      Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(1.0, 0.0, 0.0))
+    val edge = Seq(
+      (1L, Some(Seq(2.0f, 0.0f, 0.0f))), // exact tie between cids 0 and 2
+      (2L, Option.empty[Seq[Float]])) // all-NULL cosine -> sentinel first
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Similarity.ivfProbe(col("embedding"), dup, 2).as("lit_p"),
+        Similarity.ivfProbeModel(col("embedding"), dup, 2).as("model_p"))
+      .orderBy("vec_id")
+      .as[(Long, Seq[Int], Seq[Int])].collect().toSeq
+    assert(edge.map(e => (e._1, e._2)) == Seq((1L, Seq(2, 0)), (2L, Seq(-1, 2))))
+    assert(edge.forall(e => e._2 == e._3))
+  }
+
   test("ivfAssign's scoring tree appears exactly once in the plan (no duplicated argmax)") {
     // regression guard: a when(max.sim isNull ...) wrapper around the argmax
     // referenced the whole K*dim scoring tree twice and cost q47 +43%; the
