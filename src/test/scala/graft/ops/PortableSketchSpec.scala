@@ -47,6 +47,40 @@ class PortableSketchSpec extends AnyFunSuite {
     assert(admitted == Set(11L, 13L))
   }
 
+  test("incrementalAdmit agrees with the symmetric pair pipeline on a random corpus") {
+    // consistency contract: the asymmetric probe must reject EXACTLY the
+    // batch docs that the symmetric near-dup pair relation over corpus ∪
+    // batch connects to a prior doc (any corpus doc, or a smaller-id batch
+    // doc). Randomized docs with planted dups exercise real signatures.
+    val rnd = new scala.util.Random(41)
+    def doc(): String = (0 until 12).map(_ => s"tok${rnd.nextInt(30)}").mkString(" ")
+    val corpusRows = (1L to 30L).map(i => (i, doc()))
+    // ~40% of the batch duplicates a corpus doc; fresh batch docs can also
+    // collide with each other by chance (12 tokens over a 30-token vocab),
+    // exercising the smaller-id-batch-prior rule too
+    val batchRows = (100L to 119L).map { i =>
+      if (rnd.nextInt(10) < 4) (i, corpusRows(rnd.nextInt(corpusRows.size))._2)
+      else (i, doc())
+    }
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val batch = batchRows.toDF("doc_id", "text")
+    val admitted = PortableSketch.incrementalAdmit(
+      corpus, batch, "text", "doc_id", k = 16, bands = 4, n = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // reference: symmetric pairs over the union, then the prior-doc rule
+    val batchIds = batchRows.map(_._1).toSet
+    val pairs = PortableSketch.minhashNearDups(corpus.union(batch), "text", "doc_id",
+      k = 16, bands = 4, n = 3, threshold = 0.5)
+      .select("idA", "idB").as[(Long, Long)].collect()
+    // pair ids come ordered idA < idB, and corpus ids (1-30) all precede
+    // batch ids (100+), so in every pair touching a batch doc the idA side
+    // is prior (corpus, or an earlier-arrival batch doc) — the rejected set
+    // is exactly the batch members appearing as idB
+    val rejected = pairs.collect { case (_, b) if batchIds(b) => b }.toSet
+    assert(admitted == batchIds -- rejected)
+    assert(rejected.nonEmpty, "test corpus planted no duplicates — regenerate seeds")
+  }
+
   test("incrementalAdmit: an empty batch admits nothing and a disjoint batch admits all") {
     val corpus = Seq((1L, "some corpus text body here")).toDF("doc_id", "text")
     val empty = corpus.where(lit(false))
