@@ -104,7 +104,7 @@ object PortableSketch {
     * with commas — a STRING key on purpose (decimal rendering of integers is
     * identical across engines; xxhash64-of-json, which the fast path uses,
     * is not). */
-  private def bandKey(sig: Column, b: Int, rows: Int): Column =
+  private[graft] def bandKey(sig: Column, b: Int, rows: Int): Column =
     array_join(transform(slice(sig, b * rows + 1, rows), _.cast("string")), ",")
 
   /** Portable MinHash+LSH near-duplicate pairs: identical pipeline shape to
