@@ -27,8 +27,7 @@ object Scratch {
     val docs = table(spark, dir, "documents")
     val probes = docs.where(pmod(col("doc_id"), lit(100)) === 0)
     for (round <- 1 to 3) {
-      time(s"q75 r$round")(noop(graft.operators.NorthStarQueries.embeddingIvfModelTopK(spark, dir)))
-      time(s"q79 r$round")(noop(graft.operators.NorthStarQueries.embeddingIvfModelProbe2TopK(spark, dir)))
+      time(s"q80 r$round")(noop(graft.operators.PipelineQueries.ngramNovelty(spark, dir)))
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()

@@ -262,6 +262,35 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** q80 — per-document n-gram NOVELTY: for each doc, the fraction of its
+    * distinct word 3-grams whose FIRST corpus occurrence (smallest doc_id)
+    * is this doc — the "contribution" score curation pipelines use to rank
+    * documents by how much genuinely new text they add (a near-dup scores
+    * ~0, boilerplate scores low, fresh material scores ~1). Scale shape:
+    * the gram-level shuffle carries the portable 60-bit md5 hash (8 bytes)
+    * instead of gram strings, and the first-occurrence aggregation and the
+    * membership join hash-partition on that same key, so the two stages
+    * co-partition; the per-doc rollup is the only other shuffle. The
+    * DuckDB oracle recomputes the identical hash family end-to-end. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    // spread: tokenize+md5 is per-row compute ahead of the first shuffle (a
+    // single-file corpus must not serialize it); persist: both the
+    // first-occurrence aggregation and the membership join read the pair
+    // relation — without it the whole explode+digest pipeline runs twice.
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val pairs = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), explode(TextOps.wordShingles(col("text"), 3)).as("_g"))
+      .select(col("doc_id"), graft.ops.PortableSketch.h60(col("_g")).as("_h"))
+      .persist()
+    val first = pairs.groupBy("_h").agg(min("doc_id").as("_first"))
+    pairs.join(first, "_h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_first") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_grams"), 6))
+      .orderBy("doc_id")
+  }
+
   /** q69 — Z-order layout profile over events (user × time-of-day): the
     * Morton key ops.Layout computes for multi-dimensional file clustering,
     * bucketed to its top 8 bits with per-bucket row/user counts. The oracle
@@ -352,7 +381,8 @@ object PipelineQueries {
     "q69_zorder_buckets" -> (zorderBuckets _),
     "q70_heavy_hitters" -> (heavyHitters _),
     "q72_snapshot_diff" -> (snapshotDiffRollup _),
-    "q73_quality_report" -> (qualityReport _)
+    "q73_quality_report" -> (qualityReport _),
+    "q80_ngram_novelty" -> (ngramNovelty _)
   )
 
   /** q58 oracle: thresholds derived from the SAME fractions as the Spark
@@ -369,6 +399,18 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q80_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |  ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' ')) END) AS g FROM toks),
+        |ex AS (SELECT doc_id, ('0x'||substr(md5(g2),1,15))::BIGINT AS h
+        |       FROM (SELECT doc_id, unnest(g) AS g2 FROM grams)),
+        |fs AS (SELECT h, min(doc_id) AS fd FROM ex GROUP BY h)
+        |SELECT e.doc_id, count(*) AS n_grams,
+        |  sum(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END) AS n_novel,
+        |  round(sum(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END) / count(*), 6) AS novelty
+        |FROM ex e JOIN fs f USING(h)
+        |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin,
     "q72_snapshot_diff" ->
       """WITH prev AS (
         |  SELECT o_orderkey AS k, o_orderstatus, o_totalprice FROM orders),
