@@ -140,6 +140,32 @@ class PlanSpec extends AnyFunSuite {
       s"violation counting must combine map-side\n$p")
   }
 
+  test("q76: incremental admission shuffles sketches and ids, never document payloads") {
+    // the 100 TB promise: the probe join and the cap window move band keys,
+    // ids and k-long signatures; the text column must not reach any exchange
+    val p = plan(PortableQueries.incrementalDedup(spark, sf))
+    val parts = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(parts.nonEmpty)
+    assert(!parts.exists(_.contains("text#")),
+      s"document payload in a shuffle\n${parts.mkString("\n")}")
+  }
+
+  test("q78: containment probe side is broadcast; top-3 rank pushes a group limit") {
+    val p = plan(NorthStarQueries.containmentDecontam(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "probe gram join must broadcast")
+    // rank <= 3 must reach the window as a group-limit (partial top-k before
+    // the per-probe sort), not a full sort + filter
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit\n$p")
+  }
+
+  test("q80: novelty exchanges key on the 8-byte gram hash, never gram strings") {
+    val p = plan(PipelineQueries.ngramNovelty(spark, sf))
+    val parts = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(parts.exists(_.contains("_h#")), s"hash-keyed exchange expected\n$p")
+    assert(!parts.exists(p0 => p0.contains("_g#") || p0.contains("text#")),
+      s"gram-string or payload shuffle detected\n${parts.mkString("\n")}")
+  }
+
   test("no accidental cartesian/nested-loop joins anywhere in the query surface") {
     // the only legitimate non-equi joins: q27's documented brute-force
     // broadcast-cross oracle path, q35's cross-join operator itself, and
