@@ -27,7 +27,7 @@ object Scratch {
     val docs = table(spark, dir, "documents")
     val probes = docs.where(pmod(col("doc_id"), lit(100)) === 0)
     for (round <- 1 to 3) {
-      time(s"q80 r$round")(noop(graft.operators.PipelineQueries.ngramNovelty(spark, dir)))
+      time(s"q81 r$round")(noop(graft.operators.PipelineQueries.sourceDrift(spark, dir)))
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()

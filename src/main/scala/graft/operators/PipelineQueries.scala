@@ -291,6 +291,48 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q81 — per-source distribution DRIFT: Jensen-Shannon divergence of each
+    * source's token distribution against the whole corpus — the mix-health
+    * metric curation pipelines watch to catch a crawl source going off-
+    * distribution (spam influx, template change) before it pollutes a
+    * training mix. All-relational: token counts per (source, token) and per
+    * token corpus-wide, one equi-join, one aggregation — the JS sum runs
+    * over the corpus vocabulary, where Q(t) > 0 always and a source's
+    * missing tokens contribute only the Q-side KL term (p·ln(p/m) → 0 as
+    * p → 0). Accumulated double noise from summation order is ~1e-13 at
+    * any realistic vocabulary, far inside the round-6 the oracle compares. */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+      .persist() // both count frames read it; Verify/Bench clear the cache
+    val bySource = toks.groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val totals = bySource.groupBy("source").agg(sum("c").as("tot"))
+    val corpus = bySource.groupBy("token").agg(sum("c").as("cc"))
+    // one-row corpus total attached by broadcast (the q67 constants pattern —
+    // a keyless 1-row join is BNLJ by construction and O(|vocab|)); an
+    // all-rows window would funnel the vocabulary through one task
+    val corpusTotal = corpus.agg(sum("cc").as("_ctot"))
+    val q = corpus.crossJoin(broadcast(corpusTotal))
+      .select(col("token"), (col("cc") / col("_ctot")).as("q"))
+    val joined = bySource.join(broadcast(totals), "source")
+      .select(col("source"), col("token"), (col("c") / col("tot")).as("p"))
+      .join(q, Seq("token"))
+    val m = (col("p") + col("q")) / lit(2.0)
+    // p > 0 by construction (a (source, token) row exists only with c >= 1)
+    val term = (col("p") * log(col("p") / m) + col("q") * log(col("q") / m)) * lit(0.5)
+    val present = joined.groupBy("source")
+      .agg(sum(term).as("_js_present"), count(lit(1)).as("vocab"))
+    // tokens a source never emits: p=0, m=q/2 → per-source missing mass is
+    // 0.5·ln(2)·(1 − Σ_present q) — closed form, no outer join needed
+    val qPresent = joined.groupBy("source").agg(sum("q").as("_qsum"))
+    present.join(qPresent, "source")
+      .join(broadcast(totals), "source")
+      .select(col("source"), col("tot").as("n_tokens"), col("vocab"),
+        round(col("_js_present") + lit(0.5 * math.log(2.0)) * (lit(1.0) - col("_qsum")),
+          6).as("js_divergence"))
+      .orderBy("source")
+  }
+
   /** q69 — Z-order layout profile over events (user × time-of-day): the
     * Morton key ops.Layout computes for multi-dimensional file clustering,
     * bucketed to its top 8 bits with per-bucket row/user counts. The oracle
@@ -382,7 +424,8 @@ object PipelineQueries {
     "q70_heavy_hitters" -> (heavyHitters _),
     "q72_snapshot_diff" -> (snapshotDiffRollup _),
     "q73_quality_report" -> (qualityReport _),
-    "q80_ngram_novelty" -> (ngramNovelty _)
+    "q80_ngram_novelty" -> (ngramNovelty _),
+    "q81_source_drift" -> (sourceDrift _)
   )
 
   /** q58 oracle: thresholds derived from the SAME fractions as the Spark
@@ -399,6 +442,21 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q81_source_drift" ->
+      """WITH toks AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token FROM documents),
+        |bs AS (SELECT source, token, count(*) AS c FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(c) AS tot FROM bs GROUP BY 1),
+        |corp AS (SELECT token, sum(c) AS cc FROM bs GROUP BY 1),
+        |qv AS (SELECT token, cc / (SELECT sum(cc) FROM corp) AS q FROM corp),
+        |j AS (SELECT bs.source, bs.c / tot.tot AS p, qv.q
+        |      FROM bs JOIN tot USING(source) JOIN qv USING(token)),
+        |pres AS (SELECT source,
+        |    sum((p * ln(p / ((p+q)/2)) + q * ln(q / ((p+q)/2))) * 0.5) AS js_p,
+        |    count(*) AS vocab, sum(q) AS qsum
+        |  FROM j GROUP BY source)
+        |SELECT pres.source, tot.tot AS n_tokens, pres.vocab,
+        |  round(pres.js_p + 0.5 * ln(2) * (1 - pres.qsum), 6) AS js_divergence
+        |FROM pres JOIN tot USING(source) ORDER BY source""".stripMargin,
     "q80_ngram_novelty" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
         |grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]

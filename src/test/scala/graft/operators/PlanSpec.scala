@@ -169,9 +169,11 @@ class PlanSpec extends AnyFunSuite {
   test("no accidental cartesian/nested-loop joins anywhere in the query surface") {
     // the only legitimate non-equi joins: q27's documented brute-force
     // broadcast-cross oracle path, q35's cross-join operator itself, and
-    // q67's one-row corpus-constants broadcast (attaching N/avgLen to the
-    // postings — a keyless 1-row join is BNLJ by construction and O(|postings|))
-    val allowNestedLoop = Set("q27_embedding_topk", "q35_cross_join", "q67_bm25_topk")
+    // the one-row corpus-constants broadcasts in q67 (N/avgLen onto
+    // postings) and q81 (corpus token total onto the vocabulary) — a
+    // keyless 1-row join is BNLJ by construction and O(|other side|)
+    val allowNestedLoop = Set(
+      "q27_embedding_topk", "q35_cross_join", "q67_bm25_topk", "q81_source_drift")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
