@@ -85,11 +85,22 @@ object Bench {
 
     // 1 discard + runs measured samples per query, in name order; cache
     // cleared and a GC forced after every run so neither persisted blocks
-    // nor deferred ContextCleaner work leaks into the next sample
+    // nor deferred ContextCleaner work leaks into the next sample.
+    // Queries that run the iterative CC kernel also surface per-round wall
+    // times (drained from Dedup.lastRoundSecs after every run) so a slow
+    // sample in the artifact names the round that stalled.
+    val roundSecs = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
     val samples: Seq[(String, Seq[(Double, Long)])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val ts = (0 to runs).map { _ =>
+          graft.ops.Dedup.resetRoundSecs()
           val (sec, gcMs) = exec(name, fn)
+          val rounds = graft.ops.Dedup.lastRoundSecs
+          if (rounds.nonEmpty) {
+            val obj = rounds.map { case (l, s) => "\"" + l + "\":" + round3(s) }
+              .mkString("{", ",", "}")
+            roundSecs(name) = roundSecs.getOrElse(name, Vector.empty) :+ obj
+          }
           spark.sharedState.cacheManager.clearCache()
           System.gc()
           (round3(sec), gcMs)
@@ -111,9 +122,15 @@ object Bench {
     val rawGc = samples.map { case (k, ts) => "\"" + k + "\":" + ts.map(_._2).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = round3(medians.map(_._2).filter(_ >= 0).sum)
-    val sfNum = """sf([0-9.]+)""".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    // anchored: "sf1." or a dir without an sf prefix must not fabricate an
+    // invalid/zero JSON number — fall back to the quoted dir name instead
+    val sfNum = """sf([0-9]+(?:\.[0-9]+)?)""".r.findFirstMatchIn(sfDir).map(_.group(1))
+      .getOrElse("\"" + sfDir + "\"")
+    val rawRounds = roundSecs.map { case (k, objs) =>
+      "\"" + k + "\":" + objs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total_wall_sec","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir","runs_per_query":$runs,"aggregation":"median_after_discarding_run1","raw_runs":$raw,"raw_gc_ms":$rawGc}"""
+      s"""{"metric":"total_wall_sec","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir","runs_per_query":$runs,"aggregation":"median_after_discarding_run1","raw_runs":$raw,"raw_gc_ms":$rawGc,"raw_cc_round_secs":$rawRounds}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }

@@ -212,7 +212,7 @@ object Main {
             case "es-scroll" =>
               // live ES/OS daily-index read via sliced scroll over the JDK
               // transport (missing index => empty day, like the reference)
-              val env = sys.env ++ opts.get("es-hosts").map("ES_HOSTS" -> _)
+              val env = esEnv(opts, sys.env)
               val cfg = graft.sources.EsSpanSource.ScrollConfig(
                 graft.util.EsFlavor.esConf(env),
                 slices = opts.getOrElse("es-slices",
@@ -242,7 +242,7 @@ object Main {
           // (ES_HOSTS, ES_INDEX, ES_USERNAME, ES_PASSWORD,
           // ES_DATE_SEPARATOR), --es-hosts overriding ES_HOSTS.
           if (opts.contains("es-bulk")) {
-            val env = sys.env ++ opts.get("es-hosts").map("ES_HOSTS" -> _)
+            val env = esEnv(opts, sys.env)
             if (n > 0) graft.sinks.EsBulkSink.writeLinks(
               links, d, graft.util.EsFlavor.esConf(env),
               dateSeparator = env.getOrElse("ES_DATE_SEPARATOR", "-"))
@@ -261,6 +261,15 @@ object Main {
         }
       }
   }
+
+  /** The ES env surface with CLI overrides folded in: `--es-hosts` wins over
+    * ES_HOSTS and `--es-timeout` (millis) over ES_TIMEOUT — both the scroll
+    * source and the bulk sink resolve their EsConf from this one map, so a
+    * flag reaches every transport the run constructs. */
+  private[graft] def esEnv(opts: Map[String, String],
+      env: Map[String, String]): Map[String, String] =
+    env ++ opts.get("es-hosts").map("ES_HOSTS" -> _) ++
+      opts.get("es-timeout").map("ES_TIMEOUT" -> _)
 
   private def runStreaming(spark: SparkSession, opts: Map[String, String], day: String): Unit = {
     def req(k: String): String = opts.getOrElse(k,
@@ -287,7 +296,7 @@ object Main {
     "usage: graft.Main --day yyyy-MM-dd --in <spans path> --out <links path> " +
       "[--backfill yyyy-MM-dd..yyyy-MM-dd] " +
       "[--admission index-day|per-span-window|root-in-window] [--strict-trace-id] [--master local[N]] " +
-      "[--es-bulk [--es-hosts http://h1:9200,h2]]"
+      "[--es-bulk [--es-hosts http://h1:9200,h2] [--es-timeout ms]]"
 
   private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
     val flags = Set("strict-trace-id", "stream", "es-bulk")

@@ -2,7 +2,13 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc plan/profiling main (not part of the driver contract). */
+/** Ad-hoc plan/profiling main (not part of the driver contract).
+  *
+  * Usage: `runMain graft.Scratch [queryName ...]` — times each named
+  * SparkEntry query for 3 rounds in ONE JVM (the only honest way to A/B a
+  * perf claim here; cross-JVM runs confound with first-touch noise).
+  * Defaults to q81_source_drift when no names are given.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,14 +26,12 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    import graft.ops.TextOps
-    import graft.operators.ContractQueries.table
-    import org.apache.spark.sql.functions._
+    val names = if (args.nonEmpty) args.toSeq else Seq("q81_source_drift")
     time("warmup entry")(noop(SparkEntry.entry(spark)))
-    val docs = table(spark, dir, "documents")
-    val probes = docs.where(pmod(col("doc_id"), lit(100)) === 0)
-    for (round <- 1 to 3) {
-      time(s"q81 r$round")(noop(graft.operators.PipelineQueries.sourceDrift(spark, dir)))
+    for (round <- 1 to 3; name <- names) {
+      val q = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query '$name' — keys: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+      time(s"$name r$round")(noop(q(spark, dir)))
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()

@@ -302,10 +302,15 @@ object PipelineQueries {
     * p → 0). Accumulated double noise from summation order is ~1e-13 at
     * any realistic vocabulary, far inside the round-6 the oracle compares. */
   def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
-    val toks = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+    // persist the (source, token) AGGREGATE, not the exploded token frame:
+    // bySource is read three times (per-source totals, corpus vocabulary,
+    // the p-side join) while the explode feeds it exactly once — and at
+    // corpus scale the exploded frame IS the corpus, so caching it would be
+    // a memory hazard for zero reuse. Verify/Bench clear the cache after.
+    val bySource = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
-      .persist() // both count frames read it; Verify/Bench clear the cache
-    val bySource = toks.groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .persist()
     val totals = bySource.groupBy("source").agg(sum("c").as("tot"))
     val corpus = bySource.groupBy("token").agg(sum("c").as("cc"))
     // one-row corpus total attached by broadcast (the q67 constants pattern —
@@ -320,12 +325,14 @@ object PipelineQueries {
     val m = (col("p") + col("q")) / lit(2.0)
     // p > 0 by construction (a (source, token) row exists only with c >= 1)
     val term = (col("p") * log(col("p") / m) + col("q") * log(col("q") / m)) * lit(0.5)
+    // one pass over the joined frame: the JS sum, the per-source vocabulary,
+    // and Σ_present q (tokens a source never emits have p=0, m=q/2, so the
+    // per-source missing mass is 0.5·ln(2)·(1 − Σ_present q) — closed form,
+    // no outer join) all share the same grouping key
     val present = joined.groupBy("source")
-      .agg(sum(term).as("_js_present"), count(lit(1)).as("vocab"))
-    // tokens a source never emits: p=0, m=q/2 → per-source missing mass is
-    // 0.5·ln(2)·(1 − Σ_present q) — closed form, no outer join needed
-    val qPresent = joined.groupBy("source").agg(sum("q").as("_qsum"))
-    present.join(qPresent, "source")
+      .agg(sum(term).as("_js_present"), count(lit(1)).as("vocab"),
+        sum("q").as("_qsum"))
+    present
       .join(broadcast(totals), "source")
       .select(col("source"), col("tot").as("n_tokens"), col("vocab"),
         round(col("_js_present") + lit(0.5 * math.log(2.0)) * (lit(1.0) - col("_qsum")),
@@ -454,7 +461,7 @@ object PipelineQueries {
         |    sum((p * ln(p / ((p+q)/2)) + q * ln(q / ((p+q)/2))) * 0.5) AS js_p,
         |    count(*) AS vocab, sum(q) AS qsum
         |  FROM j GROUP BY source)
-        |SELECT pres.source, tot.tot AS n_tokens, pres.vocab,
+        |SELECT pres.source, tot.tot::BIGINT AS n_tokens, pres.vocab,
         |  round(pres.js_p + 0.5 * ln(2) * (1 - pres.qsum), 6) AS js_divergence
         |FROM pres JOIN tot USING(source) ORDER BY source""".stripMargin,
     "q80_ngram_novelty" ->
@@ -465,7 +472,7 @@ object PipelineQueries {
         |       FROM (SELECT doc_id, unnest(g) AS g2 FROM grams)),
         |fs AS (SELECT h, min(doc_id) AS fd FROM ex GROUP BY h)
         |SELECT e.doc_id, count(*) AS n_grams,
-        |  sum(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END) AS n_novel,
+        |  sum(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
         |  round(sum(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END) / count(*), 6) AS novelty
         |FROM ex e JOIN fs f USING(h)
         |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin,

@@ -449,9 +449,27 @@ object Dedup {
     * With pointer jumping the default 20 rounds covers components ~2^17
     * deep; hitting it means something is genuinely wrong.
     */
+  /** Wall seconds per convergence phase of the most recent [[dupClusters]]
+    * call in this JVM (labels: "init", "r1", "r2", …; each round includes
+    * its checkpoint materialization AND the convergence probe). Bench
+    * drains this after every run so a slow q48 sample in the artifact of
+    * record names the round that stalled instead of being unattributable
+    * (the r7 busy-box capture had one 9.08 s run, GC 36 ms — not GC — with
+    * nothing in the artifact to localize it). Volatile snapshot, assigned
+    * once per call; not meant for concurrent dupClusters calls.
+    */
+  @volatile private var _lastRoundSecs: Seq[(String, Double)] = Nil
+  def lastRoundSecs: Seq[(String, Double)] = _lastRoundSecs
+  def resetRoundSecs(): Unit = _lastRoundSecs = Nil
+
   def dupClusters(
       pairs: DataFrame, maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
+    val phases = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      try f finally phases += label -> ((System.nanoTime() - t0) / 1e9)
+    }
     val sc = pairs.sparkSession.sparkContext
     checkpointDir.foreach { dir =>
       // setCheckpointDir stores a qualified <dir>/<UUID> path, so equality
@@ -466,46 +484,49 @@ object Dedup {
       .persist()
     // round 0 folded into the init: every node starts from min(self, direct
     // neighbors) — one aggregation instead of a full propagate round
-    var current = ckpt(edges
+    var current = timed("init")(ckpt(edges
       .groupBy(col("_src").as("id"))
-      .agg(least(min(col("_dst")), min(col("_src"))).as("rep")))
+      .agg(least(min(col("_dst")), min(col("_src"))).as("rep"))))
     var labels = current
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = edges.join(labels, col("_dst") === col("id"))
-        .groupBy(col("_src")).agg(min(col("rep")).as("_nrep"))
-      // carry the previous label through so convergence is a filter on the
-      // checkpointed frame, not another join against the old labels
-      val stepped = ckpt(labels.as("cur")
-        .join(neighborMin, col("cur.id") === col("_src"), "left_outer")
-        .select(col("cur.id").as("id"),
-          least(col("cur.rep"), coalesce(col("_nrep"), col("cur.rep"))).as("rep"),
-          col("cur.rep").as("_prev"))) // eager: materializes AND truncates lineage
-      val next =
-        if (iter < 2) stepped
-        else {
-          // pointer jump (path doubling): rep := rep's rep. Only engaged
-          // once a component has shown depth (> 2 rounds), so the common
-          // shallow case never pays this extra join. Every rep IS a node
-          // id (min over self ∪ neighbors ∪ earlier reps), so the lookup
-          // joins labels back to themselves on the materialized checkpoint.
-          val reps = stepped.select(col("id").as("_jid"), col("rep").as("_jrep"))
-          val jumped = ckpt(stepped
-            .join(reps, col("rep") === col("_jid"), "left_outer")
-            .select(col("id"),
-              least(col("rep"), coalesce(col("_jrep"), col("rep"))).as("rep"),
-              col("_prev")))
-          releaseClusterLabels(stepped) // jumped is materialized; the half-step is dead
-          jumped
-        }
-      converged = next.where(col("rep") =!= col("_prev")).isEmpty
-      releaseClusterLabels(current) // next is materialized; round N−1 is unreachable
-      current = next
-      labels = next.drop("_prev")
-      iter += 1
+      timed(s"r${iter + 1}") {
+        val neighborMin = edges.join(labels, col("_dst") === col("id"))
+          .groupBy(col("_src")).agg(min(col("rep")).as("_nrep"))
+        // carry the previous label through so convergence is a filter on the
+        // checkpointed frame, not another join against the old labels
+        val stepped = ckpt(labels.as("cur")
+          .join(neighborMin, col("cur.id") === col("_src"), "left_outer")
+          .select(col("cur.id").as("id"),
+            least(col("cur.rep"), coalesce(col("_nrep"), col("cur.rep"))).as("rep"),
+            col("cur.rep").as("_prev"))) // eager: materializes AND truncates lineage
+        val next =
+          if (iter < 2) stepped
+          else {
+            // pointer jump (path doubling): rep := rep's rep. Only engaged
+            // once a component has shown depth (> 2 rounds), so the common
+            // shallow case never pays this extra join. Every rep IS a node
+            // id (min over self ∪ neighbors ∪ earlier reps), so the lookup
+            // joins labels back to themselves on the materialized checkpoint.
+            val reps = stepped.select(col("id").as("_jid"), col("rep").as("_jrep"))
+            val jumped = ckpt(stepped
+              .join(reps, col("rep") === col("_jid"), "left_outer")
+              .select(col("id"),
+                least(col("rep"), coalesce(col("_jrep"), col("rep"))).as("rep"),
+                col("_prev")))
+            releaseClusterLabels(stepped) // jumped is materialized; the half-step is dead
+            jumped
+          }
+        converged = next.where(col("rep") =!= col("_prev")).isEmpty
+        releaseClusterLabels(current) // next is materialized; round N−1 is unreachable
+        current = next
+        labels = next.drop("_prev")
+        iter += 1
+      }
     }
     edges.unpersist()
+    _lastRoundSecs = phases.toList
     if (!converged) throw new IllegalStateException(
       s"dupClusters did not converge within maxIter=$maxIter rounds; " +
         "labels were still changing (component diameter exceeds maxIter). " +

@@ -378,9 +378,16 @@ object PortableSketch {
     val priorBands = banded(sigC).withColumn("_isCorpus", lit(true))
       .unionByName(newBands.withColumn("_isCorpus", lit(false)))
     // hot-bucket cap on the PRIOR side only: one shuffle on the same
-    // (band, key) the probe join hashes on, so AQE coalesces them
+    // (band, key) the probe join hashes on, so AQE coalesces them.
+    // Corpus rows rank FIRST in the cap window: batch rows in the prior
+    // side only witness against LARGER batch ids (the join predicate
+    // filters them for smaller probes), so if batch ids ranked ahead of
+    // corpus ids in an overflowing bucket they could displace every usable
+    // corpus witness and wrongly admit a probe — exactly in the hot-bucket
+    // case the cap targets. _id tiebreak keeps the cap deterministic.
     val byBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_band"), col("_key")).orderBy(col("_id"))
+      .partitionBy(col("_band"), col("_key"))
+      .orderBy(col("_isCorpus").desc, col("_id"))
     val capped = priorBands.withColumn("_rk", row_number().over(byBucket))
       .where(col("_rk") <= maxBucket).drop("_rk")
     val cand = newBands.as("nw")

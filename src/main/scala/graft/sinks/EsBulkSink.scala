@@ -99,10 +99,11 @@ object EsBulkSink {
     val index = indexName(conf.index, day, dateSeparator)
     val hosts = conf.hosts
     val (user, pass) = (conf.username, conf.password)
+    val timeoutMs = conf.timeoutMs
     links.select(col("parent"), col("child"), col("callCount"), col("errorCount"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         if (rows.hasNext) {
-          val transport = new EsHttpTransport(user, pass)
+          val transport = new EsHttpTransport(user, pass, timeoutMs)
           rows.grouped(batchSize).foreach { batch =>
             val body = batch.map(r => bulkLines(index,
               r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).mkString

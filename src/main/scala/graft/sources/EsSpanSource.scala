@@ -78,16 +78,36 @@ object EsSpanSource {
     (scrollId, sources)
   }
 
-  /** POST with a bounded in-task retry (linear backoff): a transient 429 /
-    * connection blip on a scroll continuation would otherwise bubble an
-    * IOException that makes Spark re-run the task and re-read the WHOLE
-    * slice from the start — correct, but wasteful at scale. */
+  /** Is a failed continuation POST safe to re-send? A scroll continuation is
+    * NOT idempotent: the server advances the cursor when it serves a page,
+    * so re-POSTing the same scroll_id after a failure where the page may
+    * already have been served returns the NEXT page and silently drops the
+    * lost one. Only failures where the server definitively did no work are
+    * retryable in-task:
+    *  - connect-level failures (the TCP connection was never established),
+    *  - explicit rejection statuses 429/503 (the server answered "not now"
+    *    without executing the search).
+    * Everything else — request timeouts, mid-response resets, other HTTP
+    * statuses — is ambiguous: the page may be gone from the cursor, so the
+    * failure must propagate and let Spark's task retry re-read the whole
+    * slice from a FRESH scroll (wasteful but lossless). The transport
+    * renders failures as "HTTP <code>: …" or "<ExceptionClass>: …". */
+  private[sources] def retrySafe(msg: String): Boolean =
+    msg.startsWith("HTTP 429") || msg.startsWith("HTTP 503") ||
+      msg.startsWith("ConnectException") || msg.startsWith("HttpConnectTimeoutException")
+
+  /** POST with a bounded in-task retry (linear backoff) of [[retrySafe]]
+    * failures only: a transient 429 / connect blip on a scroll continuation
+    * would otherwise bubble an IOException that makes Spark re-run the task
+    * and re-read the WHOLE slice from the start — correct, but wasteful at
+    * scale. Ambiguous failures return immediately as Left so the caller
+    * throws and the task-level retry (fresh scroll) keeps the read lossless. */
   private[sources] def postWithRetry(
       transport: EsHttpTransport, url: String, body: String,
       retries: Int, backoffMs: Long): Either[String, String] = {
     var last: Either[String, String] = transport.post(url, body, "application/json")
     var attempt = 0
-    while (last.isLeft && attempt < retries) {
+    while (last.left.exists(retrySafe) && attempt < retries) {
       attempt += 1
       Thread.sleep(backoffMs * attempt)
       last = transport.post(url, body, "application/json")
@@ -128,8 +148,10 @@ object EsSpanSource {
                     page = parsePage(resp)
                     if (page._2.isEmpty) finish()
                   case Left(msg) => throw new java.io.IOException(
-                    s"ES scroll continuation failed on $host " +
-                      s"after ${cfg.continuationRetries + 1} attempts: $msg")
+                    s"ES scroll continuation failed on $host (" +
+                      (if (retrySafe(msg)) s"retries exhausted after ${cfg.continuationRetries + 1} attempts"
+                       else "non-retryable: the server may already have served this page") +
+                      s"): $msg")
                 }
               case None => finish()
             }
@@ -152,13 +174,14 @@ object EsSpanSource {
     val index = spanIndex(cfg.conf.index, day, cfg.dateSeparator)
     val hosts = cfg.conf.hosts
     val (user, pass) = (cfg.conf.username, cfg.conf.password)
+    val timeoutMs = cfg.conf.timeoutMs
     val cfgB = cfg // stable reference for the closure
     // one slice id per partition, placed at the source (no shuffle; a
     // repartition(n) would hash-bucket ids and leave some tasks 2 slices
     // and others none)
     val raw: Dataset[String] = spark.range(0L, cfg.slices.toLong, 1L, cfg.slices)
       .mapPartitions { ids =>
-        val transport = new EsHttpTransport(user, pass)
+        val transport = new EsHttpTransport(user, pass, timeoutMs)
         ids.flatMap(id => scrollSlice(transport, hosts, index, id.toInt, cfgB))
       }(Encoders.STRING)
     LinkJob.fromJsonV2Shape(spark.read.schema(Span.jsonV2Schema).json(raw))

@@ -46,16 +46,23 @@ object EsFlavor {
 
   /** The ES connection surface the reference reads from env
     * (ElasticsearchDependenciesJob.java:54-67): index naming, hosts,
-    * credentials, WAN-only flag. Pure data for the (stand-in) sinks. */
+    * credentials, WAN-only flag, request timeout. Pure data for the
+    * (stand-in) sinks. `timeoutMs` reaches every EsHttpTransport the
+    * source/sink construct (connect + request timeout) — without it a slow
+    * cluster could not be accommodated except by a code change. */
   final case class EsConf(
       index: String, hosts: Seq[String],
       username: Option[String], password: Option[String],
-      nodesWanOnly: Boolean)
+      nodesWanOnly: Boolean, timeoutMs: Long = 10000L)
 
   def esConf(env: Map[String, String]): EsConf = EsConf(
     index = env.getOrElse("ES_INDEX", "zipkin"),
     hosts = parseHosts(env.getOrElse("ES_HOSTS", "127.0.0.1")),
     username = env.get("ES_USERNAME").filter(_.nonEmpty),
     password = env.get("ES_PASSWORD").filter(_.nonEmpty),
-    nodesWanOnly = env.getOrElse("ES_NODES_WAN_ONLY", "false") == "true")
+    nodesWanOnly = env.getOrElse("ES_NODES_WAN_ONLY", "false") == "true",
+    // millis, matching zipkin's ES_TIMEOUT convention; a malformed value
+    // fails loudly here rather than silently running with the default
+    timeoutMs = env.get("ES_TIMEOUT").filter(_.nonEmpty).map(_.toLong)
+      .getOrElse(10000L))
 }

@@ -18,7 +18,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 final class EsHttpTransport(
     username: Option[String] = None,
     password: Option[String] = None,
-    timeoutMs: Long = 10000L) extends Serializable {
+    val timeoutMs: Long = 10000L) extends Serializable {
 
   private val authHeader: Option[String] = username.map { u =>
     val creds = s"$u:${password.getOrElse("")}"

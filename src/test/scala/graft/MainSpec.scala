@@ -80,6 +80,20 @@ class MainSpec extends AnyFunSuite {
     assert(MainConfig.resolve(Map(), Map(), today).map(_.logLevel) == Right("WARN"))
   }
 
+  test("esEnv: --es-hosts / --es-timeout override ES_HOSTS / ES_TIMEOUT; env passes through") {
+    val env = Map("ES_HOSTS" -> "envhost", "ES_TIMEOUT" -> "10000", "ES_INDEX" -> "traces")
+    // no flags: env verbatim
+    assert(Main.esEnv(Map.empty, env) == env)
+    // flags win; untouched keys survive — and the merged map round-trips
+    // through esConf so the override reaches the actual transport config
+    val merged = Main.esEnv(
+      Map("es-hosts" -> "clihost:9400", "es-timeout" -> "30000"), env)
+    assert(merged("ES_HOSTS") == "clihost:9400" && merged("ES_TIMEOUT") == "30000")
+    val conf = graft.util.EsFlavor.esConf(merged)
+    assert(conf.hosts == Seq("http://clihost:9400") && conf.timeoutMs == 30000L)
+    assert(conf.index == "traces")
+  }
+
   test("c3 profile end-to-end through the CLI dispatch: fixture table → links → sink") {
     // the same driven-entrypoint coverage the ES and MySQL paths have: real
     // argv parse → cassandra3 profile resolve (root-in-window admission,

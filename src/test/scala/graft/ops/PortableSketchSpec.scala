@@ -81,6 +81,22 @@ class PortableSketchSpec extends AnyFunSuite {
     assert(rejected.nonEmpty, "test corpus planted no duplicates — regenerate seeds")
   }
 
+  test("incrementalAdmit: hot-bucket cap keeps corpus witnesses over smaller batch ids") {
+    // all three docs are identical, so every band bucket holds (corpus 100,
+    // batch 0, batch 1) and overflows maxBucket=1. A cap ordered by _id
+    // alone keeps batch 0 — useless to probe 0 (the join demands _isCorpus
+    // OR _id < probe id), so doc 0 would be wrongly admitted despite
+    // duplicating corpus 100. The corpus-first cap keeps the corpus
+    // witness, so BOTH batch docs reject.
+    val t = "the quick brown fox jumps over the lazy dog"
+    val corpus = Seq((100L, t)).toDF("doc_id", "text")
+    val batch = Seq((0L, t), (1L, t)).toDF("doc_id", "text")
+    val admitted = PortableSketch.incrementalAdmit(corpus, batch, "text", "doc_id",
+      k = 16, bands = 4, n = 3, threshold = 0.5, maxBucket = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set.empty[Long])
+  }
+
   test("incrementalAdmit: an empty batch admits nothing and a disjoint batch admits all") {
     val corpus = Seq((1L, "some corpus text body here")).toDF("doc_id", "text")
     val empty = corpus.where(lit(false))

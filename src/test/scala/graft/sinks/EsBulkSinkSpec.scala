@@ -18,13 +18,16 @@ class EsBulkSinkSpec extends AnyFunSuite {
 
   /** (method, path, authHeader, body) of every request, in arrival order.
     * The first `failFirst` requests answer with an item-level-429 bulk
-    * rejection (the backpressure shape), then `response` takes over. */
+    * rejection (the backpressure shape), then `response` takes over.
+    * `delayMs` sleeps before answering — the slow-cluster shape the
+    * ES_TIMEOUT knob exists for. */
   private final class Recorder(response: String = """{"took":1,"errors":false,"items":[]}""",
-      failFirst: Int = 0) {
+      failFirst: Int = 0, delayMs: Long = 0L) {
     val requests = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String, String)]()
     val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        if (delayMs > 0L) Thread.sleep(delayMs)
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
         requests.add((ex.getRequestMethod, ex.getRequestURI.toString,
           ex.getRequestHeaders.getFirst("Authorization"), body))
@@ -132,6 +135,22 @@ class EsBulkSinkSpec extends AnyFunSuite {
       assert(es.requests.size == 2) // reject + successful replay, then stop
       val (_, _, _, body) = es.requests.toArray.last.asInstanceOf[(String, String, String, String)]
       assert(body.contains(""""_id":"frontend|backend"""") && body.contains(""""_id":"backend|db""""))
+    } finally es.stop()
+  }
+
+  test("EsConf.timeoutMs reaches the transport: a slow cluster fails under a small timeout, succeeds under a larger one") {
+    val es = new Recorder(delayMs = 600L)
+    try {
+      // ES_TIMEOUT=150 → the 600 ms response exceeds the request timeout on
+      // the transport the sink constructs, so the write fails loudly
+      val tight = EsFlavor.esConf(Map("ES_HOSTS" -> es.host, "ES_TIMEOUT" -> "150"))
+      val e = intercept[org.apache.spark.SparkException] {
+        EsBulkSink.writeLinks(linksDs, "2025-08-11", tight, retries = 0)
+      }
+      assert(Option(e.getCause).map(_.toString).getOrElse(e.getMessage).contains("every host"))
+      // same cluster, roomier timeout: the identical write goes through
+      val roomy = EsFlavor.esConf(Map("ES_HOSTS" -> es.host, "ES_TIMEOUT" -> "5000"))
+      EsBulkSink.writeLinks(linksDs, "2025-08-11", roomy)
     } finally es.stop()
   }
 

@@ -29,10 +29,11 @@ class EsSpanSourceSpec extends AnyFunSuite {
 
   /** Plays: initial search per slice → page 1; one continuation → page 2;
     * next continuation → empty page. Unknown index → 404. The first
-    * `failContinuations` scroll continuations answer 429 (then succeed on
-    * retry) to pin the bounded in-task retry. */
+    * `failContinuations` scroll continuations answer `failStatus` (429 by
+    * default — then succeed on retry) to pin the bounded in-task retry and,
+    * with an ambiguous status like 500, the no-retry path. */
   private final class ScriptedEs(index: String, pages: Map[Int, Seq[Seq[String]]],
-      failContinuations: Int = 0) {
+      failContinuations: Int = 0, failStatus: Int = 429) {
     val cleared = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val searchBodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     private val failsLeft = new java.util.concurrent.atomic.AtomicInteger(failContinuations)
@@ -52,7 +53,7 @@ class EsSpanSourceSpec extends AnyFunSuite {
               .map(_.group(1).toInt).getOrElse(0)
             page(s"scroll-$slice-1", pages(slice).head).getBytes(UTF_8)
           } else if (path == "/_search/scroll" && failsLeft.getAndDecrement() > 0) {
-            ex.sendResponseHeaders(429, -1); ex.close(); return
+            ex.sendResponseHeaders(failStatus, -1); ex.close(); return
           } else if (path == "/_search/scroll") {
             val m = """"scroll_id":"scroll-(\d+)-(\d+)"""".r.findFirstMatchIn(body).get
             val (slice, pageNo) = (m.group(1).toInt, m.group(2).toInt)
@@ -152,6 +153,44 @@ class EsSpanSourceSpec extends AnyFunSuite {
       val msgs = Iterator.iterate[Throwable](e)(_.getCause)
         .takeWhile(_ != null).map(String.valueOf(_)).mkString(" | ")
       assert(msgs.contains("scroll continuation failed"), msgs)
+    } finally es.stop()
+  }
+
+  test("retrySafe classifies definitive-no-work failures only") {
+    // the server answered "not now" without executing — safe to re-send
+    assert(EsSpanSource.retrySafe("HTTP 429: too many requests"))
+    assert(EsSpanSource.retrySafe("HTTP 503: unavailable"))
+    // the TCP connection was never established — no work happened
+    assert(EsSpanSource.retrySafe("ConnectException: refused"))
+    assert(EsSpanSource.retrySafe("HttpConnectTimeoutException: timed out"))
+    // ambiguous: the server may have served the page (advancing the
+    // forward-only cursor) before the failure — re-sending would skip it
+    assert(!EsSpanSource.retrySafe("HttpTimeoutException: request timed out"))
+    assert(!EsSpanSource.retrySafe("IOException: connection reset"))
+    assert(!EsSpanSource.retrySafe("HTTP 500: internal error"))
+    assert(!EsSpanSource.retrySafe("HTTP 502: bad gateway"))
+  }
+
+  test("ambiguous continuation failure propagates WITHOUT an in-task retry") {
+    val ts = 1754870400000000L
+    val client = spanDoc("00000000000000aa", "0000000000000001", None, "CLIENT", ts, "frontend", Some("backend"))
+    val server0 = spanDoc("00000000000000aa", "0000000000000002", Some("0000000000000001"), "SERVER", ts + 1, "backend", None)
+    // the continuation fails ONCE with 500; a (wrong) blind retry would
+    // succeed and the read would complete — possibly having skipped the
+    // page the cursor already advanced past. The safe behavior is to throw
+    // so Spark's task retry re-reads the slice from a fresh scroll.
+    val es = new ScriptedEs("zipkin-span-2025-08-11",
+      Map(0 -> Seq(Seq(client), Seq(server0))), failContinuations = 1, failStatus = 500)
+    try {
+      val cfg = EsSpanSource.ScrollConfig(es.conf, slices = 1, pageSize = 1,
+        continuationRetries = 5, retryBackoffMs = 10L)
+      val e = intercept[Exception] {
+        EsSpanSource.readDay(spark, cfg, "2025-08-11").collect()
+      }
+      val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).map(String.valueOf(_)).mkString(" | ")
+      assert(msgs.contains("scroll continuation failed"), msgs)
+      assert(msgs.contains("HTTP 500"), msgs)
     } finally es.stop()
   }
 

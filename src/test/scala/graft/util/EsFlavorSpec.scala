@@ -46,4 +46,12 @@ class EsFlavorSpec extends AnyFunSuite {
     val d = EsFlavor.esConf(Map())
     assert(d == EsFlavor.EsConf("zipkin", Seq("http://127.0.0.1:9200"), None, None, nodesWanOnly = false))
   }
+
+  test("esConf: ES_TIMEOUT reaches the conf in millis; malformed fails loudly") {
+    assert(EsFlavor.esConf(Map("ES_TIMEOUT" -> "30000")).timeoutMs == 30000L)
+    assert(EsFlavor.esConf(Map()).timeoutMs == 10000L) // zipkin's default
+    assert(EsFlavor.esConf(Map("ES_TIMEOUT" -> "")).timeoutMs == 10000L)
+    // a typo'd value must not silently run with the default
+    intercept[NumberFormatException](EsFlavor.esConf(Map("ES_TIMEOUT" -> "10s")))
+  }
 }

@@ -5,7 +5,12 @@ Usage: oracle_check.py <sf_dir> <verify_out_dir>
 
 Loads each testdata table as a DuckDB view, runs every SQL in
 <out>/oracle_sql.json, canonicalizes both sides (sort columns by name, sort
-rows, numeric -> float64 round(4)), asserts frame equality.
+rows, integers exact, floats -> float64 round(4)), asserts frame equality.
+
+Integer columns are compared EXACTLY and keep their integer dtype: the
+driver's gate hashes values type-sensitively, so a Spark BIGINT against a
+DuckDB HUGEINT-turned-float must FAIL here too (r7 shipped a red row because
+this tool used to coerce every numeric to float64 and said "ALL MATCH").
 """
 import json
 import sys
@@ -25,7 +30,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                 df[c].dropna().iloc[0] if len(df[c].dropna()) else None,
                 (datetime.date, datetime.datetime)):
             df[c] = pd.to_datetime(df[c])
-        if pd.api.types.is_numeric_dtype(df[c]):
+        if pd.api.types.is_bool_dtype(df[c]) or pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_numeric_dtype(df[c]):
             df[c] = df[c].astype("float64").round(4)
         elif pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[ns]").astype("int64")
@@ -61,6 +68,11 @@ def main(sf_dir: str, out_dir: str) -> int:
                 bad.append((name, f"schema {list(a.columns)} vs {list(b.columns)}"))
             elif len(a) != len(b):
                 bad.append((name, f"rows {len(a)} vs {len(b)}"))
+            elif list(a.dtypes) != list(b.dtypes):
+                mism = [f"{c}: {a[c].dtype} vs {b[c].dtype}"
+                        for c in a.columns if a[c].dtype != b[c].dtype]
+                bad.append((name, f"dtype mismatch ({'; '.join(mism)}) — "
+                                  "driver's type-sensitive hash would diverge"))
             elif not a.equals(b):
                 diff = (a != b).any(axis=1)
                 bad.append((name, f"values differ, first at row {diff.idxmax()}"))
