@@ -46,14 +46,14 @@ object MainConfig {
 
   /** format + admission each STORAGE_TYPE implies in the reference.
     * elasticsearch maps to the LIVE sliced-scroll source (hosts from
-    * ES_HOSTS, default 127.0.0.1) so the env-only periodic invocation —
-    * `STORAGE_TYPE=elasticsearch bin/graft-today` — reads a real cluster
-    * exactly like the reference's docker entrypoint; a file-backed run
-    * stays one explicit `--format json-v2 --in …` away. cassandra3 stays
-    * file-backed: its token-range source is fixture-fed by design (no CQL
-    * driver in this sandbox, SURVEY §7.4). */
+    * ES_HOSTS, default 127.0.0.1) and cassandra3 to the LIVE token-range
+    * CQL source (contact points from CASSANDRA_CONTACT_POINTS) so the
+    * env-only periodic invocation — `STORAGE_TYPE=… bin/graft-today` —
+    * reads a real cluster exactly like the reference's docker entrypoint;
+    * a file-backed run stays one explicit `--format json-v2 --in …` (or
+    * `--format c3-span-table`) away. */
   val storageProfiles: Map[String, (String, String)] = Map(
-    "cassandra3" -> (("json-v2", "root-in-window")),
+    "cassandra3" -> (("c3-cql", "root-in-window")),
     "mysql" -> (("v1-tables", "per-span-window")),
     "elasticsearch" -> (("es-scroll", "index-day")))
 
@@ -231,8 +231,20 @@ object Main {
               val linked = LinkJob.linkSpans(spans, d, admission, strict).persist()
               if (!linked.isEmpty) LinkJob.writeLinks(linked, d, req("out"), outFmt)
               linked
+            case "c3-cql" =>
+              // LIVE Cassandra read over the in-house CQL v4 client: one
+              // token range per task, contact points / keyspace / creds
+              // from the reference's CASSANDRA_* env surface
+              val env = sys.env ++
+                opts.get("c3-contact-points").map("CASSANDRA_CONTACT_POINTS" -> _)
+              val cfg = graft.sources.CassandraV3Source.fromEnv(env,
+                numRanges = opts.getOrElse("c3-ranges", "32").toInt)
+              val spans = graft.sources.CassandraV3Source.liveSpans(spark, cfg)
+              val linked = LinkJob.linkSpans(spans, d, admission, strict).persist()
+              if (!linked.isEmpty) LinkJob.writeLinks(linked, d, req("out"), outFmt)
+              linked
             case other =>
-              System.err.println(s"unknown --format $other (json-v2|csv|v1-rows|v1-tables|v1-jdbc|c3-span-table|es-scroll)"); sys.exit(2)
+              System.err.println(s"unknown --format $other (json-v2|csv|v1-rows|v1-tables|v1-jdbc|c3-span-table|c3-cql|es-scroll)"); sys.exit(2)
           }
           val n = links.count()
           // --es-bulk: additionally push the day's links to a live ES/OS

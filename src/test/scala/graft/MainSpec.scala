@@ -33,8 +33,10 @@ class MainSpec extends AnyFunSuite {
       strict = false, Nil, "WARN")))
     val my = MainConfig.resolve(Map(), Map("STORAGE_TYPE" -> "mysql"), today)
     assert(my.map(r => (r.format, r.admission)) == Right(("v1-tables", Admission.PerSpanWindow)))
+    // cassandra3 likewise reaches the LIVE token-range CQL source env-only
+    // (contact points from CASSANDRA_CONTACT_POINTS, like the reference)
     val cas = MainConfig.resolve(Map(), Map("STORAGE_TYPE" -> "cassandra3"), today)
-    assert(cas.map(r => (r.format, r.admission)) == Right(("json-v2", Admission.RootInWindow)))
+    assert(cas.map(r => (r.format, r.admission)) == Right(("c3-cql", Admission.RootInWindow)))
   }
 
   test("unsupported STORAGE_TYPE errors with the option list") {
@@ -92,6 +94,36 @@ class MainSpec extends AnyFunSuite {
     val conf = graft.util.EsFlavor.esConf(merged)
     assert(conf.hosts == Seq("http://clihost:9400") && conf.timeoutMs == 30000L)
     assert(conf.index == "traces")
+  }
+
+  test("cassandra3 profile end-to-end through the CLI dispatch: LIVE scripted CQL → links → sink") {
+    // env-only invocation parity with the reference's docker entrypoint:
+    // STORAGE_TYPE=cassandra3 resolves straight to the live token-range CQL
+    // source; --c3-contact-points stands in for CASSANDRA_CONTACT_POINTS
+    // (dispatch reads the real sys.env, which a test must not mutate)
+    val spark = graft.pipeline.SparkTestSession.get
+    val ts = 1754870400000000L // inside 2025-08-11 UTC
+    val rows = Seq(
+      graft.sources.FRow(-42L, "00000000000000aa", null, "0000000000000001",
+        "CLIENT", ts, null, false, "frontend", "backend", null),
+      graft.sources.FRow(42L, "00000000000000aa", "0000000000000001", "0000000000000002",
+        "SERVER", ts + 1000L, null, true, "backend", null, Map("error" -> "true")))
+    val es = new graft.sources.ScriptedCassandra(rows)
+    try {
+      val out = java.nio.file.Files.createTempDirectory("c3-cql-cli-out").toString
+      val opts = Main.parseArgs(Array(
+        "--day", "2025-08-11", "--out", out,
+        "--c3-contact-points", s"127.0.0.1:${es.port}", "--c3-ranges", "2"))
+      val resolved = MainConfig.resolve(opts,
+        Map("STORAGE_TYPE" -> "cassandra3"), today).toOption.get
+      assert(resolved.format == "c3-cql" && resolved.admission == Admission.RootInWindow)
+      Main.dispatch(spark, opts, resolved)
+      import spark.implicits._
+      val links = spark.read.parquet(out)
+        .select("parent", "child", "callCount", "errorCount")
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(links == Set(("frontend", "backend", 1L, 1L)))
+    } finally es.stop()
   }
 
   test("c3 profile end-to-end through the CLI dispatch: fixture table → links → sink") {

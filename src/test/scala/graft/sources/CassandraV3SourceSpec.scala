@@ -33,13 +33,26 @@ class CassandraV3SourceSpec extends AnyFunSuite {
     assert(got.toSeq == probe.map(_._2))
   }
 
-  test("rangeCql renders the live driver's per-partition predicate") {
+  test("rangeCql renders the live per-partition predicate, both bounds inclusive") {
     val cfg = CassandraV3Config(keyspace = "zipkin2", table = "span")
     val Seq((lo0, hi0), (lo1, hi1)) = CassandraV3Source.tokenRanges(2)
-    assert(CassandraV3Source.rangeCql(cfg, lo0, hi0, first = true) ==
+    assert(CassandraV3Source.rangeCql(cfg, lo0, hi0) ==
       s"SELECT * FROM zipkin2.span WHERE token(trace_id) >= $lo0 AND token(trace_id) <= $hi0")
-    assert(CassandraV3Source.rangeCql(cfg, lo1, hi1, first = false) ==
-      s"SELECT * FROM zipkin2.span WHERE token(trace_id) > $lo1 AND token(trace_id) <= $hi1")
+    assert(CassandraV3Source.rangeCql(cfg, lo1, hi1) ==
+      s"SELECT * FROM zipkin2.span WHERE token(trace_id) >= $lo1 AND token(trace_id) <= $hi1")
+  }
+
+  test("range predicates partition the ring: every token matches exactly one range") {
+    // regression: an exclusive lower bound on these inclusive [lo, hi]
+    // splits dropped the token at every interior boundary (n−1 tokens)
+    val rs = CassandraV3Source.tokenRanges(8)
+    // lo-1 of the first range wraps to Long.MaxValue — still a valid probe
+    val boundary = rs.flatMap { case (lo, hi) => Seq(lo - 1, lo, lo + 1, hi - 1, hi) } ++
+      Seq(0L, 1L, -1L)
+    boundary.distinct.foreach { t =>
+      val owners = rs.count { case (lo, hi) => t >= lo && t <= hi }
+      assert(owners == 1, s"token $t owned by $owners ranges")
+    }
   }
 
   private def spanRow(traceId: String, parentId: String, id: String, kind: String,
