@@ -260,6 +260,20 @@ object Main {
               dateSeparator = env.getOrElse("ES_DATE_SEPARATOR", "-"))
             else println(s"day=$d no links; skipping ES bulk write")
           }
+          // --cql-write: additionally save the day's links to a live
+          // Cassandra `dependency` table over the in-house CQL transport
+          // (INSERT day,parent,child,calls[,errors] — the reference's save,
+          // CassandraDependenciesJob.java:193-209; C* upsert on the
+          // (day,parent,child) key makes re-runs idempotent). Contact
+          // points / keyspace / creds from the CASSANDRA_* env surface,
+          // --c3-contact-points overriding, same as the read path.
+          if (opts.contains("cql-write")) {
+            val env = sys.env ++
+              opts.get("c3-contact-points").map("CASSANDRA_CONTACT_POINTS" -> _)
+            if (n > 0) graft.sinks.CqlLinkSink.writeLinks(
+              links, d, graft.sources.CassandraV3Source.fromEnv(env))
+            else println(s"day=$d no links; skipping CQL write")
+          }
           println(s"day=$d links=$n out=${req("out")}")
           links.orderBy("parent", "child").show(100, truncate = false)
           links.unpersist()
@@ -308,10 +322,11 @@ object Main {
     "usage: graft.Main --day yyyy-MM-dd --in <spans path> --out <links path> " +
       "[--backfill yyyy-MM-dd..yyyy-MM-dd] " +
       "[--admission index-day|per-span-window|root-in-window] [--strict-trace-id] [--master local[N]] " +
-      "[--es-bulk [--es-hosts http://h1:9200,h2] [--es-timeout ms]]"
+      "[--es-bulk [--es-hosts http://h1:9200,h2] [--es-timeout ms]] " +
+      "[--cql-write [--c3-contact-points h1:9042,h2]]"
 
   private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
-    val flags = Set("strict-trace-id", "stream", "es-bulk")
+    val flags = Set("strict-trace-id", "stream", "es-bulk", "cql-write")
     @annotation.tailrec
     def go(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
       case Nil => acc

@@ -216,8 +216,10 @@ object CassandraV3Source {
   }
 
   /** First contact point that accepts the connection+handshake wins;
-    * exhausting all of them is loud, like EsSpanSource's scroll open. */
-  private def connectAny(points: Seq[(String, Int)], cfg: CassandraV3Config): CqlClient = {
+    * exhausting all of them is loud, like EsSpanSource's scroll open.
+    * Shared with [[graft.sinks.CqlLinkSink]] — read and write paths hold
+    * identical connection semantics. */
+  private[graft] def connectAny(points: Seq[(String, Int)], cfg: CassandraV3Config): CqlClient = {
     var lastErr: Throwable = null
     points.foreach { case (h, p) =>
       try return new CqlClient(h, p, cfg.username, cfg.password, cfg.timeoutMs)

@@ -112,7 +112,7 @@ class MainSpec extends AnyFunSuite {
     try {
       val out = java.nio.file.Files.createTempDirectory("c3-cql-cli-out").toString
       val opts = Main.parseArgs(Array(
-        "--day", "2025-08-11", "--out", out,
+        "--day", "2025-08-11", "--out", out, "--cql-write",
         "--c3-contact-points", s"127.0.0.1:${es.port}", "--c3-ranges", "2"))
       val resolved = MainConfig.resolve(opts,
         Map("STORAGE_TYPE" -> "cassandra3"), today).toOption.get
@@ -123,6 +123,13 @@ class MainSpec extends AnyFunSuite {
         .select("parent", "child", "callCount", "errorCount")
         .as[(String, String, Long, Long)].collect().toSet
       assert(links == Set(("frontend", "backend", 1L, 1L)))
+      // --cql-write pushed the same day's links back through the write half
+      // of the transport: read+write parity on one scripted cluster
+      val it = es.queries.iterator(); var inserts = List.empty[String]
+      while (it.hasNext) { val q = it.next(); if (q.startsWith("INSERT")) inserts ::= q }
+      assert(inserts ==
+        List("INSERT INTO zipkin2.dependency (day,parent,child,calls,errors)" +
+          " VALUES ('2025-08-11','frontend','backend',1,1)"))
     } finally es.stop()
   }
 

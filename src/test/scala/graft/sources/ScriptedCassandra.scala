@@ -93,7 +93,13 @@ final class ScriptedCassandra(rows: Seq[FRow],
             queries.add(cql)
             if (failQueries)
               writeFrame(out, Cql.OpError, errorBody(0x2200, "unconfigured table span"))
-            else {
+            else if (cql.trim.toUpperCase.startsWith("INSERT")) {
+              // write path (CqlLinkSink): a real server answers INSERT with
+              // RESULT Void — the statement itself is recorded in `queries`
+              val b = new ByteArrayOutputStream(); val d = new DataOutputStream(b)
+              d.writeInt(1) // kind = Void
+              writeFrame(out, Cql.OpResult, b.toByteArray)
+            } else {
               val bounds = """token\(trace_id\) >= (-?\d+) AND token\(trace_id\) <= (-?\d+)""".r
               val matched = bounds.findFirstMatchIn(cql) match {
                 case Some(m) =>
