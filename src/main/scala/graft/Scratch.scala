@@ -26,13 +26,23 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val names = if (args.nonEmpty) args.toSeq else Seq("q81_source_drift")
-    time("warmup entry")(noop(SparkEntry.entry(spark)))
-    for (round <- 1 to 3; name <- names) {
-      val q = SparkEntry.queries.getOrElse(name,
-        sys.error(s"unknown query '$name' — keys: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
-      time(s"$name r$round")(noop(q(spark, dir)))
-      spark.sharedState.cacheManager.clearCache()
+    // `--plan q…` prints formatted physical plans instead of timing
+    val plan = args.headOption.contains("--plan")
+    val names = (if (plan) args.drop(1).toSeq else args.toSeq) match {
+      case Seq() => Seq("q81_source_drift"); case s => s
+    }
+    def queryOf(name: String) = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name' — keys: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    if (plan) names.foreach { name =>
+      println(s"==== $name ====")
+      println(queryOf(name)(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode))
+    } else {
+      time("warmup entry")(noop(SparkEntry.entry(spark)))
+      for (round <- 1 to 3; name <- names) {
+        time(s"$name r$round")(noop(queryOf(name)(spark, dir)))
+        spark.sharedState.cacheManager.clearCache()
+      }
     }
     spark.stop()
   }

@@ -1,0 +1,275 @@
+package graft.operators
+
+import graft.ops.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 curation operators: the document-filtering and corpus-shaping
+  * verbs of an LLM pretraining pipeline that the earlier rounds hadn't
+  * covered — rule-based quality gating (Gopher/C4-style), chunking for
+  * context-window preparation, statistical-LM quality scoring (the CCNet
+  * recipe), token-entropy profiling, and temperature-scaled source mixing
+  * (the data-mix math). Each is DuckDB-oracled; floating-point surfaces
+  * follow the §2.5 canonicalization conventions (integer-arithmetic rule
+  * thresholds where exactness matters, ROUND elsewhere).
+  */
+object CurationQueries {
+  import ContractQueries.table
+
+  /** q82 — Gopher-style rule gate, rolled up per language. Four rules per
+    * document — word count in [20,90], mean token length in [4.0,5.0],
+    * stopword fraction ≤ 0.10, max-single-token fraction ≤ 0.15 — each
+    * evaluated in INTEGER arithmetic (`sumlen*10 BETWEEN 40*n AND 50*n`
+    * instead of a float mean), so the keep decision has no float boundary
+    * for the oracle to disagree on. Scale shape: the exploded token frame
+    * aggregates immediately to (doc, token) counts, then to per-doc stats,
+    * then to the per-language rollup — three shuffles, each one strictly
+    * smaller, nothing corpus-sized retained. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("_ts"))
+      .select(col("doc_id"), col("lang"), explode(col("_ts")).as("w"))
+    val byTok = toks.groupBy("doc_id", "lang", "w")
+      .agg(count(lit(1)).as("c"), sum(length(col("w"))).as("lensum"))
+    val perDoc = byTok.groupBy("doc_id", "lang").agg(
+      sum("c").as("n"), sum("lensum").as("sumlen"),
+      sum(when(col("w").isin("the", "a"), col("c")).otherwise(0L)).as("nstop"),
+      max("c").as("mx"))
+    val rules = perDoc.select(col("lang"),
+      col("n").between(20, 90).cast("long").as("wc_ok"),
+      (col("sumlen") * 10 >= col("n") * 40 && col("sumlen") * 10 <= col("n") * 50)
+        .cast("long").as("mwl_ok"),
+      (col("nstop") * 10 <= col("n")).cast("long").as("stop_ok"),
+      (col("mx") * 20 <= col("n") * 3).cast("long").as("rep_ok"))
+    rules.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("wc_ok") * col("mwl_ok") * col("stop_ok") * col("rep_ok")).as("n_keep"),
+      sum(lit(1L) - col("wc_ok")).as("v_wordcount"),
+      sum(lit(1L) - col("mwl_ok")).as("v_meanlen"),
+      sum(lit(1L) - col("stop_ok")).as("v_stopword"),
+      sum(lit(1L) - col("rep_ok")).as("v_repetition"))
+      .orderBy("lang")
+  }
+
+  private val ChunkW = 20 // tokens per chunk
+  private val ChunkS = 15 // stride (overlap = W - S = 5)
+
+  /** q83 — context-window chunking: each document split into overlapping
+    * token windows (W=20, stride=15), the preparation step that turns a
+    * cleaned corpus into training sequences / RAG passages. Every chunk's
+    * full content is pinned by an md5 over its space-joined tokens, so the
+    * oracle certifies the exact slice boundaries, not just counts. Scale
+    * shape: a pure per-row map (explode of a bounded start sequence + array
+    * slice) — the only exchanges are the deliberate `spread` round-robin
+    * (distribute per-row compute off a single input file) and the output
+    * sort; tokens materialize as a column BEFORE the generator projection
+    * so the split never re-evaluates per exploded row (the q78
+    * explode-sibling trap). */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val tk = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("_ts"))
+      .select(col("doc_id"), col("_ts"), size(col("_ts")).as("_n"))
+    tk.select(col("doc_id"), col("_ts"), col("_n"),
+      explode(sequence(lit(0), col("_n") - 1, lit(ChunkS))).as("_start"))
+      .select(
+        col("doc_id"),
+        (col("_start") / ChunkS).cast("long").as("chunk_idx"),
+        least(lit(ChunkW), col("_n") - col("_start")).as("n_chunk"),
+        md5(concat_ws(" ",
+          slice(col("_ts"), col("_start") + 1,
+            least(lit(ChunkW), col("_n") - col("_start"))))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val LmK = 0.5 // add-k smoothing constant
+
+  /** q84 — bigram-LM quality scoring (the CCNet recipe's shape): train
+    * bigram counts on the whole corpus, score every document by its mean
+    * log-probability under the smoothed model — low scores flag
+    * off-distribution documents. P(w2|w1) = (c(w1,w2)+k)/(c(w1·)+k·V) with
+    * k=0.5, V = corpus unigram vocabulary. Scale shape: bigrams form
+    * ARRAY-SIDE per row (the q68 slice pattern — adjacency is a property of
+    * the token array, so no window/sort shuffle keys the corpus by doc to
+    * recover it; the first draft paid exactly that), explode, and collapse
+    * to per-doc bigram COUNTS whose exchange ships partial-aggregated rows.
+    * That compressed frame is the only thing persisted (read 3×: the c2/c1
+    * model aggregations and the scoring join). The count tables are
+    * vocabulary²-/vocabulary-bounded, never corpus-sized; plain equi-joins
+    * let AQE broadcast them when they fit (at web scale the bigram table
+    * may not — the shuffle join is the honest default). V attaches as a
+    * one-row broadcast (q81's constants pattern); scoring weights each
+    * distinct (doc,w1,w2) by its count, arithmetically identical to
+    * averaging over bigram instances. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val tk = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("_ts"))
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val grouped = tk
+      .where(size(col("_ts")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("_ts")) - 1),
+          i => struct(element_at(col("_ts"), i).as("w1"),
+            element_at(col("_ts"), i + 1).as("w2")))).as("_bg"))
+      .select(col("doc_id"), col("_bg.w1"), col("_bg.w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+      .persist()
+    val c2 = grouped.groupBy("w1", "w2").agg(sum("n").as("c2"))
+    val c1 = grouped.groupBy("w1").agg(sum("n").as("c1"))
+    val vocab = tk.select(explode(col("_ts")).as("w")).agg(countDistinct("w").as("_v"))
+    grouped
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("n"),
+        log((col("c2") + lit(LmK)) / (col("c1") + lit(LmK) * col("_v"))).as("_lp"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"),
+        round(sum(col("n") * col("_lp")) / sum("n"), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  /** q85 — token-entropy profile: per-document Shannon entropy of the token
+    * distribution (H = ln n − Σ c·ln c / n — one pass over the (doc, token)
+    * counts, no per-token probability column), rolled up per language with
+    * a low-entropy count (the "degenerate / repetitive document" screen
+    * that complements q68's duplicate-gram rule). */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("_ts"))
+      .select(col("doc_id"), col("lang"), explode(col("_ts")).as("w"))
+      .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("c"))
+    val perDoc = counts.groupBy("doc_id", "lang").agg(
+      sum("c").as("n"),
+      sum(col("c").cast("double") * log(col("c").cast("double"))).as("_clnc"))
+      .select(col("doc_id"), col("lang"),
+        (log(col("n").cast("double")) - col("_clnc") / col("n")).as("h"))
+    perDoc.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      round(avg("h"), 4).as("avg_entropy"),
+      round(min("h"), 4).as("min_entropy"),
+      round(max("h"), 4).as("max_entropy"),
+      count(when(col("h") < 3.0, 1)).as("n_low"))
+      .orderBy("lang")
+  }
+
+  private val MixAlpha = 0.3 // temperature exponent for source re-weighting
+
+  /** q86 — temperature-scaled source mixing weights: w_s ∝ (tokens_s/T)^α
+    * normalized over sources (α=0.3) — the standard data-mix computation
+    * that up-samples small high-value sources and down-samples dominant
+    * crawls; `boost` = w_s / natural-share is the resulting up/down-sampling
+    * factor a sampler would apply. All-relational: the per-source frame is
+    * |sources| rows after one aggregation; the two scalar totals attach as
+    * one-row broadcasts (q81's constants pattern — never a window over all
+    * rows). */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("_ts"))
+      .select(col("doc_id"), col("source"), explode(col("_ts")).as("w"))
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_tokens"))
+    val total = perSource.agg(sum("n_tokens").as("_tot"))
+    val raw = perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("_tot")).as("_share"))
+      .withColumn("_raw", pow(col("_share"), lit(MixAlpha)))
+    val rawSum = raw.agg(sum("_raw").as("_rsum"))
+    raw.crossJoin(broadcast(rawSum))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("_raw") / col("_rsum"), 6).as("weight"),
+        round(col("_raw") / col("_rsum") / col("_share"), 4).as("boost"))
+      .orderBy("source")
+  }
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q82_gopher_rules" -> (gopherRules _),
+    "q83_doc_chunks" -> (docChunks _),
+    "q84_bigram_lm" -> (bigramLm _),
+    "q85_token_entropy" -> (tokenEntropy _),
+    "q86_mix_weights" -> (mixWeights _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q82_gopher_rules" ->
+      """WITH tk AS (SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, w, count(*) AS c, sum(len(w)) AS lensum
+        |      FROM tk GROUP BY 1, 2, 3),
+        |d AS (SELECT doc_id, lang, sum(c) AS n, sum(lensum) AS sumlen,
+        |        sum(CASE WHEN w IN ('the','a') THEN c ELSE 0 END) AS nstop,
+        |        max(c) AS mx
+        |      FROM c GROUP BY 1, 2),
+        |r AS (SELECT lang,
+        |    CASE WHEN n BETWEEN 20 AND 90 THEN 1 ELSE 0 END AS wc_ok,
+        |    CASE WHEN sumlen*10 >= n*40 AND sumlen*10 <= n*50 THEN 1 ELSE 0 END AS mwl_ok,
+        |    CASE WHEN nstop*10 <= n THEN 1 ELSE 0 END AS stop_ok,
+        |    CASE WHEN mx*20 <= n*3 THEN 1 ELSE 0 END AS rep_ok
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  sum(wc_ok*mwl_ok*stop_ok*rep_ok)::BIGINT AS n_keep,
+        |  sum(1-wc_ok)::BIGINT AS v_wordcount,
+        |  sum(1-mwl_ok)::BIGINT AS v_meanlen,
+        |  sum(1-stop_ok)::BIGINT AS v_stopword,
+        |  sum(1-rep_ok)::BIGINT AS v_repetition
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    "q83_doc_chunks" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |s AS (SELECT doc_id, ts, len(ts) AS n,
+        |        unnest(generate_series(0, len(ts)-1, 15)) AS start
+        |      FROM tk)
+        |SELECT doc_id, (start // 15)::BIGINT AS chunk_idx,
+        |  least(20, n - start)::BIGINT AS n_chunk,
+        |  md5(array_to_string(ts[start+1 : start+least(20, n - start)], ' ')) AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q84_bigram_lm" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(ts) AS w,
+        |           unnest(generate_series(1, len(ts))) AS pos FROM tk),
+        |big AS (SELECT doc_id, w AS w1,
+        |          lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks),
+        |bg AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM toks)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln((c2.c2 + 0.5::DOUBLE) / (c1.c1 + 0.5::DOUBLE * v.v))), 6) AS avg_logp
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
+    "q85_token_entropy" ->
+      """WITH tk AS (SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, w, count(*) AS c FROM tk GROUP BY 1, 2, 3),
+        |d AS (SELECT doc_id, lang, sum(c) AS n,
+        |        sum(c::DOUBLE * ln(c::DOUBLE)) AS clnc
+        |      FROM c GROUP BY 1, 2),
+        |h AS (SELECT doc_id, lang, ln(n::DOUBLE) - clnc / n AS h FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(h), 4) AS avg_entropy,
+        |  round(min(h), 4) AS min_entropy,
+        |  round(max(h), 4) AS max_entropy,
+        |  count(*) FILTER (WHERE h < 3.0) AS n_low
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
+    "q86_mix_weights" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |ps AS (SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens
+        |       FROM tk GROUP BY 1),
+        |t AS (SELECT sum(n_tokens) AS tot FROM ps),
+        |r AS (SELECT source, n_docs, n_tokens,
+        |        n_tokens::DOUBLE / t.tot AS share,
+        |        pow(n_tokens::DOUBLE / t.tot, 0.3::DOUBLE) AS raw
+        |      FROM ps, t),
+        |rs AS (SELECT sum(raw) AS rsum FROM r)
+        |SELECT source, n_docs, n_tokens,
+        |  round(r.raw / rs.rsum, 6) AS weight,
+        |  round(r.raw / rs.rsum / r.share, 4) AS boost
+        |FROM r, rs ORDER BY source""".stripMargin
+  )
+}

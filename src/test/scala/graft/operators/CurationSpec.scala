@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.pipeline.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for the round-8 curation operators on hand-computed
+  * fixtures — the oracle certifies them against DuckDB at sf scale; these
+  * fix the INTENDED math on inputs small enough to verify by hand. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  /** Write a tiny documents-shaped parquet dir and return its path. */
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("curation-docs").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q82: each rule trips on its own violation, keep requires all four") {
+    import spark.implicits._
+    // 25 tokens of length 4, no stopwords, max token 'good' x2 (2*20=40 <= 75)
+    val ok = (Seq("good", "good") ++ (1 to 23).map(i => f"tk$i%02d")).mkString(" ")
+    val shortDoc = "only five words in here" // n=5 < 20 → wc violation
+    // 25 tokens, 13 'the' → nstop*10=130 > 25 → stopword violation; 'the'
+    // count 13 also trips repetition (13*20=260 > 75); len: 13*3+12*4=87,
+    // 87*10=870 inside [25*40=1000]... 870 < 1000 → ALSO mean-length-low
+    val stopy = (List.fill(13)("the") ++ (1 to 12).map(i => f"wd$i%02d")).mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, ok, "en", "s0"), (1L, shortDoc, "en", "s0"), (2L, stopy, "en", "s0")))
+    val r = CurationQueries.gopherRules(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // (lang, n_docs, n_keep, v_wordcount, v_meanlen, v_stopword, v_repetition)
+    assert(r == Seq(("en", 3L, 1L, 1L, 2L, 1L, 2L)))
+    // v_meanlen=2: shortDoc mean len (4+4+5+2+4)/5=3.8 < 4.0 trips too;
+    // v_repetition=2: shortDoc's all-distinct 5 tokens give mx/n=0.2 > 0.15
+  }
+
+  test("q83: chunk boundaries — stride 15, window 20, runt tail kept") {
+    import spark.implicits._
+    val words = (1 to 37).map(i => f"w$i%02d") // 37 tokens → starts 0,15,30
+    val dir = docsDir(Seq((7L, words.mkString(" "), "en", "s0")))
+    val r = CurationQueries.docChunks(spark, dir)
+      .as[(Long, Long, Int, String)].collect().toSeq
+    assert(r.map(c => (c._2, c._3)) == Seq((0L, 20), (1L, 20), (2L, 7)))
+    // chunk content is pinned by md5 of the space-joined slice
+    def m(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(r(0)._4 == m(words.slice(0, 20).mkString(" ")))
+    assert(r(1)._4 == m(words.slice(15, 35).mkString(" ")))
+    assert(r(2)._4 == m(words.slice(30, 37).mkString(" ")))
+  }
+
+  test("q84: smoothed bigram probabilities on a two-doc corpus, by hand") {
+    import spark.implicits._
+    // corpus: doc0 = "a b a b", doc1 = "a b"  → bigrams: (a,b)x3, (b,a)x1
+    // c1: a→3, b→1; V = 2; k = 0.5
+    // P(b|a) = (3+.5)/(3+.5*2) = 3.5/4 ; P(a|b) = (1+.5)/(1+.5*2) = 1.5/2
+    val dir = docsDir(Seq((0L, "a b a b", "en", "s0"), (1L, "a b", "en", "s0")))
+    val r = CurationQueries.bigramLm(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    def rd(x: Double) = math.rint(x * 1e6) / 1e6
+    val lpAB = math.log(3.5 / 4.0); val lpBA = math.log(1.5 / 2.0)
+    assert(r(0L) == ((3L, rd((2 * lpAB + lpBA) / 3))))
+    assert(r(1L) == ((1L, rd(lpAB))))
+  }
+
+  test("q85: entropy is 0 for a constant doc, ln(n) for all-distinct") {
+    import spark.implicits._
+    val dir = docsDir(Seq(
+      (0L, "x x x x", "en", "s0"), // H = 0
+      (1L, "a b c d", "fr", "s0"))) // H = ln 4
+    val r = CurationQueries.tokenEntropy(spark, dir)
+      .as[(String, Long, Double, Double, Double, Long)].collect()
+      .map(t => t._1 -> ((t._3, t._6))).toMap
+    assert(r("en") == ((0.0, 1L))) // constant doc: zero entropy, low-flagged
+    assert(r("fr") == ((math.rint(math.log(4.0) * 1e4) / 1e4, 1L))) // ln 4 ≈ 1.3863 < 3 → low
+  }
+
+  test("q86: α=1 degenerates to natural share; weights sum to 1") {
+    import spark.implicits._
+    // with the committed α=0.3, a smaller source must get boost > 1 and the
+    // dominant source boost < 1, and the weights must sum to 1
+    val small = (1 to 10).map(i => s"s$i").mkString(" ")
+    val big = (1 to 90).map(i => s"b$i").mkString(" ")
+    val dir = docsDir(Seq((0L, small, "en", "minor"), (1L, big, "en", "major")))
+    val r = CurationQueries.mixWeights(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(math.abs(r.values.map(_._4).sum - 1.0) < 1e-5)
+    assert(r("minor")._5 > 1.0 && r("major")._5 < 1.0)
+    // hand value: share .1/.9 → raw = share^0.3 → w_minor = .1^.3/(.1^.3+.9^.3)
+    val w = math.pow(0.1, 0.3) / (math.pow(0.1, 0.3) + math.pow(0.9, 0.3))
+    assert(math.abs(r("minor")._4 - w) < 1e-5)
+  }
+}

@@ -170,10 +170,13 @@ class PlanSpec extends AnyFunSuite {
     // the only legitimate non-equi joins: q27's documented brute-force
     // broadcast-cross oracle path, q35's cross-join operator itself, and
     // the one-row corpus-constants broadcasts in q67 (N/avgLen onto
-    // postings) and q81 (corpus token total onto the vocabulary) — a
-    // keyless 1-row join is BNLJ by construction and O(|other side|)
+    // postings), q81 (corpus token total onto the vocabulary), q84 (the
+    // vocabulary size V onto the scoring join), and q86 (token total +
+    // raw-weight sum onto the per-source frame) — a keyless 1-row join is
+    // BNLJ by construction and O(|other side|)
     val allowNestedLoop = Set(
-      "q27_embedding_topk", "q35_cross_join", "q67_bm25_topk", "q81_source_drift")
+      "q27_embedding_topk", "q35_cross_join", "q67_bm25_topk", "q81_source_drift",
+      "q84_bigram_lm", "q86_mix_weights")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -181,6 +184,21 @@ class PlanSpec extends AnyFunSuite {
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join")
     }
+  }
+
+  test("q83: chunking is map-only — the only exchanges are spread and the output sort") {
+    val p = plan(CurationQueries.docChunks(spark, sf))
+    val exchangeCount = p.linesIterator.count(l => l.trim.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchangeCount == 2, s"spread + orderBy only, got $exchangeCount\n$p")
+  }
+
+  test("q84: the bigram window subtree materializes once; model reads hit the cache") {
+    val p = plan(CurationQueries.bigramLm(spark, sf))
+    // the scoring join input and both model aggregations read the persisted
+    // per-doc bigram counts (first-draft plan re-ran explode+window 3×)
+    val cacheReads = p.linesIterator.count(l => l.trim.matches("\\(\\d+\\) InMemoryTableScan.*"))
+    assert(cacheReads >= 3, s"grouped bigram counts must be cached and reread, got $cacheReads reads\n$p")
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("link pipeline: window pushed to scan; exactly two exchanges; partial agg") {
