@@ -69,6 +69,10 @@ object CurationQueries {
     val tk = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("_ts"))
       .select(col("doc_id"), col("_ts"), size(col("_ts")).as("_n"))
+      // a tokenless doc has no chunks — and Spark's sequence(0, -1, step)
+      // THROWS (Illegal sequence boundaries) rather than returning empty,
+      // so without this guard one empty document kills its whole task
+      .where(col("_n") >= 1)
     tk.select(col("doc_id"), col("_ts"), col("_n"),
       explode(sequence(lit(0), col("_n") - 1, lit(ChunkS))).as("_start"))
       .select(

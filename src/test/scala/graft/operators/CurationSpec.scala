@@ -83,6 +83,31 @@ class CurationSpec extends AnyFunSuite {
     assert(r("fr") == ((math.rint(math.log(4.0) * 1e4) / 1e4, 1L))) // ln 4 ≈ 1.3863 < 3 → low
   }
 
+  test("edge inputs: null/empty/whitespace/one-token docs flow through all five") {
+    import spark.implicits._
+    val dir = docsDir(Seq(
+      (1L, null.asInstanceOf[String], "en", "s0"),
+      (2L, "", "en", "s0"),
+      (3L, "   ", "en", "s0"),
+      (4L, "x", "en", "s0"),
+      (5L, "alpha beta alpha gamma", "en", "s1")))
+    // tokenless docs (1-3) vanish from token-derived stats on BOTH engines
+    // (explode of null/empty drops the row; unnest ditto) — no task death
+    val rules = CurationQueries.gopherRules(spark, dir).collect()
+    assert(rules.map(_.getLong(1)).sum == 2) // docs 4 and 5 only
+    val chunks = CurationQueries.docChunks(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(chunks == Set(4L, 5L)) // one runt chunk each
+    val lm = CurationQueries.bigramLm(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lm == Set(5L)) // only the doc with >= 2 tokens scores
+    val ent = CurationQueries.tokenEntropy(spark, dir).collect()
+    assert(ent.map(_.getLong(1)).sum == 2)
+    val mix = CurationQueries.mixWeights(spark, dir)
+      .select("source").as[String].collect().toSet
+    assert(mix == Set("s0", "s1")) // s0 survives via doc 4's single token
+  }
+
   test("q86: α=1 degenerates to natural share; weights sum to 1") {
     import spark.implicits._
     // with the committed α=0.3, a smaller source must get boost > 1 and the
