@@ -185,12 +185,45 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** q87 — embedding-space source drift: cosine of each label's embedding
+    * centroid against the corpus centroid (the embedding-space sibling of
+    * q81's token-distribution drift — catches a source whose text stats
+    * look fine but whose semantic distribution moved). Scale shape: one
+    * posexplode → (label, dim) partial-sum aggregation is the only
+    * corpus-sized pass; the corpus centroid derives from the per-label
+    * sums (weighted mean — never a second read of the exploded frame), and
+    * everything after operates on |labels|×dim rows. That small frame is
+    * the only persist (read by the corpus derivation and the scoring
+    * join). */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val bl = graft.ops.Partitioning.spread(table(spark, dir, "embeddings"))
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "pos", "v")
+      .groupBy("label", "pos")
+      .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), (col("s") / col("n")).as("m"), col("n"))
+      .persist()
+    val corpus = bl.groupBy("pos")
+      .agg((sum(col("m") * col("n")) / sum("n")).as("mc"))
+    bl.join(corpus, Seq("pos"))
+      .groupBy("label")
+      .agg(max("n").as("n_vecs"),
+        sum(col("m") * col("mc")).as("_dot"),
+        sum(col("m") * col("m")).as("_nl"),
+        sum(col("mc") * col("mc")).as("_nc"))
+      .select(col("label"), col("n_vecs"),
+        round(col("_dot") / sqrt(col("_nl") * col("_nc")), 4).as("centroid_cos"),
+        round(sqrt(col("_nl")), 4).as("centroid_norm"))
+      .orderBy("label")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q82_gopher_rules" -> (gopherRules _),
     "q83_doc_chunks" -> (docChunks _),
     "q84_bigram_lm" -> (bigramLm _),
     "q85_token_entropy" -> (tokenEntropy _),
-    "q86_mix_weights" -> (mixWeights _)
+    "q86_mix_weights" -> (mixWeights _),
+    "q87_embedding_drift" -> (embeddingDrift _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -274,6 +307,21 @@ object CurationQueries {
         |SELECT source, n_docs, n_tokens,
         |  round(r.raw / rs.rsum, 6) AS weight,
         |  round(r.raw / rs.rsum / r.share, 4) AS boost
-        |FROM r, rs ORDER BY source""".stripMargin
+        |FROM r, rs ORDER BY source""".stripMargin,
+    "q87_embedding_drift" ->
+      """WITH e AS (SELECT label,
+        |    unnest(generate_series(1, len(embedding))) AS pos,
+        |    unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings),
+        |bl AS (SELECT label, pos, sum(v) / count(*) AS m, count(*) AS n
+        |       FROM e GROUP BY 1, 2),
+        |c AS (SELECT pos, sum(m * n) / sum(n) AS mc FROM bl GROUP BY 1),
+        |j AS (SELECT label, max(n) AS n_vecs,
+        |        sum(m * mc) AS dot, sum(m * m) AS nl, sum(mc * mc) AS nc
+        |      FROM bl JOIN c USING (pos) GROUP BY label)
+        |SELECT label, n_vecs,
+        |  round(dot / sqrt(nl * nc), 4) AS centroid_cos,
+        |  round(sqrt(nl), 4) AS centroid_norm
+        |FROM j ORDER BY label""".stripMargin
   )
 }

@@ -83,6 +83,20 @@ class CurationSpec extends AnyFunSuite {
     assert(r("fr") == ((math.rint(math.log(4.0) * 1e4) / 1e4, 1L))) // ln 4 ≈ 1.3863 < 3 → low
   }
 
+  test("q87: centroid cosine by hand on a 2-dim, 2-label corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("curation-emb").toString
+    Seq((0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = CurationQueries.embeddingDrift(spark, dir)
+      .as[(Int, Long, Double, Double)].collect().map(t => t._1 -> t).toMap
+    // corpus centroid = weighted mean = [2/3, 1/3]; |c| = sqrt(5)/3
+    def rd(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(r(0) == ((0, 2L, rd(2.0 / math.sqrt(5.0)), 1.0)))
+    assert(r(1) == ((1, 1L, rd(1.0 / math.sqrt(5.0)), 1.0)))
+  }
+
   test("edge inputs: null/empty/whitespace/one-token docs flow through all five") {
     import spark.implicits._
     val dir = docsDir(Seq(
