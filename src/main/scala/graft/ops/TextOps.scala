@@ -107,6 +107,37 @@ object TextOps {
     round(least(lenOk, lit(1.0)) * punctOk * digitOk * (lit(0.5) + repOk / 2), 6)
   }
 
+  /** The q82 Gopher rule set evaluated ARRAY-SIDE on one row — the
+    * stateless form a streaming gate needs (no aggregation state, works in
+    * append mode with no watermark). Integer arithmetic identical to the
+    * relational q82 path: word count in [20,90], mean token length in
+    * [4.0,5.0] as `sumlen*10 BETWEEN 40n AND 50n`, stopword fraction
+    * ≤ 0.10, max-single-token fraction ≤ 0.15. The max-token count is
+    * O(distinct·n) per row via interpreted HOFs — fine for bounded document
+    * sizes on a stream; the batch path (CurationQueries.gopherRules) keeps
+    * the relational shape for corpus scale. Tokenless docs are keep=false
+    * (the batch rollup never sees them — explode drops the row). */
+  def gopherFlags(text: Column): Column = {
+    val ts = tokens(text)
+    val n = size(ts).cast("long")
+    val sumlen = aggregate(ts, lit(0L), (acc, t) => acc + length(t))
+    val nstop = size(filter(ts, t => t.isin("the", "a"))).cast("long")
+    val mx = coalesce(
+      array_max(transform(array_distinct(ts), d => size(filter(ts, t => t === d)))),
+      lit(0)).cast("long")
+    val wcOk = n.between(20L, 90L)
+    val mwlOk = sumlen * 10 >= n * 40 && sumlen * 10 <= n * 50
+    val stopOk = nstop * 10 <= n
+    val repOk = mx * 20 <= n * 3
+    struct(
+      n.as("n_tokens"),
+      coalesce(wcOk, lit(false)).as("wc_ok"),
+      coalesce(mwlOk, lit(false)).as("mwl_ok"),
+      coalesce(stopOk, lit(false)).as("stop_ok"),
+      coalesce(repOk, lit(false)).as("rep_ok"),
+      coalesce(n > 0 && wcOk && mwlOk && stopOk && repOk, lit(false)).as("keep"))
+  }
+
   // --- fingerprinting -------------------------------------------------------
 
   /** Bottom-k sketch fingerprint (winnowing-style): the k smallest xxhash64

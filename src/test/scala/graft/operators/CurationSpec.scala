@@ -56,6 +56,43 @@ class CurationSpec extends AnyFunSuite {
     assert(r(2)._4 == m(words.slice(30, 37).mkString(" ")))
   }
 
+  test("q83 property: chunks cover every token; de-overlapped chunks reassemble the doc") {
+    import spark.implicits._
+    // lengths around every boundary: < W, == W, == W+1, mid-stride, multiple
+    // of stride, and a long tail
+    val lengths = Seq(1, 5, 15, 19, 20, 21, 30, 35, 36, 50, 99, 100)
+    val docs = lengths.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(k => s"t${i}_$k").mkString(" "), "en", "s0")
+    }
+    val dir = docsDir(docs)
+    val got = CurationQueries.docChunks(spark, dir)
+      .as[(Long, Long, Int, String)].collect().toSeq.groupBy(_._1)
+    def m(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    docs.foreach { case (id, text, _, _) =>
+      val toks = text.split(" ").toSeq
+      val chunks = got(id).sortBy(_._2)
+      // expected chunk starts: 0, 15, 30… while start < n
+      val starts = 0 until toks.size by 15
+      assert(chunks.size == starts.size, s"doc $id chunk count")
+      starts.zip(chunks).foreach { case (start, (_, idx, nChunk, md5)) =>
+        val slice = toks.slice(start, math.min(start + 20, toks.size))
+        assert(idx == start / 15 && nChunk == slice.size, s"doc $id start $start")
+        assert(md5 == m(slice.mkString(" ")), s"doc $id start $start content")
+      }
+      // de-overlapping reassembly: chunk 0 whole + later chunks minus the
+      // 5-token overlap = the original token stream, exactly once each
+      val reassembled = chunks.zipWithIndex.flatMap { case ((_, _, _, _), i) =>
+        val start = i * 15
+        val slice = toks.slice(start, math.min(start + 20, toks.size))
+        if (i == 0) slice else slice.drop(5)
+      }
+      assert(reassembled == toks, s"doc $id reassembly")
+    }
+  }
+
   test("q84: smoothed bigram probabilities on a two-doc corpus, by hand") {
     import spark.implicits._
     // corpus: doc0 = "a b a b", doc1 = "a b"  → bigrams: (a,b)x3, (b,a)x1
