@@ -217,13 +217,50 @@ object CurationQueries {
       .orderBy("label")
   }
 
+  private val PackB = 256L // tokens per training sequence
+
+  /** q88 — sequence packing profile: GPT-style pretraining concatenates a
+    * shard's documents in a deterministic order and slices fixed-length
+    * sequences (B=256 here), crossing document boundaries. Packing is
+    * per-SHARD (source), the way distributed packers actually run — one
+    * windowed cumulative sum per shard, never a global single-partition
+    * sort. Reported per source: total tokens, sequence count, documents
+    * straddling a sequence boundary, and the tail waste — all integer
+    * arithmetic, no float boundary. */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("source"), col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n"))
+      .where(col("n") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val packed = nTok.withColumn("end", sum("n").over(w))
+      .withColumn("start", col("end") - col("n"))
+      // a doc straddles iff a sequence boundary falls strictly inside it:
+      // (end-1) DIV B > start DIV B — integer arithmetic throughout
+      .withColumn("straddles",
+        (expr(s"(end - 1) DIV $PackB") > expr(s"start DIV $PackB")).cast("long"))
+    packed.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n").as("total_tokens"),
+      max("end").as("_end"),
+      sum("straddles").as("n_straddlers"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        // integer ceil-div (DIV, not /): no float anywhere in the arithmetic
+        expr(s"(_end + ${PackB - 1}) DIV $PackB").as("n_seqs"),
+        col("n_straddlers"),
+        (expr(s"(_end + ${PackB - 1}) DIV $PackB") * PackB - col("_end")).as("tail_waste"))
+      .orderBy("source")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q82_gopher_rules" -> (gopherRules _),
     "q83_doc_chunks" -> (docChunks _),
     "q84_bigram_lm" -> (bigramLm _),
     "q85_token_entropy" -> (tokenEntropy _),
     "q86_mix_weights" -> (mixWeights _),
-    "q87_embedding_drift" -> (embeddingDrift _)
+    "q87_embedding_drift" -> (embeddingDrift _),
+    "q88_sequence_packing" -> (sequencePacking _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -322,6 +359,22 @@ object CurationQueries {
         |SELECT label, n_vecs,
         |  round(dot / sqrt(nl * nc), 4) AS centroid_cos,
         |  round(sqrt(nl), 4) AS centroid_norm
-        |FROM j ORDER BY label""".stripMargin
+        |FROM j ORDER BY label""".stripMargin,
+    "q88_sequence_packing" ->
+      """WITH nt AS (SELECT source, doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n
+        |  FROM documents),
+        |p AS (SELECT source, doc_id, n,
+        |    sum(n) OVER (PARTITION BY source ORDER BY doc_id
+        |                 ROWS UNBOUNDED PRECEDING) AS e
+        |  FROM nt WHERE n > 0),
+        |s AS (SELECT source, n, e, e - n AS st,
+        |    CASE WHEN (e - 1) // 256 > (e - n) // 256 THEN 1 ELSE 0 END AS straddles
+        |  FROM p)
+        |SELECT source, count(*) AS n_docs, sum(n)::BIGINT AS total_tokens,
+        |  ((max(e) + 255) // 256)::BIGINT AS n_seqs,
+        |  sum(straddles)::BIGINT AS n_straddlers,
+        |  (((max(e) + 255) // 256) * 256 - max(e))::BIGINT AS tail_waste
+        |FROM s GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -134,6 +134,23 @@ class CurationSpec extends AnyFunSuite {
     assert(r(1) == ((1, 1L, rd(1.0 / math.sqrt(5.0)), 1.0)))
   }
 
+  test("q88: packing math by hand — boundaries, straddlers, tail waste") {
+    import spark.implicits._
+    // one shard, docs of 100/200/300 tokens → concatenated [0,600), B=256:
+    // doc0 [0,100) inside seq 0; doc1 [100,300) crosses 256; doc2 [300,600)
+    // crosses 512 → 2 straddlers, 3 sequences, waste 768-600=168
+    def doc(n: Int, id: Long) = (id, (0 until n).map(i => s"w$i").mkString(" "), "en", "s0")
+    val dir = docsDir(Seq(doc(100, 0L), doc(200, 1L), doc(300, 2L)))
+    val r = CurationQueries.sequencePacking(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(("s0", 3L, 600L, 3L, 2L, 168L)))
+    // exact-fit shard: 256 tokens in one doc → 1 seq, 0 straddlers, 0 waste
+    val dir2 = docsDir(Seq(doc(256, 0L)))
+    val r2 = CurationQueries.sequencePacking(spark, dir2)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r2 == Seq(("s0", 1L, 256L, 1L, 0L, 0L)))
+  }
+
   test("edge inputs: null/empty/whitespace/one-token docs flow through all five") {
     import spark.implicits._
     val dir = docsDir(Seq(
