@@ -167,11 +167,16 @@ object CurationQueries {
     * one-row broadcasts (q81's constants pattern — never a window over all
     * rows). */
   def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    // two-level aggregation, NOT count(*)+countDistinct in one agg: that
+    // combination plans an Expand that doubles the exploded corpus into the
+    // first shuffle; (source,doc) partials then a |docs|-row rollup ship
+    // strictly less
     val perSource = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
       .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("_ts"))
       .select(col("doc_id"), col("source"), explode(col("_ts")).as("w"))
+      .groupBy("source", "doc_id").agg(count(lit(1)).as("_nt"))
       .groupBy("source")
-      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum("_nt").as("n_tokens"))
     val total = perSource.agg(sum("n_tokens").as("_tot"))
     val raw = perSource.crossJoin(broadcast(total))
       .select(col("source"), col("n_docs"), col("n_tokens"),
