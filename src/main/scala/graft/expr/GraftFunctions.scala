@@ -50,7 +50,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
       (args: Seq[Expression]) => Winnow(args.head,
-        intArg(args, 1, "graft_winnow"), intArg(args, 2, "graft_winnow")))
+        intArg(args, 1, "graft_winnow"), intArg(args, 2, "graft_winnow"))),
+    (FunctionIdentifier("graft_word_bigrams"),
+      new ExpressionInfo(classOf[WordBigrams].getName, "graft_word_bigrams"),
+      (args: Seq[Expression]) => WordBigrams(args.head))
   )
 
   /** Idempotently register the fused functions on a live session (no-op when
@@ -105,4 +108,9 @@ object GraftFunctions {
   /** Fused winnowing fingerprint set over lowercased byte n-grams. */
   def winnow(text: Column, n: Int, w: Int): Column =
     call_function("graft_winnow", lower(text), lit(n), lit(w))
+
+  /** Fused adjacent word-pair array ("w1 w2" strings; empty under two
+    * tokens — NOT lowercased, raw-text tokenization like wordMinhash). */
+  def wordBigrams(text: Column): Column =
+    call_function("graft_word_bigrams", text)
 }

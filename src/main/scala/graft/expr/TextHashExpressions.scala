@@ -209,6 +209,62 @@ object TextHash {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Adjacent word-pair strings ("w1 w2") in one fused pass — the bigram
+    * formation step of the statistical-LM scorer (q84). Tokenization is the
+    * same maximal non-whitespace byte-run scan as [[wordMinhash]]; all
+    * bigrams share ONE single-space-joined buffer (each is a contiguous
+    * window of it, wrapped without copying), so the per-row cost is one
+    * buffer allocation + nt-1 slice headers — replacing the interpreted
+    * transform/element_at/struct HOF tree. STRICT bigram semantics: fewer
+    * than two tokens (including empty/null-free zero-token text) yield an
+    * EMPTY array, never a degenerate whole-text entry (q68's wordShingles
+    * fallback is deliberately different and keeps its own path). */
+  def wordBigrams(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nt = 0
+    var i = 0
+    while (i < nb) {
+      if (!isWs(bytes(i))) {
+        var j = i + 1
+        while (j < nb && !isWs(bytes(j))) j += 1
+        if (nt == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nt * 2)
+          ends = java.util.Arrays.copyOf(ends, nt * 2)
+        }
+        starts(nt) = i; ends(nt) = j; nt += 1
+        i = j
+      } else i += 1
+    }
+    if (nt < 2) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    var total = nt - 1
+    var t = 0
+    while (t < nt) { total += ends(t) - starts(t); t += 1 }
+    val buf = new Array[Byte](total)
+    val bstart = new Array[Int](nt)
+    val blen = new Array[Int](nt)
+    var pos = 0
+    t = 0
+    while (t < nt) {
+      if (t > 0) { buf(pos) = 0x20; pos += 1 }
+      bstart(t) = pos
+      blen(t) = ends(t) - starts(t)
+      System.arraycopy(bytes, starts(t), buf, pos, blen(t))
+      pos += blen(t)
+      t += 1
+    }
+    val out = new Array[Any](nt - 1)
+    t = 0
+    while (t < nt - 1) {
+      out(t) = UTF8String.fromBytes(buf, bstart(t),
+        bstart(t + 1) + blen(t + 1) - bstart(t))
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Min window hash — the rolling 64-bit document fingerprint. */
   def fingerprint64(s: UTF8String, n: Int): Long = {
     val base = s.getBaseObject
@@ -279,6 +335,21 @@ case class Winnow(child: Expression, n: Int, w: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expr.TextHash.winnow($c, $n, $w)")
   override protected def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
+}
+
+/** `graft_word_bigrams(text)` — fused adjacent word-pair array (strict:
+  * empty for fewer than two tokens). */
+case class WordBigrams(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_bigrams"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.wordBigrams(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextHash.wordBigrams($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordBigrams =
     copy(child = newChild)
 }
 

@@ -105,21 +105,26 @@ object CurationQueries {
     * distinct (doc,w1,w2) by its count, arithmetically identical to
     * averaging over bigram instances. */
   def bigramLm(spark: SparkSession, dir: String): DataFrame = {
-    val tk = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("_ts"))
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val docs = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+    // bigram formation is the fused codegen kernel (graft_word_bigrams:
+    // one joined buffer per row, each pair a zero-copy window of it —
+    // replaces the interpreted transform/element_at/struct HOF tree);
+    // tokens contain no whitespace, so splitting the pair at its single
+    // space with substring_index is exact.
     // Ownership: Verify/Bench clear the cache after each query's action.
-    val grouped = tk
-      .where(size(col("_ts")) >= 2)
+    val grouped = docs
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("_ts")) - 1),
-          i => struct(element_at(col("_ts"), i).as("w1"),
-            element_at(col("_ts"), i + 1).as("w2")))).as("_bg"))
-      .select(col("doc_id"), col("_bg.w1"), col("_bg.w2"))
+        explode(graft.expr.GraftFunctions.wordBigrams(col("text"))).as("_bg"))
+      .select(col("doc_id"),
+        substring_index(col("_bg"), " ", 1).as("w1"),
+        substring_index(col("_bg"), " ", -1).as("w2"))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
       .persist()
     val c2 = grouped.groupBy("w1", "w2").agg(sum("n").as("c2"))
     val c1 = grouped.groupBy("w1").agg(sum("n").as("c1"))
-    val vocab = tk.select(explode(col("_ts")).as("w")).agg(countDistinct("w").as("_v"))
+    val vocab = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .agg(countDistinct("w").as("_v"))
     grouped
       .join(c2, Seq("w1", "w2"))
       .join(c1, Seq("w1"))

@@ -17,6 +17,25 @@ class TextHashExprSpec extends AnyFunSuite {
     "spark catalyst whole stage codegen",
     "aaaaa", "abc", "", "repeated repeated repeated repeated")
 
+  test("fused word bigrams equal the HOF formulation; strict under two tokens") {
+    GraftFunctions.ensureRegistered(spark)
+    val cases = texts ++ Seq(
+      "  leading and   multiple   spaces\ttabs\nnewlines  ",
+      "one", "two words", "丸 山 unicode  テスト")
+    val df = cases.toDF("text")
+    val ts = TextOps.tokens(col("text"))
+    val hof = when(size(ts) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ts) - 1),
+        i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))))
+    val both = df.select(hof.as("h"), GraftFunctions.wordBigrams(col("text")).as("f"))
+      .as[(Seq[String], Seq[String])].collect()
+    both.foreach { case (h, f) => assert(h == f, s"hof=$h fused=$f") }
+    // null text null-propagates like every unary kernel
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(GraftFunctions.wordBigrams(col("text"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("fused fingerprint64 equals builtin formulation on ASCII") {
     val df = texts.toDF("text")
     val both = df.select(
