@@ -100,10 +100,12 @@ object CurationQueries {
     * model aggregations and the scoring join). The count tables are
     * vocabulary²-/vocabulary-bounded, never corpus-sized; plain equi-joins
     * let AQE broadcast them when they fit (at web scale the bigram table
-    * may not — the shuffle join is the honest default). V attaches as a
-    * one-row broadcast (q81's constants pattern); scoring weights each
-    * distinct (doc,w1,w2) by its count, arithmetically identical to
-    * averaging over bigram instances. */
+    * may not — the shuffle join is the honest default, and token keys are
+    * Zipfian, so if the shuffle path is taken, AQE's skew-join split — or
+    * ops.Skew.saltedJoin as the manual fallback — handles the stopword-hot
+    * w1 partitions). V attaches as a one-row broadcast (q81's constants
+    * pattern); scoring weights each distinct (doc,w1,w2) by its count,
+    * arithmetically identical to averaging over bigram instances. */
   def bigramLm(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val docs = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
