@@ -225,6 +225,55 @@ object NorthStarQueries {
       .orderBy("queryId", "rank")
   }
 
+  /** q89 — IVF-PQ ADC search, the full 100 TB ANN architecture in one
+    * query: the corpus carries a coarse IVF bucket (q47's codegen'd
+    * assignment), 8 product-quantization codes (M=8 subspaces × K=16,
+    * codebooks sampled from the data like the IVF centroids), and a
+    * precomputed reconstruction norm — at scale that is ~13 bytes of
+    * search state per vector instead of 256 bytes of floats. A query
+    * probes its own bucket, ranks candidates by the asymmetric-distance
+    * (ADC) approximation — which reads ONLY the codes, never the
+    * candidate's floats — keeps the top 12, and exact-reranks those few
+    * with true cosine to the final top 5. The ADC score is rounded to 9 dp
+    * BEFORE the candidate cut on both engines: real score spacing is
+    * ~1e-2, summation-order noise ~1e-15, so the rounding pins the
+    * cut-boundary ordering without costing discrimination. */
+  def embeddingPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val emb = table(spark, dir, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val sample = emb
+      .where(pmod(col("vec_id"), lit(50)) === 0 && col("vec_id") < 800)
+      .orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Double](0).toArray)
+    val books = Array.tabulate(8)(m => sample.map(_.slice(m * 8, m * 8 + 8)))
+    val assigned = emb
+      .withColumn("cid", Similarity.ivfAssign(col("embedding"), sample))
+      .withColumn("_codes", Similarity.pqEncode(col("embedding"), books))
+      .withColumn("_nsq", Similarity.pqNormSq(col("_codes"), books))
+    val q = assigned.where(col("vec_id") < 10)
+      .select(col("vec_id").as("queryId"), col("embedding").as("_qv"), col("cid"))
+    val adcDen = Similarity.norm(col("_qv")) * sqrt(col("_nsq"))
+    val approx = broadcast(q)
+      .join(assigned.select(col("vec_id").as("neighborId"), col("embedding").as("_cv"),
+        col("cid"), col("_codes"), col("_nsq")), "cid")
+      .where(col("queryId") =!= col("neighborId"))
+      .select(col("queryId"), col("neighborId"), col("_qv"), col("_cv"),
+        round(when(adcDen === 0.0d, 0.0d)
+          .otherwise(Similarity.pqAdcDot(col("_qv"), col("_codes"), books) / adcDen), 9)
+          .as("approx_cos"))
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy("queryId").orderBy(col("approx_cos").desc, col("neighborId").asc)
+    val rerank = approx.withColumn("_ra", row_number().over(wa)).where(col("_ra") <= 12)
+      .select(col("queryId"), col("neighborId"), col("approx_cos"),
+        round(Similarity.cosine(col("_qv"), col("_cv")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("queryId").orderBy(col("cosine").desc, col("neighborId").asc)
+    rerank.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .select("queryId", "neighborId", "cosine", "approx_cos", "rank")
+      .orderBy("queryId", "rank")
+  }
+
   /** Embedding-cosine near-duplicates (SRP-LSH banded + exact verify). This
     * corpus is near-orthogonal (max pairwise cosine ≈ 0.51), so the
     * threshold sits at 0.35 to exercise the full path with non-empty
@@ -496,7 +545,8 @@ object NorthStarQueries {
     "q75_embedding_ivf_model" -> (embeddingIvfModelTopK _),
     "q77_embedding_ivf_probe2" -> (embeddingIvfProbe2TopK _),
     "q78_containment_decontam" -> (containmentDecontam _),
-    "q79_embedding_ivf_model_probe2" -> (embeddingIvfModelProbe2TopK _)
+    "q79_embedding_ivf_model_probe2" -> (embeddingIvfModelProbe2TopK _),
+    "q89_embedding_pq_topk" -> (embeddingPqTopK _)
   )
 
   /** Shared DuckDB fragments for the word-3-gram pair oracles (q24, q48). */
@@ -597,6 +647,49 @@ object NorthStarQueries {
       "ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY \"queryId\" ORDER BY cosine DESC, \"neighborId\") AS INTEGER) AS rank FROM scored) " +
       "SELECT \"queryId\", \"neighborId\", cosine, rank FROM ranked WHERE rank <= 5 ORDER BY \"queryId\", rank"
 
+  /** q89 oracle: the full IVF-PQ replication — codebooks re-derived from
+    * the same data sample (subspace slices of every 50th vector), encode
+    * re-run as the same argmax (2·x_m·c − ‖c‖², ties to the higher code),
+    * ADC re-summed per candidate, rounded to 9 dp before the top-12 cut
+    * (the same pre-rank rounding the Spark side applies, so the candidate
+    * set is pinned), then the exact-cosine rerank. */
+  private def pqOracleSql: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci, v AS cv " +
+      "FROM e WHERE vec_id % 50 = 0 AND vec_id < 800), " +
+      // corpus-side IVF assignment, identical to ivfOracleSql
+      "sa AS (SELECT e.vec_id, e.v, c.ci, " + cosineAssignSql("e.v", "c.cv") + " AS sim " +
+      "FROM e CROSS JOIN cent c), " +
+      "rs AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, ci DESC) AS rn FROM sa), " +
+      "assigned AS (SELECT vec_id, v, ci AS cid FROM rs WHERE rn = 1), " +
+      // PQ codebooks: subspace m slice of sample k (same sample as the centroids)
+      "ms AS (SELECT unnest(generate_series(0, 7)) AS m), " +
+      "books AS (SELECT ms.m, cent.ci AS k, cv[ms.m*8+1 : ms.m*8+8] AS bv FROM cent, ms), " +
+      // encode: argmax 2*x_m·c - ||c||^2, ties to the HIGHER code
+      "encsc AS (SELECT e.vec_id, b.m, b.k, " +
+      "2 * list_dot_product(e.v[b.m*8+1 : b.m*8+8], b.bv) - list_dot_product(b.bv, b.bv) AS s " +
+      "FROM e CROSS JOIN books b), " +
+      "codes AS (SELECT vec_id, m, k AS code FROM " +
+      "(SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY s DESC, k DESC) AS rn FROM encsc) WHERE rn = 1), " +
+      "nsq AS (SELECT c.vec_id, sum(list_dot_product(b.bv, b.bv)) AS nsq " +
+      "FROM codes c JOIN books b ON b.m = c.m AND b.k = c.code GROUP BY c.vec_id), " +
+      "q AS (SELECT vec_id AS qid, v AS qv, cid FROM assigned WHERE vec_id < 10), " +
+      "cand AS (SELECT q.qid, a.vec_id AS nid, q.qv, a.v FROM q " +
+      "JOIN assigned a ON a.cid = q.cid AND a.vec_id <> q.qid), " +
+      // ADC: query subvector dotted with the candidate's reconstructed codes
+      "adot AS (SELECT c.qid, c.nid, sum(list_dot_product(c.qv[b.m*8+1 : b.m*8+8], b.bv)) AS adot " +
+      "FROM cand c JOIN codes k2 ON k2.vec_id = c.nid JOIN books b ON b.m = k2.m AND b.k = k2.code " +
+      "GROUP BY c.qid, c.nid), " +
+      "approx AS (SELECT c.qid, c.nid, c.qv, c.v, " +
+      "ROUND(CASE WHEN sqrt(list_dot_product(c.qv, c.qv)) * sqrt(n.nsq) = 0 THEN 0.0 " +
+      "ELSE a.adot / (sqrt(list_dot_product(c.qv, c.qv)) * sqrt(n.nsq)) END, 9) AS approx_cos " +
+      "FROM cand c JOIN adot a ON a.qid = c.qid AND a.nid = c.nid JOIN nsq n ON n.vec_id = c.nid), " +
+      "ra AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_cos DESC, nid) AS rn FROM approx), " +
+      "rerank AS (SELECT qid AS \"queryId\", nid AS \"neighborId\", approx_cos, " +
+      cosineSql("qv", "v") + " AS cosine FROM ra WHERE rn <= 12), " +
+      "ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY \"queryId\" ORDER BY cosine DESC, \"neighborId\") AS INTEGER) AS rank FROM rerank) " +
+      "SELECT \"queryId\", \"neighborId\", cosine, approx_cos, rank FROM ranked WHERE rank <= 5 ORDER BY \"queryId\", rank"
+
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracles: Map[String, String] = Map(
     // q31/q32: the decode STUB is deterministic byte arithmetic, so the
@@ -672,6 +765,7 @@ object NorthStarQueries {
     // independent, so ONE oracle shape covers both the literal-unrolled and
     // the broadcast-model Spark forms.
     "q47_embedding_ivf_topk" -> ivfOracleSql(centroidEvery = 50),
+    "q89_embedding_pq_topk" -> pqOracleSql,
     "q75_embedding_ivf_model" -> ivfOracleSql(centroidEvery = 20),
     "q77_embedding_ivf_probe2" -> ivfOracleSql(centroidEvery = 50, nprobe = 2),
     "q79_embedding_ivf_model_probe2" -> ivfOracleSql(centroidEvery = 20, nprobe = 2),

@@ -179,6 +179,55 @@ object Similarity {
     * accumulator and returns the `-1` sentinel, matching [[ivfAssign]].
     * Pinned equal to ivfAssign (ties, nulls, random vectors) in
     * SimilaritySpec. */
+  /** Product-quantization encode: split the vector into M = books.length
+    * subspaces and store, per subspace, the index of the nearest codebook
+    * entry by L2 (argmin ‖x_m − c‖² ≡ argmax 2·x_m·c − ‖c‖², the ‖x_m‖²
+    * term being constant across codes). The corpus row shrinks to M small
+    * ints + one precomputed norm ([[pqNormSq]]) — the 100 TB ANN trick:
+    * ADC scoring reads M codes instead of the full float vector. Ties
+    * resolve to the HIGHER code (array_max over (score, k) structs, the
+    * ivfAssign rule); a subvector whose dot is NULL against every code
+    * scores -1e300 everywhere and deterministically takes the highest k.
+    * Literal-unrolled like [[ivfAssign]] (M×K×subdim constants in one
+    * codegen'd projection) — right for the M=8, K=16 coarse books here. */
+  def pqEncode(vec: Column, books: Array[Array[Array[Double]]]): Column = {
+    require(books.nonEmpty && books.forall(_.nonEmpty), "empty PQ codebook")
+    val subdim = books(0)(0).length
+    array(books.zipWithIndex.map { case (book, m) =>
+      val sub = slice(vec, m * subdim + 1, subdim)
+      val scored = book.zipWithIndex.map { case (c, k) =>
+        val cLit = array(c.toIndexedSeq.map(lit): _*)
+        val cc = c.map(x => x * x).sum
+        struct(coalesce(dot(sub, cLit) * 2 - lit(cc), lit(-1e300)).as("s"),
+          lit(k).as("k"))
+      }
+      array_max(array(scored.toIndexedSeq: _*)).getField("k")
+    }.toIndexedSeq: _*)
+  }
+
+  /** Approximate squared norm of a PQ-encoded vector: Σ_m ‖c_{m,code_m}‖² —
+    * the reconstruction's norm, precomputed at encode time so search never
+    * touches the original floats. */
+  def pqNormSq(codes: Column, books: Array[Array[Array[Double]]]): Column = {
+    val ccLit = typedLit(books.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
+    books.indices.map { m =>
+      element_at(element_at(ccLit, m + 1), element_at(codes, m + 1) + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Asymmetric-distance (ADC) dot product: the query stays exact, the
+    * candidate is its PQ reconstruction — Σ_m q_m · c_{m,code_m}, an
+    * M-term unrolled expression over the broadcast codebook literal. */
+  def pqAdcDot(queryVec: Column, codes: Column,
+      books: Array[Array[Array[Double]]]): Column = {
+    val subdim = books(0)(0).length
+    val model = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    books.indices.map { m =>
+      dot(slice(queryVec, m * subdim + 1, subdim),
+        element_at(element_at(model, m + 1), element_at(codes, m + 1) + 1))
+    }.reduce(_ + _)
+  }
+
   def ivfAssignModel(vec: Column, centroids: Array[Array[Double]]): Column = {
     require(centroids.nonEmpty, "empty centroid model")
     val model = typedLit(centroids.map(_.toSeq).toSeq)

@@ -529,6 +529,60 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Int, Int)].head()
     assert(got == ((2, 2)))
   }
+
+  test("pqEncode picks the L2-nearest code per subspace; codebook members self-encode") {
+    // 2 subspaces of 2 dims, 2 codes: book vectors are the axis pairs
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)), // subspace 0
+      Array(Array(2.0, 0.0), Array(0.0, 2.0))) // subspace 1
+    val rows = Seq(
+      (1L, Seq(0.9f, 0.1f, 0.1f, 1.9f)), // near code 0 then code 1
+      (2L, Seq(0.0f, 1.0f, 2.0f, 0.0f)), // exactly code 1 then code 0
+      (3L, Seq(1.0f, 0.0f, 0.0f, 2.0f))) // exactly code 0 then code 1
+    val got = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.pqEncode(col("embedding"), books).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got(1L) == Seq(0, 1) && got(2L) == Seq(1, 0) && got(3L) == Seq(0, 1))
+  }
+
+  test("pqNormSq and pqAdcDot equal the reconstruction's norm and dot, by hand") {
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 3.0)),
+      Array(Array(2.0, 0.0), Array(0.0, 2.0)))
+    // codes (1, 0) -> reconstruction [0,3, 2,0]: normSq = 9 + 4 = 13
+    val q = Seq(1.0, 2.0, 3.0, 4.0)
+    val df = Seq((1L, q.map(_.toFloat), Seq(1, 0))).toDF("vec_id", "qv", "codes")
+      .select(
+        Similarity.pqNormSq(col("codes"), books).as("nsq"),
+        Similarity.pqAdcDot(col("qv").cast("array<double>"), col("codes"), books).as("adot"))
+      .as[(Double, Double)].head()
+    assert(df._1 == 13.0)
+    assert(df._2 == (2.0 * 3.0) + (3.0 * 2.0)) // q·[0,3,2,0] = 6 + 6
+  }
+
+  test("pq ADC ranking finds a planted twin through the codes alone") {
+    // corpus = twin of the query + orthogonal noise; the twin's codes
+    // reconstruct closest, so ADC must rank it first without reading floats
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    def vec(): Seq[Float] = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    val qv = vec()
+    val corpus = ((1L, qv) +: (2L to 40L).map(i => (i, vec())))
+    val sample = corpus.take(8).map(_._2.map(_.toDouble).toArray).toArray
+    val books = Array.tabulate(4)(m => sample.map(_.slice(m * 4, m * 4 + 4)))
+    val enc = corpus.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .withColumn("codes", Similarity.pqEncode(col("embedding"), books))
+      .withColumn("nsq", Similarity.pqNormSq(col("codes"), books))
+    val qLit = array(qv.map(x => lit(x.toDouble)): _*)
+    val top = enc
+      .select(col("vec_id"),
+        (Similarity.pqAdcDot(qLit, col("codes"), books) /
+          (Similarity.norm(qLit) * sqrt(col("nsq")))).as("approx"))
+      .orderBy(col("approx").desc).limit(1)
+      .as[(Long, Double)].head()
+    assert(top._1 == 1L, s"expected the twin, got $top")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
