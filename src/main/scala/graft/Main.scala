@@ -274,6 +274,21 @@ object Main {
               links, d, graft.sources.CassandraV3Source.fromEnv(env))
             else println(s"day=$d no links; skipping CQL write")
           }
+          // --jdbc-write: additionally save the day's links to a live SQL
+          // store — the reference's REPLACE INTO zipkin_dependencies
+          // (MySQLDependenciesJob.java:241-255), distributed per-partition.
+          // URL from --jdbc-url (the read flag), creds from MYSQL_USER /
+          // MYSQL_PASS; --jdbc-dialect standard swaps REPLACE for the
+          // ANSI delete-day-then-insert equivalent.
+          if (opts.contains("jdbc-write")) {
+            if (n > 0) graft.sinks.JdbcLinkSink.writeLinks(
+              links, d, req("jdbc-url"),
+              properties = Seq(
+                sys.env.get("MYSQL_USER").map("user" -> _),
+                sys.env.get("MYSQL_PASS").map("password" -> _)).flatten.toMap,
+              dialect = opts.getOrElse("jdbc-dialect", "mysql"))
+            else println(s"day=$d no links; skipping JDBC write")
+          }
           println(s"day=$d links=$n out=${req("out")}")
           links.orderBy("parent", "child").show(100, truncate = false)
           links.unpersist()
@@ -323,10 +338,11 @@ object Main {
       "[--backfill yyyy-MM-dd..yyyy-MM-dd] " +
       "[--admission index-day|per-span-window|root-in-window] [--strict-trace-id] [--master local[N]] " +
       "[--es-bulk [--es-hosts http://h1:9200,h2] [--es-timeout ms]] " +
-      "[--cql-write [--c3-contact-points h1:9042,h2]]"
+      "[--cql-write [--c3-contact-points h1:9042,h2]] " +
+      "[--jdbc-write [--jdbc-dialect mysql|standard]]"
 
   private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
-    val flags = Set("strict-trace-id", "stream", "es-bulk", "cql-write")
+    val flags = Set("strict-trace-id", "stream", "es-bulk", "cql-write", "jdbc-write")
     @annotation.tailrec
     def go(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
       case Nil => acc
