@@ -148,8 +148,27 @@ object Main {
     * backfill) — separated from main so MainSpec can drive a backend
     * profile end-to-end against the shared test session; main owns and
     * stops its own session, which a test must never do. */
-  private[graft] def dispatch(spark: SparkSession, opts: Map[String, String],
+  /** Env-only write-back: the reference's cron jobs always save links to
+    * the storage they read with zero flags; `GRAFT_WRITE_BACK=1` (or true)
+    * recovers that — it enables the backend write flag matching
+    * STORAGE_TYPE, so `STORAGE_TYPE=cassandra3 GRAFT_WRITE_BACK=1
+    * bin/graft-today` is the reference's exact loop. mysql still needs
+    * `--jdbc-url` (the read path requires it too). Pure so MainSpec can pin
+    * the mapping without mutating the process env. */
+  private[graft] def writeBackFlags(env: Map[String, String]): Map[String, String] = {
+    val on = env.get("GRAFT_WRITE_BACK").exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    if (!on) Map.empty
+    else env.get("STORAGE_TYPE") match {
+      case Some("elasticsearch") => Map("es-bulk" -> "true")
+      case Some("cassandra3") => Map("cql-write" -> "true")
+      case Some("mysql") => Map("jdbc-write" -> "true")
+      case _ => Map.empty
+    }
+  }
+
+  private[graft] def dispatch(spark: SparkSession, rawOpts: Map[String, String],
       resolved: MainConfig.Resolved): Unit = {
+    val opts = writeBackFlags(sys.env) ++ rawOpts
     val day = resolved.day
     val admission = resolved.admission
     def req(k: String): String = opts.getOrElse(k,

@@ -96,6 +96,27 @@ class MainSpec extends AnyFunSuite {
     assert(conf.index == "traces")
   }
 
+  test("GRAFT_WRITE_BACK maps STORAGE_TYPE to its backend write flag, env-only") {
+    assert(Main.writeBackFlags(Map()) == Map())
+    assert(Main.writeBackFlags(Map("GRAFT_WRITE_BACK" -> "1")) == Map())
+    assert(Main.writeBackFlags(
+      Map("GRAFT_WRITE_BACK" -> "1", "STORAGE_TYPE" -> "elasticsearch")) ==
+      Map("es-bulk" -> "true"))
+    assert(Main.writeBackFlags(
+      Map("GRAFT_WRITE_BACK" -> "true", "STORAGE_TYPE" -> "cassandra3")) ==
+      Map("cql-write" -> "true"))
+    assert(Main.writeBackFlags(
+      Map("GRAFT_WRITE_BACK" -> "1", "STORAGE_TYPE" -> "mysql")) ==
+      Map("jdbc-write" -> "true"))
+    // off stays off, whatever the storage
+    assert(Main.writeBackFlags(
+      Map("GRAFT_WRITE_BACK" -> "0", "STORAGE_TYPE" -> "mysql")) == Map())
+    // CLI flags must win over the env mapping (rawOpts applied second)
+    assert((Main.writeBackFlags(Map("GRAFT_WRITE_BACK" -> "1",
+      "STORAGE_TYPE" -> "mysql")) ++ Map("jdbc-dialect" -> "standard"))
+      .keySet == Set("jdbc-write", "jdbc-dialect"))
+  }
+
   test("cassandra3 profile end-to-end through the CLI dispatch: LIVE scripted CQL → links → sink") {
     // env-only invocation parity with the reference's docker entrypoint:
     // STORAGE_TYPE=cassandra3 resolves straight to the live token-range CQL
