@@ -19,9 +19,14 @@ import org.apache.spark.sql.{Dataset, Row}
   *
   * `REPLACE INTO` is MySQL dialect. For ANSI databases (and the embedded
   * Derby the spec drives), the `standard` dialect gets the same day-level
-  * idempotence as delete-day-then-insert: the one-time delete runs on the
-  * driver BEFORE the distributed inserts (executors must not race it), and
-  * the statement parity of the mysql dialect is pinned by its own test. */
+  * idempotence as delete-day-then-insert: the one-time day delete runs on
+  * the driver BEFORE the distributed inserts (executors must not race it),
+  * and each executor row is its own keyed DELETE + INSERT in one
+  * connection — NOT a bare INSERT, because a failed Spark task REPLAYS its
+  * whole partition, and a replayed bare INSERT dies on the
+  * (day, parent, child) primary key exactly where REPLACE would have
+  * upserted. Per-row delete+insert keeps the standard dialect as
+  * retry-safe as the mysql one (pinned by a replayed-partition test). */
 object JdbcLinkSink {
 
   def replaceSql(table: String): String =
@@ -31,6 +36,9 @@ object JdbcLinkSink {
     s"INSERT INTO $table (day, parent, child, call_count, error_count) VALUES (?,?,?,?,?)"
 
   def deleteDaySql(table: String): String = s"DELETE FROM $table WHERE day = ?"
+
+  def deleteRowSql(table: String): String =
+    s"DELETE FROM $table WHERE day = ? AND parent = ? AND child = ?"
 
   /** Write one day's links. `dialect` = "mysql" (REPLACE INTO, the
     * reference's statement) or "standard" (driver-side day delete, then
@@ -55,23 +63,34 @@ object JdbcLinkSink {
         try { del.setDate(1, sqlDay); del.executeUpdate() } finally del.close()
       } finally con.close()
     }
-    val stmtSql = if (dialect == "mysql") replaceSql(table) else insertSql(table)
+    val mysql = dialect == "mysql"
     links.toDF().select("parent", "child", "callCount", "errorCount")
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
           val con = java.sql.DriverManager.getConnection(url, props)
-          try {
-            val ps = con.prepareStatement(stmtSql)
-            try it.foreach { r =>
-              ps.setDate(1, sqlDay)
-              ps.setString(2, r.getString(0))
-              ps.setString(3, r.getString(1))
-              ps.setLong(4, r.getLong(2))
-              ps.setLong(5, r.getLong(3))
-              ps.executeUpdate()
-            } finally ps.close()
-          } finally con.close()
+          try writePartition(con, table, sqlDay, it, mysql)
+          finally con.close()
         }
       }
+  }
+
+  /** One partition's rows through one connection — upsert semantics under
+    * task REPLAY in both dialects (REPLACE, or keyed delete+insert). */
+  private[sinks] def writePartition(con: java.sql.Connection, table: String,
+      sqlDay: java.sql.Date, it: Iterator[Row], mysql: Boolean): Unit = {
+    val ins = con.prepareStatement(if (mysql) replaceSql(table) else insertSql(table))
+    val del = if (mysql) None else Some(con.prepareStatement(deleteRowSql(table)))
+    try it.foreach { r =>
+      del.foreach { d =>
+        d.setDate(1, sqlDay); d.setString(2, r.getString(0))
+        d.setString(3, r.getString(1)); d.executeUpdate()
+      }
+      ins.setDate(1, sqlDay)
+      ins.setString(2, r.getString(0))
+      ins.setString(3, r.getString(1))
+      ins.setLong(4, r.getLong(2))
+      ins.setLong(5, r.getLong(3))
+      ins.executeUpdate()
+    } finally { del.foreach(_.close()); ins.close() }
   }
 }

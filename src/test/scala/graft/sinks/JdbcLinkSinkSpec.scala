@@ -62,6 +62,23 @@ class JdbcLinkSinkSpec extends AnyFunSuite {
     assert(readAll(url).map(_._1) == Set("2025-08-11", "2025-08-12"))
   }
 
+  test("standard dialect survives a replayed partition (task-retry idempotence)") {
+    // a failed Spark task replays its whole partition with the day delete
+    // NOT re-run; a bare INSERT would die on the primary key — the keyed
+    // delete+insert must land exactly one row
+    import org.apache.spark.sql.Row
+    val url = newDerby()
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rows = Seq(Row("frontend", "backend", 2L, 1L))
+      JdbcLinkSink.writePartition(conn, "zipkin_dependencies",
+        java.sql.Date.valueOf("2025-08-11"), rows.iterator, mysql = false)
+      JdbcLinkSink.writePartition(conn, "zipkin_dependencies",
+        java.sql.Date.valueOf("2025-08-11"), rows.iterator, mysql = false)
+    } finally conn.close()
+    assert(readAll(url) == Set(("2025-08-11", "frontend", "backend", 2L, 1L)))
+  }
+
   test("unknown dialect fails loudly before touching the database") {
     val e = intercept[IllegalArgumentException] {
       JdbcLinkSink.writeLinks(links(("a", "b", 1L, 0L)), "2025-08-11",
