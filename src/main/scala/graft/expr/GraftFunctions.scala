@@ -53,7 +53,10 @@ object GraftFunctions {
         intArg(args, 1, "graft_winnow"), intArg(args, 2, "graft_winnow"))),
     (FunctionIdentifier("graft_word_bigrams"),
       new ExpressionInfo(classOf[WordBigrams].getName, "graft_word_bigrams"),
-      (args: Seq[Expression]) => WordBigrams(args.head))
+      (args: Seq[Expression]) => WordBigrams(args.head)),
+    (FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "graft_word_ngrams"),
+      (args: Seq[Expression]) => WordNGrams(args.head, intArg(args, 1, "graft_word_ngrams")))
   )
 
   /** Idempotently register the fused functions on a live session (no-op when
@@ -113,4 +116,10 @@ object GraftFunctions {
     * tokens — NOT lowercased, raw-text tokenization like wordMinhash). */
   def wordBigrams(text: Column): Column =
     call_function("graft_word_bigrams", text)
+
+  /** Fused distinct word n-gram array — exact drop-in for
+    * TextOps.wordShingles (raw-text tokenization, whole-text fallback under
+    * n tokens, first-occurrence distinct order). */
+  def wordNGrams(text: Column, n: Int): Column =
+    call_function("graft_word_ngrams", text, lit(n))
 }

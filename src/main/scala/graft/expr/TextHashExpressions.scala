@@ -265,6 +265,69 @@ object TextHash {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Distinct word n-gram strings ("w1 … wn") in one fused pass — the
+    * gram-formation step of the decontamination queries (q51/q78), whose
+    * interpreted transform/sequence/slice tree dominated their scan stage.
+    * Exact drop-in for TextOps.wordShingles: same ASCII-whitespace
+    * tokenization (maximal non-whitespace byte runs — bytewise-safe for any
+    * UTF-8 input because tokens are whole byte runs), same fewer-than-n
+    * fallback (ONE gram joining all tokens; the empty string for zero
+    * tokens, matching concat_ws over an empty array), same first-occurrence
+    * distinct order (array_distinct semantics; UTF8String equality is byte
+    * equality on both paths). All grams are windows of one single-space-
+    * joined buffer, wrapped without copying. */
+  def wordNGrams(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nt = 0
+    var i = 0
+    while (i < nb) {
+      if (!isWs(bytes(i))) {
+        var j = i + 1
+        while (j < nb && !isWs(bytes(j))) j += 1
+        if (nt == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nt * 2)
+          ends = java.util.Arrays.copyOf(ends, nt * 2)
+        }
+        starts(nt) = i; ends(nt) = j; nt += 1
+        i = j
+      } else i += 1
+    }
+    var total = if (nt > 0) nt - 1 else 0
+    var t = 0
+    while (t < nt) { total += ends(t) - starts(t); t += 1 }
+    val buf = new Array[Byte](total)
+    val bstart = new Array[Int](math.max(nt, 1))
+    val blen = new Array[Int](math.max(nt, 1))
+    var pos = 0
+    t = 0
+    while (t < nt) {
+      if (t > 0) { buf(pos) = 0x20; pos += 1 }
+      bstart(t) = pos
+      blen(t) = ends(t) - starts(t)
+      System.arraycopy(bytes, starts(t), buf, pos, blen(t))
+      pos += blen(t)
+      t += 1
+    }
+    if (nt < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](UTF8String.fromBytes(buf, 0, total)))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var w = 0
+    while (w <= nt - n) {
+      val wEnd = bstart(w + n - 1) + blen(w + n - 1)
+      seen.add(UTF8String.fromBytes(buf, bstart(w), wEnd - bstart(w)))
+      w += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Min window hash — the rolling 64-bit document fingerprint. */
   def fingerprint64(s: UTF8String, n: Int): Long = {
     val base = s.getBaseObject
@@ -350,6 +413,22 @@ case class WordBigrams(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expr.TextHash.wordBigrams($c)")
   override protected def withNewChildInternal(newChild: Expression): WordBigrams =
+    copy(child = newChild)
+}
+
+/** `graft_word_ngrams(text, n)` — fused distinct word n-gram array, the
+  * codegen'd drop-in for TextOps.wordShingles (whole-text fallback under n
+  * tokens; first-occurrence distinct order). */
+case class WordNGrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.wordNGrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextHash.wordNGrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
     copy(child = newChild)
 }
 

@@ -129,14 +129,16 @@ object PipelineQueries {
     * sketch is the one you'd ship: per-source state stays 2 KB no matter
     * the corpus. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
     val docs = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
     // every downstream shuffle/join/aggregate moves the 8-byte gram hash,
     // never the gram string (the exactDedup rule applied to set overlap).
     // A 64-bit collision would perturb the counts: ~n²/2⁶⁵ odds (~1e-7 at
     // sf0.1's ~1M distinct grams) — the standard content-hash trade, and
-    // the DuckDB oracle (string equality) would catch a hit.
+    // the DuckDB oracle (string equality) would catch a hit. Grams come
+    // from the fused graft_word_ngrams kernel (already distinct per doc).
     val sg = docs.select(col("source"),
-      explode(array_distinct(graft.ops.TextOps.wordShingles(col("text"), 3))).as("g"))
+      explode(graft.expr.GraftFunctions.wordNGrams(col("text"), 3)).as("g"))
       .select(col("source"), xxhash64(col("g")).as("h"))
       .distinct()
     val sizes = sg.groupBy("source").agg(count(lit(1)).as("sz"))
@@ -278,8 +280,10 @@ object PipelineQueries {
     // first-occurrence aggregation and the membership join read the pair
     // relation — without it the whole explode+digest pipeline runs twice.
     // Ownership: Verify/Bench clear the cache after each query's action.
+    graft.expr.GraftFunctions.ensureRegistered(spark)
     val pairs = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
-      .select(col("doc_id"), explode(TextOps.wordShingles(col("text"), 3)).as("_g"))
+      .select(col("doc_id"),
+        explode(graft.expr.GraftFunctions.wordNGrams(col("text"), 3)).as("_g"))
       .select(col("doc_id"), graft.ops.PortableSketch.h60(col("_g")).as("_h"))
       .persist()
     val first = pairs.groupBy("_h").agg(min("doc_id").as("_first"))

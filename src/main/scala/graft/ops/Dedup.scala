@@ -254,11 +254,13 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.0): DataFrame = {
     // shingle only documents that occur in a candidate pair (left-semi on the
     // broadcast candidate-id set) — at scale |candidates| ≪ |docs|
+    graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
     val neededIds = pairs.select(col("idA").as("_nid"))
       .union(pairs.select(col("idB").as("_nid"))).distinct()
     val sets = spread(df)
       .join(broadcast(neededIds), col(idCol) === col("_nid"), "left_semi")
-      .select(col(idCol).as("_id"), TextOps.wordShingles(col(textCol), n).as("_set"))
+      .select(col(idCol).as("_id"),
+        graft.expr.GraftFunctions.wordNGrams(col(textCol), n).as("_set"))
     // Attach both sets with ONE pass over the shingle frame: each pair
     // unpivots to two (side, id) rows, joins `sets` once, and folds back per
     // pair (singleton sides, so max() just picks the value). The shingle

@@ -119,8 +119,10 @@ object PortableSketch {
     // two projections on purpose: "_grams" materializes the tokenize+shingle
     // work once per row before the k-permutation loop reads it k times
     // (CollapseProject leaves multi-referenced non-trivial aliases alone)
+    graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
     val sigs = Partitioning.spread(df)
-      .select(col(idCol).as("_id"), TextOps.wordShingles(col(textCol), n).as("_grams"))
+      .select(col(idCol).as("_id"),
+        graft.expr.GraftFunctions.wordNGrams(col(textCol), n).as("_grams"))
       .select(col("_id"), minhashSigFromGramsFast(col("_grams"), k).as("_sig"))
       .persist() // compact sketch frame; band explode re-derives per branch
     val banded = sigs.select(col("_id"), explode(array((0 until bands).map { b =>
@@ -362,8 +364,10 @@ object PortableSketch {
       maxBucket: Int = 1024): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rows = k / bands
+    graft.expr.GraftFunctions.ensureRegistered(corpus.sparkSession)
     def sigs(df: DataFrame): DataFrame = Partitioning.spread(df)
-      .select(col(idCol).as("_id"), TextOps.wordShingles(col(textCol), n).as("_grams"))
+      .select(col(idCol).as("_id"),
+        graft.expr.GraftFunctions.wordNGrams(col(textCol), n).as("_grams"))
       .select(col("_id"), minhashSigFromGramsFast(col("_grams"), k).as("_sig"))
     def banded(s: DataFrame): DataFrame = s.select(col("_id"),
       explode(array((0 until bands).map { b =>

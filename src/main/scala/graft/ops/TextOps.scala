@@ -176,18 +176,25 @@ object TextOps {
       corpus: DataFrame, corpusText: String, corpusId: String,
       probes: DataFrame, probeText: String, probeId: String,
       n: Int = 3, minShared: Int = 1): DataFrame = {
-    // wordShingles returns distinct grams, so the per-pair join-match count
-    // IS the distinct shared-gram count — and |G(probe)| is count(*) over
-    // the exploded frame, NOT size(array) next to explode(array) in one
-    // projection: Catalyst substitutes the generator child into sibling
-    // references, re-tokenizing the probe once per EXPLODED ROW (measured
-    // 4 s vs 0.2 s on 50 probes at sf0.1)
+    graft.expr.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    // graft_word_ngrams returns distinct grams (the fused wordShingles
+    // kernel — the interpreted HOF tree dominated this query's scan
+    // stage), so the per-pair join-match count IS the distinct shared-gram
+    // count. Grams collapse to their 8-byte xxhash64 before the join —
+    // hashes, never strings, in the broadcast (see contamination).
+    // |G(probe)| is count(*) over the exploded frame, NOT
+    // size(array) next to explode(array) in one projection: Catalyst
+    // substitutes the generator child into sibling references,
+    // re-tokenizing the probe once per EXPLODED ROW (measured 4 s vs
+    // 0.2 s on 50 probes at sf0.1)
     val pgx = probes.select(col(probeId).as("probe_id"),
-      explode(wordShingles(col(probeText), n)).as("_g"))
+      explode(graft.expr.GraftFunctions.wordNGrams(col(probeText), n)).as("_g"))
+      .select(col("probe_id"), xxhash64(col("_g")).as("_h"))
     val ptot = pgx.groupBy("probe_id").agg(count(lit(1)).as("_ptot"))
     val cs = Partitioning.spread(corpus).select(col(corpusId).as("doc_id"),
-      explode(wordShingles(col(corpusText), n)).as("_g"))
-    cs.join(broadcast(pgx), "_g")
+      explode(graft.expr.GraftFunctions.wordNGrams(col(corpusText), n)).as("_g"))
+      .select(col("doc_id"), xxhash64(col("_g")).as("_h"))
+    cs.join(broadcast(pgx), "_h")
       .where(col("doc_id") =!= col("probe_id"))
       .groupBy("doc_id", "probe_id")
       .agg(count(lit(1)).as("shared_ngrams"))
@@ -201,14 +208,27 @@ object TextOps {
       corpus: DataFrame, corpusText: String, corpusId: String,
       probes: DataFrame, probeText: String, probeId: String,
       n: Int = 3, minShared: Int = 2): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    // Fused gram kernel (see containmentScores) — both sides tokenize with
+    // the codegen'd graft_word_ngrams, not the interpreted HOF tree — and
+    // both sides collapse each gram to its 8-byte xxhash64 BEFORE the join
+    // (the q59/q80 rule: shuffles and broadcasts move hashes, never gram
+    // strings; a 64-bit collision perturbs a count with ~1e-9 odds at this
+    // corpus's gram cardinality, and the string-equality oracle would catch
+    // a hit). The kernel's grams are distinct per document, so each
+    // (doc, probe, gram) triple is unique after the join and count(1) IS
+    // the distinct shared-gram count — a map-side partial sum, where the
+    // previous countDistinct shuffled the full gram-string triples.
     val cs = Partitioning.spread(corpus).select(col(corpusId).as("doc_id"),
-      explode(wordShingles(col(corpusText), n)).as("_g"))
+      explode(graft.expr.GraftFunctions.wordNGrams(col(corpusText), n)).as("_g"))
+      .select(col("doc_id"), xxhash64(col("_g")).as("_h"))
     val ps = probes.select(col(probeId).as("probe_id"),
-      explode(wordShingles(col(probeText), n)).as("_g"))
-    cs.join(broadcast(ps), "_g")
+      explode(graft.expr.GraftFunctions.wordNGrams(col(probeText), n)).as("_g"))
+      .select(col("probe_id"), xxhash64(col("_g")).as("_h"))
+    cs.join(broadcast(ps), "_h")
       .where(col("doc_id") =!= col("probe_id"))
       .groupBy("doc_id", "probe_id")
-      .agg(countDistinct("_g").as("shared_ngrams"))
+      .agg(count(lit(1)).as("shared_ngrams"))
       .where(col("shared_ngrams") >= minShared)
   }
 

@@ -36,6 +36,29 @@ class TextHashExprSpec extends AnyFunSuite {
     assert(n.head.isNullAt(0))
   }
 
+  test("fused word n-grams equal wordShingles exactly (incl. fallback, distinct order, unicode)") {
+    GraftFunctions.ensureRegistered(spark)
+    val cases = texts ++ Seq(
+      "  leading and   multiple   spaces\ttabs\nnewlines  ",
+      "one", "two words", "a b", "a b c", "a b c d",
+      "dup gram dup gram dup gram", // distinct must keep first occurrence
+      "丸 山 unicode  テスト", "   ", "\t\n")
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab … xyzXYZ09.,!丸テ \t\n  "
+    val fuzz = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    for (n <- Seq(1, 2, 3, 5)) {
+      val both = (cases ++ fuzz).toDF("text").select(
+        TextOps.wordShingles(col("text"), n).as("hof"),
+        GraftFunctions.wordNGrams(col("text"), n).as("fused"))
+        .as[(Seq[String], Seq[String])].collect()
+      both.foreach { case (h, f) => assert(h == f, s"n=$n hof=$h fused=$f") }
+    }
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(GraftFunctions.wordNGrams(col("text"), 3)).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("fused fingerprint64 equals builtin formulation on ASCII") {
     val df = texts.toDF("text")
     val both = df.select(

@@ -150,6 +150,24 @@ class PlanSpec extends AnyFunSuite {
       s"document payload in a shuffle\n${parts.mkString("\n")}")
   }
 
+  test("q51: gram join broadcasts the probe side even under a tightened threshold; " +
+    "shuffles carry counts, never gram strings") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024") // 1 KB — hint must win
+    try {
+      val p = plan(NorthStarQueries.contaminationReport(spark, sf))
+      assert(p.contains("BroadcastHashJoin"), s"probe gram join must broadcast\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"gram join degraded to a shuffle join\n$p")
+      // the only exchanges allowed: the spread repartition, the (doc, probe)
+      // count aggregation, and the output sort — none may carry gram data
+      val parts = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+      assert(!parts.exists(l => l.contains("_g#") || l.contains("_h#") || l.contains("text#")),
+        s"gram strings/hashes or payload in a shuffle\n${parts.mkString("\n")}")
+      assert(p.contains("partial_count"), "shared-gram count must combine map-side")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q78: containment probe side is broadcast; top-3 rank pushes a group limit") {
     val p = plan(NorthStarQueries.containmentDecontam(spark, sf))
     assert(p.contains("BroadcastHashJoin"), "probe gram join must broadcast")
