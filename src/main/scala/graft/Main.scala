@@ -37,12 +37,47 @@ import org.apache.spark.sql.SparkSession
   *  - SPARK_CONF is a comma-separated k=v list applied to the SparkSession
   *    (reference :34-43 — pairs without exactly one '=' are skipped).
   *  - GRAFT_LOG_LEVEL mirrors ZIPKIN_LOG_LEVEL (:29-32).
+  *  - STRICT_TRACE_ID (CassandraDependenciesJob.java:65) and SPARK_MASTER
+  *    (:59) resolve env-side with CLI flags winning; strict defaults TRUE
+  *    under a backend profile (the reference's cron default) and stays the
+  *    opt-in flag in file mode.
+  *  - MYSQL_HOST / MYSQL_TCP_PORT / MYSQL_DB (+ MYSQL_USER / MYSQL_PASS,
+  *    MYSQL_USE_SSL, MYSQL_MAX_CONNECTIONS) build the mysql profile's JDBC
+  *    URL when --jdbc-url is absent (MySQLDependenciesJob.java:42-48,
+  *    150-155); GRAFT_JDBC_URL / GRAFT_JDBC_DIALECT are the engine's
+  *    escape hatch for ANSI stores the standard dialect supports.
   *  - day defaults to today UTC when absent ("runs with defaults, starting
   *    today" — :22-23). */
 object MainConfig {
   final case class Resolved(
       day: String, format: String, admission: Admission, strict: Boolean,
-      sparkConf: Seq[(String, String)], logLevel: String)
+      sparkConf: Seq[(String, String)], logLevel: String,
+      master: String = "local[4]")
+
+  /** The reference's MySQL JDBC URL, built from its env surface
+    * (MySQLDependenciesJob.java:42-48 defaults, :150-155 URL shape):
+    * MYSQL_HOST (localhost) / MYSQL_TCP_PORT (3306) / MYSQL_DB (zipkin) /
+    * MYSQL_USE_SSL (false). Pure so MainSpec pins the exact string. */
+  def mysqlJdbcUrl(env: Map[String, String]): String = {
+    val host = env.getOrElse("MYSQL_HOST", "localhost")
+    val port = env.getOrElse("MYSQL_TCP_PORT", "3306")
+    val db = env.getOrElse("MYSQL_DB", "zipkin")
+    val ssl = env.get("MYSQL_USE_SSL").exists(_.equalsIgnoreCase("true"))
+    s"jdbc:mysql://$host:$port/$db?permitMysqlScheme&autoReconnect=true&useSSL=$ssl"
+  }
+
+  /** JDBC URL resolution for the mysql profile: explicit `--jdbc-url`,
+    * else GRAFT_JDBC_URL (the engine's escape hatch for non-MySQL SQL
+    * stores — the Derby-backed specs and any ANSI store the standard
+    * dialect supports), else the reference's MYSQL_* URL when any of that
+    * surface is present. None → the fixture two-table path stays. */
+  def jdbcUrl(opts: Map[String, String], env: Map[String, String]): Option[String] =
+    opts.get("jdbc-url")
+      .orElse(env.get("GRAFT_JDBC_URL"))
+      .orElse(
+        if (Seq("MYSQL_HOST", "MYSQL_TCP_PORT", "MYSQL_DB").exists(env.contains))
+          Some(mysqlJdbcUrl(env))
+        else None)
 
   /** format + admission each STORAGE_TYPE implies in the reference.
     * elasticsearch maps to the LIVE sliced-scroll source (hosts from
@@ -116,9 +151,26 @@ object MainConfig {
       day = day,
       format = opts.getOrElse("format", p._1),
       admission = admission,
-      strict = opts.contains("strict-trace-id"),
+      // STRICT_TRACE_ID parity (CassandraDependenciesJob.java:65): the
+      // reference's env-only cron defaults to strict=TRUE, so a backend
+      // profile run (STORAGE_TYPE set) inherits that default; the
+      // file-mode CLI keeps its documented opt-in --strict-trace-id
+      // (default false). Precedence: CLI flag > STRICT_TRACE_ID env >
+      // mode default.
+      strict =
+        if (opts.contains("strict-trace-id")) true
+        else env.get("STRICT_TRACE_ID") match {
+          case Some(v) => v.equalsIgnoreCase("true")
+          case None => env.contains("STORAGE_TYPE")
+        },
       sparkConf = parseSparkConf(env.getOrElse("SPARK_CONF", "")),
-      logLevel = env.getOrElse("GRAFT_LOG_LEVEL", "WARN"))
+      logLevel = env.getOrElse("GRAFT_LOG_LEVEL", "WARN"),
+      // SPARK_MASTER parity (CassandraDependenciesJob.java:59): CLI
+      // --master > SPARK_MASTER env > local[SPARK_GRAFT_CPUS|4]. The
+      // reference defaults to local[*]; the engine's default stays the
+      // CPU-pinned local so the test/driver budget is explicit.
+      master = opts.getOrElse("master", env.getOrElse("SPARK_MASTER",
+        s"local[${env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")))
   }
 }
 
@@ -131,7 +183,7 @@ object Main {
       case Left(err) => System.err.println(s"$err\n$usage"); sys.exit(2)
     }
     val builder = SparkSession.builder()
-      .master(opts.getOrElse("master", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
+      .master(resolved.master)
       .appName("graft-link-job")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
@@ -152,9 +204,10 @@ object Main {
     * the storage they read with zero flags; `GRAFT_WRITE_BACK=1` (or true)
     * recovers that — it enables the backend write flag matching
     * STORAGE_TYPE, so `STORAGE_TYPE=cassandra3 GRAFT_WRITE_BACK=1
-    * bin/graft-today` is the reference's exact loop. mysql still needs
-    * `--jdbc-url` (the read path requires it too). Pure so MainSpec can pin
-    * the mapping without mutating the process env. */
+    * bin/graft-today` is the reference's exact loop; mysql resolves its URL
+    * env-only too (MYSQL_HOST/MYSQL_TCP_PORT/MYSQL_DB via
+    * MainConfig.jdbcUrl). Pure so MainSpec can pin the mapping without
+    * mutating the process env. */
   private[graft] def writeBackFlags(env: Map[String, String]): Map[String, String] = {
     val on = env.get("GRAFT_WRITE_BACK").exists(v => v == "1" || v.equalsIgnoreCase("true"))
     if (!on) Map.empty
@@ -166,9 +219,12 @@ object Main {
     }
   }
 
+  /** `env` defaults to the process env in main's call; tests and embedders
+    * pass their own map, so dispatch behavior never depends on a stray
+    * variable in the host environment (the GRAFT_WRITE_BACK hazard). */
   private[graft] def dispatch(spark: SparkSession, rawOpts: Map[String, String],
-      resolved: MainConfig.Resolved): Unit = {
-    val opts = writeBackFlags(sys.env) ++ rawOpts
+      resolved: MainConfig.Resolved, env: Map[String, String] = sys.env): Unit = {
+    val opts = writeBackFlags(env) ++ rawOpts
     val day = resolved.day
     val admission = resolved.admission
     def req(k: String): String = opts.getOrElse(k,
@@ -181,10 +237,15 @@ object Main {
           if (!Set("parquet", "orc", "json", "csv")(outFmt)) {
             System.err.println(s"unknown --out-format $outFmt (parquet|orc|json|csv)"); sys.exit(2)
           }
-          // STORAGE_TYPE=mysql + --jdbc-url upgrades the fixture two-table
-          // read to the live partitioned-JDBC source (same fold + linker)
+          // STORAGE_TYPE=mysql upgrades the fixture two-table read to the
+          // live partitioned-JDBC source (same fold + linker) whenever a
+          // JDBC URL resolves — from --jdbc-url, GRAFT_JDBC_URL, or the
+          // reference's MYSQL_* env surface — so the env-only docker
+          // entrypoint (`STORAGE_TYPE=mysql bin/graft-today`) reads the
+          // live store with zero flags, like the reference.
+          val envJdbcUrl = MainConfig.jdbcUrl(opts, env)
           val effFormat =
-            if (resolved.format == "v1-tables" && opts.contains("jdbc-url")) "v1-jdbc"
+            if (resolved.format == "v1-tables" && envJdbcUrl.isDefined) "v1-jdbc"
             else resolved.format
           val links = effFormat match {
             case "json-v2" =>
@@ -209,10 +270,10 @@ object Main {
               // reference's single-connection read — see JdbcV1Source)
               val (lo, hi) = LinkJob.dayWindowMicros(d)
               val cfg = graft.sources.JdbcV1Config.fromEnv(
-                url = req("jdbc-url"),
+                url = envJdbcUrl.getOrElse(req("jdbc-url")),
                 numPartitions = opts.getOrElse("jdbc-partitions",
-                  sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).toInt,
-                env = sys.env).copy(
+                  env.getOrElse("SPARK_GRAFT_CPUS", "4")).toInt,
+                env = env).copy(
                 spansTable = opts.getOrElse("jdbc-spans-table", "zipkin_spans"),
                 annotationsTable = opts.getOrElse("jdbc-annotations-table", "zipkin_annotations"))
               val spans = graft.sources.JdbcV1Source.spansWindow(spark, cfg, lo, hi)
@@ -231,12 +292,12 @@ object Main {
             case "es-scroll" =>
               // live ES/OS daily-index read via sliced scroll over the JDK
               // transport (missing index => empty day, like the reference)
-              val env = esEnv(opts, sys.env)
+              val esm = esEnv(opts, env)
               val cfg = graft.sources.EsSpanSource.ScrollConfig(
-                graft.util.EsFlavor.esConf(env),
+                graft.util.EsFlavor.esConf(esm),
                 slices = opts.getOrElse("es-slices",
-                  sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).toInt,
-                dateSeparator = env.getOrElse("ES_DATE_SEPARATOR", "-"))
+                  env.getOrElse("SPARK_GRAFT_CPUS", "4")).toInt,
+                dateSeparator = esm.getOrElse("ES_DATE_SEPARATOR", "-"))
               val spans = graft.sources.EsSpanSource.readDay(spark, cfg, d)
               val linked = LinkJob.linkSpans(spans, d, admission, strict).persist()
               if (!linked.isEmpty) LinkJob.writeLinks(linked, d, req("out"), outFmt)
@@ -244,7 +305,7 @@ object Main {
             case "c3-span-table" =>
               // Cassandra-v3-shaped token-range source (fixture-backed
               // transport; ring split + decode are the real thing)
-              val cfg = graft.sources.CassandraV3Source.fromEnv(sys.env,
+              val cfg = graft.sources.CassandraV3Source.fromEnv(env,
                 numRanges = opts.getOrElse("c3-ranges", "32").toInt)
               val spans = graft.sources.CassandraV3Source.spans(spark, req("in"), cfg)
               val linked = LinkJob.linkSpans(spans, d, admission, strict).persist()
@@ -254,9 +315,9 @@ object Main {
               // LIVE Cassandra read over the in-house CQL v4 client: one
               // token range per task, contact points / keyspace / creds
               // from the reference's CASSANDRA_* env surface
-              val env = sys.env ++
+              val c3m = env ++
                 opts.get("c3-contact-points").map("CASSANDRA_CONTACT_POINTS" -> _)
-              val cfg = graft.sources.CassandraV3Source.fromEnv(env,
+              val cfg = graft.sources.CassandraV3Source.fromEnv(c3m,
                 numRanges = opts.getOrElse("c3-ranges", "32").toInt)
               val spans = graft.sources.CassandraV3Source.liveSpans(spark, cfg)
               val linked = LinkJob.linkSpans(spans, d, admission, strict).persist()
@@ -273,10 +334,10 @@ object Main {
           // (ES_HOSTS, ES_INDEX, ES_USERNAME, ES_PASSWORD,
           // ES_DATE_SEPARATOR), --es-hosts overriding ES_HOSTS.
           if (opts.contains("es-bulk")) {
-            val env = esEnv(opts, sys.env)
+            val esm = esEnv(opts, env)
             if (n > 0) graft.sinks.EsBulkSink.writeLinks(
-              links, d, graft.util.EsFlavor.esConf(env),
-              dateSeparator = env.getOrElse("ES_DATE_SEPARATOR", "-"))
+              links, d, graft.util.EsFlavor.esConf(esm),
+              dateSeparator = esm.getOrElse("ES_DATE_SEPARATOR", "-"))
             else println(s"day=$d no links; skipping ES bulk write")
           }
           // --cql-write: additionally save the day's links to a live
@@ -287,25 +348,27 @@ object Main {
           // points / keyspace / creds from the CASSANDRA_* env surface,
           // --c3-contact-points overriding, same as the read path.
           if (opts.contains("cql-write")) {
-            val env = sys.env ++
+            val c3m = env ++
               opts.get("c3-contact-points").map("CASSANDRA_CONTACT_POINTS" -> _)
             if (n > 0) graft.sinks.CqlLinkSink.writeLinks(
-              links, d, graft.sources.CassandraV3Source.fromEnv(env))
+              links, d, graft.sources.CassandraV3Source.fromEnv(c3m))
             else println(s"day=$d no links; skipping CQL write")
           }
           // --jdbc-write: additionally save the day's links to a live SQL
           // store — the reference's REPLACE INTO zipkin_dependencies
           // (MySQLDependenciesJob.java:241-255), distributed per-partition.
-          // URL from --jdbc-url (the read flag), creds from MYSQL_USER /
-          // MYSQL_PASS; --jdbc-dialect standard swaps REPLACE for the
-          // ANSI delete-day-then-insert equivalent.
+          // URL resolves like the read path (--jdbc-url > GRAFT_JDBC_URL >
+          // MYSQL_* env), creds from MYSQL_USER / MYSQL_PASS;
+          // --jdbc-dialect (or GRAFT_JDBC_DIALECT env for flag-less runs)
+          // standard swaps REPLACE for the ANSI delete-day-then-insert.
           if (opts.contains("jdbc-write")) {
             if (n > 0) graft.sinks.JdbcLinkSink.writeLinks(
-              links, d, req("jdbc-url"),
+              links, d, envJdbcUrl.getOrElse(req("jdbc-url")),
               properties = Seq(
-                sys.env.get("MYSQL_USER").map("user" -> _),
-                sys.env.get("MYSQL_PASS").map("password" -> _)).flatten.toMap,
-              dialect = opts.getOrElse("jdbc-dialect", "mysql"))
+                env.get("MYSQL_USER").map("user" -> _),
+                env.get("MYSQL_PASS").map("password" -> _)).flatten.toMap,
+              dialect = opts.getOrElse("jdbc-dialect",
+                env.getOrElse("GRAFT_JDBC_DIALECT", "mysql")))
             else println(s"day=$d no links; skipping JDBC write")
           }
           println(s"day=$d links=$n out=${req("out")}")

@@ -18,9 +18,18 @@ final case class JdbcV1Config(
 
 object JdbcV1Config {
   /** Credential parity with the reference launcher (MYSQL_USER / MYSQL_PASS,
-    * mysql/.../ZipkinMySQLStorage.java env surface). */
+    * mysql/.../ZipkinMySQLStorage.java env surface). MYSQL_MAX_CONNECTIONS
+    * (MySQLDependenciesJob.java:47) caps the partition count when SET —
+    * each stride opens its own cursor, so the cap is the DBA's
+    * connection-budget knob; when unset the requested parallelism stands
+    * (the reference's default of 10 would silently re-serialize the
+    * distributed read this source exists to provide). */
   def fromEnv(url: String, numPartitions: Int, env: Map[String, String]): JdbcV1Config =
-    JdbcV1Config(url, numPartitions = numPartitions,
+    JdbcV1Config(url,
+      numPartitions = env.get("MYSQL_MAX_CONNECTIONS") match {
+        case Some(cap) => math.max(1, math.min(numPartitions, cap.toInt))
+        case None => numPartitions
+      },
       properties = Seq(
         env.get("MYSQL_USER").map("user" -> _),
         env.get("MYSQL_PASS").map("password" -> _)).flatten.toMap)

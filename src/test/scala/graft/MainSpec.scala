@@ -28,9 +28,11 @@ class MainSpec extends AnyFunSuite {
   test("STORAGE_TYPE selects the backend profile (format + admission)") {
     // elasticsearch reaches the LIVE scroll source env-only, so the periodic
     // entrypoints (bin/graft-today) work without flags, like the reference
+    // (strict defaults TRUE under a backend profile — the reference's
+    // STRICT_TRACE_ID default)
     val es = MainConfig.resolve(Map(), Map("STORAGE_TYPE" -> "elasticsearch"), today)
     assert(es == Right(MainConfig.Resolved(today, "es-scroll", Admission.IndexDay,
-      strict = false, Nil, "WARN")))
+      strict = true, Nil, "WARN")))
     val my = MainConfig.resolve(Map(), Map("STORAGE_TYPE" -> "mysql"), today)
     assert(my.map(r => (r.format, r.admission)) == Right(("v1-tables", Admission.PerSpanWindow)))
     // cassandra3 likewise reaches the LIVE token-range CQL source env-only
@@ -96,6 +98,72 @@ class MainSpec extends AnyFunSuite {
     assert(conf.index == "traces")
   }
 
+  test("STRICT_TRACE_ID env/CLI precedence (reference default true under a backend profile)") {
+    // rows: (opts, env, expected strict)
+    val rows = Seq(
+      // file-mode CLI keeps the documented opt-in default
+      (Map.empty[String, String], Map.empty[String, String], false),
+      (Map("strict-trace-id" -> "true"), Map.empty[String, String], true),
+      // backend profile inherits the reference's env default (true)
+      (Map.empty[String, String], Map("STORAGE_TYPE" -> "cassandra3"), true),
+      // explicit env wins over the mode default, either way
+      (Map.empty[String, String],
+        Map("STORAGE_TYPE" -> "cassandra3", "STRICT_TRACE_ID" -> "false"), false),
+      (Map.empty[String, String], Map("STRICT_TRACE_ID" -> "true"), true),
+      (Map.empty[String, String], Map("STRICT_TRACE_ID" -> "false"), false),
+      // CLI flag beats an env false (CassandraDependenciesJob.java:65 is
+      // env-only; the flag is this engine's explicit override)
+      (Map("strict-trace-id" -> "true"),
+        Map("STORAGE_TYPE" -> "cassandra3", "STRICT_TRACE_ID" -> "false"), true))
+    rows.foreach { case (opts, env, want) =>
+      assert(MainConfig.resolve(opts, env, today).map(_.strict) == Right(want),
+        s"opts=$opts env=$env")
+    }
+  }
+
+  test("SPARK_MASTER env/CLI precedence (reference env var, CLI --master winning)") {
+    val rows = Seq(
+      (Map.empty[String, String], Map.empty[String, String], "local[4]"),
+      (Map.empty[String, String], Map("SPARK_GRAFT_CPUS" -> "8"), "local[8]"),
+      (Map.empty[String, String], Map("SPARK_MASTER" -> "local[*]"), "local[*]"),
+      (Map.empty[String, String],
+        Map("SPARK_MASTER" -> "spark://m:7077", "SPARK_GRAFT_CPUS" -> "8"), "spark://m:7077"),
+      (Map("master" -> "local[2]"), Map("SPARK_MASTER" -> "local[*]"), "local[2]"))
+    rows.foreach { case (opts, env, want) =>
+      assert(MainConfig.resolve(opts, env, today).map(_.master) == Right(want),
+        s"opts=$opts env=$env")
+    }
+  }
+
+  test("MySQL URL builds from the reference env surface; resolution order pinned") {
+    // defaults exactly as MySQLDependenciesJob.java:42-48,150-155
+    assert(MainConfig.mysqlJdbcUrl(Map.empty) ==
+      "jdbc:mysql://localhost:3306/zipkin?permitMysqlScheme&autoReconnect=true&useSSL=false")
+    assert(MainConfig.mysqlJdbcUrl(Map("MYSQL_HOST" -> "db.prod",
+      "MYSQL_TCP_PORT" -> "3307", "MYSQL_DB" -> "traces", "MYSQL_USE_SSL" -> "true")) ==
+      "jdbc:mysql://db.prod:3307/traces?permitMysqlScheme&autoReconnect=true&useSSL=true")
+    // no flag, no env → None (the fixture two-table path stays available)
+    assert(MainConfig.jdbcUrl(Map.empty, Map.empty).isEmpty)
+    // any MYSQL_* presence activates the env-built URL
+    assert(MainConfig.jdbcUrl(Map.empty, Map("MYSQL_HOST" -> "h")) ==
+      Some("jdbc:mysql://h:3306/zipkin?permitMysqlScheme&autoReconnect=true&useSSL=false"))
+    // GRAFT_JDBC_URL (the non-MySQL-store escape) beats the built URL
+    assert(MainConfig.jdbcUrl(Map.empty,
+      Map("MYSQL_HOST" -> "h", "GRAFT_JDBC_URL" -> "jdbc:derby:d")) == Some("jdbc:derby:d"))
+    // --jdbc-url beats everything
+    assert(MainConfig.jdbcUrl(Map("jdbc-url" -> "jdbc:x"),
+      Map("MYSQL_HOST" -> "h", "GRAFT_JDBC_URL" -> "jdbc:derby:d")) == Some("jdbc:x"))
+  }
+
+  test("MYSQL_MAX_CONNECTIONS caps the JDBC stride count only when set") {
+    import graft.sources.JdbcV1Config
+    assert(JdbcV1Config.fromEnv("u", 32, Map.empty).numPartitions == 32)
+    assert(JdbcV1Config.fromEnv("u", 32, Map("MYSQL_MAX_CONNECTIONS" -> "10")).numPartitions == 10)
+    // a cap above the request is not a floor
+    assert(JdbcV1Config.fromEnv("u", 4, Map("MYSQL_MAX_CONNECTIONS" -> "10")).numPartitions == 4)
+    assert(JdbcV1Config.fromEnv("u", 8, Map("MYSQL_MAX_CONNECTIONS" -> "0")).numPartitions == 1)
+  }
+
   test("GRAFT_WRITE_BACK maps STORAGE_TYPE to its backend write flag, env-only") {
     assert(Main.writeBackFlags(Map()) == Map())
     assert(Main.writeBackFlags(Map("GRAFT_WRITE_BACK" -> "1")) == Map())
@@ -115,6 +183,70 @@ class MainSpec extends AnyFunSuite {
     assert((Main.writeBackFlags(Map("GRAFT_WRITE_BACK" -> "1",
       "STORAGE_TYPE" -> "mysql")) ++ Map("jdbc-dialect" -> "standard"))
       .keySet == Set("jdbc-write", "jdbc-dialect"))
+  }
+
+  test("mysql profile env-only end-to-end: STORAGE_TYPE + GRAFT_WRITE_BACK, zero backend flags") {
+    // the reference's docker entrypoint shape: STORAGE_TYPE=mysql and env
+    // vars only — the JDBC URL resolves from env (here GRAFT_JDBC_URL, the
+    // documented escape for the embedded ANSI store; a real MySQL would use
+    // MYSQL_HOST/MYSQL_TCP_PORT/MYSQL_DB), the read upgrades to the
+    // partitioned v1-jdbc source, and GRAFT_WRITE_BACK=1 saves the links
+    // back to the same store, all with no mysql-specific CLI flags.
+    val spark = graft.pipeline.SparkTestSession.get
+    val day = "2025-08-11"
+    val (lo, _) = graft.pipeline.LinkJob.dayWindowMicros(day)
+    val dir = java.nio.file.Files.createTempDirectory("derbyenvonly").toString
+    val url = s"jdbc:derby:$dir/zipkin;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE zipkin_spans (trace_id BIGINT, parent_id BIGINT, id BIGINT, start_ts BIGINT)")
+      st.executeUpdate(
+        "CREATE TABLE zipkin_annotations (trace_id BIGINT, span_id BIGINT, " +
+          "a_key VARCHAR(255), endpoint_service_name VARCHAR(255), a_type INT)")
+      st.executeUpdate(
+        "CREATE TABLE zipkin_dependencies (day DATE, parent VARCHAR(255), " +
+          "child VARCHAR(255), call_count BIGINT, error_count BIGINT, " +
+          "PRIMARY KEY (day, parent, child))")
+      st.executeUpdate(s"INSERT INTO zipkin_spans VALUES (1, NULL, 10, ${lo + 1000})")
+      st.executeUpdate(s"INSERT INTO zipkin_spans VALUES (1, 10, 11, ${lo + 1100})")
+      st.executeUpdate("INSERT INTO zipkin_annotations VALUES (1, 10, 'cs', 'frontend', -1)")
+      st.executeUpdate("INSERT INTO zipkin_annotations VALUES (1, 11, 'sr', 'backend', -1)")
+      st.executeUpdate("INSERT INTO zipkin_annotations VALUES (1, 11, 'ca', 'frontend', -1)")
+    } finally conn.close()
+    val env = Map(
+      "STORAGE_TYPE" -> "mysql", "GRAFT_WRITE_BACK" -> "1",
+      "GRAFT_JDBC_URL" -> url, "GRAFT_JDBC_DIALECT" -> "standard",
+      "MYSQL_MAX_CONNECTIONS" -> "2")
+    val out = java.nio.file.Files.createTempDirectory("mysql-envonly-out").toString
+    val opts = Main.parseArgs(Array("--day", day, "--out", out))
+    val resolved = MainConfig.resolve(opts, env, today).toOption.get
+    assert(resolved.format == "v1-tables" && resolved.admission == Admission.PerSpanWindow)
+    assert(resolved.strict) // backend profile → reference strict default
+    Main.dispatch(spark, opts, resolved, env)
+    import spark.implicits._
+    val links = spark.read.parquet(out)
+      .select("parent", "child", "callCount", "errorCount")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(links == Set(("frontend", "backend", 1L, 0L)))
+    // GRAFT_WRITE_BACK pushed the same links into zipkin_dependencies
+    val c2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c2.createStatement().executeQuery(
+        "SELECT day, parent, child, call_count, error_count FROM zipkin_dependencies")
+      var rows = List.empty[(String, String, String, Long, Long)]
+      while (rs.next()) rows ::= ((rs.getDate(1).toString, rs.getString(2),
+        rs.getString(3), rs.getLong(4), rs.getLong(5)))
+      assert(rows == List((day, "frontend", "backend", 1L, 0L)))
+    } finally c2.close()
+    // idempotent env-only re-run: same single row, no PK violation
+    Main.dispatch(spark, opts, resolved, env)
+    val c3 = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c3.createStatement().executeQuery("SELECT count(*) FROM zipkin_dependencies")
+      rs.next(); assert(rs.getInt(1) == 1)
+    } finally c3.close()
   }
 
   test("cassandra3 profile end-to-end through the CLI dispatch: LIVE scripted CQL → links → sink") {
