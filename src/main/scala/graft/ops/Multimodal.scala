@@ -8,11 +8,16 @@ import org.apache.spark.sql.types._
   * BINARY columns with a typed metadata struct; decode / feature-extract /
   * resize / frame-sample run per-partition over batches.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libraries): `fakeDecode` derives deterministic pseudo-features from the
-  * payload bytes. Everything Spark-side — schema, partitioning, batch
-  * iteration shape, output contract — is real and tested; swapping the stub
-  * for a JNI/FFI decoder changes one function.
+  * IMAGE decode is REAL: [[decodeImageBytes]] hands the payload to the
+  * JDK's ImageIO (PNG/JPEG/GIF/BMP ship with the JRE — no external
+  * dependency) and emits the decoded pixels' BT.601 luminance plane;
+  * [[decode]] builds the 16-bin histogram feature vector from those
+  * pixels. Payloads no installed reader understands (and the synthetic
+  * text-byte assets the oracle queries use) fall back to the SAME
+  * histogram arithmetic over the raw payload bytes — [[fakeDecode]], kept
+  * as the deterministic test double the DuckDB oracle can replay. Audio/
+  * video codecs are not in the JRE, so those modalities always take the
+  * fallback; swapping in an FFI decoder changes one function.
   */
 object Multimodal {
 
@@ -49,17 +54,74 @@ object Multimodal {
         length(encode(col("text"), "UTF-8")).cast("long").as("sizeBytes")).as("meta"))
   }
 
-  /** STUB decoder: a real implementation would hand `payload` to an image/
-    * audio codec. The fake is deterministic in the bytes: a 16-bin byte
-    * histogram, normalized — shaped exactly like a feature vector a real
-    * extractor would emit. */
-  private[ops] def fakeDecode(payload: Array[Byte]): Array[Float] = {
+  /** 16-bin normalized histogram over byte values — the shared feature
+    * arithmetic for both the real decode (over luminance pixels) and the
+    * raw-byte fallback. */
+  private def hist16(bytes: Array[Byte]): Array[Float] = {
     val bins = new Array[Float](16)
-    if (payload == null || payload.isEmpty) return bins
-    payload.foreach(b => bins((b & 0xFF) >> 4) += 1f)
-    val n = payload.length.toFloat
+    if (bytes == null || bytes.isEmpty) return bins
+    bytes.foreach(b => bins((b & 0xFF) >> 4) += 1f)
+    val n = bytes.length.toFloat
     bins.map(_ / n)
   }
+
+  /** Deterministic fallback decoder (and the oracle's test double): the
+    * 16-bin histogram over the RAW payload bytes. */
+  private[ops] def fakeDecode(payload: Array[Byte]): Array[Float] = hist16(payload)
+
+  /** REAL image decode via JDK ImageIO: returns the decoded image's pixels
+    * as one BT.601 integer-luma byte per pixel (row-major), or None when no
+    * installed reader recognizes the payload (truncated file, non-image
+    * bytes, audio/video container). Pure JRE — PNG/JPEG/GIF/BMP readers
+    * ship with the JDK. Integer luma ((299r+587g+114b)/1000, the BT.601
+    * weights) keeps the whole pipeline float-free until normalization, so
+    * results are bit-deterministic across JVMs. */
+  // ImageIO defaults to spooling input streams through a temp-FILE cache —
+  // a disk write per decoded row on every executor. Memory-backed cache is
+  // correct for bounded payload batches; set once per JVM.
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  private[ops] def decodeImageBytes(payload: Array[Byte]): Option[Array[Byte]] = {
+    if (payload == null || payload.length < 8) return None
+    imageIoNoDiskCache
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Byte](w * h)
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF
+            val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            out(i) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+            i += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some(out)
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** The decoder behind extractFeatures: real ImageIO decode when a reader
+    * claims the payload (features = luminance histogram of the actual
+    * pixels), the raw-byte histogram otherwise — same output shape, same
+    * arithmetic, so the oracle replays the fallback exactly on the
+    * synthetic text-byte assets while a real PNG/JPEG takes the real path. */
+  private[ops] def decode(payload: Array[Byte]): Array[Float] =
+    decodeImageBytes(payload) match {
+      case Some(pixels) => hist16(pixels)
+      case None => fakeDecode(payload)
+    }
 
   private val featureSchema = StructType(Seq(
     StructField("asset_id", LongType),
@@ -80,7 +142,7 @@ object Multimodal {
           // per-batch decoder setup would go here (e.g. codec context)
           batch.iterator.map { r =>
             Row(r.getLong(0), r.getString(1),
-              fakeDecode(r.getAs[Array[Byte]]("payload")).toSeq, batch.size)
+              decode(r.getAs[Array[Byte]]("payload")).toSeq, batch.size)
           }
         }
       }(enc)

@@ -612,6 +612,48 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real ImageIO decode: a checked-in PNG decodes to known luminance pixels") {
+    // 8x4 RGB gradient, pixel (x,y) = (x*32 % 256, y*64 % 256, (x+y)*16 % 256);
+    // BT.601 integer luma of row 0 is the fixed sequence below
+    val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/gradient_8x4.png").toURI))
+    val pixels = Multimodal.decodeImageBytes(png).get
+    assert(pixels.length == 8 * 4)
+    assert(pixels.take(8).map(_ & 0xFF).toSeq == Seq(0, 11, 22, 34, 45, 56, 68, 79))
+    // the feature vector is the histogram of DECODED pixels, not file bytes
+    val expectedHist = Array(2, 1, 3, 3, 4, 2, 3, 4, 3, 3, 2, 1, 1, 0, 0, 0)
+      .map(_ / 32.0f)
+    assert(Multimodal.decode(png).toSeq == expectedHist.toSeq)
+    assert(Multimodal.decode(png).toSeq != Multimodal.fakeDecode(png).toSeq)
+    // non-image payloads (the synthetic text assets the oracle replays)
+    // take the raw-byte fallback — unchanged arithmetic
+    val text = "not an image at all".getBytes("UTF-8")
+    assert(Multimodal.decodeImageBytes(text).isEmpty)
+    assert(Multimodal.decode(text).toSeq == Multimodal.fakeDecode(text).toSeq)
+    // truncated image bytes degrade to the fallback, never crash
+    val cut = png.take(20)
+    assert(Multimodal.decode(cut).length == 16)
+  }
+
+  test("extractFeatures routes real images through ImageIO inside the Spark pipeline") {
+    val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/gradient_8x4.png").toURI))
+    val rows = Seq(
+      (1L, png, "image", "png"),
+      (2L, "plain text payload".getBytes("UTF-8"), "image", "png"))
+    val assets = rows.toDF("asset_id", "payload", "m", "f")
+      .select(col("asset_id"), col("payload"),
+        struct(col("m").as("modality"), col("f").as("format"),
+          lit(8).as("width"), lit(4).as("height"),
+          lit(0L).as("durationMs"), length(col("payload")).cast("long").as("sizeBytes"))
+          .as("meta"))
+    val feats = Multimodal.extractFeatures(assets, batchSize = 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("features")).toMap
+    val expectedHist = Array(2, 1, 3, 3, 4, 2, 3, 4, 3, 3, 2, 1, 1, 0, 0, 0).map(_ / 32.0f)
+    assert(feats(1L) == expectedHist.toSeq)
+    assert(feats(2L) == Multimodal.fakeDecode("plain text payload".getBytes("UTF-8")).toSeq)
+  }
+
   test("sampleFrames: video assets explode to at most N frames") {
     val frames = Multimodal.sampleFrames(Multimodal.fakeAssets(docs), frames = 4)
     val perAsset = frames.groupBy("asset_id").count().select("count").as[Long].collect()
