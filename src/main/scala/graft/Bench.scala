@@ -124,13 +124,21 @@ object Bench {
     val total = round3(medians.map(_._2).filter(_ >= 0).sum)
     // anchored: "sf1." or a dir without an sf prefix must not fabricate an
     // invalid/zero JSON number — fall back to the quoted dir name instead
+    // (escaped: a quote/backslash/control char in the path must not emit
+    // invalid JSON)
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val sfNum = """sf([0-9]+(?:\.[0-9]+)?)""".r.findFirstMatchIn(sfDir).map(_.group(1))
-      .getOrElse("\"" + sfDir + "\"")
+      .getOrElse(jstr(sfDir))
     val rawRounds = roundSecs.map { case (k, objs) =>
       "\"" + k + "\":" + objs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total_wall_sec","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir","runs_per_query":$runs,"aggregation":"median_after_discarding_run1","raw_runs":$raw,"raw_gc_ms":$rawGc,"raw_cc_round_secs":$rawRounds}"""
+      s"""{"metric":"total_wall_sec","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":${jstr(sfDir)},"runs_per_query":$runs,"aggregation":"median_after_discarding_run1","raw_runs":$raw,"raw_gc_ms":$rawGc,"raw_cc_round_secs":$rawRounds}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }

@@ -37,7 +37,13 @@ object CqlLinkSink {
 
   /** One link → its literal INSERT. `day` renders as a 'yyyy-MM-dd' date
     * literal; `errors` is OMITTED (not 0) when the count is zero, matching
-    * the reference's unset bind (CassandraDependenciesJob.java:206). */
+    * the reference's unset bind (CassandraDependenciesJob.java:206).
+    * Caveat that parity carries: a CQL unset column does NOT overwrite, so
+    * re-running a day whose error count dropped to zero leaves the prior
+    * run's positive `errors` cell in place — day-level idempotence is
+    * exact for calls and keys but not for a disappearing error count
+    * (writing errors=null instead would tombstone it; the reference
+    * accepts the stale cell and so does this sink). */
   private[sinks] def insertCql(keyspace: String, day: String,
       parent: String, child: String, calls: Long, errors: Long): String = {
     val (cols, vals) =

@@ -51,8 +51,13 @@ object CassandraV3Source {
       username: Option[String] = None,
       password: Option[String] = None,
       pageSize: Int = 5000,
-      timeoutMs: Int = 10000)
+      timeoutMs: Int = 10000,
+      useSsl: Boolean = false)
 
+  /** CASSANDRA_USE_SSL mirrors CassandraDependenciesJob.java:71;
+    * CASSANDRA_PAGE_SIZE / CASSANDRA_TIMEOUT (millis) tune the live CQL
+    * paging for a slow cluster without a code change — the ES_TIMEOUT
+    * convention applied to this transport. */
   def fromEnv(env: Map[String, String], numRanges: Int = 32): CassandraV3Config =
     CassandraV3Config(
       keyspace = env.getOrElse("CASSANDRA_KEYSPACE", "zipkin2"),
@@ -60,7 +65,10 @@ object CassandraV3Source {
       contactPoints = env.getOrElse("CASSANDRA_CONTACT_POINTS", "127.0.0.1"),
       localDc = env.getOrElse("CASSANDRA_LOCAL_DC", "datacenter1"),
       username = env.get("CASSANDRA_USERNAME").filter(_.nonEmpty),
-      password = env.get("CASSANDRA_PASSWORD").filter(_.nonEmpty))
+      password = env.get("CASSANDRA_PASSWORD").filter(_.nonEmpty),
+      pageSize = env.get("CASSANDRA_PAGE_SIZE").map(_.toInt).getOrElse(5000),
+      timeoutMs = env.get("CASSANDRA_TIMEOUT").map(_.toInt).getOrElse(10000),
+      useSsl = env.get("CASSANDRA_USE_SSL").exists(_.equalsIgnoreCase("true")))
 
   /** `host1:9042,host2` → [(host, port)], port defaulting to 9042 — the
     * reference's contact-point convention (CassandraDependenciesJob builder
@@ -221,8 +229,12 @@ object CassandraV3Source {
     * identical connection semantics. */
   private[graft] def connectAny(points: Seq[(String, Int)], cfg: CassandraV3Config): CqlClient = {
     var lastErr: Throwable = null
+    // default JSSE context per executor — configured by the standard
+    // javax.net.ssl.* system properties, the same surface the reference's
+    // driver SSL options ride on
+    val ssl = if (cfg.useSsl) Some(javax.net.ssl.SSLContext.getDefault) else None
     points.foreach { case (h, p) =>
-      try return new CqlClient(h, p, cfg.username, cfg.password, cfg.timeoutMs)
+      try return new CqlClient(h, p, cfg.username, cfg.password, cfg.timeoutMs, ssl)
       catch { case e: java.io.IOException => lastErr = e }
     }
     throw new java.io.IOException(

@@ -23,8 +23,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   *    a scroll slice in EsSpanSource, so multiplexing buys nothing;
   *  - no compression, no prepared statements, no events;
   *  - decode covers the types the `zipkin2.span` table uses (text/bigint/
-  *    boolean/int/map/UDT/list/set/blob/uuid/inet/timestamp) — unknown
-  *    types surface their raw bytes rather than failing the row.
+  *    boolean/int/map/UDT/list/set/blob/uuid/inet/timestamp); unhandled
+  *    PRIMITIVE type ids (bare [short], no nested metadata) surface their
+  *    raw bytes rather than failing the row — only an unknown
+  *    collection-range id (>= 0x0020), whose nested params can't be
+  *    skipped, fails the scan.
   */
 object Cql {
   // opcodes (spec §2.4)
@@ -122,6 +125,13 @@ object Cql {
     case 0x0031 =>
       val n = bb.getShort & 0xFFFF
       CqlType.TupleT((0 until n).map(_ => readType(bb)))
+    // every remaining v4 primitive id (decimal 0x0006, varint 0x000E, …)
+    // is a bare [short] with no nested metadata to skip, so an unhandled
+    // one decodes Blob-style — raw bytes surface instead of killing the
+    // scan when a SELECT * crosses such a column. Ids at/above 0x0020 that
+    // we don't know are NOT safe: they could carry nested type params this
+    // reader can't skip, so those still fail loudly.
+    case other if other < 0x0020 => CqlType.Blob
     case other => throw new IOException(f"unknown CQL type id 0x$other%04x")
   }
 
@@ -160,16 +170,33 @@ object Cql {
 
 /** One CQL connection: blocking handshake on construction, then sequential
   * `query` calls. AutoCloseable; a Spark task wraps its range drain in a
-  * try/finally around one instance. */
+  * try/finally around one instance.
+  *
+  * `ssl = Some(ctx)` upgrades the connected socket to TLS before the CQL
+  * handshake — the CASSANDRA_USE_SSL path
+  * (CassandraDependenciesJob.java:71); production callers pass
+  * `SSLContext.getDefault`, which honors the standard `javax.net.ssl.*`
+  * system properties, and the scripted TLS spec injects its own trust. */
 final class CqlClient(host: String, port: Int,
     username: Option[String] = None, password: Option[String] = None,
-    timeoutMs: Int = 10000) extends AutoCloseable {
+    timeoutMs: Int = 10000,
+    ssl: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
   import Cql._
 
-  private val socket = new Socket()
-  socket.connect(new InetSocketAddress(host, port), timeoutMs)
-  socket.setSoTimeout(timeoutMs)
-  socket.setTcpNoDelay(true)
+  private val socket: Socket = {
+    val plain = new Socket()
+    plain.connect(new InetSocketAddress(host, port), timeoutMs)
+    plain.setSoTimeout(timeoutMs)
+    plain.setTcpNoDelay(true)
+    ssl match {
+      case Some(ctx) =>
+        val tls = ctx.getSocketFactory.createSocket(plain, host, port, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        tls.startHandshake() // fail now, at connect, not inside the CQL exchange
+        tls
+      case None => plain
+    }
+  }
   private val in = new DataInputStream(socket.getInputStream)
   private val out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream))
 

@@ -18,16 +18,25 @@ import java.nio.charset.StandardCharsets.UTF_8
 final class EsHttpTransport(
     username: Option[String] = None,
     password: Option[String] = None,
-    val timeoutMs: Long = 10000L) extends Serializable {
+    val timeoutMs: Long = 10000L,
+    // https trust seam: an injected SSLContext (scripted TLS specs); when
+    // absent — including executor-side after deserialization, where the
+    // transient field revives as null — the JDK default context applies,
+    // configured by the standard javax.net.ssl.* system properties. An
+    // https:// host in ES_HOSTS needs no code change either way.
+    @transient private val sslContext: Option[javax.net.ssl.SSLContext] = None)
+    extends Serializable {
 
   private val authHeader: Option[String] = username.map { u =>
     val creds = s"$u:${password.getOrElse("")}"
     "Basic " + java.util.Base64.getEncoder.encodeToString(creds.getBytes(UTF_8))
   }
 
-  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
-    .build()
+  @transient private lazy val client: HttpClient = {
+    val b = HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+    Option(sslContext).flatten.fold(b)(b.sslContext).build()
+  }
 
   private def request(url: String): HttpRequest.Builder = {
     val b = HttpRequest.newBuilder(java.net.URI.create(url))

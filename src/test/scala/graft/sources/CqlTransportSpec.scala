@@ -101,6 +101,21 @@ class CqlTransportSpec extends AnyFunSuite {
     } finally es.stop()
   }
 
+  test("unhandled primitive type ids decode as raw bytes; unknown nested ids fail loudly") {
+    import java.nio.ByteBuffer
+    def idOf(short: Int): ByteBuffer = {
+      val bb = ByteBuffer.allocate(2); bb.putShort(short.toShort); bb.flip(); bb
+    }
+    // decimal (0x0006) and varint (0x000E): bare [short] ids with no nested
+    // metadata — a SELECT * crossing such a column must not kill the scan
+    assert(Cql.readType(idOf(0x0006)) == Cql.CqlType.Blob)
+    assert(Cql.readType(idOf(0x000E)) == Cql.CqlType.Blob)
+    val raw = Array[Byte](1, 2, 3)
+    assert(Cql.decode(Cql.CqlType.Blob, raw).asInstanceOf[Array[Byte]].toSeq == raw.toSeq)
+    // an unknown collection-range id carries nested params we can't skip
+    intercept[java.io.IOException](Cql.readType(idOf(0x0029)))
+  }
+
   test("liveSpans end-to-end: one range per task, ring covered, linked like the fixture path") {
     import spark.implicits._
     // tokens placed in both halves of the ring — numRanges=2 must fan out

@@ -21,9 +21,15 @@ final case class FRow(token: Long, traceId: String, parentId: String,
   * rows omit — pinning name-matched, partial-UDT decode. Shared by
   * CqlTransportSpec (protocol-level) and MainSpec (CLI-level). */
 final class ScriptedCassandra(rows: Seq[FRow],
-    requireAuth: Option[(String, String)] = None, failQueries: Boolean = false) {
+    requireAuth: Option[(String, String)] = None, failQueries: Boolean = false,
+    ssl: Option[javax.net.ssl.SSLContext] = None) {
   val queries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  private val server = new ServerSocket(0, 50, InetAddress.getByName("127.0.0.1"))
+  private val server: ServerSocket = ssl match {
+    case Some(ctx) => // TLS listener — the CASSANDRA_USE_SSL wire pin
+      ctx.getServerSocketFactory.createServerSocket(
+        0, 50, InetAddress.getByName("127.0.0.1"))
+    case None => new ServerSocket(0, 50, InetAddress.getByName("127.0.0.1"))
+  }
   @volatile private var running = true
   def port: Int = server.getLocalPort
   def stop(): Unit = { running = false; server.close() }
