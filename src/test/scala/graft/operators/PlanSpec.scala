@@ -168,6 +168,22 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q24/q66: the LSH near-dup family exchanges key on bands/ids, never gram or text data") {
+    for ((name, df) <- Seq(
+      "q24" -> NorthStarQueries.ngramNearDups(spark, sf),
+      "q66" -> PortableQueries.dedupKeepBest(spark, sf))) {
+      val p = plan(df)
+      val parts = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+      assert(parts.nonEmpty, s"$name: expected keyed exchanges")
+      assert(!parts.exists(l => l.contains("text#") || l.contains("_g#") || l.contains("_set#")),
+        s"$name: gram/text data keyed a shuffle\n${parts.mkString("\n")}")
+      // the candidate-id restriction must broadcast (verify stage shingles
+      // candidates only — the |candidates| ≪ |docs| promise)
+      assert(p.contains("BroadcastExchange"), s"$name: candidate restriction must broadcast")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q78: containment probe side is broadcast; top-3 rank pushes a group limit") {
     val p = plan(NorthStarQueries.containmentDecontam(spark, sf))
     assert(p.contains("BroadcastHashJoin"), "probe gram join must broadcast")
