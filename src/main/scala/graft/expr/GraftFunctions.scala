@@ -122,4 +122,23 @@ object GraftFunctions {
     * n tokens, first-occurrence distinct order). */
   def wordNGrams(text: Column, n: Int): Column =
     call_function("graft_word_ngrams", text, lit(n))
+
+  private val dynamicNames = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Bind an expression whose constructor carries a non-literal model object
+    * (a probe index, a codebook, …) to a Column: registers a closure-
+    * capturing builder under a unique per-binding name and calls it. The
+    * model rides INSIDE the expression instance, so it serializes with the
+    * plan to executors like any literal — the unique name only exists to
+    * route Column→Expression through the (analysis-time) registry without
+    * touching private[sql] constructors. */
+  def bindExpr(spark: SparkSession, prefix: String,
+      build: Seq[Expression] => Expression, args: Column*): Column = {
+    val name = s"graft_${prefix}_${dynamicNames.incrementAndGet()}"
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo(GraftFunctions.getClass.getName, name),
+      build)
+    call_function(name, args: _*)
+  }
 }
