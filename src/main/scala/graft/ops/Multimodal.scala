@@ -170,11 +170,76 @@ object Multimodal {
       .where(length(col("frame_bytes")) > 0)
   }
 
-  /** "Resize": byte-level downsample of image payloads to maxBytes —
-    * placeholder for a real resize, but preserves the contract that output
-    * payloads are bounded and metadata is updated consistently. */
+  /** "Resize": byte-level downsample of payloads to maxBytes — the bounded-
+    * payload contract for the synthetic (non-image) assets; metadata is
+    * updated consistently. For REAL images use [[resizeImage]]. */
   def resizePayload(assets: DataFrame, maxBytes: Int = 256): DataFrame =
     assets.withColumn("payload", substring(col("payload"), 1, maxBytes))
       .withColumn("meta", col("meta").withField("sizeBytes",
         least(col("meta.sizeBytes"), lit(maxBytes.toLong))))
+
+  /** REAL image resize: decode via ImageIO, scale to fit (maxW, maxH)
+    * preserving aspect ratio (never upscales), re-encode as PNG. Returns
+    * None when no reader recognizes the payload — callers keep the original
+    * (the [[resizeImageAssets]] contract). Pure JRE: Graphics2D bilinear
+    * draw + the PNG writer that ships with the JDK. */
+  private[ops] def resizeImage(payload: Array[Byte], maxW: Int, maxH: Int): Option[Array[Byte]] = {
+    if (payload == null || payload.length < 8) return None
+    imageIoNoDiskCache
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+      val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+        math.max(1, (img.getHeight * scale).toInt))
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bytes = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bytes)
+      Some(bytes.toByteArray)
+    } catch { case _: Throwable => None }
+  }
+
+  private val resizedSchema = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("resized", BooleanType)))
+
+  /** Real resize over an asset frame: decodable images are scaled to fit
+    * and re-encoded (width/height report the DECODED output dimensions,
+    * `resized` = true); unrecognized payloads pass through untouched with
+    * their metadata dimensions. Same mapPartitions batch shape as
+    * [[extractFeatures]] — the decoder amortizes per batch. */
+  def resizeImageAssets(assets: DataFrame, maxW: Int = 64, maxH: Int = 64,
+      batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(resizedSchema)
+    assets.select(col("asset_id"), col("payload"),
+        col("meta.width").as("w"), col("meta.height").as("h"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val payload = r.getAs[Array[Byte]]("payload")
+            resizeImage(payload, maxW, maxH) match {
+              case Some(scaled) =>
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(scaled))
+                Row(r.getLong(0), scaled, img.getWidth, img.getHeight, true)
+              case None =>
+                Row(r.getLong(0), payload,
+                  if (r.isNullAt(2)) 0 else r.getInt(2),
+                  if (r.isNullAt(3)) 0 else r.getInt(3), false)
+            }
+          }
+        }
+      }(enc)
+  }
 }

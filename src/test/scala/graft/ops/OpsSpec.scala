@@ -662,6 +662,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.select("asset_id").distinct().count() == nVideo)
   }
 
+  test("real resize: the fixture PNG scales to fit, re-decodes, and text passes through") {
+    val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/gradient_8x4.png").toURI))
+    // 8x4 fit into 4x4 → scale 0.5 → 4x2; never upscale: 16x16 keeps 8x4
+    val down = Multimodal.resizeImage(png, 4, 4).get
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(down))
+    assert(img.getWidth == 4 && img.getHeight == 2)
+    val same = Multimodal.resizeImage(png, 16, 16).get
+    val img2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(same))
+    assert(img2.getWidth == 8 && img2.getHeight == 4)
+    assert(Multimodal.resizeImage("not an image".getBytes("UTF-8"), 4, 4).isEmpty)
+    // frame-level: image rows resize + re-decode, text rows pass through
+    val rows = Seq((1L, png, 8, 4), (2L, "plain text".getBytes("UTF-8"), 0, 0))
+    val assets = rows.toDF("asset_id", "payload", "w", "h")
+      .select(col("asset_id"), col("payload"),
+        struct(lit("image").as("modality"), lit("png").as("format"),
+          col("w").as("width"), col("h").as("height"),
+          lit(0L).as("durationMs"), length(col("payload")).cast("long").as("sizeBytes"))
+          .as("meta"))
+    val out = Multimodal.resizeImageAssets(assets, maxW = 4, maxH = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((4, 2, true)))
+    assert(out(2L) == ((0, 0, false)))
+  }
+
   test("resizePayload bounds payload and fixes metadata") {
     val resized = Multimodal.resizePayload(Multimodal.fakeAssets(docs), maxBytes = 32)
     val ok = resized.select(length(col("payload")) <= 32 && col("meta.sizeBytes") <= 32)
