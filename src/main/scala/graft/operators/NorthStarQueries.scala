@@ -383,6 +383,26 @@ object NorthStarQueries {
       .orderBy("doc_id", "probe_id")
   }
 
+  /** q90 — EXACT-substring decontamination: corpus documents sharing at
+    * least one exact 20-char window with any probe document — the strongest
+    * contamination evidence (an n-gram overlap can be coincidence; a long
+    * verbatim run cannot), the fixed-window form of the exact-substring
+    * rule from the dedup/decontamination literature. Both sides explode to
+    * DISTINCT char windows, collapse each window to the engine-portable
+    * 60-bit md5 hash (PortableSketch.h60 — the same family every portable
+    * sketch uses, so DuckDB replays the join bit-for-bit), and equi-join on
+    * the hash with the probe side broadcast: shuffles and broadcasts carry
+    * 8-byte hashes, never window strings, and count(1) over the join IS
+    * the distinct shared-window count (both sides distinct). Window
+    * formation reuses charShingles' fewer-than-W fallback (whole text as
+    * one window), so short documents still screen. */
+  def substringDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val probes = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+    TextOps.sharedWindows(docs, "text", "doc_id", probes, "text", "doc_id", w = 20)
+      .orderBy("doc_id", "probe_id")
+  }
+
   /** q78 — the decontamination review queue: for each probe (eval item),
     * the 3 corpus documents that CONTAIN most of it — containment =
     * shared/|probe grams|, the asymmetric score that catches a short
@@ -546,7 +566,8 @@ object NorthStarQueries {
     "q77_embedding_ivf_probe2" -> (embeddingIvfProbe2TopK _),
     "q78_containment_decontam" -> (containmentDecontam _),
     "q79_embedding_ivf_model_probe2" -> (embeddingIvfModelProbe2TopK _),
-    "q89_embedding_pq_topk" -> (embeddingPqTopK _)
+    "q89_embedding_pq_topk" -> (embeddingPqTopK _),
+    "q90_substring_decontam" -> (substringDecontam _)
   )
 
   /** Shared DuckDB fragments for the word-3-gram pair oracles (q24, q48). */
@@ -735,6 +756,19 @@ object NorthStarQueries {
         "SELECT c.doc_id, p.probe_id, CAST(len(list_intersect(c.g, p.pg)) AS BIGINT) AS shared_ngrams " +
         "FROM grams c JOIN pr p ON c.doc_id <> p.probe_id " +
         "WHERE len(list_intersect(c.g, p.pg)) >= 2 ORDER BY doc_id, probe_id"),
+    "q90_substring_decontam" ->
+      // the h60 join replayed bit-for-bit: same lowercase, same whole-text
+      // fallback under 20 chars, same distinct windows, same md5-top-15-hex
+      // hash, same hash-equality join
+      ("""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents), """ +
+        """w AS (SELECT doc_id, list_distinct(CASE WHEN length(t) < 20 THEN [t] """ +
+        """ELSE [substr(t, i, 20) for i in range(1, length(t)-18)] END) AS ws FROM t), """ +
+        """e AS (SELECT doc_id, ('0x'||substr(md5(x),1,15))::BIGINT AS h """ +
+        """FROM (SELECT doc_id, unnest(ws) AS x FROM w)), """ +
+        """pr AS (SELECT doc_id AS probe_id, h FROM e WHERE doc_id % 100 = 0) """ +
+        """SELECT e.doc_id, pr.probe_id, count(*)::BIGINT AS shared_windows """ +
+        """FROM e JOIN pr ON e.h = pr.h AND e.doc_id <> pr.probe_id """ +
+        """GROUP BY 1, 2 ORDER BY doc_id, probe_id"""),
     "q78_containment_decontam" ->
       (s"WITH $gramsCte, " +
         "pr AS (SELECT doc_id AS probe_id, g AS pg, len(g) AS ptot FROM grams WHERE doc_id % 100 = 0), " +

@@ -204,6 +204,31 @@ object TextOps {
       .select("doc_id", "probe_id", "shared_ngrams", "containment")
   }
 
+  /** EXACT-substring contamination: (corpus doc, probe) pairs sharing at
+    * least one exact `w`-char window (lowercased; documents shorter than
+    * `w` contribute their whole text as one window — charShingles'
+    * fallback). The strongest contamination evidence: an n-gram overlap
+    * can be coincidence, a long verbatim run cannot. Scale shape: both
+    * sides explode to DISTINCT windows and collapse each to the
+    * engine-portable 60-bit md5 hash (PortableSketch.h60) BEFORE the join
+    * — broadcasts and shuffles carry 8-byte hashes, never window strings —
+    * and count(1) over the hash equi-join IS the distinct shared-window
+    * count. */
+  def sharedWindows(
+      corpus: DataFrame, corpusText: String, corpusId: String,
+      probes: DataFrame, probeText: String, probeId: String,
+      w: Int = 20): DataFrame = {
+    def windows(df: DataFrame, text: String, id: String, as: String): DataFrame =
+      Partitioning.spread(df).select(col(id).as(as),
+        explode(array_distinct(charShingles(col(text), w))).as("_w"))
+        .select(col(as), PortableSketch.h60(col("_w")).as("_h"))
+    windows(corpus, corpusText, corpusId, "doc_id")
+      .join(broadcast(windows(probes, probeText, probeId, "probe_id")), "_h")
+      .where(col("doc_id") =!= col("probe_id"))
+      .groupBy("doc_id", "probe_id")
+      .agg(count(lit(1)).as("shared_windows"))
+  }
+
   def contamination(
       corpus: DataFrame, corpusText: String, corpusId: String,
       probes: DataFrame, probeText: String, probeId: String,

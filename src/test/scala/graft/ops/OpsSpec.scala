@@ -95,6 +95,32 @@ class ContainmentSpec extends AnyFunSuite {
     assert(got == Set((1L, 100L, 2L, 1.0)))
   }
 
+  test("sharedWindows flags verbatim 20-char runs; paraphrase and shorts behave") {
+    val lifted = "the quick brown fox jumps over the lazy dog tonight"
+    val corpus = Seq(
+      (1L, s"prefix words then $lifted and a suffix"), // verbatim run → flagged
+      (2L, "the quick brown cat naps under the busy dog today"), // paraphrase → clean
+      (3L, "tiny")) // shorter than the window: whole-text fallback, no match
+      .toDF("doc_id", "text")
+    val probes = Seq((100L, lifted)).toDF("doc_id", "text")
+    val got = TextOps.sharedWindows(corpus, "text", "doc_id",
+        probes, "text", "doc_id", w = 20)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1 contains the probe verbatim, so every probe window (len-19 of
+    // them) occurs in it; windows straddling the prefix/suffix boundary
+    // exist only in doc 1 and don't match — the count is exactly the
+    // probe's own window count
+    assert(got.map(x => (x._1, x._2)) == Set((1L, 100L)))
+    assert(got.head._3 == lifted.length - 19)
+    // whole-text fallback: an exact short duplicate still screens
+    val shorts = TextOps.sharedWindows(
+      Seq((7L, "tiny")).toDF("doc_id", "text"),
+      "text", "doc_id", probes.unionAll(Seq((200L, "tiny")).toDF("doc_id", "text")),
+      "text", "doc_id", w = 20)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(shorts == Set((7L, 200L, 1L)))
+  }
+
   test("containment is probe-normalized: same shared grams, different probe sizes") {
     val corpus = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val probes = Seq(
