@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ContractQueries, CurationQueries, ExtendedQueries, NorthStarQueries, PipelineQueries, PortableQueries}
+import graft.operators.{ContractQueries, CurationQueries, ExtendedQueries, NorthStarQueries, PipelineQueries, PortableQueries, SelectionQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,12 +15,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (ContractQueries.all ++ NorthStarQueries.all ++ ExtendedQueries.all ++
-      PipelineQueries.all ++ PortableQueries.all ++ CurationQueries.all).toMap
+      PipelineQueries.all ++ PortableQueries.all ++ CurationQueries.all ++
+      SelectionQueries.all).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     ContractQueries.oracles ++ NorthStarQueries.oracles ++
       ExtendedQueries.oracles ++ PipelineQueries.oracles ++
-      PortableQueries.oracles ++ CurationQueries.oracles
+      PortableQueries.oracles ++ CurationQueries.oracles ++
+      SelectionQueries.oracles
 }

@@ -1,0 +1,273 @@
+package graft.operators
+
+import graft.ops.{Layout, PortableSketch, Scrub, SemDedup, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-selection operators (round 10): the decisions a training-data
+  * pipeline makes about WHICH rows ship — semantic (embedding-space)
+  * dedup, mixture-weighted sampling, PII scrubbing, epoch-order
+  * materialization, and a model-shaped quality gate. Every query has a
+  * DuckDB oracle replaying the exact per-row decision; constants are shared
+  * between the Spark code and the generated SQL so they cannot drift.
+  */
+object SelectionQueries {
+  import ContractQueries.table
+
+  // --- q91: semantic dedup (SemDeDup) --------------------------------------
+
+  /** Shared q91 constants (Spark + oracle). */
+  private val KmInitEvery = 50
+  private val KmInitMax = 800L
+  private val KmIters = 2
+  private val SemTau = 0.3
+  private val SemRepCap = 256
+
+  /** q91 — SemDeDup: deterministic k-means over the embedding corpus
+    * (init = every 50th vector below id 800, 2 Lloyd rounds with 6-dp
+    * rounded centroid means), then within-cluster cosine pruning at 0.3
+    * against each cluster's first-256-by-id representatives. Per-cluster
+    * profile: members and pruned count. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    val cents = SemDedup.kmeansFit(e, "embedding", "vec_id",
+      KmInitEvery, KmInitMax, KmIters)
+    SemDedup.assignAndPrune(e, "embedding", "vec_id", cents, SemTau, SemRepCap)
+      .groupBy(col("_ci").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("_pruned").cast("long")).as("n_pruned"))
+      .orderBy("cluster_id")
+  }
+
+  private def cosSql(a: String, b: String): String =
+    s"CASE WHEN sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)) = 0 THEN 0.0 " +
+      s"ELSE list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b))) END"
+
+  /** Argmax-cosine assignment of every vector in `e` to centroid CTE
+    * `cent` (ci, cv) — ties to the higher ci, the ivfAssign convention. */
+  private def assignCte(cent: String, out: String): String =
+    s"$out AS (SELECT vec_id, v, ci FROM (SELECT e.vec_id, e.v, c.ci, " +
+      s"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.ci DESC) AS rn " +
+      s"FROM e, $cent c) WHERE rn = 1)"
+
+  /** Centroid update from assignment CTE `a`: per-dimension mean rounded
+    * to 6 dp (the cross-engine float-parity pin), empty clusters drop. */
+  private def updateCte(a: String, out: String): String =
+    s"$out AS (SELECT ci, list(m ORDER BY i) AS cv FROM " +
+      s"(SELECT ci, i, ROUND(avg(x), 6) AS m FROM " +
+      s"(SELECT ci, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM $a) " +
+      s"GROUP BY ci, i) GROUP BY ci)"
+
+  private def q91OracleSql: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci, v AS cv " +
+      s"FROM e WHERE vec_id % $KmInitEvery = 0 AND vec_id < $KmInitMax), " +
+      assignCte("c0", "a0") + ", " + updateCte("a0", "c1") + ", " +
+      assignCte("c1", "a1") + ", " + updateCte("a1", "c2") + ", " +
+      assignCte("c2", "a2") + ", " +
+      "reps AS (SELECT vec_id, v, ci FROM (SELECT a2.*, " +
+      s"ROW_NUMBER() OVER (PARTITION BY ci ORDER BY vec_id) AS rn FROM a2) WHERE rn <= $SemRepCap), " +
+      "pruned AS (SELECT DISTINCT b.vec_id FROM a2 b JOIN reps a ON a.ci = b.ci AND a.vec_id < b.vec_id " +
+      s"WHERE ${cosSql("a.v", "b.v")} >= $SemTau) " +
+      "SELECT a2.ci AS cluster_id, count(*) AS n_members, " +
+      "CAST(count(p.vec_id) AS BIGINT) AS n_pruned " +
+      "FROM a2 LEFT JOIN pruned p ON a2.vec_id = p.vec_id " +
+      "GROUP BY 1 ORDER BY 1"
+
+  // --- q92: mixture-weighted sampling --------------------------------------
+
+  /** Target corpus-token fraction for the sampled epoch. */
+  private val MixSampleF = 0.5
+  private val MixSampleAlpha = 0.3
+
+  /** q92 — mixture-weighted epoch sampling: per-source keep rates derived
+    * from the q86 temperature-scaled weights (rate_s = min(1, F·w_s/share_s),
+    * rounded to 6 dp), applied as a deterministic content-hash Bernoulli
+    * (16-bit md5 bucket < rate·65536 — the q50 split mechanism, so re-runs
+    * and other engines keep the identical documents). One token-count scan,
+    * one tiny per-source frame broadcast back onto the corpus. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("text"),
+        size(TextOps.tokens(col("text"))).as("_nt"))
+    val perSource = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("_nt").as("n_tokens"))
+    val tot = perSource.agg(sum("n_tokens").as("_tot"))
+    val r = perSource.crossJoin(broadcast(tot))
+      .withColumn("_share", col("n_tokens").cast("double") / col("_tot"))
+      .withColumn("_raw", pow(col("_share"), lit(MixSampleAlpha)))
+    val rsum = r.agg(sum("_raw").as("_rsum"))
+    val rates = r.crossJoin(broadcast(rsum))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        least(lit(1.0), round(lit(MixSampleF) * (col("_raw") / col("_rsum")) / col("_share"), 6)).as("rate"))
+    val kept = d.join(broadcast(rates.select("source", "rate")), Seq("source"))
+      .withColumn("_keep",
+        conv(substring(md5(encode(concat(lit("mix"), col("text")), "UTF-8")), 1, 4), 16, 10).cast("long")
+          < round(col("rate") * 65536).cast("long"))
+      .groupBy("source")
+      .agg(sum(col("_keep").cast("long")).as("n_kept"),
+        sum(when(col("_keep"), col("_nt")).otherwise(0L)).as("kept_tokens"))
+    rates.join(kept, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("rate"),
+        col("n_kept"), col("kept_tokens"))
+      .orderBy("source")
+  }
+
+  private def q92OracleSql: String =
+    """WITH d AS (SELECT doc_id, source, text,
+      |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS nt
+      |  FROM documents),
+      |ps AS (SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+      |       FROM d GROUP BY 1),
+      |t AS (SELECT sum(n_tokens) AS tot FROM ps),
+      |r AS (SELECT source, n_docs, n_tokens,
+      |        n_tokens::DOUBLE / t.tot AS share,
+      |        pow(n_tokens::DOUBLE / t.tot, 0.3::DOUBLE) AS raw
+      |      FROM ps, t),
+      |rs AS (SELECT sum(raw) AS rsum FROM r),
+      |rt AS (SELECT source, n_docs, n_tokens,
+      |        LEAST(1.0, ROUND(0.5 * (raw / rs.rsum) / share, 6)) AS rate
+      |      FROM r, rs),
+      |k AS (SELECT d.source, d.nt,
+      |        ('0x' || substr(md5('mix' || d.text), 1, 4))::BIGINT
+      |          < CAST(ROUND(rt.rate * 65536) AS BIGINT) AS keep
+      |      FROM d JOIN rt ON d.source = rt.source),
+      |ka AS (SELECT source,
+      |        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |        CAST(sum(CASE WHEN keep THEN nt ELSE 0 END) AS BIGINT) AS kept_tokens
+      |      FROM k GROUP BY 1)
+      |SELECT rt.source, rt.n_docs, rt.n_tokens, rt.rate, ka.n_kept, ka.kept_tokens
+      |FROM rt JOIN ka USING (source) ORDER BY source""".stripMargin
+
+  // --- q93: PII scrub profile ----------------------------------------------
+
+  private val ChecksumMod = 1000000007L
+
+  /** q93 — PII scrub profile over the two string surfaces of the corpus
+    * (customer names, event property blobs): per source, rows scanned, hits
+    * per rule (email, IPv4, digit-run — each counted on the text as earlier
+    * rules left it), and an order-insensitive checksum of the MASKED text
+    * (sum of 60-bit md5 mod 1e9+7) that pins the exact replacement
+    * semantics cross-engine. Single projection per row; the rollup is a
+    * 2-group aggregation. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+      .select(lit("customer").as("src"), col("c_name").as("s"))
+    val ev = table(spark, dir, "events")
+      .select(lit("events").as("src"), col("props").as("s"))
+    graft.ops.Partitioning.spread(cust.unionByName(ev))
+      .withColumn("_r", Scrub.scrub(col("s")))
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("_r.n_email").cast("long")).as("n_email"),
+        sum(col("_r.n_ip").cast("long")).as("n_ip"),
+        sum(col("_r.n_num").cast("long")).as("n_num"),
+        sum(PortableSketch.h60(col("_r.masked")) % ChecksumMod).as("mask_checksum"))
+      .orderBy("src")
+  }
+
+  private def q93OracleSql: String =
+    s"""WITH rows0 AS (SELECT 'customer' AS src, c_name AS s FROM customer
+      |  UNION ALL SELECT 'events', props FROM events),
+      |m AS (SELECT src, s,
+      |    regexp_replace(s, '${Scrub.EmailRe}', '<EMAIL>', 'g') AS s1
+      |  FROM rows0),
+      |m2 AS (SELECT src, s, s1,
+      |    regexp_replace(s1, '${Scrub.Ipv4Re}', '<IP>', 'g') AS s2
+      |  FROM m),
+      |m3 AS (SELECT src,
+      |    len(regexp_extract_all(s, '${Scrub.EmailRe}')) AS n_email,
+      |    len(regexp_extract_all(s1, '${Scrub.Ipv4Re}')) AS n_ip,
+      |    len(regexp_extract_all(s2, '${Scrub.DigitRunRe}')) AS n_num,
+      |    regexp_replace(s2, '${Scrub.DigitRunRe}', '<NUM>', 'g') AS s3
+      |  FROM m2)
+      |SELECT src, count(*) AS n_rows,
+      |  CAST(sum(n_email) AS BIGINT) AS n_email,
+      |  CAST(sum(n_ip) AS BIGINT) AS n_ip,
+      |  CAST(sum(n_num) AS BIGINT) AS n_num,
+      |  CAST(sum(('0x' || substr(md5(s3), 1, 15))::BIGINT % $ChecksumMod) AS BIGINT) AS mask_checksum
+      |FROM m3 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q94: epoch-order materialization ------------------------------------
+
+  /** q94 — deterministic training epoch order: every document gets an exact
+    * 1-based global position under a content-hash shuffle key (md5 of
+    * 'ord:'+text — stable across runs and engines, no RNG state), via the
+    * two-pass distributed ranking in Layout.globalSequence (range partition
+    * + per-range rank + offsets; no single-partition window). The profile
+    * aggregates positions per source — a uniform shuffle shows every source
+    * spread across the whole [1, N] range. */
+  def epochOrder(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        PortableSketch.h60(concat(lit("ord:"), col("text"))).as("_ord"))
+    Layout.globalSequence(o, Seq(col("_ord"), col("doc_id")), "pos")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        min("pos").as("first_pos"), max("pos").as("last_pos"),
+        sum("pos").as("pos_sum"))
+      .orderBy("source")
+  }
+
+  private def q94OracleSql: String =
+    """WITH o AS (SELECT doc_id, source,
+      |    ('0x' || substr(md5('ord:' || text), 1, 15))::BIGINT AS ord
+      |  FROM documents),
+      |p AS (SELECT source, ROW_NUMBER() OVER (ORDER BY ord, doc_id) AS pos FROM o)
+      |SELECT source, count(*) AS n_docs, min(pos) AS first_pos,
+      |  max(pos) AS last_pos, CAST(sum(pos) AS BIGINT) AS pos_sum
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q95: hashed linear quality gate -------------------------------------
+
+  /** q95 — hashed-bag-of-words linear classifier gate: integer weights
+    * derived from each token's 60-bit md5 (bucket % 97 − 48), per-document
+    * integer score over token occurrences, gate = score ≥ 0. All-integer
+    * arithmetic end to end — the keep decision has no float boundary for
+    * an engine to disagree on. Explode → per-doc partial agg → per-(lang,
+    * keep) rollup, each shuffle strictly smaller. */
+  def classifierGate(spark: SparkSession, dir: String): DataFrame = {
+    val tk = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+    val perDoc = tk.groupBy("doc_id", "lang")
+      .agg(sum(Scrub.tokenWeight(col("w"))).as("_score"),
+        count(lit(1)).as("_n"))
+    perDoc
+      .withColumn("keep", (col("_score") >= 0).cast("int"))
+      .groupBy("lang", "keep")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_score").as("score_sum"), sum("_n").as("token_sum"))
+      .orderBy("lang", "keep")
+  }
+
+  private def q95OracleSql: String =
+    """WITH tk AS (SELECT doc_id, lang,
+      |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+      |  FROM documents),
+      |pd AS (SELECT doc_id, lang,
+      |    CAST(sum(((('0x' || substr(md5(w), 1, 15))::BIGINT % 1024) % 97) - 48) AS BIGINT) AS score,
+      |    count(*) AS n
+      |  FROM tk GROUP BY 1, 2)
+      |SELECT lang, CAST(score >= 0 AS INTEGER) AS keep, count(*) AS n_docs,
+      |  CAST(sum(score) AS BIGINT) AS score_sum, CAST(sum(n) AS BIGINT) AS token_sum
+      |FROM pd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- registry ------------------------------------------------------------
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q91_semantic_dedup" -> (semanticDedup _),
+    "q92_mixture_sample" -> (mixtureSample _),
+    "q93_pii_scrub" -> (piiScrub _),
+    "q94_epoch_order" -> (epochOrder _),
+    "q95_classifier_gate" -> (classifierGate _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q91_semantic_dedup" -> q91OracleSql,
+    "q92_mixture_sample" -> q92OracleSql,
+    "q93_pii_scrub" -> q93OracleSql,
+    "q94_epoch_order" -> q94OracleSql,
+    "q95_classifier_gate" -> q95OracleSql
+  )
+}

@@ -51,4 +51,44 @@ object Layout {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(name)
+
+  /** Exact 1-based global sequence index over a total key order — the
+    * "training epoch order" materialization — WITHOUT a single-partition
+    * window. Classic two-pass distributed ranking:
+    *
+    *  1. range-partition on the keys (contiguous, non-overlapping ranges in
+    *     key order), persist so the sampled boundaries are computed once;
+    *  2. per-partition row counts to the driver — |partitions| rows, the
+    *     same small-model exception as the IVF codebooks — folded into
+    *     cumulative offsets;
+    *  3. `pos = offset(partition) + row_number within partition`, the
+    *     window now partitioned by `spark_partition_id()` so every task
+    *     ranks only its own range.
+    *
+    * The result is EXACTLY the global `ROW_NUMBER() OVER (ORDER BY keys)`
+    * whatever the sampled boundaries turn out to be: ranges are contiguous
+    * in key order and callers must make the key total (append a unique
+    * tiebreaker column), so within-range rank + earlier-range count is the
+    * global rank. Caller owns unpersisting the returned frame's lineage
+    * (Verify/Bench clear caches per query). */
+  def globalSequence(df: DataFrame, keys: Seq[Column],
+      posName: String = "pos", partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(n, keys: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    val counts = ranged.groupBy("_pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until n).scanLeft(0L) { (acc, pid) =>
+      acc + counts.getOrElse(pid, 0L)
+    }
+    val offsetExpr = (0 until n).foldLeft(lit(0L)) { (acc, pid) =>
+      when(col("_pid") === pid, lit(offsets(pid))).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(keys: _*)
+    ranged.withColumn(posName, row_number().over(w).cast("long") + offsetExpr)
+      .drop("_pid")
+  }
 }

@@ -207,10 +207,11 @@ class PlanSpec extends AnyFunSuite {
     // postings), q81 (corpus token total onto the vocabulary), q84 (the
     // vocabulary size V onto the scoring join), and q86 (token total +
     // raw-weight sum onto the per-source frame) — a keyless 1-row join is
-    // BNLJ by construction and O(|other side|)
+    // BNLJ by construction and O(|other side|); q92 inherits q86's two
+    // one-row constant joins (token total + raw-weight sum)
     val allowNestedLoop = Set(
       "q27_embedding_topk", "q35_cross_join", "q67_bm25_topk", "q81_source_drift",
-      "q84_bigram_lm", "q86_mix_weights")
+      "q84_bigram_lm", "q86_mix_weights", "q92_mixture_sample")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -218,6 +219,26 @@ class PlanSpec extends AnyFunSuite {
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join")
     }
+  }
+
+  test("q92: the per-doc keep decision joins the tiny rates frame broadcast") {
+    val p = plan(SelectionQueries.mixtureSample(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates must broadcast onto the corpus, not shuffle it\n$p")
+  }
+
+  test("q94: epoch order never plans a single-partition exchange") {
+    // the whole point of Layout.globalSequence: global ROW_NUMBER without
+    // Exchange SinglePartition (a plain Window.orderBy would plan one)
+    val p = plan(SelectionQueries.epochOrder(spark, sf))
+    assert(!p.contains("SinglePartition"),
+      s"global sequence must stay range-partitioned\n$p")
+  }
+
+  test("q95: the classifier gate aggregates partially before both exchanges") {
+    val p = plan(SelectionQueries.classifierGate(spark, sf))
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"expected map-side partial aggregation\n$p")
   }
 
   test("q83: chunking is map-only — the only exchanges are spread and the output sort") {

@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixtures for the round-10 data-selection operators: semantic dedup
+  * (deterministic k-means + within-cluster prune), PII scrubbing, the
+  * hashed linear gate, and the two-pass global sequence index. The
+  * corpus-level behavior of their queries (q91-q95) is oracle-checked by
+  * the driver; these pin the hand-computable rules.
+  */
+class SelectionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  // --- SemDedup ------------------------------------------------------------
+
+  /** Two obvious direction clusters on the 2D axes, ids chosen so ids 0 and
+    * 2 are the init centroids (initEvery=2, initMax=4). */
+  private def axisDf = Seq(
+    (0L, Array(1.0f, 0.0f)),   // +x (init centroid 0)
+    (1L, Array(4.0f, 0.1f)),   // +x
+    (2L, Array(0.0f, 1.0f)),   // +y (init centroid 1)
+    (3L, Array(-0.1f, 2.0f)),  // +y
+    (5L, Array(2.0f, 0.0f))    // +x, exact duplicate direction of id 0
+  ).toDF("vec_id", "embedding")
+
+  test("kmeansFit converges to the axis clusters with original labels") {
+    val cents = SemDedup.kmeansFit(axisDf, "embedding", "vec_id",
+      initEvery = 2, initMax = 4, iters = 2)
+    assert(cents.map(_._1) == Seq(0, 1))
+    val Seq((_, c0), (_, c1)) = cents
+    // cluster 0 = mean of the +x members, cluster 1 = mean of the +y members
+    assert(c0(0) > 1.0 && math.abs(c0(1)) < 0.1)
+    assert(c1(1) > 1.0 && math.abs(c1(0)) < 0.1)
+  }
+
+  test("assignLabeled breaks cosine ties toward the higher label") {
+    val df = Seq((0L, Array(1.0f, 1.0f))).toDF("id", "v")
+    // two identical centroids: the (sim, label) struct max must pick label 7
+    val cents = Seq(3 -> Array(1.0, 0.0), 7 -> Array(1.0, 0.0))
+    val got = df.select(SemDedup.assignLabeled(col("v"), cents)).head.getInt(0)
+    assert(got == 7)
+  }
+
+  test("assignAndPrune keeps the earliest member of a near-dup pair") {
+    val cents = SemDedup.kmeansFit(axisDf, "embedding", "vec_id",
+      initEvery = 2, initMax = 4, iters = 2)
+    val got = SemDedup.assignAndPrune(axisDf, "embedding", "vec_id", cents,
+      threshold = 0.95).as[(Long, Int, Boolean)].collect()
+      .map { case (id, _, pruned) => id -> pruned }.toMap
+    // ids 0/1/5 are mutually near-parallel: 0 survives (earliest), 1 and 5 prune
+    assert(!got(0L) && got(1L) && got(5L))
+    // the +y pair at cosine ~0.97: 2 survives, 3 prunes
+    assert(!got(2L) && got(3L))
+  }
+
+  test("assignAndPrune rep cap bounds the comparison set deterministically") {
+    // one cluster of 6 near-identical vectors; repCap=2 means members only
+    // compare against the two earliest ids — still enough to prune all but
+    // the earliest, and the decision is id-deterministic
+    val df = (0 until 6).map(i => (i.toLong, Array(1.0f, i * 1e-4f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(0 -> Array(1.0, 0.0))
+    val got = SemDedup.assignAndPrune(df, "embedding", "vec_id", cents,
+      threshold = 0.99, repCap = 2)
+      .as[(Long, Int, Boolean)].collect()
+    assert(got.count(_._3) == 5 && !got.find(_._1 == 0L).get._3)
+  }
+
+  // --- Scrub ---------------------------------------------------------------
+
+  test("scrub masks email, then IPv4, then digit runs, without double count") {
+    val df = Seq("mail a1234@ex.com from 10.0.0.1 order 98765 x 7").toDF("s")
+    val r = df.select(Scrub.scrub(col("s")).as("r")).select("r.*")
+      .as[(Int, Int, Int, String)].head()
+    // the 1234 inside the email and the digits inside the IP must NOT count
+    // as digit runs; the lone '7' is below the 2-digit floor
+    assert(r == ((1, 1, 1, "mail <EMAIL> from <IP> order <NUM> x 7")))
+  }
+
+  test("scrub of a clean string is the identity with zero counts") {
+    val r = Seq("no pii here").toDF("s")
+      .select(Scrub.scrub(col("s")).as("r")).select("r.*")
+      .as[(Int, Int, Int, String)].head()
+    assert(r == ((0, 0, 0, "no pii here")))
+  }
+
+  test("tokenWeight is the documented hash arithmetic, in [-48, 48]") {
+    val ws = Seq("the", "spark", "row", "a", "zz").toDF("w")
+      .select(Scrub.tokenWeight(col("w")).as("wt")).as[Long].collect()
+    assert(ws.forall(w => w >= -48 && w <= 48))
+    // pin one value against the independently-computed definition
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("spark".getBytes("UTF-8")).take(8)
+    val h60 = java.lang.Long.parseLong(
+      h.map(b => f"$b%02x").mkString.take(15), 16)
+    val expected = (h60 % 1024) % 97 - 48
+    assert(ws(1) == expected)
+  }
+
+  // --- Layout.globalSequence -----------------------------------------------
+
+  test("globalSequence equals the single-partition ROW_NUMBER exactly") {
+    val df = (0 until 500).map { i =>
+      (i.toLong, (i * 2654435761L) % 1000) // colliding keys: tiebreaker matters
+    }.toDF("id", "k").repartition(7)
+    val got = Layout.globalSequence(df, Seq(col("k"), col("id")), "pos", partitions = 5)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    val want = df.select(col("id"), row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("id")))
+      .cast("long").as("pos")).as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("globalSequence survives more partitions than rows") {
+    val df = Seq((1L, 10L), (2L, 5L)).toDF("id", "k")
+    val got = Layout.globalSequence(df, Seq(col("k"), col("id")), "pos", partitions = 8)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 1L, 1L -> 2L))
+  }
+}
