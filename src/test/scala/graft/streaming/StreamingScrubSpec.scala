@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.ops.Scrub
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingScrubSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  private val fixture = Seq(
+    (0L, "mail a1234@ex.com at 10.0.0.1 order 98765"),
+    (1L, "clean text with no sensitive content"),
+    (2L, "ids 42 and 31337 only"),
+    (3L, "spark table join hash window row"))
+
+  test("streaming scrub masks exactly like the batch operator, across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDS().toDF("doc_id", "text")
+    val query = StreamingScrub.scrub(docs)
+      .select("doc_id", "text", "n_email", "n_ip", "n_num")
+      .writeStream.format("memory").queryName("scrub_out")
+      .outputMode("append").start()
+    try {
+      input.addData(fixture.take(2): _*)
+      query.processAllAvailable()
+      input.addData(fixture.drop(2): _*)
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM scrub_out")
+        .as[(Long, String, Int, Int, Int)].collect().toSet
+      val batch = StreamingScrub.scrub(fixture.toDF("doc_id", "text"))
+        .select("doc_id", "text", "n_email", "n_ip", "n_num")
+        .as[(Long, String, Int, Int, Int)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.find(_._1 == 0L).get ==
+        ((0L, "mail <EMAIL> at <IP> order <NUM>", 1, 1, 1)))
+    } finally query.stop()
+  }
+
+  test("streaming classifier gate keeps exactly the batch q95 keeps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDS().toDF("doc_id", "text")
+    val query = StreamingScrub.classifierGate(docs)
+      .select("doc_id", "score").writeStream.format("memory")
+      .queryName("gate95_out").outputMode("append").start()
+    try {
+      input.addData(fixture: _*)
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM gate95_out")
+        .as[(Long, Long)].collect().toMap
+      // the fold-based stream score must equal the explode+sum batch score
+      val batchScores = fixture.toDF("doc_id", "text")
+        .select(col("doc_id"), explode(graft.ops.TextOps.tokens(col("text"))).as("w"))
+        .groupBy("doc_id").agg(sum(Scrub.tokenWeight(col("w"))).as("score"))
+        .as[(Long, Long)].collect().toMap
+      val batchKeeps = batchScores.filter(_._2 >= 0)
+      assert(streamed == batchKeeps)
+      assert(streamed.nonEmpty && streamed.size < fixture.size,
+        "fixture must exercise both sides of the gate")
+    } finally query.stop()
+  }
+}
