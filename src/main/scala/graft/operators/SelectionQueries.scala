@@ -253,6 +253,60 @@ object SelectionQueries {
       |  CAST(sum(score) AS BIGINT) AS score_sum, CAST(sum(n) AS BIGINT) AS token_sum
       |FROM pd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- q96: embedding-score quality filter ---------------------------------
+
+  /** q96 — embedding-score filtering (the DFN/CLIP-score-filter shape):
+    * score every vector by cosine against an anchor direction (the
+    * 6-dp-rounded mean of the label-0 embeddings — in a real pipeline, the
+    * centroid of a curated seed set), keep everything at or above the 0.75
+    * quantile. The threshold comes from an EXACT interpolated percentile of
+    * a deterministic 25% content-hash sample — the scale pattern: the exact
+    * percentile buffers only the bounded sample, never the corpus, and the
+    * sample membership (md5 bucket) is replayable by any engine. Two
+    * corpus passes (anchor agg, scoring) + two one-row broadcasts; min/max
+    * per label are order-insensitive so the profile is bit-stable. */
+  def embeddingFilter(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val e = graft.ops.Partitioning.spread(table(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("_v"))
+    val anchor = e.where(col("label") === 0)
+      .select(posexplode(col("_v")).as(Seq("_pos", "_x")))
+      .groupBy("_pos").agg(round(avg("_x"), 6).as("_m"))
+      .agg(sort_array(collect_list(struct(col("_pos"), col("_m")))).as("_dims"))
+      .select(transform(col("_dims"), d => d.getField("_m")).as("_av"))
+    // persist: the scored frame feeds the sample percentile and the final
+    // rollup. Ownership: Verify/Bench clear caches per query.
+    val scored = e.crossJoin(broadcast(anchor))
+      .withColumn("score", graft.ops.Similarity.cosine(col("_v"), col("_av")))
+      .withColumn("_in_sample",
+        substring(md5(encode(concat(lit("q96"), col("vec_id").cast("string")), "UTF-8")), 1, 4) < "4000")
+      .persist()
+    val th = scored.where(col("_in_sample"))
+      .agg(expr("percentile(score, 0.75D)").as("_th"))
+    scored.crossJoin(broadcast(th))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((col("score") >= col("_th")).cast("long")).as("n_keep"),
+        round(min("score"), 6).as("min_score"),
+        round(max("score"), 6).as("max_score"))
+      .orderBy("label")
+  }
+
+  private def q96OracleSql: String =
+    "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "a0 AS (SELECT i, ROUND(avg(x), 6) AS m FROM " +
+      "(SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e WHERE label = 0) GROUP BY i), " +
+      "anchor AS (SELECT list(m ORDER BY i) AS av FROM a0), " +
+      "s AS (SELECT e.vec_id, e.label, " + cosSql("e.v", "anchor.av") + " AS score, " +
+      "substr(md5('q96' || CAST(e.vec_id AS VARCHAR)), 1, 4) < '4000' AS in_sample " +
+      "FROM e, anchor), " +
+      "t AS (SELECT quantile_cont(score, 0.75) AS th FROM s WHERE in_sample) " +
+      "SELECT label, count(*) AS n_vecs, " +
+      "CAST(sum(CASE WHEN score >= t.th THEN 1 ELSE 0 END) AS BIGINT) AS n_keep, " +
+      "ROUND(min(score), 6) AS min_score, ROUND(max(score), 6) AS max_score " +
+      "FROM s, t GROUP BY label ORDER BY label"
+
   // --- registry ------------------------------------------------------------
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -260,7 +314,8 @@ object SelectionQueries {
     "q92_mixture_sample" -> (mixtureSample _),
     "q93_pii_scrub" -> (piiScrub _),
     "q94_epoch_order" -> (epochOrder _),
-    "q95_classifier_gate" -> (classifierGate _)
+    "q95_classifier_gate" -> (classifierGate _),
+    "q96_embedding_filter" -> (embeddingFilter _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -268,6 +323,7 @@ object SelectionQueries {
     "q92_mixture_sample" -> q92OracleSql,
     "q93_pii_scrub" -> q93OracleSql,
     "q94_epoch_order" -> q94OracleSql,
-    "q95_classifier_gate" -> q95OracleSql
+    "q95_classifier_gate" -> q95OracleSql,
+    "q96_embedding_filter" -> q96OracleSql
   )
 }

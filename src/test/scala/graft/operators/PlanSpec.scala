@@ -211,7 +211,8 @@ class PlanSpec extends AnyFunSuite {
     // one-row constant joins (token total + raw-weight sum)
     val allowNestedLoop = Set(
       "q27_embedding_topk", "q35_cross_join", "q67_bm25_topk", "q81_source_drift",
-      "q84_bigram_lm", "q86_mix_weights", "q92_mixture_sample")
+      "q84_bigram_lm", "q86_mix_weights", "q92_mixture_sample",
+      "q96_embedding_filter")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
