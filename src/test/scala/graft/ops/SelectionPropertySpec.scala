@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** The round-10 selection operators against brute-force references over
+  * random data: the semantic prune rule and the two-pass global sequence
+  * index. */
+class SelectionPropertySpec extends Properties("selection") {
+  private lazy val spark = SparkTestSession.get
+
+  private def cosRef(a: Array[Double], b: Array[Double]): Double = {
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < a.length) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1 }
+    val d = math.sqrt(daa) * math.sqrt(dbb)
+    if (d == 0.0) 0.0 else dab / d
+  }
+
+  // small 2-d vector space with a few repeated directions forces near-dups
+  private val genVecs: Gen[Seq[(Long, Array[Float])]] = for {
+    n <- Gen.choose(1, 30)
+    rows <- Gen.listOfN(n, for {
+      dir <- Gen.oneOf(0.0, 0.5, 1.0, 2.0, 3.5) // radians-ish
+      scale <- Gen.choose(1, 4)
+    } yield Array((scale * math.cos(dir)).toFloat, (scale * math.sin(dir)).toFloat))
+  } yield rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+
+  property("assignAndPrune matches the greedy by-id reference") =
+    Prop.forAll(genVecs, Gen.choose(1, 4)) { (rows, repCap) =>
+      val s = spark
+      import s.implicits._
+      val df = rows.toDF("vec_id", "embedding")
+      val cents = Seq(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0), 2 -> Array(-1.0, 0.0))
+      val tau = 0.95
+      val got = SemDedup.assignAndPrune(df, "embedding", "vec_id", cents, tau, repCap)
+        .as[(Long, Int, Boolean)].collect().sortBy(_._1).toSeq
+
+      // reference: assign by argmax cosine (ties -> higher label), then
+      // prune X iff an earlier-id member of the SAME cluster, among the
+      // cluster's first `repCap` ids, has cosine >= tau with X
+      val vecs = rows.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+      val assign = vecs.map { case (id, v) =>
+        id -> cents.map { case (ci, cv) => (cosRef(v, cv), ci) }.max._2
+      }
+      val expect = rows.map(_._1).sorted.map { id =>
+        val ci = assign(id)
+        val reps = rows.map(_._1).filter(assign(_) == ci).sorted.take(repCap)
+        val pruned = reps.exists(rid => rid < id && cosRef(vecs(rid), vecs(id)) >= tau)
+        (id, ci, pruned)
+      }
+      got == expect
+    }
+
+  property("globalSequence equals ROW_NUMBER over the total order") =
+    Prop.forAll(
+      Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 9L))),
+      Gen.choose(1, 6)) { (keys, parts) =>
+      val s = spark
+      import s.implicits._
+      val rows = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      val got =
+        if (rows.isEmpty) Map.empty[Long, Long]
+        else Layout.globalSequence(rows.toDF("id", "k"),
+          Seq(col("k"), col("id")), "pos", partitions = parts)
+          .select("id", "pos").as[(Long, Long)].collect().toMap
+      val expect = rows.sortBy { case (id, k) => (k, id) }
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      got == expect
+    }
+}
