@@ -307,6 +307,63 @@ object SelectionQueries {
       "ROUND(min(score), 6) AS min_score, ROUND(max(score), 6) AS max_score " +
       "FROM s, t GROUP BY label ORDER BY label"
 
+  // --- q97: corpus-frequency boilerplate screen ----------------------------
+
+  /** Grams repeated in more than this many distinct documents are
+    * boilerplate. */
+  private val BoilerDf = 3
+
+  /** q97 — corpus-wide boilerplate detection (the C4/Gopher "discard
+    * passages repeated across documents" rule): a token position is
+    * boilerplate-flagged when the word 3-gram starting there occurs in more
+    * than `BoilerDf` distinct documents. Per-source profile: gram starts,
+    * flagged starts, boilerplate fraction. Every corpus-sized shuffle
+    * carries (doc_id, 8-byte gram hash) — gram strings collapse to h60
+    * before leaving the row (the q59/q80 hash-not-strings rule); the gram
+    * relation materializes once and feeds both the document-frequency
+    * aggregation and the flag join. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("_t"))
+      .withColumn("_starts", greatest(size(col("_t")) - 2, lit(0)))
+    // persist: read by the df aggregation and the flag join.
+    // Ownership: Verify/Bench clear caches per query.
+    val grams = d.where(col("_starts") > 0)
+      .select(col("doc_id"), col("_starts"),
+        explode(transform(sequence(lit(1), col("_starts")),
+          i => PortableSketch.h60(concat_ws(" ", slice(col("_t"), i, lit(3)))))).as("_g"))
+      .persist()
+    val boiler = grams.select("doc_id", "_g").distinct()
+      .groupBy("_g").agg(count(lit(1)).as("_df"))
+      .where(col("_df") > BoilerDf).select("_g")
+    val flagged = grams.join(boiler, Seq("_g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("_fl"))
+    d.select(col("doc_id"), col("source"), col("_starts"))
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_starts").as("n_starts"),
+        sum(coalesce(col("_fl"), lit(0L))).as("n_flagged"),
+        round(sum(coalesce(col("_fl"), lit(0L))).cast("double") / sum("_starts"), 6).as("boiler_frac"))
+      .orderBy("source")
+  }
+
+  private def q97OracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, source,
+      |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |d AS (SELECT doc_id, source, greatest(len(t) - 2, 0) AS starts, t FROM toks),
+      |g AS (SELECT doc_id,
+      |    ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT AS gh
+      |  FROM d, unnest(generate_series(1, starts)) AS u(i) WHERE starts > 0),
+      |b AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+      |      WHERE df > $BoilerDf),
+      |f AS (SELECT doc_id, count(*) AS fl FROM g JOIN b USING (gh) GROUP BY 1)
+      |SELECT source, count(*) AS n_docs, CAST(sum(starts) AS BIGINT) AS n_starts,
+      |  CAST(sum(COALESCE(fl, 0)) AS BIGINT) AS n_flagged,
+      |  ROUND(sum(COALESCE(fl, 0))::DOUBLE / sum(starts), 6) AS boiler_frac
+      |FROM d LEFT JOIN f USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- registry ------------------------------------------------------------
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -315,7 +372,8 @@ object SelectionQueries {
     "q93_pii_scrub" -> (piiScrub _),
     "q94_epoch_order" -> (epochOrder _),
     "q95_classifier_gate" -> (classifierGate _),
-    "q96_embedding_filter" -> (embeddingFilter _)
+    "q96_embedding_filter" -> (embeddingFilter _),
+    "q97_boilerplate" -> (boilerplate _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -324,6 +382,7 @@ object SelectionQueries {
     "q93_pii_scrub" -> q93OracleSql,
     "q94_epoch_order" -> q94OracleSql,
     "q95_classifier_gate" -> q95OracleSql,
-    "q96_embedding_filter" -> q96OracleSql
+    "q96_embedding_filter" -> q96OracleSql,
+    "q97_boilerplate" -> q97OracleSql
   )
 }

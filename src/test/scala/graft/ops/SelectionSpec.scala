@@ -100,6 +100,30 @@ class SelectionSpec extends AnyFunSuite {
     assert(ws(1) == expected)
   }
 
+  // --- q97 boilerplate -----------------------------------------------------
+
+  test("boilerplate flags gram starts repeated in more than BoilerDf docs") {
+    import graft.operators.SelectionQueries
+    val dir = java.nio.file.Files.createTempDirectory("boiler").toString
+    // "a b c" appears in 4 docs (> 3: boilerplate); "x y z" in 3 (not).
+    // doc texts are 5 tokens -> 3 gram starts each
+    val docs = Seq(
+      (0L, "a b c p q", "en", "s0"), (1L, "a b c r s", "en", "s0"),
+      (2L, "a b c t u", "en", "s1"), (3L, "a b c v w", "en", "s1"),
+      (4L, "x y z m n", "en", "s1"), (5L, "x y z o k", "en", "s1"),
+      (6L, "x y z g h", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SelectionQueries.boilerplate(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    // s0: 2 docs x 3 starts, 1 flagged start each ("a b c")
+    // s1: 5 docs x 3 starts, 2 flagged ("a b c" in docs 2,3), x-y-z df=3 unflagged
+    assert(got == Seq(
+      ("s0", 2L, 6L, 2L, 0.333333),
+      ("s1", 5L, 15L, 2L, 0.133333)))
+  }
+
   // --- Layout.globalSequence -----------------------------------------------
 
   test("globalSequence equals the single-partition ROW_NUMBER exactly") {
