@@ -95,21 +95,67 @@ object PortableQueries {
       .orderBy("doc_id")
   }
 
+  /** q98 — dedup RECALL audit: how much does the banded-LSH screen (q63
+    * parameters) actually miss? On a deterministic 50% content-hash sample,
+    * compute the TRUE near-dup pairs (exact word-3-gram Jaccard ≥ 0.5 via
+    * a gram-hash inverted index — a true pair must share a gram, so the
+    * index finds every one; shuffles carry 8-byte hashes) and the pairs the
+    * sketch pipeline reports, then score recall. This is the measurement a
+    * production dedup deployment runs continuously: banding is the lossy
+    * stage, and its miss rate is a number you audit on a bounded sample,
+    * not a hope. The oracle replays sample membership, the exact truth set,
+    * the full sketch pipeline, and the recall arithmetic. */
+  def dedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val docs = table(spark, dir, "documents")
+      .where(substring(md5(encode(concat(lit("q98"), col("text")), "UTF-8")), 1, 4) < "8000")
+    // exact truth: per-doc DISTINCT gram hashes (the fused kernel emits
+    // distinct grams; persist — read by sizes, both join sides)
+    val grams = graft.ops.Partitioning.spread(docs)
+      .select(col("doc_id"),
+        explode(graft.expr.GraftFunctions.wordNGrams(col("text"), 3)).as("_g"))
+      .select(col("doc_id"), PortableSketch.h60(col("_g")).as("_h"))
+      .persist()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("_sz"))
+    val inter = grams.select(col("doc_id").as("idA"), col("_h"))
+      .join(grams.select(col("doc_id").as("idB"), col("_h")), Seq("_h"))
+      .where(col("idA") < col("idB"))
+      .groupBy("idA", "idB").agg(count(lit(1)).as("_ns"))
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("idA"), col("_sz").as("_sa")), Seq("idA"))
+      .join(sizes.select(col("doc_id").as("idB"), col("_sz").as("_sb")), Seq("idB"))
+      .where(col("_ns").cast("double") / (col("_sa") + col("_sb") - col("_ns")) >= 0.5)
+      .select("idA", "idB")
+    val caught = PortableSketch.minhashNearDups(docs, "text", "doc_id",
+      k = 16, bands = 4, n = 3, threshold = 0.5).select("idA", "idB")
+    val nSample = docs.agg(count(lit(1)).as("n_sample"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))
+    val nCaught = truth.join(caught, Seq("idA", "idB"), "left_semi")
+      .agg(count(lit(1)).as("n_caught"))
+    nSample.crossJoin(broadcast(nTrue)).crossJoin(broadcast(nCaught))
+      .select(col("n_sample"), col("n_true_pairs"), col("n_caught"),
+        when(col("n_true_pairs") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_caught").cast("double") / col("n_true_pairs"), 6))
+          .as("recall"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q63_portable_minhash_neardups" -> (portableMinhashNearDups _),
     "q64_portable_simhash_neardups" -> (portableSimhashNearDups _),
     "q65_portable_winnow_buckets" -> (portableWinnowBuckets _),
     "q66_dedup_keep_best" -> (dedupKeepBest _),
-    "q76_incremental_dedup" -> (incrementalDedup _)
+    "q76_incremental_dedup" -> (incrementalDedup _),
+    "q98_dedup_recall" -> (dedupRecall _)
   )
 
   /** Shared DuckDB fragments: the portable minhash pipeline (tokenize →
     * word 3-grams → double-hash signatures → band keys → candidate self-join
-    * → estimate) as CTEs, reused verbatim by the q63 and q66 oracles. */
-  private val minhashPipelineCtes =
-    """w AS (
-      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
-      |  FROM documents),
+    * → estimate) as CTEs, reused verbatim by the q63, q66, and q98 oracles
+    * (q98 feeds it the sampled source instead of the full corpus). */
+  private def minhashPipelineCtes(src: String = "documents") =
+    s"""w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+      |  FROM $src),
       |g AS (
       |  SELECT doc_id,
       |    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
@@ -135,10 +181,10 @@ object PortableQueries {
 
   val oracles: Map[String, String] = Map(
     "q63_portable_minhash_neardups" ->
-      (s"WITH $minhashPipelineCtes\n" +
+      (s"WITH ${minhashPipelineCtes()}\n" +
         "SELECT idA, idB, est_jaccard FROM j WHERE est_jaccard >= 0.5 ORDER BY idA, idB"),
     "q66_dedup_keep_best" ->
-      (s"WITH RECURSIVE $minhashPipelineCtes,\n" +
+      (s"WITH RECURSIVE ${minhashPipelineCtes()},\n" +
         """pairs AS (SELECT idA, idB FROM j WHERE est_jaccard >= 0.5),
           |edges AS (SELECT idA AS src, idB AS dst FROM pairs UNION ALL SELECT idB, idA FROM pairs),
           |reach(id, r) AS (SELECT src, src FROM edges
@@ -174,7 +220,7 @@ object PortableQueries {
         |WHERE bit_count(xor(a.sh, c.sh)) <= 3
         |ORDER BY idA, idB""".stripMargin,
     "q76_incremental_dedup" ->
-      (s"WITH $minhashPipelineCtes,\n" +
+      (s"WITH ${minhashPipelineCtes()},\n" +
         """nb AS (SELECT b.* FROM b JOIN documents d ON d.doc_id = b.doc_id
           |       WHERE d.source IN ('src18','src19')),
           |pr AS (SELECT b.*, d.source NOT IN ('src18','src19') AS is_corpus
@@ -205,6 +251,27 @@ object PortableQueries {
         |  FROM h)
         |SELECT fp, count(*) AS n, min(doc_id) AS first_doc
         |FROM (SELECT doc_id, unnest(fps) AS fp FROM f)
-        |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin
+        |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+    "q98_dedup_recall" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents " +
+        "WHERE substr(md5('q98' || text), 1, 4) < '8000'),\n" +
+        s"${minhashPipelineCtes("d")},\n" +
+        """gr AS (SELECT doc_id, ('0x'||substr(md5(gg),1,15))::BIGINT AS h
+          |       FROM (SELECT doc_id, unnest(grams) AS gg FROM g)),
+          |sz AS (SELECT doc_id, count(*) AS sz FROM gr GROUP BY 1),
+          |ix AS (SELECT a.doc_id AS idA, b2.doc_id AS idB, count(*) AS ns
+          |       FROM gr a JOIN gr b2 ON a.h = b2.h AND a.doc_id < b2.doc_id
+          |       GROUP BY 1, 2),
+          |tr AS (SELECT idA, idB FROM ix
+          |       JOIN sz sa ON sa.doc_id = ix.idA
+          |       JOIN sz sb ON sb.doc_id = ix.idB
+          |       WHERE ns::DOUBLE / (sa.sz + sb.sz - ns) >= 0.5),
+          |ca AS (SELECT idA, idB FROM j WHERE est_jaccard >= 0.5)
+          |SELECT (SELECT count(*) FROM d) AS n_sample,
+          |  (SELECT count(*) FROM tr) AS n_true_pairs,
+          |  (SELECT count(*) FROM tr JOIN ca USING (idA, idB)) AS n_caught,
+          |  CASE WHEN (SELECT count(*) FROM tr) = 0 THEN NULL
+          |       ELSE ROUND((SELECT count(*) FROM tr JOIN ca USING (idA, idB))::DOUBLE
+          |                  / (SELECT count(*) FROM tr), 6) END AS recall""".stripMargin)
   )
 }
