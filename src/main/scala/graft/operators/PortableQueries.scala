@@ -152,6 +152,12 @@ object PortableQueries {
     * word 3-grams → double-hash signatures → band keys → candidate self-join
     * → estimate) as CTEs, reused verbatim by the q63, q66, and q98 oracles
     * (q98 feeds it the sampled source instead of the full corpus). */
+  /** The minhash pipeline CTEs over an arbitrary (doc_id, text) source —
+    * exposed for the q99 funnel oracle, which replays the sketch stage over
+    * the documents surviving its upstream stages. */
+  private[operators] def minhashCtesFor(src: String): String =
+    minhashPipelineCtes(src)
+
   private def minhashPipelineCtes(src: String = "documents") =
     s"""w AS (
       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words

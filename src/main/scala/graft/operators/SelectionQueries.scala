@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.ops.{Layout, PortableSketch, Scrub, SemDedup, TextOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-selection operators (round 10): the decisions a training-data
@@ -364,6 +364,112 @@ object SelectionQueries {
       |  ROUND(sum(COALESCE(fl, 0))::DOUBLE / sum(starts), 6) AS boiler_frac
       |FROM d LEFT JOIN f USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q99: the full selection pipeline, end to end ------------------------
+
+  /** q99 — the training-data pipeline FUNNEL: scrub → model-quality gate →
+    * exact dedup → near-dup prune → mixture sampling, composed as one
+    * query, reporting surviving documents and tokens after every stage.
+    * Every stage is individually oracled (q93, q95, q21, q63, q92); this
+    * query certifies the COMPOSITION — masking feeds the gate's tokens,
+    * dedup runs on masked text, sampling rates are computed on what
+    * actually survives dedup. Stage mechanics keep their scale shapes:
+    * row-local scrub/score, digest-keyed exact dedup (text never shuffles;
+    * the oracle partitions by the text itself — identical decisions short
+    * of a 128-bit collision), banded LSH with capped buckets, broadcast
+    * rate table. */
+  def pipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val s0 = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("text"))
+    // S1 scrub: all downstream stages see masked text only
+    val s1 = s0.withColumn("_m", Scrub.scrub(col("text")).getField("masked"))
+    // S2 quality gate: integer hashed-BoW score on the masked text (array
+    // fold — row-local, shared with the streaming mirror)
+    val s2 = s1
+      .withColumn("_score", graft.streaming.StreamingScrub.score(col("_m")))
+      .where(col("_score") >= 0)
+      .withColumn("_nt", size(TextOps.tokens(col("_m"))))
+      // persist: winners join + near-dup input + rate aggregation all read
+      // this frame. Ownership: Verify/Bench clear caches per query.
+      .persist()
+    // S3 exact dedup, keep-first: group on a 128-bit digest pair so text
+    // never travels as a shuffle key
+    val winners = s2.select(xxhash64(col("_m")).as("_d1"),
+        xxhash64(lit(0x9E3779B9L), col("_m")).as("_d2"), col("doc_id"))
+      .groupBy("_d1", "_d2").agg(min("doc_id").as("doc_id"))
+    val s3 = s2.join(winners.select("doc_id"), Seq("doc_id"), "left_semi").persist()
+    // S4 near-dup prune: drop the larger id of every estimated pair
+    val dupIds = PortableSketch.minhashNearDups(s3, "_m", "doc_id",
+      k = 16, bands = 4, n = 3, threshold = 0.5)
+      .select(col("idB").as("doc_id")).distinct()
+    val s4 = s3.join(dupIds, Seq("doc_id"), "left_anti").persist()
+    // S5 mixture sampling at F=0.5, rates from the S4 survivors
+    val ps = s4.groupBy("source").agg(sum("_nt").as("n_tokens"))
+    val tot = ps.agg(sum("n_tokens").as("_tot"))
+    val r = ps.crossJoin(broadcast(tot))
+      .withColumn("_share", col("n_tokens").cast("double") / col("_tot"))
+      .withColumn("_raw", pow(col("_share"), lit(MixSampleAlpha)))
+    val rsum = r.agg(sum("_raw").as("_rsum"))
+    val rates = r.crossJoin(broadcast(rsum))
+      .select(col("source"),
+        least(lit(1.0), round(lit(MixSampleF) * (col("_raw") / col("_rsum")) / col("_share"), 6)).as("_rate"))
+    val s5 = s4.join(broadcast(rates), Seq("source"))
+      .where(conv(substring(md5(encode(concat(lit("mix"), col("_m")), "UTF-8")), 1, 4), 16, 10).cast("long")
+        < round(col("_rate") * 65536).cast("long"))
+    def stage(name: String, df: DataFrame, tokens: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(tokens), lit(0L)).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    stage("0_ingest", s0, size(TextOps.tokens(col("text"))))
+      .unionByName(stage("1_scrub", s1, size(TextOps.tokens(col("_m")))))
+      .unionByName(stage("2_quality", s2, col("_nt")))
+      .unionByName(stage("3_exact_dedup", s3, col("_nt")))
+      .unionByName(stage("4_near_dedup", s4, col("_nt")))
+      .unionByName(stage("5_sampled", s5, col("_nt")))
+      .orderBy("stage")
+  }
+
+  private def q99OracleSql: String =
+    "WITH " +
+      s"""m AS (SELECT doc_id, source, text,
+      |    regexp_replace(regexp_replace(regexp_replace(text,
+      |      '${Scrub.EmailRe}', '<EMAIL>', 'g'),
+      |      '${Scrub.Ipv4Re}', '<IP>', 'g'),
+      |      '${Scrub.DigitRunRe}', '<NUM>', 'g') AS mt
+      |  FROM documents),
+      |tok AS (SELECT doc_id, source, text, mt,
+      |    list_filter(string_split_regex(mt, '\\s+'), x -> x <> '') AS t
+      |  FROM m),
+      |sc AS (SELECT *, COALESCE(list_sum(list_transform(t,
+      |    w -> ((('0x' || substr(md5(w), 1, 15))::BIGINT % 1024) % 97) - 48)), 0) AS score
+      |  FROM tok),
+      |s2 AS (SELECT * FROM sc WHERE score >= 0),
+      |s3 AS (SELECT * FROM s2 QUALIFY ROW_NUMBER() OVER (PARTITION BY mt ORDER BY doc_id) = 1),
+      |s3t AS (SELECT doc_id, mt AS text FROM s3),
+      |""".stripMargin +
+      graft.operators.PortableQueries.minhashCtesFor("s3t") + ",\n" +
+      """d4 AS (SELECT DISTINCT idB FROM j WHERE est_jaccard >= 0.5),
+      |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT idB FROM d4)),
+      |ps AS (SELECT source, CAST(sum(len(t)) AS BIGINT) AS n_tokens FROM s4 GROUP BY 1),
+      |tt AS (SELECT sum(n_tokens) AS tot FROM ps),
+      |r AS (SELECT source, n_tokens::DOUBLE / tt.tot AS share,
+      |        pow(n_tokens::DOUBLE / tt.tot, 0.3::DOUBLE) AS raw FROM ps, tt),
+      |rs AS (SELECT sum(raw) AS rsum FROM r),
+      |rt AS (SELECT source, LEAST(1.0, ROUND(0.5 * (raw / rs.rsum) / share, 6)) AS rate FROM r, rs),
+      |s5 AS (SELECT s4.* FROM s4 JOIN rt USING (source)
+      |       WHERE ('0x' || substr(md5('mix' || mt), 1, 4))::BIGINT
+      |             < CAST(ROUND(rt.rate * 65536) AS BIGINT)),
+      |rawtok AS (SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS rt0 FROM documents)
+      |SELECT stage, n_docs, n_tokens FROM (
+      |  SELECT '0_ingest' AS stage, count(*) AS n_docs,
+      |    CAST(COALESCE(sum(rt0), 0) AS BIGINT) AS n_tokens FROM rawtok
+      |  UNION ALL SELECT '1_scrub', count(*), CAST(COALESCE(sum(len(t)), 0) AS BIGINT) FROM tok
+      |  UNION ALL SELECT '2_quality', count(*), CAST(COALESCE(sum(len(t)), 0) AS BIGINT) FROM s2
+      |  UNION ALL SELECT '3_exact_dedup', count(*), CAST(COALESCE(sum(len(t)), 0) AS BIGINT) FROM s3
+      |  UNION ALL SELECT '4_near_dedup', count(*), CAST(COALESCE(sum(len(t)), 0) AS BIGINT) FROM s4
+      |  UNION ALL SELECT '5_sampled', count(*), CAST(COALESCE(sum(len(t)), 0) AS BIGINT) FROM s5
+      |) ORDER BY stage""".stripMargin
+
   // --- registry ------------------------------------------------------------
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -373,7 +479,8 @@ object SelectionQueries {
     "q94_epoch_order" -> (epochOrder _),
     "q95_classifier_gate" -> (classifierGate _),
     "q96_embedding_filter" -> (embeddingFilter _),
-    "q97_boilerplate" -> (boilerplate _)
+    "q97_boilerplate" -> (boilerplate _),
+    "q99_pipeline_funnel" -> (pipelineFunnel _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -383,6 +490,7 @@ object SelectionQueries {
     "q94_epoch_order" -> q94OracleSql,
     "q95_classifier_gate" -> q95OracleSql,
     "q96_embedding_filter" -> q96OracleSql,
-    "q97_boilerplate" -> q97OracleSql
+    "q97_boilerplate" -> q97OracleSql,
+    "q99_pipeline_funnel" -> q99OracleSql
   )
 }

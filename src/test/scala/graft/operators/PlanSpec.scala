@@ -212,7 +212,7 @@ class PlanSpec extends AnyFunSuite {
     val allowNestedLoop = Set(
       "q27_embedding_topk", "q35_cross_join", "q67_bm25_topk", "q81_source_drift",
       "q84_bigram_lm", "q86_mix_weights", "q92_mixture_sample",
-      "q96_embedding_filter", "q98_dedup_recall")
+      "q96_embedding_filter", "q98_dedup_recall", "q99_pipeline_funnel")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

@@ -124,6 +124,61 @@ class SelectionSpec extends AnyFunSuite {
       ("s1", 5L, 15L, 2L, 0.133333)))
   }
 
+  // --- q99 pipeline funnel -------------------------------------------------
+
+  /** The classifier weight, recomputed independently (java MD5, not the
+    * operator's Catalyst expression). */
+  private def tokWeight(t: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % 1024) % 97 - 48
+  }
+
+  private def bucket16(s: String): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(("mix" + s).getBytes("UTF-8")).take(2).map(b => f"$b%02x").mkString
+    java.lang.Integer.parseInt(hex, 16)
+  }
+
+  test("pipeline funnel: planted PII, gate-fail, exact-dup and near-dup docs " +
+    "drop at exactly their stages") {
+    import graft.operators.SelectionQueries
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    // letter-only tokens (no digit runs, so the scrub leaves them alone),
+    // selected by their independently-computed weights so the gate outcome
+    // is planted, not accidental
+    val all2 = for { a <- 'a' to 'z'; b <- 'a' to 'z' } yield s"$a$b"
+    val base = all2.map("t" + _).filter(tokWeight(_) > 5).take(30)
+    val alt = all2.map("u" + _).filter(tokWeight(_) < -5).take(30)
+    val near = base.dropRight(1) :+ "yzz"
+    val piiMasked = Seq("account", "<NUM>", base(0), base(1))
+    require(base.map(tokWeight).sum > 0 && near.map(tokWeight).sum > 0 &&
+      alt.map(tokWeight).sum < 0 && piiMasked.map(tokWeight).sum > 0)
+    val docs = Seq(
+      (0L, base.mkString(" "), "en", "s0"),
+      (1L, base.mkString(" "), "en", "s0"),                    // exact dup of 0
+      (2L, near.mkString(" "), "en", "s0"),                    // near dup of 0
+      (3L, s"account 123456 ${base(0)} ${base(1)}", "en", "s0"), // PII; masked form passes the gate
+      (4L, alt.mkString(" "), "en", "s0"))                     // gate drop
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SelectionQueries.pipelineFunnel(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    // sampling: single source -> rate = F = 0.5 -> 16-bit threshold 32768,
+    // decided on the MASKED text; recomputed here independently
+    val survivors = Seq(base.mkString(" ") -> 30L,
+      s"account <NUM> ${base(0)} ${base(1)}" -> 4L)
+    val s5 = survivors.filter { case (t, _) => bucket16(t) < 32768 }
+    assert(got == Seq(
+      ("0_ingest", 5L, 124L),
+      ("1_scrub", 5L, 124L),       // masking preserves these token counts
+      ("2_quality", 4L, 94L),      // doc 4's negative score drops it
+      ("3_exact_dedup", 3L, 64L),  // doc 1 drops, doc 0 kept (min id)
+      ("4_near_dedup", 2L, 34L),   // doc 2 drops against doc 0
+      ("5_sampled", s5.size.toLong, s5.map(_._2).sum)))
+  }
+
   // --- Layout.globalSequence -----------------------------------------------
 
   test("globalSequence equals the single-partition ROW_NUMBER exactly") {
