@@ -82,33 +82,58 @@ object Multimodal {
   private lazy val imageIoNoDiskCache: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
+  private def lumaOf(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](w * h)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xFF
+        val g = (rgb >> 8) & 0xFF
+        val b = rgb & 0xFF
+        out(i) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   private[ops] def decodeImageBytes(payload: Array[Byte]): Option[Array[Byte]] = {
     if (payload == null || payload.length < 8) return None
     imageIoNoDiskCache
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null) None
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val out = new Array[Byte](w * h)
-        var i = 0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val r = (rgb >> 16) & 0xFF
-            val g = (rgb >> 8) & 0xFF
-            val b = rgb & 0xFF
-            out(i) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
-            i += 1
-            x += 1
-          }
-          y += 1
-        }
-        Some(out)
-      }
+      if (img == null) None else Some(lumaOf(img))
+    } catch { case _: Throwable => None }
+  }
+
+  /** REAL multi-frame decode: when the installed ImageIO reader for the
+    * payload exposes an image sequence (animated GIF in the stock JRE),
+    * returns every frame's integer-luma plane in order. None when no
+    * reader claims the payload — the caller falls back to the synthetic
+    * slice arithmetic, so the operator runs real decode where it can and
+    * stays total where it can't. */
+  private[ops] def decodeFrames(payload: Array[Byte]): Option[IndexedSeq[Array[Byte]]] = {
+    if (payload == null || payload.length < 8) return None
+    imageIoNoDiskCache
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, true) // random access, skip metadata
+        val n = reader.getNumImages(true)
+        if (n <= 0) None
+        else Some((0 until n).map(i => lumaOf(reader.read(i))))
+      } finally { reader.dispose(); iis.close() }
     } catch { case _: Throwable => None }
   }
 
@@ -168,6 +193,62 @@ object Multimodal {
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame_bytes")
       .where(length(col("frame_bytes")) > 0)
+  }
+
+  private val decodedFrameSchema = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("frame_no", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("features", ArrayType(FloatType)),
+    StructField("decoded", BooleanType)))
+
+  /** Frame sampling with REAL decode where a reader claims the payload:
+    * an animated container (GIF in the stock JRE) yields up to `maxFrames`
+    * evenly-spaced ACTUAL frames, each featurized as the luminance
+    * histogram of its decoded pixels (`decoded` = true, `n_frames` = the
+    * container's real frame count). Unrecognized payloads take the
+    * deterministic slice fallback ([[sampleFrames]]'s arithmetic: every
+    * (len/maxFrames)-th 16-byte slice, byte-histogram features,
+    * `decoded` = false) — same output shape either way, so downstream
+    * stages never branch. Same mapPartitions batch shape as
+    * [[extractFeatures]]; frame selection is integer arithmetic
+    * (i·(n−1)/(maxFrames−1)), deterministic on any executor. */
+  def sampleFramesDecoded(assets: DataFrame, maxFrames: Int = 4,
+      batchSize: Int = 64): DataFrame = {
+    require(maxFrames >= 2, s"maxFrames=$maxFrames must be >= 2")
+    val enc = org.apache.spark.sql.Encoders.row(decodedFrameSchema)
+    assets.select(col("asset_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val id = r.getLong(0)
+            val payload = r.getAs[Array[Byte]]("payload")
+            decodeFrames(payload) match {
+              case Some(frames) =>
+                val n = frames.length
+                val picks =
+                  if (n <= maxFrames) 0 until n
+                  else (0 until maxFrames).map(i => (i.toLong * (n - 1) / (maxFrames - 1)).toInt)
+                picks.zipWithIndex.map { case (fi, out) =>
+                  Row(id, out, n, hist16(frames(fi)).toSeq, true)
+                }
+              case None =>
+                val len = if (payload == null) 0 else payload.length
+                if (len == 0) Iterator.empty
+                else {
+                  val sliceLen = math.max(len / maxFrames, 1)
+                  (0 until maxFrames).iterator.map { i =>
+                    val start = i * sliceLen
+                    val slice = payload.slice(start, math.min(start + 16, len))
+                    (i, slice)
+                  }.filter(_._2.nonEmpty).map { case (i, slice) =>
+                    Row(id, i, maxFrames, hist16(slice).toSeq, false)
+                  }
+                }
+            }
+          }
+        }
+      }(enc)
   }
 
   /** "Resize": byte-level downsample of payloads to maxBytes — the bounded-

@@ -688,6 +688,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.select("asset_id").distinct().count() == nVideo)
   }
 
+  /** A real multi-frame GIF, written via the stock ImageIO sequence writer:
+    * constant-gray frames, so each decoded luma plane is a known constant
+    * (BT.601 of (g,g,g) is exactly g — the weights sum to 1000). */
+  private def animatedGif(grays: Seq[Int], w: Int, h: Int): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    grays.foreach { g =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    baos.toByteArray
+  }
+
+  test("decodeFrames: a real animated GIF yields every frame's luma plane") {
+    val gif = animatedGif(Seq(0, 50, 100, 150, 200), w = 6, h = 3)
+    val frames = Multimodal.decodeFrames(gif).get
+    assert(frames.length == 5)
+    assert(frames.map(f => f.map(_ & 0xFF).toSet) ==
+      IndexedSeq(Set(0), Set(50), Set(100), Set(150), Set(200)))
+    assert(frames.forall(_.length == 18))
+    // single-frame images still decode (n=1); non-images don't
+    val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/gradient_8x4.png").toURI))
+    assert(Multimodal.decodeFrames(png).get.length == 1)
+    assert(Multimodal.decodeFrames("just text".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("sampleFramesDecoded: real frames evenly spaced, fallback keeps shape") {
+    val gif = animatedGif(Seq(0, 50, 100, 150, 200), w = 6, h = 3)
+    val assets = Seq(
+      (1L, gif),
+      (2L, ("x" * 64).getBytes("UTF-8"))).toDF("asset_id", "payload")
+    val got = Multimodal.sampleFramesDecoded(assets, maxFrames = 3, batchSize = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getAs[scala.collection.Seq[Float]]("features"), r.getBoolean(4)))
+    val real = got.filter(_._1 == 1L).sortBy(_._2)
+    // 5 frames at maxFrames=3 -> picks 0, 2, 4 -> grays 0, 100, 200 ->
+    // all histogram mass in bins 0, 6, 12
+    assert(real.map(r => (r._2, r._3, r._5)).toSeq ==
+      Seq((0, 5, true), (1, 5, true), (2, 5, true)))
+    assert(real.map(_._4.indexOf(1.0f)).toSeq == Seq(0, 6, 12))
+    val fake = got.filter(_._1 == 2L)
+    assert(fake.length == 3 && fake.forall(r => r._3 == 3 && !r._5))
+    // fallback features are the slice byte-histogram: 'x' = 0x78 -> bin 7
+    assert(fake.forall(_._4(7) == 1.0f))
+  }
+
   test("real resize: the fixture PNG scales to fit, re-decodes, and text passes through") {
     val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
       getClass.getResource("/fixtures/gradient_8x4.png").toURI))
