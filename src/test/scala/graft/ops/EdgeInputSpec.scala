@@ -77,4 +77,47 @@ class EdgeInputSpec extends AnyFunSuite {
     val rows = g.select(col("doc_id"), size(col("_grams")).as("n")).collect()
     assert(rows.length == 6)
   }
+
+  test("scrub survives null/empty/digit-only strings") {
+    val got = edgeDocs.union(Seq((7L, "123456")).toDF("doc_id", "text"))
+      .select(col("doc_id"), Scrub.scrub(col("text")).as("r")).select(col("doc_id"), col("r.*"))
+      .as[(Long, Option[Int], Option[Int], Option[Int], Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // null text -> null struct fields, no NPE; empty/whitespace are identity
+    assert(got(1L) == ((None, None, None, None)))
+    assert(got(2L) == ((Some(0), Some(0), Some(0), Some(""))))
+    assert(got(7L) == ((Some(0), Some(0), Some(1), Some("<NUM>"))))
+  }
+
+  test("classifier score: null text drops at the gate, empty text scores 0") {
+    val scored = edgeDocs.withColumn("s",
+      graft.streaming.StreamingScrub.score(col("text")))
+    val byId = scored.select("doc_id", "s").as[(Long, Option[Long])].collect().toMap
+    assert(byId(1L).isEmpty, "null text -> null score")
+    assert(byId(2L).contains(0L) && byId(3L).contains(0L), "tokenless -> fold init 0")
+    val kept = graft.streaming.StreamingScrub.classifierGate(edgeDocs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(1L), "null score must not pass the >= 0 gate")
+    assert(kept.contains(2L), "empty text scores 0 and passes")
+  }
+
+  test("semantic ops survive zero vectors and singleton clusters") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f)),   // zero vector: cosine guard -> 0 everywhere
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cents = SemDedup.kmeansFit(vecs, "embedding", "vec_id",
+      initEvery = 2, initMax = 3, iters = 1)
+    val got = SemDedup.assignAndPrune(vecs, "embedding", "vec_id", cents,
+      threshold = 0.9).as[(Long, Int, Boolean)].collect()
+    assert(got.length == 3)
+    val pruned = got.filter(_._3).map(_._1).toSet
+    assert(pruned == Set(3L), "exact duplicate of 2 prunes; zero vector never matches")
+  }
+
+  test("globalSequence of an empty frame is empty, not an error") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "k")
+    assert(Layout.globalSequence(empty, Seq(col("k"), col("id")), "pos",
+      partitions = 4).count() == 0)
+  }
 }
