@@ -82,6 +82,27 @@ object SemDedup {
     array_max(array(scored: _*)).getField("ci")
   }
 
+  /** Persist a fitted centroid model as parquet (label, vector) — the
+    * hand-off from the nightly batch fit to the streaming admission mirror
+    * ([[graft.streaming.StreamingSemDedup]]) and to later incremental
+    * assignments: fit once, load cheaply anywhere. The model is k×dim
+    * doubles — driver-small by design. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Int, Array[Double])], path: String): Unit = {
+    import spark.implicits._
+    cents.map { case (ci, v) => (ci, v.toSeq) }.toDF("ci", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model written by [[saveModel]], labels ordered. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Int, Array[Double])] =
+    spark.read.parquet(path)
+      .select(col("ci"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+
   /** Assign the corpus to final centroids and prune near-duplicates within
     * each cluster: a row is pruned when an EARLIER-id cluster member among
     * the cluster's first `repCap` rows (by id) has cosine ≥ `threshold`

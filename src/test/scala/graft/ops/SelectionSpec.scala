@@ -56,6 +56,22 @@ class SelectionSpec extends AnyFunSuite {
     assert(!got(2L) && got(3L))
   }
 
+  test("saveModel/loadModel round-trips the fitted centroids exactly") {
+    val cents = SemDedup.kmeansFit(axisDf, "embedding", "vec_id",
+      initEvery = 2, initMax = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("semmodel").toString + "/model"
+    SemDedup.saveModel(spark, cents, dir)
+    val loaded = SemDedup.loadModel(spark, dir)
+    assert(loaded.map(_._1) == cents.map(_._1))
+    assert(loaded.map(_._2.toSeq) == cents.map(_._2.toSeq))
+    // a loaded model drives the same assignments as the fitted one
+    val a = SemDedup.assignAndPrune(axisDf, "embedding", "vec_id", cents, 0.95)
+      .as[(Long, Int, Boolean)].collect().toSet
+    val b = SemDedup.assignAndPrune(axisDf, "embedding", "vec_id", loaded, 0.95)
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(a == b)
+  }
+
   test("assignAndPrune rep cap bounds the comparison set deterministically") {
     // one cluster of 6 near-identical vectors; repCap=2 means members only
     // compare against the two earliest ids — still enough to prune all but
