@@ -195,6 +195,24 @@ class SelectionSpec extends AnyFunSuite {
       ("5_sampled", s5.size.toLong, s5.map(_._2).sum)))
   }
 
+  // --- re-run determinism --------------------------------------------------
+
+  test("selection queries are re-run deterministic (the dataset-version contract)") {
+    import graft.operators.SelectionQueries
+    // a re-run of the same pipeline on the same corpus must reproduce every
+    // row — content-hash decisions, the two-pass global sequence (whose
+    // range boundaries may differ between runs), and the k-means fit alike
+    val dir = "/root/testdata/sf0.001"
+    def snap(name: String) = {
+      val df = SelectionQueries.all.toMap.apply(name)(spark, dir)
+      val rows = df.collect().map(_.toString).sorted.toSeq
+      spark.sharedState.cacheManager.clearCache()
+      rows
+    }
+    for (q <- Seq("q91_semantic_dedup", "q92_mixture_sample", "q94_epoch_order"))
+      assert(snap(q) == snap(q), s"$q must be identical across runs")
+  }
+
   // --- Layout.globalSequence -----------------------------------------------
 
   test("globalSequence equals the single-partition ROW_NUMBER exactly") {
