@@ -53,6 +53,34 @@ class SelectionPropertySpec extends Properties("selection") {
       got == expect
     }
 
+  private val genPiiText: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    parts <- Gen.listOfN(n, Gen.oneOf(
+      Gen.oneOf("plain", "words", "here", "x"),
+      Gen.choose(0, 999999999).map(_.toString),
+      for { u <- Gen.oneOf("bob", "a.b", "x_1"); d <- Gen.oneOf("ex.com", "a.co.uk") } yield s"$u@$d",
+      for { a <- Gen.choose(0, 255); b <- Gen.choose(0, 255) } yield s"10.0.$a.$b"))
+  } yield parts.mkString(" ")
+
+  property("scrubbed text re-scans clean and masking is idempotent") =
+    Prop.forAll(Gen.listOf(genPiiText)) { texts =>
+      val s = spark
+      import s.implicits._
+      if (texts.isEmpty) Prop.passed
+      else {
+        val masked = texts.toDF("s")
+          .select(Scrub.scrub(org.apache.spark.sql.functions.col("s")).getField("masked").as("m"))
+          .as[String].collect().toSeq
+        // a second scrub pass finds nothing and changes nothing
+        val second = masked.toDF("m")
+          .select(Scrub.scrub(org.apache.spark.sql.functions.col("m")).as("r")).select("r.*")
+          .as[(Int, Int, Int, String)].collect().toSeq
+        Prop(second.zip(masked).forall { case ((e, i, d, m2), m1) =>
+          e == 0 && i == 0 && d == 0 && m2 == m1
+        })
+      }
+    }
+
   property("globalSequence equals ROW_NUMBER over the total order") =
     Prop.forAll(
       Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 9L))),
