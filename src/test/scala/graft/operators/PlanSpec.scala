@@ -200,6 +200,15 @@ class PlanSpec extends AnyFunSuite {
       s"gram-string or payload shuffle detected\n${parts.mkString("\n")}")
   }
 
+  test("q97: boilerplate exchanges key on ids and the 8-byte gram hash, never text") {
+    val p = plan(SelectionQueries.boilerplate(spark, sf))
+    val parts = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(parts.exists(_.contains("_g#")), s"gram-hash-keyed exchange expected\n$p")
+    assert(!parts.exists(l => l.contains("text#") || l.contains("_t#")),
+      s"text or token-array data keyed a shuffle\n${parts.mkString("\n")}")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("no accidental cartesian/nested-loop joins anywhere in the query surface") {
     // the only legitimate non-equi joins: q27's documented brute-force
     // broadcast-cross oracle path, q35's cross-join operator itself, and
