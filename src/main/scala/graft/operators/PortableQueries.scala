@@ -121,9 +121,12 @@ object PortableQueries {
       .join(grams.select(col("doc_id").as("idB"), col("_h")), Seq("_h"))
       .where(col("idA") < col("idB"))
       .groupBy("idA", "idB").agg(count(lit(1)).as("_ns"))
+    // sizes is one row per SAMPLED doc — bounded by the audit sample size
+    // by design, so both denominator attachments broadcast instead of
+    // shuffling the pair relation twice
     val truth = inter
-      .join(sizes.select(col("doc_id").as("idA"), col("_sz").as("_sa")), Seq("idA"))
-      .join(sizes.select(col("doc_id").as("idB"), col("_sz").as("_sb")), Seq("idB"))
+      .join(broadcast(sizes.select(col("doc_id").as("idA"), col("_sz").as("_sa"))), Seq("idA"))
+      .join(broadcast(sizes.select(col("doc_id").as("idB"), col("_sz").as("_sb"))), Seq("idB"))
       .where(col("_ns").cast("double") / (col("_sa") + col("_sb") - col("_ns")) >= 0.5)
       .select("idA", "idB")
     val caught = PortableSketch.minhashNearDups(docs, "text", "doc_id",
