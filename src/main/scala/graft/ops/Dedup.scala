@@ -481,8 +481,27 @@ object Dedup {
     }
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // Convergence is observed DURING the eager-checkpoint job instead of as
+    // a separate scan afterwards: a pass-through filter increments a fresh
+    // per-round accumulator for every row whose label moved, so each round
+    // runs one job, not two. Accumulator semantics make this safe: task
+    // replays can only over-count (never under-count), and an over-count
+    // merely schedules one extra round whose own probe then reads 0 — the
+    // loop can converge late, never early, and never on wrong labels.
+    def ckptProbed(df: DataFrame): (DataFrame, org.apache.spark.util.LongAccumulator) = {
+      val acc = sc.longAccumulator
+      val probe = udf { (changed: Boolean) => if (changed) acc.add(1L); true }
+      (ckpt(df.where(probe(col("rep") =!= col("_prev")))), acc)
+    }
+    // The edge relation is static across rounds and every round equi-joins
+    // it on _dst: hash-partition it by _dst ONCE before caching, so the
+    // cached partitioning satisfies each round's join distribution and only
+    // the (much smaller) label frame shuffles per round. At scale |edges| ≥
+    // |labels| by the component factor, so this halves per-round shuffle
+    // volume; the plan-level reuse is pinned in PlanSpec.
     val edges = pairs.select(col("idA").as("_src"), col("idB").as("_dst"))
       .union(pairs.select(col("idB").as("_src"), col("idA").as("_dst")))
+      .repartition(col("_dst"))
       .persist()
     // round 0 folded into the init: every node starts from min(self, direct
     // neighbors) — one aggregation instead of a full propagate round
@@ -496,23 +515,27 @@ object Dedup {
       timed(s"r${iter + 1}") {
         val neighborMin = edges.join(labels, col("_dst") === col("id"))
           .groupBy(col("_src")).agg(min(col("rep")).as("_nrep"))
-        // carry the previous label through so convergence is a filter on the
-        // checkpointed frame, not another join against the old labels
-        val stepped = ckpt(labels.as("cur")
+        // carry the previous label through so convergence is observed inside
+        // the checkpoint job itself (ckptProbed), not by re-scanning the
+        // checkpointed frame afterwards
+        val steppedPlan = labels.as("cur")
           .join(neighborMin, col("cur.id") === col("_src"), "left_outer")
           .select(col("cur.id").as("id"),
             least(col("cur.rep"), coalesce(col("_nrep"), col("cur.rep"))).as("rep"),
-            col("cur.rep").as("_prev"))) // eager: materializes AND truncates lineage
-        val next =
-          if (iter < 2) stepped
+            col("cur.rep").as("_prev")) // eager ckpt: materializes AND truncates lineage
+        val (next, acc) =
+          if (iter < 2) ckptProbed(steppedPlan)
           else {
             // pointer jump (path doubling): rep := rep's rep. Only engaged
             // once a component has shown depth (> 2 rounds), so the common
             // shallow case never pays this extra join. Every rep IS a node
             // id (min over self ∪ neighbors ∪ earlier reps), so the lookup
             // joins labels back to themselves on the materialized checkpoint.
+            // The half-step is checkpointed WITHOUT a probe — only the
+            // post-jump labels decide convergence.
+            val stepped = ckpt(steppedPlan)
             val reps = stepped.select(col("id").as("_jid"), col("rep").as("_jrep"))
-            val jumped = ckpt(stepped
+            val jumped = ckptProbed(stepped
               .join(reps, col("rep") === col("_jid"), "left_outer")
               .select(col("id"),
                 least(col("rep"), coalesce(col("_jrep"), col("rep"))).as("rep"),
@@ -520,7 +543,7 @@ object Dedup {
             releaseClusterLabels(stepped) // jumped is materialized; the half-step is dead
             jumped
           }
-        converged = next.where(col("rep") =!= col("_prev")).isEmpty
+        converged = acc.value == 0L
         releaseClusterLabels(current) // next is materialized; round N−1 is unreachable
         current = next
         labels = next.drop("_prev")
