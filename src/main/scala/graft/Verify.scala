@@ -21,6 +21,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Loud failure: leave a marker dir so the driver's compare records a
+        // red `err` row for this query instead of silently omitting it (the
+        // round-9 NTZ regression was invisible in CORRECTNESS because thrown
+        // queries just vanished from the output dir).
+        val d = Paths.get(s"$outDir/$name")
+        Files.createDirectories(d)
+        Files.writeString(d.resolve("_FAILED"),
+          s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(4000)}\n")
       }
       // release per-query persisted intermediates — no cached-block leaks
       spark.sharedState.cacheManager.clearCache()

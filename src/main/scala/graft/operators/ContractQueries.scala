@@ -24,19 +24,36 @@ object ContractQueries {
 
   /** Parquet tables are read per-call; Catalyst prunes columns/filters.
     *
-    * `events.ts` is physically TIMESTAMP(NANOS) which Spark's reader rejects;
-    * we read it as raw long nanos (legacy conf) so that ORDER BY ts keeps the
-    * exact nanosecond total order DuckDB sees — truncating to micros would
-    * change window-function tie-breaking. Date bucketing uses integer DIV
-    * (a double division would lose precision on int64 nanos). */
+    * `events.ts` has shipped as both TIMESTAMP(NANOS) (older testdata
+    * generations — Spark's reader rejects it, so we keep the legacy
+    * nanos-as-long conf on) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (current generation — Spark reads TIMESTAMP_NTZ). All ts arithmetic
+    * goes through [[tsMicros]]/[[tsDay]], which branch on the engine-side
+    * dtype, so either generation yields the same micros DuckDB's
+    * `epoch_us(ts)` sees. TestdataSchemaSpec pins the dtypes this relies on. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** events.ts (long nanos, UTC) → DateType day bucket. */
-  private def tsDay: Column = to_date(timestamp_micros(expr("ts DIV 1000")))
+  /** events.ts → micros since epoch (== DuckDB `epoch_us(ts)` under the
+    * pinned UTC session TZ), robust to both testdata generations: long nanos
+    * (integer DIV — double division would lose precision on int64 nanos) and
+    * TIMESTAMP_NTZ/LTZ micros (NTZ needs the cast: NTZ→BIGINT is not a legal
+    * cast, and `unix_micros` takes LTZ only). */
+  def tsMicros(events: DataFrame): Column = events.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+    case _ => unix_micros(col("ts").cast("timestamp"))
+  }
+
+  /** events.ts (UTC) → DateType day bucket, same dual-generation contract. */
+  private def tsDay(events: DataFrame): Column =
+    events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        to_date(timestamp_micros(expr("ts DIV 1000")))
+      case _ => to_date(col("ts"))
+    }
 
   // Q1 — scan + projection (P1-P3, P7): column pruning must reach the scan.
   def q01(spark: SparkSession, dir: String): DataFrame =
@@ -158,11 +175,12 @@ object ContractQueries {
       .limit(200)
 
   // Q15 — date scalar / day bucketing (P18).
-  def q15(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .groupBy(tsDay.as("day"))
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    ev.groupBy(tsDay(ev).as("day"))
       .agg(count(lit(1)).as("n"))
       .orderBy("day")
+  }
 
   // Q16 — top-k (TakeOrderedAndProject, no full sort at scale).
   def q16(spark: SparkSession, dir: String): DataFrame =

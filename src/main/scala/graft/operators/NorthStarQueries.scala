@@ -440,14 +440,15 @@ object NorthStarQueries {
     * linker, final agg) on driver data — semantics pinned by fixtures. */
   def dependencyLinks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val spans = table(spark, dir, "events").select(
+    val ev = table(spark, dir, "events")
+    val spans = ev.select(
       format_string("%016x", expr("event_id DIV 50")).as("traceId"),
       when(pmod(col("event_id"), lit(50)) =!= 0,
         format_string("%016x", col("event_id") - 1)).as("parentId"),
       format_string("%016x", col("event_id")).as("id"),
       element_at(array(lit("CLIENT"), lit("SERVER"), lit("CLIENT"), lit("SERVER")),
         (pmod(col("event_id"), lit(4)) + 1).cast("int")).as("kind"),
-      (col("ts").cast("long") / lit(1000)).cast("long").as("timestamp"),
+      ContractQueries.tsMicros(ev).as("timestamp"),
       lit(null).cast("long").as("duration"),
       lit(false).as("shared"),
       concat(lit("svc-"), col("event_type")).as("localServiceName"),

@@ -10,16 +10,14 @@ import org.apache.spark.sql.functions._
   * and stratified sampling — the remaining standard verbs of a large-scale
   * training-data / log-analytics pipeline, each DuckDB-oracled.
   *
-  * Timestamp convention: `events.ts` is long NANOS on the Spark side
-  * (TESTDATA.md; nanosAsLong), but DuckDB 1.0 truncates TIMESTAMP(NANOS) to
-  * micros at read. Every query here therefore compares/aggregates
-  * `ts DIV 1000` (micros), which equals DuckDB's `epoch_us(ts)` exactly —
-  * nano-resolution comparisons would diverge in the oracle's truncated view.
+  * Timestamp convention: every query compares/aggregates `events.ts` as
+  * micros since epoch via [[ContractQueries.tsMicros]], which equals DuckDB's
+  * `epoch_us(ts)` exactly for both testdata generations (long NANOS read via
+  * nanosAsLong, where DuckDB truncates to micros anyway, and the current
+  * TIMESTAMP_NTZ micros).
   */
 object PipelineQueries {
-  import ContractQueries.table
-
-  private val tsU = expr("ts DIV 1000") // micros, == DuckDB epoch_us(ts)
+  import ContractQueries.{table, tsMicros}
 
   /** q53 — as-of join: each click event matched to the most recent
     * prior-or-equal view event of the same user (backward as-of). Clicks
@@ -27,9 +25,9 @@ object PipelineQueries {
   def asofViewBeforeClick(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
     val clicks = ev.where(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"), tsU.as("tsu"))
+      .select(col("user_id"), col("event_id").as("click_id"), tsMicros(ev).as("tsu"))
     val views = ev.where(col("event_type") === "view")
-      .select(col("user_id"), col("event_id").as("view_id"), tsU.as("tsu"))
+      .select(col("user_id"), col("event_id").as("view_id"), tsMicros(ev).as("tsu"))
     Temporal.asofJoinPrior(clicks, views, "user_id", "tsu", "tsu",
       rightPick = Seq("view_id"), rightTieBreak = "view_id")
       .where(col("view_id").isNotNull)
@@ -47,9 +45,9 @@ object PipelineQueries {
   def windowRangeCounts(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
     val windows = ev.groupBy(col("event_type").as("wtype"))
-      .agg(min(tsU).as("lo"))
+      .agg(min(tsMicros(ev)).as("lo"))
       .withColumn("hi", col("lo") + sixHoursU)
-    Temporal.bucketedRangeJoin(ev.select(tsU.as("tsu")), "tsu",
+    Temporal.bucketedRangeJoin(ev.select(tsMicros(ev).as("tsu")), "tsu",
       windows, "lo", "hi", bucketWidth = bucketU)
       .groupBy("wtype").agg(count(lit(1)).as("n"))
       .orderBy("wtype")
@@ -59,9 +57,10 @@ object PipelineQueries {
 
   /** q55 — gap sessionization: per-user sessions at a 30-minute silence
     * threshold, rolled up to per-user session stats. */
-  def userSessions(spark: SparkSession, dir: String): DataFrame =
+  def userSessions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
     Temporal.sessionize(
-      table(spark, dir, "events").select(col("user_id"), tsU.as("tsu"), col("event_id")),
+      ev.select(col("user_id"), tsMicros(ev).as("tsu"), col("event_id")),
       "user_id", "tsu", "event_id", gapU)
       .groupBy("user_id", "session_seq")
       .agg(count(lit(1)).as("n"), (max("tsu") - min("tsu")).as("dur"))
@@ -69,6 +68,7 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"),
         round(avg("n"), 4).as("avg_events"), max("dur").as("max_dur_us"))
       .orderBy("user_id")
+  }
 
   /** q56 — distribution quantiles per language: exact percentiles
     * (interpolated, matching DuckDB quantile_cont) alongside the
@@ -188,9 +188,9 @@ object PipelineQueries {
   def asofNextPurchase(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
     val errors = ev.where(col("event_type") === "error")
-      .select(col("user_id"), col("event_id").as("error_id"), tsU.as("tsu"))
+      .select(col("user_id"), col("event_id").as("error_id"), tsMicros(ev).as("tsu"))
     val purchases = ev.where(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"), tsU.as("tsu"))
+      .select(col("user_id"), col("event_id").as("purchase_id"), tsMicros(ev).as("tsu"))
     Temporal.asofJoinNext(errors, purchases, "user_id", "tsu", "tsu",
       rightPick = Seq("purchase_id"), rightTieBreak = "purchase_id",
       tolerance = gapU)
@@ -352,7 +352,7 @@ object PipelineQueries {
     * range-partition on. */
   def zorderBuckets(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
-    val tod = pmod(tsU, lit(86400000000L)) // micros within the UTC day
+    val tod = pmod(tsMicros(ev), lit(86400000000L)) // micros within the UTC day
     val x = pmod(col("user_id"), lit(65536L))
     val y = call_function("div", tod * 65536L, lit(86400000000L))
     ev.select(graft.ops.Layout.zorder2(x, y, 16).as("z"), col("user_id"))
