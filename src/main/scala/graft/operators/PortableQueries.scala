@@ -135,11 +135,35 @@ object PortableQueries {
     val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))
     val nCaught = truth.join(caught, Seq("idA", "idB"), "left_semi")
       .agg(count(lit(1)).as("n_caught"))
+    // Per-band ATTRIBUTION of the banding stage: for each band, how many
+    // true pairs agree on that band's key (any agreement admits the pair as
+    // a candidate), and how many agree on NO band — the pairs banding
+    // itself can never surface, the audit's actionable number (a high
+    // n_missed_banding says add bands / shrink rows, not tune the verify).
+    // The true-pair relation is audit-sample-bounded, so signatures attach
+    // to it by broadcast rather than shuffling the doc-sized sketch frame.
+    val sigs = graft.ops.Partitioning.spread(docs)
+      .select(col("doc_id"),
+        PortableSketch.minhashSigFromGramsFast(
+          graft.expr.GraftFunctions.wordNGrams(col("text"), 3), 16).as("_sig"))
+    val withSigs = sigs.select(col("doc_id").as("idA"), col("_sig").as("_sigA"))
+      .join(broadcast(truth), Seq("idA"))
+      .join(sigs.select(col("doc_id").as("idB"), col("_sig").as("_sigB")), Seq("idB"))
+    val bandHit = (0 until 4).map(b =>
+      PortableSketch.bandKey(col("_sigA"), b, 4) ===
+        PortableSketch.bandKey(col("_sigB"), b, 4))
+    val bandCols = (0 until 4).map(b =>
+      coalesce(sum(when(bandHit(b), 1L).otherwise(0L)), lit(0L)).as(s"n_band$b")) :+
+      coalesce(sum(when(bandHit.reduce(_ || _), 0L).otherwise(1L)), lit(0L))
+        .as("n_missed_banding")
+    val perBand = withSigs.agg(bandCols.head, bandCols.tail: _*)
     nSample.crossJoin(broadcast(nTrue)).crossJoin(broadcast(nCaught))
-      .select(col("n_sample"), col("n_true_pairs"), col("n_caught"),
+      .crossJoin(broadcast(perBand))
+      .select(col("n_sample") +: col("n_true_pairs") +: col("n_caught") +:
         when(col("n_true_pairs") === 0, lit(null).cast("double"))
           .otherwise(round(col("n_caught").cast("double") / col("n_true_pairs"), 6))
-          .as("recall"))
+          .as("recall") +:
+        (0 until 4).map(b => col(s"n_band$b")) :+ col("n_missed_banding"): _*)
   }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -275,12 +299,21 @@ object PortableQueries {
           |       JOIN sz sa ON sa.doc_id = ix.idA
           |       JOIN sz sb ON sb.doc_id = ix.idB
           |       WHERE ns::DOUBLE / (sa.sz + sb.sz - ns) >= 0.5),
-          |ca AS (SELECT idA, idB FROM j WHERE est_jaccard >= 0.5)
+          |ca AS (SELECT idA, idB FROM j WHERE est_jaccard >= 0.5),
+          |bb AS (SELECT a.doc_id AS idA, c.doc_id AS idB, a.band
+          |       FROM b a JOIN b c ON a.band = c.band AND a.key = c.key
+          |                        AND a.doc_id < c.doc_id)
           |SELECT (SELECT count(*) FROM d) AS n_sample,
           |  (SELECT count(*) FROM tr) AS n_true_pairs,
           |  (SELECT count(*) FROM tr JOIN ca USING (idA, idB)) AS n_caught,
           |  CASE WHEN (SELECT count(*) FROM tr) = 0 THEN NULL
           |       ELSE ROUND((SELECT count(*) FROM tr JOIN ca USING (idA, idB))::DOUBLE
-          |                  / (SELECT count(*) FROM tr), 6) END AS recall""".stripMargin)
+          |                  / (SELECT count(*) FROM tr), 6) END AS recall,
+          |  (SELECT count(*) FROM tr JOIN bb USING (idA, idB) WHERE bb.band = 0) AS n_band0,
+          |  (SELECT count(*) FROM tr JOIN bb USING (idA, idB) WHERE bb.band = 1) AS n_band1,
+          |  (SELECT count(*) FROM tr JOIN bb USING (idA, idB) WHERE bb.band = 2) AS n_band2,
+          |  (SELECT count(*) FROM tr JOIN bb USING (idA, idB) WHERE bb.band = 3) AS n_band3,
+          |  (SELECT count(*) FROM tr WHERE NOT EXISTS (SELECT 1 FROM bb
+          |     WHERE bb.idA = tr.idA AND bb.idB = tr.idB)) AS n_missed_banding""".stripMargin)
   )
 }

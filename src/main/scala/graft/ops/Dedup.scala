@@ -248,7 +248,14 @@ object Dedup {
   /** Exact Jaccard similarity between word-n-gram sets of candidate pairs.
     * `pairs` must have (idA, idB); returns them with exact jaccard ≥
     * threshold. Joining shingle sets only for candidates keeps the verify
-    * cost |candidates|, not |docs|². */
+    * cost |candidates|, not |docs|².
+    *
+    * The gram sets shuffle as 8-byte xxhash64 values, not strings (the
+    * q51/q59/q80 narrow-intermediate rule: wide string payloads are what
+    * degrades superlinearly under host contention). Set sizes — and hence
+    * the jaccard — are unchanged unless two distinct grams of one document
+    * collide in 64 bits (~n_grams²/2⁶⁵ per doc, vanishing), the same
+    * accepted equivalence as the q51 decontamination join. */
   def ngramJaccardVerify(
       df: DataFrame, pairs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.0): DataFrame = {
@@ -260,7 +267,8 @@ object Dedup {
     val sets = spread(df)
       .join(broadcast(neededIds), col(idCol) === col("_nid"), "left_semi")
       .select(col(idCol).as("_id"),
-        graft.expr.GraftFunctions.wordNGrams(col(textCol), n).as("_set"))
+        transform(graft.expr.GraftFunctions.wordNGrams(col(textCol), n),
+          g => xxhash64(g)).as("_set"))
     // Attach both sets with ONE pass over the shingle frame: each pair
     // unpivots to two (side, id) rows, joins `sets` once, and folds back per
     // pair (singleton sides, so max() just picks the value). The shingle
@@ -491,7 +499,12 @@ object Dedup {
     def ckptProbed(df: DataFrame): (DataFrame, org.apache.spark.util.LongAccumulator) = {
       val acc = sc.longAccumulator
       val probe = udf { (changed: Boolean) => if (changed) acc.add(1L); true }
-      (ckpt(df.where(probe(col("rep") =!= col("_prev")))), acc)
+      // null-safe comparison: `=!=` yields null when either side is null
+      // (possible via null ids in a caller-supplied pairs frame), and the
+      // primitive-Boolean UDF is null-short-circuited — the row would be
+      // FILTERED OUT of the checkpointed labels instead of counted as
+      // unchanged. `<=>` is always true/false, so the filter always passes.
+      (ckpt(df.where(probe(not(col("rep") <=> col("_prev"))))), acc)
     }
     // The edge relation is static across rounds and every round equi-joins
     // it on _dst: hash-partition it by _dst ONCE before caching, so the
@@ -499,15 +512,24 @@ object Dedup {
     // the (much smaller) label frame shuffles per round. At scale |edges| ≥
     // |labels| by the component factor, so this halves per-round shuffle
     // volume; the plan-level reuse is pinned in PlanSpec.
+    // The repartition is an unconditional extra shuffle of the doubled edge
+    // set before caching — deliberate 100 TB posture: per-round joins take
+    // the shuffle-join shape at scale, where the cached partitioning saves
+    // |edges| per round. Small inputs whose rounds broadcast the label side
+    // pay it for nothing; callers at toy scale can pre-partition themselves.
     val edges = pairs.select(col("idA").as("_src"), col("idB").as("_dst"))
       .union(pairs.select(col("idB").as("_src"), col("idA").as("_dst")))
       .repartition(col("_dst"))
       .persist()
     // round 0 folded into the init: every node starts from min(self, direct
-    // neighbors) — one aggregation instead of a full propagate round
+    // neighbors) — one aggregation instead of a full propagate round. The
+    // edge relation is symmetric (both directions in the union), so grouping
+    // on _dst is equivalent to grouping on _src — and _dst is the cached
+    // partitioning key, so the init aggregation runs exchange-free where a
+    // groupBy(_src) would re-shuffle the whole edge set once more.
     var current = timed("init")(ckpt(edges
-      .groupBy(col("_src").as("id"))
-      .agg(least(min(col("_dst")), min(col("_src"))).as("rep"))))
+      .groupBy(col("_dst").as("id"))
+      .agg(least(min(col("_src")), min(col("_dst"))).as("rep"))))
     var labels = current
     var iter = 0
     var converged = false

@@ -125,8 +125,14 @@ object PortableSketch {
         graft.expr.GraftFunctions.wordNGrams(col(textCol), n).as("_grams"))
       .select(col("_id"), minhashSigFromGramsFast(col("_grams"), k).as("_sig"))
       .persist() // compact sketch frame; band explode re-derives per branch
+    // The PORTABLE key definition is the comma-joined decimal string (what
+    // the SQL oracle replays), but the shuffled relation carries only its
+    // xxhash64 — 8 bytes instead of ~70 (the narrow-intermediate rule).
+    // Bucket equality groups are identical on both representations; a
+    // 64-bit key collision could only MERGE two buckets, adding candidates
+    // the estimate screen then filters, so the output is unchanged.
     val banded = sigs.select(col("_id"), explode(array((0 until bands).map { b =>
-      struct(lit(b).as("band"), bandKey(col("_sig"), b, rows).as("key"))
+      struct(lit(b).as("band"), xxhash64(bandKey(col("_sig"), b, rows)).as("key"))
     }: _*)).as("_b"))
     Dedup.cappedPairs(banded, maxBucket)
       .join(sigs.select(col("_id").as("idA"), col("_sig").as("sigA")), "idA")
@@ -369,9 +375,12 @@ object PortableSketch {
       .select(col(idCol).as("_id"),
         graft.expr.GraftFunctions.wordNGrams(col(textCol), n).as("_grams"))
       .select(col("_id"), minhashSigFromGramsFast(col("_grams"), k).as("_sig"))
+    // shuffled band keys are xxhash64 of the portable string key — same
+    // 8-byte narrow-intermediate treatment (and output equivalence
+    // argument) as minhashNearDups above
     def banded(s: DataFrame): DataFrame = s.select(col("_id"),
       explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"), bandKey(col("_sig"), b, rows).as("key"))
+        struct(lit(b).as("band"), xxhash64(bandKey(col("_sig"), b, rows)).as("key"))
       }: _*)).as("_b"))
       .select(col("_id"), col("_b.band").as("_band"), col("_b.key").as("_key"))
     // both sketch frames are read twice (banding + estimate lookup); same
@@ -381,19 +390,35 @@ object PortableSketch {
     val newBands = banded(sigB)
     val priorBands = banded(sigC).withColumn("_isCorpus", lit(true))
       .unionByName(newBands.withColumn("_isCorpus", lit(false)))
-    // hot-bucket cap on the PRIOR side only: one shuffle on the same
-    // (band, key) the probe join hashes on, so AQE coalesces them.
+    // Hot-bucket cap on the PRIOR side only. The hot-key inventory comes
+    // from a map-side-combined count (the cappedPairs mechanic) and is tiny
+    // by construction, so it broadcasts back; rows in cold buckets (all but
+    // pathologies) pass through UNSORTED, and only hot-bucket rows — the
+    // rare boilerplate collapse — pay a per-bucket row_number. The previous
+    // shape ran that window over the ENTIRE banded prior relation, a full
+    // per-batch sort of the corpus that grows with the corpus, not the
+    // batch.
     // Corpus rows rank FIRST in the cap window: batch rows in the prior
     // side only witness against LARGER batch ids (the join predicate
     // filters them for smaller probes), so if batch ids ranked ahead of
     // corpus ids in an overflowing bucket they could displace every usable
     // corpus witness and wrongly admit a probe — exactly in the hot-bucket
     // case the cap targets. _id tiebreak keeps the cap deterministic.
+    val hotKeys = priorBands.groupBy(col("_band"), col("_key"))
+      .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucket)
+      .select(col("_band").as("_hband"), col("_key").as("_hkey"))
+    val flagged = priorBands.join(broadcast(hotKeys),
+      col("_band") === col("_hband") && col("_key") === col("_hkey"),
+      "left_outer")
     val byBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_band"), col("_key"))
       .orderBy(col("_isCorpus").desc, col("_id"))
-    val capped = priorBands.withColumn("_rk", row_number().over(byBucket))
+    val cappedHot = flagged.where(col("_hband").isNotNull)
+      .drop("_hband", "_hkey")
+      .withColumn("_rk", row_number().over(byBucket))
       .where(col("_rk") <= maxBucket).drop("_rk")
+    val capped = flagged.where(col("_hband").isNull).drop("_hband", "_hkey")
+      .unionByName(cappedHot)
     val cand = newBands.as("nw")
       .join(capped.as("pr"),
         col("nw._band") === col("pr._band") && col("nw._key") === col("pr._key") &&

@@ -22,9 +22,23 @@ object ProfLsh {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.expr.GraftFunctions.ensureRegistered(spark)
+    // per-block shuffle byte totals: contention sensitivity tracks the WIDTH
+    // of what moves, not the quiet-box wall time (BASELINE.md §(k))
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    val shuffleR = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuffleW.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        shuffleR.addAndGet(sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+      }
+    })
     def t(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f
-      println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val w0 = shuffleW.get; val t0 = System.nanoTime(); f
+      val secs = (System.nanoTime() - t0) / 1e9
+      // listener events drain asynchronously; give them a beat
+      Thread.sleep(300)
+      println(f"[prof] $name: $secs%.2f s  shuffleW=${(shuffleW.get - w0) / 1024}%d KiB")
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
