@@ -218,6 +218,44 @@ object SelectionQueries {
       |  max(pos) AS last_pos, CAST(sum(pos) AS BIGINT) AS pos_sum
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q100: epoch-order continuation across restarts ----------------------
+
+  /** q100 — resumable epoch order: the corpus arrives as two shards (split
+    * by the parity of the order hash) and each is sequenced by
+    * [[Layout.resumeSequence]] through a durable one-long state file, so
+    * the second shard's positions continue exactly where the first
+    * stopped — the restartable form of q94 a pipeline needs when training
+    * data lands incrementally. Concatenating the shards in call order is
+    * exactly `ROW_NUMBER() OVER (ORDER BY shard, ord, doc_id)`, which is
+    * what the oracle replays. */
+  def epochResume(spark: SparkSession, dir: String): DataFrame = {
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-seq-state").resolve("state").toString
+    val o = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        PortableSketch.h60(concat(lit("ord:"), col("text"))).as("_ord"))
+      .withColumn("batch", pmod(col("_ord"), lit(2L)))
+    val keys = Seq(col("_ord"), col("doc_id"))
+    val s0 = Layout.resumeSequence(o.where(col("batch") === 0L), keys, state)
+    val s1 = Layout.resumeSequence(o.where(col("batch") === 1L), keys, state)
+    s0.unionByName(s1)
+      .groupBy("batch", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        min("pos").as("first_pos"), max("pos").as("last_pos"),
+        sum("pos").as("pos_sum"))
+      .orderBy("batch", "source")
+  }
+
+  private def q100OracleSql: String =
+    """WITH o AS (SELECT doc_id, source,
+      |    ('0x' || substr(md5('ord:' || text), 1, 15))::BIGINT AS ord
+      |  FROM documents),
+      |p AS (SELECT source, ord % 2 AS batch,
+      |    ROW_NUMBER() OVER (ORDER BY ord % 2, ord, doc_id) AS pos FROM o)
+      |SELECT batch, source, count(*) AS n_docs, min(pos) AS first_pos,
+      |  max(pos) AS last_pos, CAST(sum(pos) AS BIGINT) AS pos_sum
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --- q95: hashed linear quality gate -------------------------------------
 
   /** q95 — hashed-bag-of-words linear classifier gate: integer weights
@@ -480,7 +518,8 @@ object SelectionQueries {
     "q95_classifier_gate" -> (classifierGate _),
     "q96_embedding_filter" -> (embeddingFilter _),
     "q97_boilerplate" -> (boilerplate _),
-    "q99_pipeline_funnel" -> (pipelineFunnel _)
+    "q99_pipeline_funnel" -> (pipelineFunnel _),
+    "q100_epoch_resume" -> (epochResume _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -491,6 +530,7 @@ object SelectionQueries {
     "q95_classifier_gate" -> q95OracleSql,
     "q96_embedding_filter" -> q96OracleSql,
     "q97_boilerplate" -> q97OracleSql,
-    "q99_pipeline_funnel" -> q99OracleSql
+    "q99_pipeline_funnel" -> q99OracleSql,
+    "q100_epoch_resume" -> q100OracleSql
   )
 }

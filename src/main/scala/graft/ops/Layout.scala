@@ -72,7 +72,14 @@ object Layout {
     * global rank. Caller owns unpersisting the returned frame's lineage
     * (Verify/Bench clear caches per query). */
   def globalSequence(df: DataFrame, keys: Seq[Column],
-      posName: String = "pos", partitions: Int = 0): DataFrame = {
+      posName: String = "pos", partitions: Int = 0): DataFrame =
+    globalSequenceWithCount(df, keys, posName, partitions)._1
+
+  /** [[globalSequence]], also returning the total row count — already known
+    * on the driver from the per-partition count pass, so callers that need
+    * it (sequence-state persistence) don't pay a second action. */
+  def globalSequenceWithCount(df: DataFrame, keys: Seq[Column],
+      posName: String = "pos", partitions: Int = 0): (DataFrame, Long) = {
     val n = if (partitions > 0) partitions
       else df.sparkSession.sparkContext.defaultParallelism
     val ranged = df.repartitionByRange(n, keys: _*)
@@ -88,7 +95,50 @@ object Layout {
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_pid").orderBy(keys: _*)
-    ranged.withColumn(posName, row_number().over(w).cast("long") + offsetExpr)
-      .drop("_pid")
+    (ranged.withColumn(posName, row_number().over(w).cast("long") + offsetExpr)
+      .drop("_pid"), counts.values.sum)
+  }
+
+  // --- resumable sequence: continuation across shards / restarts -----------
+
+  /** Durable sequence state: the highest position handed out so far, one
+    * row of parquet at `path`. Tiny by construction (a single long), read
+    * once per shard — the same bounded-model exception as the IVF
+    * codebooks. Absent state reads as 0 (a fresh sequence). */
+  def loadSequenceOffset(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long =
+    try {
+      val head = spark.read.parquet(path).agg(max(col("max_pos"))).head()
+      if (head.isNullAt(0)) 0L else head.getLong(0)
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getCondition == "PATH_NOT_FOUND" => 0L
+    }
+
+  def saveSequenceOffset(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxPos: Long): Unit =
+    spark.range(1).select(lit(maxPos).as("max_pos"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Assign the NEXT contiguous block of global positions to `df`,
+    * continuing from whatever `statePath` recorded — the epoch-order
+    * materialization a training pipeline resumes after a restart or runs
+    * shard-by-shard as data lands. Ranking within the shard is the fully
+    * distributed two-pass [[globalSequence]]; the only cross-shard state is
+    * one long, advanced at CALL time (the total is already known on the
+    * driver from the count pass), so positions are never handed out twice:
+    * a shard retried after a crash draws a fresh, later block — unique but
+    * gapped. When replays must reproduce the SAME positions (exactly-once
+    * sinks), use [[graft.streaming.StreamingSequence]], whose ledger keys
+    * offsets by batch id. Positions are `start+1 .. start+count(df)` in
+    * `keys` order; concatenating shards in call order equals one
+    * `ROW_NUMBER() OVER (ORDER BY shard, keys…)` over the union. */
+  def resumeSequence(df: DataFrame, keys: Seq[Column], statePath: String,
+      posName: String = "pos", partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val start = loadSequenceOffset(spark, statePath)
+    val (seq, total) = globalSequenceWithCount(df, keys, posName, partitions)
+    saveSequenceOffset(spark, statePath, start + total)
+    seq.withColumn(posName, col(posName) + lit(start))
   }
 }

@@ -84,4 +84,50 @@ class LayoutSpec extends AnyFunSuite {
     assert(spans.length == 4)
     assert(spans.forall { case (_, sa, sb) => sa < 1000 && sb < 1000 })
   }
+
+  private def tmpState(): String = java.nio.file.Files
+    .createTempDirectory("layout-seq").resolve("state").toString
+
+  test("resumeSequence shards concatenate to the one-shot global sequence") {
+    val rnd = new scala.util.Random(23)
+    val df = (0 until 400).map(i => (rnd.nextInt(50).toLong, i.toLong))
+      .toDF("k", "id").persist()
+    val keys = Seq(col("k"), col("id"))
+    val state = tmpState()
+    // shards in call order: k < 25 first, the rest second
+    val s0 = Layout.resumeSequence(df.where(col("k") < 25), keys, state)
+    val s1 = Layout.resumeSequence(df.where(col("k") >= 25), keys, state)
+    val got = s0.unionByName(s1)
+      .select("k", "id", "pos").as[(Long, Long, Long)].collect()
+      .sortBy(_._3)
+    // expected: one global row_number over (shard, k, id)
+    val expected = df.as[(Long, Long)].collect()
+      .sortBy { case (k, id) => (if (k < 25) 0 else 1, k, id) }
+    assert(got.map(_._3).toSeq == (1L to 400L),
+      "positions must be the contiguous 1..N across shards")
+    assert(got.map(r => (r._1, r._2)).toSeq == expected.toSeq)
+    df.unpersist()
+  }
+
+  test("sequence state: absent reads 0, advances by shard size, survives reload") {
+    val state = tmpState()
+    assert(Layout.loadSequenceOffset(spark, state) == 0L)
+    val df = (1 to 7).map(i => (i.toLong, s"d$i")).toDF("id", "t")
+    Layout.resumeSequence(df, Seq(col("id")), state).count()
+    assert(Layout.loadSequenceOffset(spark, state) == 7L)
+    Layout.saveSequenceOffset(spark, state, 123L)
+    assert(Layout.loadSequenceOffset(spark, state) == 123L)
+  }
+
+  test("a retried shard draws a fresh block: unique positions, never overlap") {
+    val state = tmpState()
+    val df = (1 to 10).map(i => (i.toLong, i.toString)).toDF("id", "t")
+    val first = Layout.resumeSequence(df, Seq(col("id")), state)
+      .select("pos").as[Long].collect().toSet
+    val retry = Layout.resumeSequence(df, Seq(col("id")), state)
+      .select("pos").as[Long].collect().toSet
+    assert(first == (1L to 10L).toSet)
+    assert(retry == (11L to 20L).toSet,
+      "state advances at call time, so a retry gets a later, disjoint block")
+  }
 }
