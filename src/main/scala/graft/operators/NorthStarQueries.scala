@@ -347,6 +347,19 @@ object NorthStarQueries {
       .orderBy("modality")
   }
 
+  /** q101 — audio stream stats: the audio-modality assets through
+    * [[Multimodal.audioStats]] — REAL javax.sound decode when an installed
+    * reader claims the payload, the deterministic size/byte fallback on
+    * the synthetic text-byte assets (same real/fallback contract as
+    * q31/q32's image path; the real WAV path is pinned in MultimodalSpec).
+    * A narrow per-partition map over the scan — the only exchange is the
+    * presentation sort. */
+  def audioStreamStats(spark: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.fakeAssets(table(spark, dir, "documents"))
+    Multimodal.audioStats(assets.where(col("meta.modality") === "audio"))
+      .orderBy("asset_id")
+  }
+
   /** Frame sampling: video assets → (asset_id, frame_no) rows. */
   def videoFrameSample(spark: SparkSession, dir: String): DataFrame = {
     val assets = Multimodal.fakeAssets(table(spark, dir, "documents"))
@@ -554,6 +567,7 @@ object NorthStarQueries {
     "q30_fingerprint_buckets" -> (fingerprintBuckets _),
     "q31_multimodal_features" -> (multimodalFeatures _),
     "q32_video_frames" -> (videoFrameSample _),
+    "q101_audio_stats" -> (audioStreamStats _),
     "q33_dependency_links" -> (dependencyLinks _),
     "q34_approx_distinct" -> (approxDistinct _),
     "q46_v1_two_table_links" -> (v1TwoTableLinks _),
@@ -749,6 +763,32 @@ object NorthStarQueries {
         |FROM (SELECT unnest(range(0,4)) AS frame_no), v
         |WHERE frame_no * greatest(len // 4, 1) < len
         |GROUP BY frame_no ORDER BY frame_no""".stripMargin,
+    // q101: the audio FALLBACK replayed byte-for-byte — stream properties
+    // from the payload size, mean-square as the exact integer-sum-of-
+    // squares over unsigned bytes divided once in float64 (bit-identical
+    // across engines; no rounding on either side — the compare's own
+    // round(4) canonicalization sees the same double)
+    "q101_audio_stats" ->
+      """WITH a AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n,
+        |    40 * length(text) AS dur
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |b AS (
+        |  SELECT doc_id, n, dur,
+        |    [('0x' || substr(h, i, 2))::BIGINT for i in range(1, 2*n + 1, 2)] AS bs
+        |  FROM a)
+        |SELECT doc_id AS asset_id,
+        |  (8000 + (n % 8) * 1000)::INT AS sample_rate,
+        |  (1 + (n % 2))::INT AS channels,
+        |  16::INT AS bit_depth,
+        |  dur::BIGINT AS duration_ms,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE list_sum(list_transform(bs, x -> x * x))::DOUBLE / n
+        |  END AS mean_sq,
+        |  CASE WHEN n = 0 THEN 0 ELSE list_max(bs) END::INT AS peak,
+        |  FALSE AS decoded
+        |FROM b ORDER BY asset_id""".stripMargin,
     "q49_embedding_neardups" -> q49OracleSql,
     "q50_train_splits" -> q50OracleSql,
     "q51_contamination" ->

@@ -15,9 +15,15 @@ import org.apache.spark.sql.types._
   * pixels. Payloads no installed reader understands (and the synthetic
   * text-byte assets the oracle queries use) fall back to the SAME
   * histogram arithmetic over the raw payload bytes — [[fakeDecode]], kept
-  * as the deterministic test double the DuckDB oracle can replay. Audio/
-  * video codecs are not in the JRE, so those modalities always take the
-  * fallback; swapping in an FFI decoder changes one function.
+  * as the deterministic test double the DuckDB oracle can replay.
+  *
+  * AUDIO decode is REAL too: [[decodeAudio]] hands the payload to the
+  * JDK's javax.sound.sampled (WAV/AIFF/AU ship with the JRE) and emits
+  * stream properties + decoded-waveform sample statistics, with the same
+  * deterministic fallback contract ([[fakeAudioStats]]). Video codecs are
+  * not in the JRE (animated-GIF "video" decodes via the ImageIO frame
+  * path), so true video containers take the fallback; swapping in an FFI
+  * decoder changes one function.
   */
 object Multimodal {
 
@@ -135,6 +141,109 @@ object Multimodal {
         else Some((0 until n).map(i => lumaOf(reader.read(i))))
       } finally { reader.dispose(); iis.close() }
     } catch { case _: Throwable => None }
+  }
+
+  /** Decoded-audio summary: stream properties plus integer sample
+    * statistics. `meanSq`/`peak` are computed over 16-bit signed samples on
+    * the real path and over unsigned payload bytes on the fallback — both
+    * integer-exact (one double division at the end), so the fallback is
+    * engine-replayable with no float-accumulation divergence. */
+  case class AudioStatsRow(sampleRate: Int, channels: Int, bitDepth: Int,
+      durationMs: Long, meanSq: Double, peak: Int, decoded: Boolean)
+
+  /** REAL audio decode via the JDK's javax.sound.sampled (WAV/AIFF/AU
+    * readers ship with the JRE — the audio analogue of the ImageIO path):
+    * the payload's stream properties and its decoded waveform's integer
+    * mean-square and peak (mean-square stays an exact-integer quotient —
+    * one double division, bit-identical in any engine — where an RMS sqrt
+    * would not be), after converting to 16-bit signed PCM so sample
+    * arithmetic is uniform across source encodings. None when no installed
+    * reader claims the bytes (synthetic assets, truncated files) — the
+    * caller falls back to the deterministic byte arithmetic the oracle
+    * replays. */
+  private[ops] def decodeAudio(payload: Array[Byte]): Option[AudioStatsRow] = {
+    if (payload == null || payload.length < 12) return None
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val channels = math.max(1, fmt.getChannels)
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, channels, channels * 2, fmt.getSampleRate,
+          false) // little-endian
+        val pcm = AudioSystem.getAudioInputStream(target, in)
+        val bytes = pcm.readAllBytes()
+        val n = bytes.length / 2
+        var sumSq = 0L
+        var peak = 0
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val s = (((bytes(i + 1) & 0xFF) << 8) | (bytes(i) & 0xFF)).toShort.toInt
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          sumSq += s.toLong * s
+          i += 2
+        }
+        val frames = n / channels
+        val rate = fmt.getSampleRate
+        val durMs = if (rate > 0f) (frames * 1000L) / rate.toLong else 0L
+        Some(AudioStatsRow(rate.toInt, channels, fmt.getSampleSizeInBits,
+          durMs, if (n == 0) 0.0 else sumSq.toDouble / n,
+          peak, decoded = true))
+      } finally in.close()
+    } catch { case _: Throwable => None }
+  }
+
+  /** Deterministic audio fallback (the oracle's test double): stream
+    * properties derived from the payload size, sample stats over the raw
+    * unsigned bytes. */
+  private[ops] def fakeAudioStats(payload: Array[Byte], durationMs: Long): AudioStatsRow = {
+    val n = if (payload == null) 0 else payload.length
+    var sumSq = 0L
+    var peak = 0
+    var i = 0
+    while (i < n) {
+      val b = payload(i) & 0xFF
+      if (b > peak) peak = b
+      sumSq += b.toLong * b
+      i += 1
+    }
+    AudioStatsRow(8000 + (n % 8) * 1000, 1 + (n % 2), 16, durationMs,
+      if (n == 0) 0.0 else sumSq.toDouble / n, peak, decoded = false)
+  }
+
+  private val audioStatsSchema = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bit_depth", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("mean_sq", DoubleType),
+    StructField("peak", IntegerType),
+    StructField("decoded", BooleanType)))
+
+  /** Per-asset audio statistics: real javax.sound decode when a reader
+    * claims the payload, the deterministic size/byte fallback otherwise.
+    * Same batched mapPartitions shape as extractFeatures — per-batch
+    * decoder setup amortizes, and the operator stays a narrow map (no
+    * shuffle): at 100 TB audio stats are a scan-side projection. */
+  def audioStats(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioStatsSchema)
+    assets.select(col("asset_id"), col("payload"),
+        col("meta.durationMs").as("_dur"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val payload = r.getAs[Array[Byte]]("payload")
+            val st = decodeAudio(payload)
+              .getOrElse(fakeAudioStats(payload, r.getLong(2)))
+            Row(r.getLong(0), st.sampleRate, st.channels, st.bitDepth,
+              st.durationMs, st.meanSq, st.peak, st.decoded)
+          }
+        }
+      }(enc)
   }
 
   /** The decoder behind extractFeatures: real ImageIO decode when a reader

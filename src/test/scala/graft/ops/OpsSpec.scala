@@ -680,6 +680,77 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(2L) == Multimodal.fakeDecode("plain text payload".getBytes("UTF-8")).toSeq)
   }
 
+  private def makeWav(rate: Float, channels: Int, samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16,
+      channels, channels * 2, rate, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xFF).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(bytes),
+      fmt, samples.length / channels)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real javax.sound decode: a generated WAV yields exact stream stats") {
+    // 100 ms mono square wave at ±1000: mean-square is EXACTLY 1e6
+    val mono = makeWav(8000f, 1,
+      Array.tabulate[Short](800)(i => if (i % 2 == 0) 1000 else -1000))
+    val st = Multimodal.decodeAudio(mono).get
+    assert(st.sampleRate == 8000 && st.channels == 1 && st.bitDepth == 16)
+    assert(st.durationMs == 100L)
+    assert(st.meanSq == 1e6 && st.peak == 1000 && st.decoded)
+    // stereo: 400 frames at 16 kHz = 25 ms, same sample stats
+    val stereo = makeWav(16000f, 2,
+      Array.tabulate[Short](800)(i => if (i % 2 == 0) 2000 else -2000))
+    val st2 = Multimodal.decodeAudio(stereo).get
+    assert(st2.sampleRate == 16000 && st2.channels == 2)
+    assert(st2.durationMs == 25L && st2.meanSq == 4e6 && st2.peak == 2000)
+    // non-audio payloads fall back — never claimed, never crash
+    assert(Multimodal.decodeAudio("just some text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAudio(mono.take(16)).isEmpty)
+  }
+
+  test("fakeAudioStats is the exact byte arithmetic the q101 oracle replays") {
+    val p = "abc".getBytes("UTF-8") // 97, 98, 99
+    val st = Multimodal.fakeAudioStats(p, durationMs = 120L)
+    assert(st.sampleRate == 8000 + (3 % 8) * 1000 && st.channels == 1 + (3 % 2))
+    assert(st.bitDepth == 16 && st.durationMs == 120L)
+    assert(st.meanSq == (97 * 97 + 98 * 98 + 99 * 99).toDouble / 3)
+    assert(st.peak == 99 && !st.decoded)
+    val empty = Multimodal.fakeAudioStats(Array.emptyByteArray, 0L)
+    assert(empty.meanSq == 0.0 && empty.peak == 0)
+  }
+
+  test("audioStats routes real WAVs through javax.sound inside the Spark pipeline") {
+    val wav = makeWav(8000f, 1,
+      Array.tabulate[Short](800)(i => if (i % 2 == 0) 1000 else -1000))
+    val rows = Seq((1L, wav), (2L, "plain text payload".getBytes("UTF-8")))
+    val assets = rows.toDF("asset_id", "payload")
+      .select(col("asset_id"), col("payload"),
+        struct(lit("audio").as("modality"), lit("wav").as("format"),
+          lit(0).as("width"), lit(0).as("height"),
+          lit(720L).as("durationMs"),
+          length(col("payload")).cast("long").as("sizeBytes")).as("meta"))
+    val got = Multimodal.audioStats(assets, batchSize = 8).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val real = got(1L)
+    assert(real.getInt(1) == 8000 && real.getInt(2) == 1 &&
+      real.getLong(4) == 100L && real.getDouble(5) == 1e6 &&
+      real.getInt(6) == 1000 && real.getBoolean(7))
+    val fb = got(2L)
+    val p = "plain text payload".getBytes("UTF-8")
+    assert(fb.getInt(1) == 8000 + (p.length % 8) * 1000 &&
+      fb.getLong(4) == 720L && !fb.getBoolean(7)) // meta duration passes through
+    assert(fb.getDouble(5) == p.map(b => (b & 0xFF).toLong * (b & 0xFF)).sum.toDouble / p.length)
+  }
+
   test("sampleFrames: video assets explode to at most N frames") {
     val frames = Multimodal.sampleFrames(Multimodal.fakeAssets(docs), frames = 4)
     val perAsset = frames.groupBy("asset_id").count().select("count").as[Long].collect()
