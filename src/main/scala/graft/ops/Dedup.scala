@@ -517,8 +517,16 @@ object Dedup {
     // the shuffle-join shape at scale, where the cached partitioning saves
     // |edges| per round. Small inputs whose rounds broadcast the label side
     // pay it for nothing; callers at toy scale can pre-partition themselves.
-    val edges = pairs.select(col("idA").as("_src"), col("idB").as("_dst"))
-      .union(pairs.select(col("idB").as("_src"), col("idA").as("_dst")))
+    // Symmetrize via explode, not union-of-two-selects: a union references
+    // the `pairs` plan twice, and when the caller hands an UNCACHED pair
+    // pipeline (q48 end to end: banding + exact verify) the first edge
+    // materialization would compute that whole upstream twice. One explode
+    // reads it once and emits both directions — same rows, half the
+    // upstream work, and the downstream repartition/persist is unchanged.
+    val edges = pairs.select(explode(array(
+        struct(col("idA").as("_src"), col("idB").as("_dst")),
+        struct(col("idB").as("_src"), col("idA").as("_dst")))).as("_e"))
+      .select(col("_e._src").as("_src"), col("_e._dst").as("_dst"))
       .repartition(col("_dst"))
       .persist()
     // round 0 folded into the init: every node starts from min(self, direct
