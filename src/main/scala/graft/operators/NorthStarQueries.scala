@@ -437,9 +437,12 @@ object NorthStarQueries {
   }
 
   /** Per-source document quota (the crawl pipeline's per-domain cap):
-    * first 20 docs per source by id, rolled up. */
+    * first 20 docs per source by id, rolled up. Runs the skew-safe
+    * bottom-k-threshold form — doc_id is unique, so it selects exactly the
+    * window variant's rows while a 90%-hot source (the power-law crawl
+    * shape) pre-reduces map-side instead of sorting in one task. */
   def sourceQuota(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Sampling.quotaPerKey(table(spark, dir, "documents"), "source", "doc_id", quota = 20)
+    graft.ops.Sampling.quotaPerKeyAgg(table(spark, dir, "documents"), "source", "doc_id", quota = 20)
       .groupBy("source")
       .agg(count(lit(1)).as("n"), max("doc_id").as("max_kept"))
       .orderBy("source")

@@ -106,14 +106,20 @@ object Layout {
     * once per shard — the same bounded-model exception as the IVF
     * codebooks. Absent state reads as 0 (a fresh sequence). */
   def loadSequenceOffset(spark: org.apache.spark.sql.SparkSession,
-      path: String): Long =
-    try {
+      path: String): Long = {
+    // Probe existence through the Hadoop FS API instead of catching the
+    // reader's failure: which exception a missing path surfaces as is
+    // session-history-dependent (a long-lived Bench session raises raw
+    // FileNotFoundException where a fresh one raises AnalysisException
+    // PATH_NOT_FOUND), and the probe works identically on any FS scheme.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
       val head = spark.read.parquet(path).agg(max(col("max_pos"))).head()
       if (head.isNullAt(0)) 0L else head.getLong(0)
-    } catch {
-      case e: org.apache.spark.sql.AnalysisException
-        if e.getCondition == "PATH_NOT_FOUND" => 0L
     }
+  }
 
   def saveSequenceOffset(spark: org.apache.spark.sql.SparkSession,
       path: String, maxPos: Long): Unit =

@@ -83,6 +83,42 @@ object Sampling {
       .where(col("_rn") <= quota).drop("_rn")
   }
 
+  /** Skew-safe per-key quota for UNIQUE integral order keys: the same rows
+    * as [[quotaPerKey]], without the per-key sort.
+    *
+    * `quotaPerKey`'s window puts EVERY row of a key into one task and sorts
+    * it there — at crawl scale a power-law hot domain (90% of the corpus
+    * behind one key) serializes the whole job behind a single sorting task,
+    * and a window is the one shape AQE cannot split. This variant never
+    * ranks: a bounded-state bottom-k aggregation (O(quota) per group,
+    * map-side partial aggregation pre-reduces the hot key inside each input
+    * partition, so only ~|partitions| sketches of size ≤ quota shuffle per
+    * key) computes each key's quota-th smallest order value, and one join
+    * filters `order ≤ threshold`. The threshold relation is |keys| rows —
+    * broadcastable for any realistic domain count, and when it does have to
+    * shuffle, the join (unlike the window) is AQE-skew-splittable.
+    *
+    * Preconditions, checked by the caller, not enforceable here: `orderCol`
+    * must be long-castable and UNIQUE within each key (a deterministic
+    * "first K" needs a total order anyway — same requirement quotaPerKey's
+    * determinism already imposes) and non-null (null-order rows, which the
+    * window variant ranks first, are dropped here). Null KEYS are preserved
+    * (null-safe join), matching the window's null-key group. */
+  def quotaPerKeyAgg(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      orderCol: String, quota: Int): org.apache.spark.sql.DataFrame = {
+    require(quota > 0, s"quota must be positive: $quota")
+    val ord = col(orderCol).cast("long")
+    val thr = df.where(ord.isNotNull)
+      .groupBy(col(keyCol).as("_qk"))
+      .agg(graft.expr.BottomKSketch.bottomK(ord, quota).as("_bk"))
+      // the sketch holds the ≤ quota smallest order values; its last element
+      // is the quota-th smallest (or the key's max when the group is small)
+      .select(col("_qk"), element_at(col("_bk"), size(col("_bk"))).as("_qthr"))
+    df.join(thr, col(keyCol) <=> col("_qk"))
+      .where(ord <= col("_qthr"))
+      .drop("_qk", "_qthr")
+  }
+
   /** A single fraction's threshold as a SQL literal (None = saturated:
     * render as TRUE), for oracle construction. */
   private[graft] def thresholdFor(fraction: Double): Option[String] =

@@ -32,14 +32,15 @@ object StreamingSequence {
   private val LedgerSchema = "batch_id BIGINT, start_off BIGINT, end_off BIGINT"
 
   private[streaming] def readLedger(
-      spark: SparkSession, path: String): Seq[(Long, Long, Long)] =
-    try {
-      spark.read.schema(LedgerSchema).parquet(path)
-        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    } catch {
-      case e: org.apache.spark.sql.AnalysisException
-        if e.getCondition == "PATH_NOT_FOUND" => Nil
-    }
+      spark: SparkSession, path: String): Seq[(Long, Long, Long)] = {
+    // fs.exists probe, not exception-catching: a missing path's exception
+    // class is session-history-dependent (see Layout.loadSequenceOffset)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else spark.read.schema(LedgerSchema).parquet(path)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+  }
 
   private def appendLedger(spark: SparkSession, path: String,
       batchId: Long, start: Long, end: Long): Unit = {

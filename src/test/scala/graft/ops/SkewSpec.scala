@@ -53,4 +53,38 @@ class SkewSpec extends AnyFunSuite {
     for (jt <- Seq("inner", "left", "left_outer", "leftouter", "left_semi", "semi", "left_anti", "anti"))
       Skew.saltedJoin(fact, dim, "key", salts = 4, joinType = jt).collect()
   }
+
+  test("quotaPerKeyAgg selects exactly the window variant's rows under a hot key") {
+    // 90% of rows behind one key (the power-law crawl shape), plus a group
+    // smaller than the quota and a null-key group — order key unique per key
+    val rows = (0 until 3000).map { i =>
+      val k = if (i % 10 == 0) s"k${i % 50}" else "hot"
+      (k, i.toLong, s"payload$i")
+    } ++ Seq(("tiny", 9001L, "t1"), ("tiny", 9000L, "t2"),
+      (null.asInstanceOf[String], 5L, "n1"), (null.asInstanceOf[String], 4L, "n2"))
+    val df = rows.toDF("key", "ord", "payload")
+
+    def asSet(d: org.apache.spark.sql.DataFrame) =
+      d.as[(String, Long, String)].collect().toSet
+
+    for (q <- Seq(1, 7, 20)) {
+      val win = asSet(Sampling.quotaPerKey(df, "key", "ord", q))
+      val agg = asSet(Sampling.quotaPerKeyAgg(df, "key", "ord", q))
+      assert(agg == win, s"quota=$q")
+    }
+    // quota larger than every group: identity (all rows kept)
+    assert(asSet(Sampling.quotaPerKeyAgg(df, "key", "ord", 5000)) == rows.toSet)
+  }
+
+  test("quotaPerKeyAgg plans without a Window and with partial aggregation") {
+    val df = (0 until 100).map(i => ("k", i.toLong)).toDF("key", "ord")
+    val plan = Sampling.quotaPerKeyAgg(df, "key", "ord", 5)
+      .queryExecution.executedPlan.toString
+    // the whole point: no per-key ranking stage — the hot key never sorts
+    // in one task; the threshold comes from a mergeable bounded-state agg
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_bottomkaggregator") ||
+      plan.toLowerCase.contains("partial"), plan)
+  }
 }
