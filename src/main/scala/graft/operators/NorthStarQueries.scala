@@ -370,7 +370,16 @@ object NorthStarQueries {
 
   // --- deterministic splits / sampling -------------------------------------
 
-  private val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private[operators] val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** The q50 split assignment as a SQL CASE over `text` — one source of
+    * truth for every oracle that replays split membership (q50, q102). */
+  private[operators] def splitCaseSql: String = {
+    val Seq((_, Some(tTrain)), (_, Some(tVal))) =
+      graft.ops.Sampling.thresholdsFor(splitWeights): @unchecked
+    s"CASE WHEN substr(md5('v1' || text), 1, 4) < '$tTrain' THEN 'train' " +
+      s"WHEN substr(md5('v1' || text), 1, 4) < '$tVal' THEN 'val' ELSE 'test' END"
+  }
 
   /** Deterministic train/val/test assignment + stable 25% sample flag over
     * document content — split counts per (lang, split). Content-hash
@@ -653,11 +662,9 @@ object NorthStarQueries {
   private def q50OracleSql: String = {
     // These weights can't saturate (cumulative < 1.0 by construction of
     // init), so a None threshold here is a programming error — fail loudly.
-    val Seq((_, Some(tTrain)), (_, Some(tVal))) = graft.ops.Sampling.thresholdsFor(splitWeights): @unchecked
     val Some(tQuarter) = graft.ops.Sampling.thresholdsFor(Seq("in" -> 0.25, "out" -> 0.75)).head._2: @unchecked
     "WITH s AS (SELECT lang, " +
-      s"CASE WHEN substr(md5('v1' || text), 1, 4) < '$tTrain' THEN 'train' " +
-      s"WHEN substr(md5('v1' || text), 1, 4) < '$tVal' THEN 'val' ELSE 'test' END AS split, " +
+      s"$splitCaseSql AS split, " +
       s"CASE WHEN substr(md5('q' || text), 1, 4) < '$tQuarter' THEN 1 ELSE 0 END AS q " +
       "FROM documents) " +
       "SELECT lang, split, count(*) AS n, CAST(SUM(q) AS BIGINT) AS n_quarter " +

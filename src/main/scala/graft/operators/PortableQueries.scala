@@ -166,13 +166,60 @@ object PortableQueries {
         (0 until 4).map(b => col(s"n_band$b")) :+ col("n_missed_banding"): _*)
   }
 
+  /** q102 — train/test near-dup LEAKAGE audit: the deterministic split
+    * assignment (q50's content-hash mechanism — so this replays the exact
+    * membership any run of the pipeline produces) crossed with the portable
+    * near-dup pair relation (q63's machinery). A near-dup pair straddling
+    * train and val/test is contamination that survives within-split dedup
+    * by construction — no within-split pass can see it — so it has to be
+    * audited across splits, and this is the number a dataset release gates
+    * on. Output: per unordered split-pair class, the pair count and the
+    * distinct documents involved. Scale shape: pairs come from the banded
+    * sketch join (never all-pairs); the split relation is a narrow
+    * (id, 5-char split) projection joined by id on both ends. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = PortableSketch.minhashNearDups(docs, "text", "doc_id",
+      k = 16, bands = 4, n = 3, threshold = 0.5).select("idA", "idB")
+    val sp = docs.select(col("doc_id"), graft.ops.Sampling
+      .hashSplit(col("text"), NorthStarQueries.splitWeights, salt = "v1").as("split"))
+    val cls = pairs
+      .join(sp.select(col("doc_id").as("idA"), col("split").as("_sa")), Seq("idA"))
+      .join(sp.select(col("doc_id").as("idB"), col("split").as("_sb")), Seq("idB"))
+      .select(least(col("_sa"), col("_sb")).as("split_a"),
+        greatest(col("_sa"), col("_sb")).as("split_b"),
+        col("idA"), col("idB"))
+    val nPairs = cls.groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = cls
+      .select(col("split_a"), col("split_b"),
+        explode(array(col("idA"), col("idB"))).as("_d"))
+      .groupBy("split_a", "split_b").agg(countDistinct(col("_d")).as("n_docs"))
+    nPairs.join(nDocs, Seq("split_a", "split_b")).orderBy("split_a", "split_b")
+  }
+
+  private def q102OracleSql: String =
+    s"WITH ${minhashPipelineCtes()},\n" +
+      s"""pairs2 AS (SELECT idA, idB FROM j WHERE est_jaccard >= 0.5),
+        |sp AS (SELECT doc_id, ${NorthStarQueries.splitCaseSql} AS split FROM documents),
+        |cls AS (SELECT least(sa.split, sb.split) AS split_a,
+        |    greatest(sa.split, sb.split) AS split_b, p.idA, p.idB
+        |  FROM pairs2 p JOIN sp sa ON sa.doc_id = p.idA
+        |  JOIN sp sb ON sb.doc_id = p.idB),
+        |a AS (SELECT split_a, split_b, count(*) AS n_pairs FROM cls GROUP BY 1, 2),
+        |d AS (SELECT split_a, split_b, count(DISTINCT dd) AS n_docs FROM (
+        |  SELECT split_a, split_b, idA AS dd FROM cls
+        |  UNION ALL SELECT split_a, split_b, idB FROM cls) GROUP BY 1, 2)
+        |SELECT a.split_a, a.split_b, a.n_pairs, d.n_docs
+        |FROM a JOIN d USING (split_a, split_b) ORDER BY 1, 2""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q63_portable_minhash_neardups" -> (portableMinhashNearDups _),
     "q64_portable_simhash_neardups" -> (portableSimhashNearDups _),
     "q65_portable_winnow_buckets" -> (portableWinnowBuckets _),
     "q66_dedup_keep_best" -> (dedupKeepBest _),
     "q76_incremental_dedup" -> (incrementalDedup _),
-    "q98_dedup_recall" -> (dedupRecall _)
+    "q98_dedup_recall" -> (dedupRecall _),
+    "q102_split_leakage" -> (splitLeakage _)
   )
 
   /** Shared DuckDB fragments: the portable minhash pipeline (tokenize →
@@ -314,6 +361,7 @@ object PortableQueries {
           |  (SELECT count(*) FROM tr JOIN bb USING (idA, idB) WHERE bb.band = 2) AS n_band2,
           |  (SELECT count(*) FROM tr JOIN bb USING (idA, idB) WHERE bb.band = 3) AS n_band3,
           |  (SELECT count(*) FROM tr WHERE NOT EXISTS (SELECT 1 FROM bb
-          |     WHERE bb.idA = tr.idA AND bb.idB = tr.idB)) AS n_missed_banding""".stripMargin)
+          |     WHERE bb.idA = tr.idA AND bb.idB = tr.idB)) AS n_missed_banding""".stripMargin),
+    "q102_split_leakage" -> q102OracleSql
   )
 }

@@ -508,6 +508,101 @@ object SelectionQueries {
       |  UNION ALL SELECT '5_sampled', count(*), CAST(COALESCE(sum(len(t)), 0) AS BIGINT) FROM s5
       |) ORDER BY stage""".stripMargin
 
+  // --- q103: TRAINED quality gate (deterministic logistic regression) ------
+
+  /** Shared q103 constants (Spark + oracle). */
+  private val GateLr = 1.0
+  private val GateIters = 24
+  private val GateLabelMinTokens = 50
+  /** Feature column names in margin-evaluation order (the order is part of
+    * the contract: w·x is summed left-to-right in BOTH engines). */
+  private val GateDims = Seq("x_b", "x_t", "x_r", "x_w")
+
+  /** The q103 feature projection: bias, (tokens−50)/100 (CENTERED at the
+    * label boundary so the separator is reachable in a few dozen GD steps from
+    * zero init), type-token ratio, mean word length/10 — all exact-integer
+    * ratios (correctly-rounded double division of the same integers on any
+    * engine), plus the weak label y = [n_tokens ≥ 50] a Gopher-style rule
+    * would emit. */
+  private def gateFeatures(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val nt = greatest(size(toks), lit(1)).cast("double")
+    docs.select(col("doc_id"), col("lang"),
+      lit(1.0).as("x_b"),
+      ((nt - lit(50.0)) / lit(100.0)).as("x_t"),
+      (size(array_distinct(toks)).cast("double") / nt).as("x_r"),
+      ((length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nt)
+        / lit(10.0)).as("x_w"),
+      when(size(toks) >= GateLabelMinTokens, lit(1.0)).otherwise(lit(0.0)).as("y"))
+  }
+
+  /** q103 — model-TRAINED quality gate: [[graft.ops.TrainedGate]] fits a
+    * logistic regression over the four text features by 24 deterministic
+    * full-batch GD steps (gradient means rounded to 6 dp per step — the
+    * SemDedup mechanism, so the weight trajectory is bit-identical on any
+    * engine/partitioning), then gates on the exp-free margin w·x ≥ 0.
+    * Output: per-lang keep counts + confusion against the weak labels,
+    * with the learned weights (hash-matched by the oracle, which UNROLLS
+    * the same 24 training iterations as SQL CTEs). The label is a rule the
+    * model can represent, so the confusion doubles as a convergence check:
+    * training that drifts shows up as flipped borderline documents. */
+  def trainedGate(spark: SparkSession, dir: String): DataFrame = {
+    // persist: read 8 times by training + once by scoring. Ownership:
+    // Verify/Bench clear the cache after each query.
+    val f = gateFeatures(table(spark, dir, "documents")).persist()
+    val w = graft.ops.TrainedGate.fitLogistic(f, GateDims, "y", GateLr, GateIters)
+    val keep = graft.ops.TrainedGate.margin(w, GateDims.map(col)) >= 0
+    f.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_keep"),
+        sum(when(keep && col("y") === 1.0, 1L).otherwise(0L)).as("tp"),
+        sum(when(keep && col("y") === 0.0, 1L).otherwise(0L)).as("fp"),
+        sum(when(!keep && col("y") === 1.0, 1L).otherwise(0L)).as("fn"),
+        sum(when(!keep && col("y") === 0.0, 1L).otherwise(0L)).as("tn"))
+      .select(col("lang") +: col("n") +: col("n_keep") +: col("tp") +:
+        col("fp") +: col("fn") +: col("tn") +:
+        GateDims.zipWithIndex.map { case (d, i) => lit(w(i)).as(s"w_$d") }: _*)
+      .orderBy("lang")
+  }
+
+  private def q103OracleSql: String = {
+    // weight column for dim d at iteration t
+    def wc(d: String, t: Int) = s"w_${d}_$t"
+    def marginSql(t: Int) =
+      GateDims.map(d => s"${wc(d, t)} * $d").mkString(" + ")
+    val i0 = s"i0 AS (SELECT ${GateDims.map(d => s"0.0 AS ${wc(d, 0)}").mkString(", ")})"
+    val its = (1 to GateIters).map { t =>
+      val p = t - 1
+      val upd = GateDims.map { d =>
+        s"${wc(d, p)} + $GateLr * round(avg((y - 1.0/(1.0 + exp(-(${marginSql(p)})))) * $d), 6) AS ${wc(d, t)}"
+      }
+      s"i$t AS (SELECT ${upd.mkString(", ")} FROM f, i$p GROUP BY ${GateDims.map(wc(_, p)).mkString(", ")})"
+    }
+    val keepSql = s"(${marginSql(GateIters)}) >= 0"
+    s"""WITH f AS (SELECT doc_id, lang,
+      |    1.0 AS x_b,
+      |    (GREATEST(len(words), 1) - 50) / 100.0 AS x_t,
+      |    len(list_distinct(words)) / GREATEST(len(words), 1) AS x_r,
+      |    (nchars / GREATEST(len(words), 1)) / 10.0 AS x_w,
+      |    CASE WHEN len(words) >= $GateLabelMinTokens THEN 1.0 ELSE 0.0 END AS y
+      |  FROM (SELECT doc_id, lang,
+      |      list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+      |      len(regexp_replace(text, '\\s+', '', 'g')) AS nchars
+      |    FROM documents)),
+      |$i0,
+      |${its.mkString(",\n")}
+      |SELECT lang, count(*) AS n,
+      |  CAST(sum(CASE WHEN $keepSql THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |  CAST(sum(CASE WHEN ($keepSql) AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |  CAST(sum(CASE WHEN ($keepSql) AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |  CAST(sum(CASE WHEN NOT ($keepSql) AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |  CAST(sum(CASE WHEN NOT ($keepSql) AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+      |  ${GateDims.map(d => s"${wc(d, GateIters)} AS w_$d").mkString(", ")}
+      |FROM f, i$GateIters
+      |GROUP BY lang, ${GateDims.map(wc(_, GateIters)).mkString(", ")}
+      |ORDER BY lang""".stripMargin
+  }
+
   // --- registry ------------------------------------------------------------
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -519,7 +614,8 @@ object SelectionQueries {
     "q96_embedding_filter" -> (embeddingFilter _),
     "q97_boilerplate" -> (boilerplate _),
     "q99_pipeline_funnel" -> (pipelineFunnel _),
-    "q100_epoch_resume" -> (epochResume _)
+    "q100_epoch_resume" -> (epochResume _),
+    "q103_trained_gate" -> (trainedGate _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -531,6 +627,7 @@ object SelectionQueries {
     "q96_embedding_filter" -> q96OracleSql,
     "q97_boilerplate" -> q97OracleSql,
     "q99_pipeline_funnel" -> q99OracleSql,
-    "q100_epoch_resume" -> q100OracleSql
+    "q100_epoch_resume" -> q100OracleSql,
+    "q103_trained_gate" -> q103OracleSql
   )
 }

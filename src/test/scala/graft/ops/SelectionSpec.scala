@@ -233,4 +233,36 @@ class SelectionSpec extends AnyFunSuite {
       .select("id", "pos").as[(Long, Long)].collect().toMap
     assert(got == Map(2L -> 1L, 1L -> 2L))
   }
+
+  // --- TrainedGate (q103 kernel) -------------------------------------------
+
+  test("fitLogistic first step matches the closed-form gradient") {
+    // w=0 ⇒ σ=0.5 for every row ⇒ grad_k = avg((y − 0.5)·x_k)
+    val f = Seq((1.0, 1.0, 2.0), (0.0, 1.0, -4.0)).toDF("y", "x_b", "x_t")
+    val w = TrainedGate.fitLogistic(f, Seq("x_b", "x_t"), "y", lr = 0.5, iters = 1)
+    // grad_b = ((0.5·1) + (−0.5·1))/2 = 0; grad_t = ((0.5·2) + (−0.5·−4))/2 = 1.5
+    assert(w == Seq(0.0, 0.75))
+  }
+
+  test("fitLogistic separates a separable set and is re-run deterministic") {
+    val rows = (0 until 200).map { i =>
+      val x = (i % 21 - 10) / 10.0 // -1.0 .. 1.0
+      (if (x >= 0.15) 1.0 else 0.0, 1.0, x)
+    }
+    val f = rows.toDF("y", "x_b", "x_t").repartition(7)
+    val w1 = TrainedGate.fitLogistic(f, Seq("x_b", "x_t"), "y", lr = 1.0, iters = 30)
+    val w2 = TrainedGate.fitLogistic(f.repartition(3), Seq("x_b", "x_t"), "y", lr = 1.0, iters = 30)
+    // bit-identical across partitionings: the 6-dp gradient rounding
+    // absorbs partial-sum order, so the trajectories coincide exactly
+    assert(w1 == w2)
+    val acc = f.select((TrainedGate.margin(w1, Seq(col("x_b"), col("x_t"))) >= 0)
+        .cast("double").as("keep"), col("y"))
+      .where(col("keep") === col("y")).count().toDouble / rows.size
+    assert(acc >= 0.95, s"accuracy $acc with w=$w1")
+  }
+
+  test("fitLogistic on an empty frame keeps the zero vector") {
+    val f = Seq.empty[(Double, Double)].toDF("y", "x_b")
+    assert(TrainedGate.fitLogistic(f, Seq("x_b"), "y", 0.5, 4) == Seq(0.0))
+  }
 }
