@@ -189,12 +189,15 @@ object PortableQueries {
       .select(least(col("_sa"), col("_sb")).as("split_a"),
         greatest(col("_sa"), col("_sb")).as("split_b"),
         col("idA"), col("idB"))
-    val nPairs = cls.groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
-    val nDocs = cls
-      .select(col("split_a"), col("split_b"),
+    // one pass: each pair contributes exactly two exploded rows, so
+    // n_pairs = rows/2 — aggregating the exploded frame once avoids
+    // recomputing the embedded LSH pipeline for a second aggregation
+    cls.select(col("split_a"), col("split_b"),
         explode(array(col("idA"), col("idB"))).as("_d"))
-      .groupBy("split_a", "split_b").agg(countDistinct(col("_d")).as("n_docs"))
-    nPairs.join(nDocs, Seq("split_a", "split_b")).orderBy("split_a", "split_b")
+      .groupBy("split_a", "split_b")
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("_d")).as("n_docs"))
+      .orderBy("split_a", "split_b")
   }
 
   private def q102OracleSql: String =

@@ -64,4 +64,35 @@ object TrainedGate {
     w.zip(xs).map { case (wi, x) => lit(wi) * x }.reduceLeft(_ + _)
 
   def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** Gate a frame on the trained margin: annotate with `w·x` and keep
+    * margin ≥ 0 rows. A stateless projection — static and STREAMING frames
+    * both work (the ingest-time mirror: fit in batch, [[saveModel]], score
+    * every arriving micro-batch against the loaded weights with no state
+    * store, the same shape as the fixed-weight streaming gate). */
+  def gate(docs: DataFrame, w: Seq[Double], xCols: Seq[String]): DataFrame =
+    docs.withColumn("margin", margin(w, xCols.map(col)))
+      .where(col("margin") >= 0)
+
+  /** Persist trained weights as (idx, feature, weight) parquet — the
+    * batch-fit → streaming-score hand-off (the [[SemDedup.saveModel]]
+    * pattern: a model is a tiny bounded frame, not JVM state). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+      w: Seq[Double], xCols: Seq[String], path: String): Unit = {
+    require(w.size == xCols.size)
+    import spark.implicits._
+    w.zip(xCols).zipWithIndex.map { case ((wi, c), i) => (i, c, wi) }
+      .toDF("idx", "feature", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model written by [[saveModel]]: (featureCols, weights) in the
+    * stored margin-evaluation order. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[String], Seq[Double]) = {
+    val rows = spark.read.parquet(path)
+      .select(col("idx"), col("feature"), col("weight"))
+      .collect().sortBy(_.getInt(0))
+    (rows.map(_.getString(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
 }
