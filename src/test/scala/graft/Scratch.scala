@@ -4,11 +4,11 @@ import java.nio.file.{Files, Paths}
 
 /** Ad-hoc dev main (not part of the driver contract). Three modes:
   *
-  *  - `runMain graft.Scratch q…`            — time each named SparkEntry
+  *  - `Test/runMain graft.Scratch q…`            — time each named SparkEntry
   *    query for 3 rounds in ONE JVM (the only honest way to A/B a perf
   *    claim here; cross-JVM runs confound with first-touch noise).
-  *  - `runMain graft.Scratch --plan q…`     — print formatted physical plans.
-  *  - `runMain graft.Scratch --verify <sfDir> <outDir> q…` — filtered
+  *  - `Test/runMain graft.Scratch --plan q…`     — print formatted physical plans.
+  *  - `Test/runMain graft.Scratch --verify <sfDir> <outDir> q…` — filtered
   *    Verify: dump just the named queries + their oracle SQL for
   *    tools/oracle_check.py, for fast per-query oracle iteration.
   */

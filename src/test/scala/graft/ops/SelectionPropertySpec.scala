@@ -97,4 +97,21 @@ class SelectionPropertySpec extends Properties("selection") {
         .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
       got == expect
     }
+
+  property("quotaPerKeyAgg equals the window quota on unique order keys") =
+    Prop.forAll(
+      Gen.choose(1, 50).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0, 5))), // key per row, skew-prone
+      Gen.choose(1, 6)) { (keyIdx, quota) =>
+      val s = spark
+      import s.implicits._
+      // order key = row index: unique by construction (the documented
+      // precondition); key distribution from the generator is often hot
+      val rows = keyIdx.zipWithIndex.map { case (k, i) => (s"k$k", i.toLong) }
+      val df = rows.toDF("key", "ord")
+      def got(d: org.apache.spark.sql.DataFrame) =
+        d.as[(String, Long)].collect().toSet
+      got(Sampling.quotaPerKeyAgg(df, "key", "ord", quota)) ==
+        got(Sampling.quotaPerKey(df, "key", "ord", quota))
+    }
 }
