@@ -265,6 +265,46 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** q105 — chunk-level GLOBAL dedup (the paragraph-dedup step of the
+    * Falcon/RefinedWeb recipe, re-grained): documents split into
+    * NON-overlapping [[ChunkW]]-token chunks (stride = width — dedup units
+    * must tile, unlike q83's overlapping retrieval windows), each chunk
+    * keyed by a content digest, and only the globally FIRST occurrence
+    * (min (doc_id, chunk_idx), encoded as one composite long so the
+    * keep-first rule is a plain MIN aggregation on both engines) survives.
+    * Output: per-document retention — how much of each doc remains after
+    * corpus-wide chunk dedup. Scale shape: per-row split/digest (no sort,
+    * no window), one digest-keyed aggregation whose partial ships
+    * |distinct chunks| rows, one membership join back on the digest; the
+    * chunk relation is persisted because both sides read it. Boilerplate
+    * and templated spans collapse corpus-wide without any pairwise
+    * comparison — cost is linear in corpus tokens at any scale. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val tk = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("_ts"))
+      .select(col("doc_id"), col("source"), col("_ts"), size(col("_ts")).as("_n"))
+      .where(col("_n") >= 1) // sequence(0,-1,s) throws; empty docs have no chunks
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val chunks = tk
+      .select(col("doc_id"), col("source"), col("_ts"), col("_n"),
+        explode(sequence(lit(0), col("_n") - 1, lit(ChunkW))).as("_start"))
+      .select(col("doc_id"), col("source"),
+        // composite occurrence key: chunk_idx < 1e6 for any real document,
+        // so (doc_id, chunk_idx) order == numeric order of this long
+        (col("doc_id") * 1000000L + (col("_start") / ChunkW).cast("long")).as("_k"),
+        md5(concat_ws(" ",
+          slice(col("_ts"), col("_start") + 1,
+            least(lit(ChunkW), col("_n") - col("_start"))))).as("_h"))
+      .persist()
+    val first = chunks.groupBy("_h").agg(min("_k").as("_first"))
+    chunks.join(first, "_h")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_k") === col("_first"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_frac", round(col("n_kept") / col("n_chunks"), 6))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q82_gopher_rules" -> (gopherRules _),
     "q83_doc_chunks" -> (docChunks _),
@@ -272,10 +312,28 @@ object CurationQueries {
     "q85_token_entropy" -> (tokenEntropy _),
     "q86_mix_weights" -> (mixWeights _),
     "q87_embedding_drift" -> (embeddingDrift _),
-    "q88_sequence_packing" -> (sequencePacking _)
+    "q88_sequence_packing" -> (sequencePacking _),
+    "q105_chunk_dedup" -> (chunkDedup _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q105_chunk_dedup" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |s AS (SELECT doc_id, source, ts, len(ts) AS n,
+        |        unnest(generate_series(0, len(ts)-1, 20)) AS start
+        |      FROM tk WHERE len(ts) >= 1),
+        |ch AS (SELECT doc_id, source,
+        |        doc_id * 1000000 + (start // 20) AS k,
+        |        md5(array_to_string(ts[start+1 : start+least(20, n - start)], ' ')) AS h
+        |      FROM s),
+        |f AS (SELECT h, min(k) AS fk FROM ch GROUP BY h)
+        |SELECT ch.doc_id, ch.source, count(*) AS n_chunks,
+        |  sum(CASE WHEN ch.k = f.fk THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  round(sum(CASE WHEN ch.k = f.fk THEN 1 ELSE 0 END) / count(*), 6) AS kept_frac
+        |FROM ch JOIN f USING (h)
+        |GROUP BY ch.doc_id, ch.source ORDER BY doc_id""".stripMargin,
     "q82_gopher_rules" ->
       """WITH tk AS (SELECT doc_id, lang,
         |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w

@@ -162,6 +162,67 @@ object NorthStarQueries {
       .orderBy("queryId", "rank")
   }
 
+  /** q104 — ANN RECALL AUDIT: measures per-query recall@5 of the IVF path
+    * against the exact brute-force ranking, at both nprobe=1 and nprobe=2 —
+    * the honesty check the similarity family owes its users (the q98
+    * analogue for ANN). One shared candidate pipeline serves both probe
+    * depths: the corpus is assigned once, each query's candidates carry
+    * their probe rank, and nprobe=1 is a FILTER over the nprobe=2 relation
+    * rather than a second bucket join — measuring the recall dial costs one
+    * pipeline, not two. At scale this runs over a query SAMPLE (here the
+    * q27/q47 query set) against the full index, so the audit's cost is
+    * |sample|×|bucket|, never corpus². The exact-side crossJoin is
+    * broadcast-bounded by the same sample. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val emb = table(spark, dir, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val centroids = emb
+      .where(pmod(col("vec_id"), lit(50)) === 0 && col("vec_id") < 800)
+      .orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Double](0).toArray)
+    val assigned = emb.withColumn("cid",
+      Similarity.ivfAssign(col("embedding"), centroids))
+    // posexplode keeps the probe rank: pos=0 is the query's own bucket
+    // (exactly q47's candidate set), pos<=1 is the q77 union.
+    val q = assigned.where(col("vec_id") < 10)
+      .select(col("vec_id").as("queryId"), col("embedding").as("_qv"),
+        posexplode(Similarity.ivfProbe(col("embedding"), centroids, 2)))
+      .withColumnRenamed("pos", "_probe").withColumnRenamed("col", "cid")
+    // persist: both probe depths rank over this one scored relation.
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val scored = broadcast(q)
+      .join(assigned.select(col("vec_id").as("neighborId"), col("embedding").as("_cv"), col("cid")), "cid")
+      .where(col("queryId") =!= col("neighborId"))
+      .select(col("queryId"), col("_probe"), col("neighborId"),
+        round(Similarity.cosine(col("_qv"), col("_cv")), 6).as("cosine"))
+      .persist()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("queryId").orderBy(col("cosine").desc, col("neighborId").asc)
+    def top5(cand: DataFrame): DataFrame =
+      cand.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+        .select("queryId", "neighborId")
+    val ivf1 = top5(scored.where(col("_probe") === 0))
+    val ivf2 = top5(scored)
+    // exact ground truth — the q27 pipeline (sample×corpus, broadcast side
+    // bounded by the sample); referenced by both hit joins + the base rows.
+    val truth = Similarity.bruteForceTopK(
+      emb, "embedding", "vec_id", emb.where(col("vec_id") < 10), "embedding", "vec_id",
+      k = 5).select("queryId", "neighborId").persist()
+    def hits(approx: DataFrame, name: String): DataFrame =
+      truth.join(approx, Seq("queryId", "neighborId"))
+        .groupBy("queryId").agg(count(lit(1)).as(name))
+    truth.select("queryId").distinct()
+      .join(hits(ivf1, "hits_p1"), Seq("queryId"), "left")
+      .join(hits(ivf2, "hits_p2"), Seq("queryId"), "left")
+      .select(col("queryId"),
+        coalesce(col("hits_p1"), lit(0L)).as("hits_p1"),
+        coalesce(col("hits_p2"), lit(0L)).as("hits_p2"))
+      .withColumn("recall_p1", round(col("hits_p1") / 5.0, 6))
+      .withColumn("recall_p2", round(col("hits_p2") / 5.0, 6))
+      .orderBy("queryId")
+  }
+
   /** q75 — IVF with a broadcast centroid MODEL (nlist=40): the scale form
     * q47's scaladoc promises for centroid counts past the ~16-literal
     * codegen cap. Same pipeline shape as q47 — assign, probe own bucket,
@@ -591,6 +652,7 @@ object NorthStarQueries {
     "q52_source_quota" -> (sourceQuota _),
     "q75_embedding_ivf_model" -> (embeddingIvfModelTopK _),
     "q77_embedding_ivf_probe2" -> (embeddingIvfProbe2TopK _),
+    "q104_ann_recall" -> (annRecall _),
     "q78_containment_decontam" -> (containmentDecontam _),
     "q79_embedding_ivf_model_probe2" -> (embeddingIvfModelProbe2TopK _),
     "q89_embedding_pq_topk" -> (embeddingPqTopK _),
@@ -692,6 +754,36 @@ object NorthStarQueries {
       "FROM q JOIN assigned c ON c.cid = q.cid AND c.vec_id <> q.qid), " +
       "ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY \"queryId\" ORDER BY cosine DESC, \"neighborId\") AS INTEGER) AS rank FROM scored) " +
       "SELECT \"queryId\", \"neighborId\", cosine, rank FROM ranked WHERE rank <= 5 ORDER BY \"queryId\", rank"
+
+  /** q104 oracle: re-derives BOTH sides of the audit independently — the
+    * IVF candidates at each probe depth (same coarse model, assignment, and
+    * tie rules as [[ivfOracleSql]]) and the exact brute-force top-5 — then
+    * counts the overlap per query. recall = hits/5 is exact in binary
+    * (n/5·10⁻¹ decimals round clean at 6 dp on both engines). */
+  private def annRecallOracleSql: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci, v AS cv " +
+      "FROM e WHERE vec_id % 50 = 0 AND vec_id < 800), " +
+      "sa AS (SELECT e.vec_id, e.v, c.ci, " + cosineAssignSql("e.v", "c.cv") + " AS sim " +
+      "FROM e CROSS JOIN cent c), " +
+      "rs AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, ci DESC) AS rn FROM sa), " +
+      "assigned AS (SELECT vec_id, v, ci AS cid FROM rs WHERE rn = 1), " +
+      "q AS (SELECT vec_id AS qid, v AS qv, ci AS cid, rn AS pr FROM rs WHERE rn <= 2 AND vec_id < 10), " +
+      "scored AS (SELECT q.qid, q.pr, c.vec_id AS nid, " + cosineSql("q.qv", "c.v") + " AS cosine " +
+      "FROM q JOIN assigned c ON c.cid = q.cid AND c.vec_id <> q.qid), " +
+      "iv1 AS (SELECT qid, nid FROM (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk " +
+      "FROM scored WHERE pr = 1) WHERE rk <= 5), " +
+      "iv2 AS (SELECT qid, nid FROM (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk " +
+      "FROM scored) WHERE rk <= 5), " +
+      "bf AS (SELECT qid, nid FROM (SELECT q.qid, c.vec_id AS nid, " +
+      "ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY " + cosineSql("q.qv", "c.v") + " DESC, c.vec_id) AS rk " +
+      "FROM (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10) q CROSS JOIN e c WHERE c.vec_id <> q.qid) WHERE rk <= 5), " +
+      "h1 AS (SELECT bf.qid, count(*) AS c FROM bf JOIN iv1 ON bf.qid = iv1.qid AND bf.nid = iv1.nid GROUP BY 1), " +
+      "h2 AS (SELECT bf.qid, count(*) AS c FROM bf JOIN iv2 ON bf.qid = iv2.qid AND bf.nid = iv2.nid GROUP BY 1) " +
+      "SELECT b.qid AS \"queryId\", COALESCE(h1.c, 0)::BIGINT AS hits_p1, COALESCE(h2.c, 0)::BIGINT AS hits_p2, " +
+      "round(COALESCE(h1.c, 0) / 5.0, 6) AS recall_p1, round(COALESCE(h2.c, 0) / 5.0, 6) AS recall_p2 " +
+      "FROM (SELECT DISTINCT qid FROM bf) b LEFT JOIN h1 ON h1.qid = b.qid LEFT JOIN h2 ON h2.qid = b.qid " +
+      "ORDER BY 1"
 
   /** q89 oracle: the full IVF-PQ replication — codebooks re-derived from
     * the same data sample (subspace slices of every 50th vector), encode
@@ -853,6 +945,7 @@ object NorthStarQueries {
     "q89_embedding_pq_topk" -> pqOracleSql,
     "q75_embedding_ivf_model" -> ivfOracleSql(centroidEvery = 20),
     "q77_embedding_ivf_probe2" -> ivfOracleSql(centroidEvery = 50, nprobe = 2),
+    "q104_ann_recall" -> annRecallOracleSql,
     "q79_embedding_ivf_model_probe2" -> ivfOracleSql(centroidEvery = 20, nprobe = 2),
     "q29_lang_quality" ->
       ("WITH base AS (SELECT text, " +

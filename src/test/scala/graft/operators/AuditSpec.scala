@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.pipeline.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-fixture pins for the audit queries added in round 10: the ANN
+  * recall audit (q104) and chunk-level global dedup (q105). The DuckDB
+  * oracles certify both at sf scale; these fix the intended math on inputs
+  * small enough to verify by hand. */
+class AuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  test("q104: probe-2 recovers the cross-boundary neighbors probe-1 misses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("audit-emb").toString
+    // Two coarse buckets (centroids = vec 0 and vec 50); queries are ids<10.
+    // v1/v52 land in bucket 0, v51 in bucket 1 — each query's single-probe
+    // candidate set is its own bucket only, so the bucket-1 vectors are
+    // reachable only at nprobe=2, while brute force ranks all four others.
+    Seq(
+      (0L, Array(1.0f, 0.0f), 0),    // query + centroid 0
+      (1L, Array(0.8f, 0.6f), 0),    // query, bucket 0 (cos .8 vs .6)
+      (50L, Array(0.0f, 1.0f), 0),   // centroid 1
+      (51L, Array(0.6f, 0.8f), 0),   // bucket 1
+      (52L, Array(0.98f, 0.2f), 0))  // bucket 0
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = NorthStarQueries.annRecall(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    // truth top-5 per query = all 4 non-self vectors; single-probe sees the
+    // 2 same-bucket ones -> recall 2/5, double-probe sees all 4 -> 4/5
+    assert(r == Seq((0L, 2L, 4L, 0.4, 0.8), (1L, 2L, 4L, 0.4, 0.8)))
+  }
+
+  test("q104: one bucket means both probe depths are exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("audit-emb1").toString
+    // only vec 0 qualifies as a centroid -> nlist=1, every probe exact
+    Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.5f, 0.5f), 0),
+      (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(-1.0f, 0.2f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = NorthStarQueries.annRecall(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(r.size == 4)
+    // hits == |truth| == 3 non-self vectors for every query, at both depths
+    assert(r.forall(t => t._2 == 3L && t._3 == 3L && t._4 == 0.6 && t._5 == 0.6))
+  }
+
+  test("q105: shared chunk survives only at its first (doc,chunk) occurrence") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("audit-docs").toString
+    val shared = (1 to 20).map(i => f"sh$i%02d")
+    val uniqA = (1 to 20).map(i => f"ua$i%02d")
+    val uniqB = (1 to 20).map(i => f"ub$i%02d")
+    val rep = (1 to 20).map(i => f"rp$i%02d")
+    Seq(
+      // doc 0: [shared][uniqA]       -> both chunks first occurrences
+      (0L, (shared ++ uniqA).mkString(" "), "en", "s0"),
+      // doc 1: [uniqB][shared]       -> shared already seen in doc 0 chunk 0
+      (1L, (uniqB ++ shared).mkString(" "), "en", "s0"),
+      // doc 2: [rep][rep]            -> intra-doc dup, first of the two kept
+      (2L, (rep ++ rep).mkString(" "), "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = CurationQueries.chunkDedup(spark, dir)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      (0L, "s0", 2L, 2L, 1.0),
+      (1L, "s0", 2L, 1L, 0.5),
+      (2L, "s1", 2L, 1L, 0.5)))
+  }
+
+  test("q105: runt tails dedup by content; empty docs vanish") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("audit-docs2").toString
+    // 25-token docs: chunk 0 (20 toks) distinct, chunk 1 = identical 5-token
+    // runt in both docs -> the runt dedups across docs despite n_chunk < W
+    val tail = (1 to 5).map(i => f"tl$i%02d")
+    val a = (1 to 20).map(i => f"aa$i%02d") ++ tail
+    val b = (1 to 20).map(i => f"bb$i%02d") ++ tail
+    Seq(
+      (0L, a.mkString(" "), "en", "s0"),
+      (1L, b.mkString(" "), "en", "s0"),
+      (2L, "   ", "en", "s0")) // whitespace-only: zero tokens, no chunks
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = CurationQueries.chunkDedup(spark, dir)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      (0L, "s0", 2L, 2L, 1.0),
+      (1L, "s0", 2L, 1L, 0.5)))
+  }
+}
