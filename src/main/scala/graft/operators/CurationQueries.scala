@@ -292,7 +292,9 @@ object CurationQueries {
         // composite occurrence key: chunk_idx < 1e6 for any real document,
         // so (doc_id, chunk_idx) order == numeric order of this long
         (col("doc_id") * 1000000L + (col("_start") / ChunkW).cast("long")).as("_k"),
-        md5(concat_ws(" ",
+        // 60-bit portable digest (the q80/q97 kernel): the dedup agg and the
+        // membership join shuffle 8-byte keys, not 32-char md5 hex strings
+        graft.ops.PortableSketch.h60(concat_ws(" ",
           slice(col("_ts"), col("_start") + 1,
             least(lit(ChunkW), col("_n") - col("_start"))))).as("_h"))
       .persist()
@@ -326,7 +328,7 @@ object CurationQueries {
         |      FROM tk WHERE len(ts) >= 1),
         |ch AS (SELECT doc_id, source,
         |        doc_id * 1000000 + (start // 20) AS k,
-        |        md5(array_to_string(ts[start+1 : start+least(20, n - start)], ' ')) AS h
+        |        ('0x'||substr(md5(array_to_string(ts[start+1 : start+least(20, n - start)], ' ')),1,15))::BIGINT AS h
         |      FROM s),
         |f AS (SELECT h, min(k) AS fk FROM ch GROUP BY h)
         |SELECT ch.doc_id, ch.source, count(*) AS n_chunks,

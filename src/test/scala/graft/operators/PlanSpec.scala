@@ -209,6 +209,18 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q105: chunk dedup exchanges key on the 8-byte digest, never token arrays") {
+    val p = plan(CurationQueries.chunkDedup(spark, sf))
+    val parts = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(parts.exists(_.contains("_h#")), s"digest-keyed exchange expected\n$p")
+    assert(!parts.exists(l => l.contains("text#") || l.contains("_ts#")),
+      s"text or token-array data keyed a shuffle\n${parts.mkString("\n")}")
+    // keep-first is a MIN aggregation with a map-side partial, not a window
+    assert(p.contains("partial_min"), s"partial min expected\n$p")
+    assert(!p.contains("Window"), s"no window/sort expected\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("no accidental cartesian/nested-loop joins anywhere in the query surface") {
     // the only legitimate non-equi joins: q27's documented brute-force
     // broadcast-cross oracle path, q35's cross-join operator itself, and
@@ -218,10 +230,12 @@ class PlanSpec extends AnyFunSuite {
     // raw-weight sum onto the per-source frame) — a keyless 1-row join is
     // BNLJ by construction and O(|other side|); q92 inherits q86's two
     // one-row constant joins (token total + raw-weight sum)
+    // q104 embeds q27's brute-force broadcast-cross pass as its ground truth
     val allowNestedLoop = Set(
       "q27_embedding_topk", "q35_cross_join", "q67_bm25_topk", "q81_source_drift",
       "q84_bigram_lm", "q86_mix_weights", "q92_mixture_sample",
-      "q96_embedding_filter", "q98_dedup_recall", "q99_pipeline_funnel")
+      "q96_embedding_filter", "q98_dedup_recall", "q99_pipeline_funnel",
+      "q104_ann_recall")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
