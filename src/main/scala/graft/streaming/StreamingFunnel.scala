@@ -1,0 +1,41 @@
+package graft.streaming
+
+import graft.expr.ProbeGramIndex
+import org.apache.spark.sql.DataFrame
+
+/** The streaming INGEST FUNNEL — the always-on counterpart of the batch q99
+  * composition: PII scrub → classifier quality gate → benchmark
+  * decontamination screen → exact content dedup, as ONE append-mode query.
+  *
+  * Stage order is the batch funnel's: masking runs FIRST so the gate scores
+  * and the dedup digests see redacted text (a dup pair differing only in
+  * the raw PII span still collapses), and the stateless stages (scrub,
+  * gate, screen — pure projections/filters, no state store) run BEFORE the
+  * stateful dedup so its digest state only ever holds documents that
+  * survived every cheap filter. The only state in the whole query is the
+  * dedup's 16-byte digest pair per kept document within the watermark
+  * horizon — at ingest scale the funnel is a narrow map over each
+  * micro-batch plus one bounded state store.
+  *
+  * Each stage reuses its proven operator (StreamingScrub /
+  * StreamingDecontam / StreamingDedup), so batch↔stream parity of the
+  * composition follows from the parity of the parts — and is pinned
+  * end-to-end in StreamingFunnelSpec anyway, because composition is
+  * exactly where ordering bugs live.
+  */
+object StreamingFunnel {
+
+  def ingest(
+      docs: DataFrame,
+      probeIndex: ProbeGramIndex,
+      textCol: String = "text",
+      tsCol: String = "ts",
+      minShared: Int = 2,
+      n: Int = 3,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val masked = StreamingScrub.scrub(docs, textCol)
+    val gated = StreamingScrub.classifierGate(masked, textCol)
+    val clean = StreamingDecontam.screen(gated, probeIndex, minShared, textCol, n)
+    StreamingDedup.firstOccurrence(clean, textCol, tsCol, watermarkDelay)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end pin for the composed streaming ingest funnel: the streamed
+  * survivor set must equal the batch composition of the same stages, and
+  * the fixture must exercise EVERY stage — each one drops or transforms a
+  * specific document (attributed batch-side stage by stage), because a
+  * funnel test that filters nothing proves nothing. */
+class StreamingFunnelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  private val probeText = "the quick brown fox jumps over the lazy dog"
+  // gate scores probed against Scrub.tokenWeight: 0 → −16 (gate-dropped),
+  // 3 → +140 (PII doc the gate KEEPS, so masking is visible in survivors),
+  // 4 → +18 (passes the gate; 3 shared probe 3-grams, so the screen drops it)
+  private val fixture = Seq(
+    (0L, "mail a1234@ex.com at 10.0.0.1 order 98765"),
+    (1L, "clean text with no sensitive content"),
+    (2L, "ids 42 and 31337 only"),
+    (3L, "spark table join hash window row a1234@ex.com"),
+    (4L, "spark table the quick brown fox jumps window row"),
+    (5L, "clean text with no sensitive content")) // dup of 1 (post-mask)
+
+  test("streamed funnel survivors equal the batch composition, across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = StreamingDecontam.probeIndex(Seq(probeText).toDF("text"))
+
+    val t0 = java.sql.Timestamp.valueOf("2025-08-11 00:00:00")
+    def ts(i: Int) = new java.sql.Timestamp(t0.getTime + i * 1000L)
+    val rows = fixture.zipWithIndex.map { case ((id, tx), i) => (id, tx, ts(i)) }
+
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val query = StreamingFunnel.ingest(
+        input.toDS().toDF("doc_id", "text", "ts"), idx)
+      .select("doc_id", "text")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    val streamed = try {
+      input.addData(rows.take(3): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(3): _*) // the dup arrives a batch later
+      query.processAllAvailable()
+      spark.sql("SELECT * FROM funnel_out").as[(Long, String)].collect().toSet
+    } finally query.stop()
+
+    // batch replay of the same stages; keep-first computed per masked text
+    // in arrival order (the stream is in event-time order here)
+    val static = rows.toDF("doc_id", "text", "ts")
+    val gated = StreamingScrub.classifierGate(StreamingScrub.scrub(static))
+    val gatedIds = gated.select("doc_id").as[Long].collect().toSet
+    val clean = StreamingDecontam.screen(gated, idx)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val expected = clean.groupBy(_._2).map(_._2.minBy(_._1)).toSet
+    assert(streamed == expected, s"streamed=$streamed expected=$expected")
+
+    // every stage did work, attributed to the right stage:
+    val cleanIds = clean.map(_._1).toSet
+    assert(streamed.exists(t => t._1 == 3L && t._2.contains("<EMAIL>")),
+      "scrub's masking must be visible on a surviving doc")
+    assert(!gatedIds.contains(0L), "gate must drop the low-scoring PII doc")
+    assert(gatedIds.contains(4L) && !cleanIds.contains(4L),
+      "screen (not the gate) must drop the contaminated doc")
+    assert(cleanIds.contains(5L) && !streamed.exists(_._1 == 5L),
+      "dedup (not an earlier stage) must drop the cross-batch duplicate")
+    assert(streamed.map(_._1) == Set(1L, 2L, 3L))
+  }
+}
