@@ -104,6 +104,56 @@ object PipelineQueries {
       .orderBy("lang", "rank")
   }
 
+  /** q106 — BPE MERGE-PAIR candidates: the top adjacent character pairs by
+    * corpus frequency — the scoring pass of byte-pair-encoding vocabulary
+    * induction (each output row is a candidate first merge). Scale shape:
+    * the corpus collapses to its VOCABULARY first (token → count, map-side
+    * partial, |vocab|-bounded shuffle); the char-pair explode then runs
+    * over |vocab| rows weighted by token frequency, never over corpus
+    * tokens — at web scale the char-pair stage costs |vocab|·avg_len, a
+    * rounding error next to the corpus scan. Top-k is a TakeOrdered (no
+    * global sort materialization, no single-partition window). */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    tf.where(length(col("w")) >= 2)
+      .select(col("w"), col("c"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("_i"))
+      .select(col("w").substr(col("_i"), lit(2)).as("pair"), col("c"))
+      .groupBy("pair").agg(sum("c").as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(20)
+  }
+
+  /** q107 — vocabulary COVERAGE / OOV rate: fix the tokenizer vocabulary as
+    * the corpus's top-64 tokens by frequency (ties lexicographic), then
+    * report each source's out-of-vocabulary token fraction — the coverage
+    * check run before committing a vocab size, and a per-source mix-health
+    * signal (a source whose OOV spikes is off-distribution for the
+    * tokenizer). Scale shape: both the vocab and the per-source rollup
+    * aggregate (source, token) counts first — vocabulary-bounded frames —
+    * and the vocab (≤64 rows) joins broadcast; nothing corpus-sized
+    * shuffles twice. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    // persist: the (source, token) aggregate feeds the corpus vocab AND the
+    // per-source OOV rollup; the explode feeds it once.
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val bySource = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .persist()
+    val vocab = bySource.groupBy("w").agg(sum("c").as("cc"))
+      .orderBy(col("cc").desc, col("w").asc).limit(64)
+      .select(col("w"), lit(1).as("_in"))
+    bySource.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"),
+        sum(when(col("_in").isNull, col("c")).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
+      .orderBy("source")
+  }
+
   /** Per-language sampling fractions for q58 — 'es' at 1.0 exercises the
     * saturated-threshold path in a production query. */
   private val strataFractions = Seq(
@@ -436,7 +486,9 @@ object PipelineQueries {
     "q72_snapshot_diff" -> (snapshotDiffRollup _),
     "q73_quality_report" -> (qualityReport _),
     "q80_ngram_novelty" -> (ngramNovelty _),
-    "q81_source_drift" -> (sourceDrift _)
+    "q81_source_drift" -> (sourceDrift _),
+    "q106_bpe_pairs" -> (bpePairs _),
+    "q107_oov_rate" -> (oovRate _)
   )
 
   /** q58 oracle: thresholds derived from the SAME fractions as the Spark
@@ -453,6 +505,22 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q106_bpe_pairs" ->
+      """WITH toks AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w FROM documents),
+        |tf AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+        |p0 AS (SELECT w, c, unnest(generate_series(1, length(w)-1)) AS i FROM tf WHERE length(w) >= 2),
+        |agg AS (SELECT substr(w, i, 2) AS pair, sum(c)::BIGINT AS n FROM p0 GROUP BY 1)
+        |SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "q107_oov_rate" ->
+      """WITH toks AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w FROM documents),
+        |bs AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+        |vocab AS (SELECT w FROM (SELECT w, sum(c) AS cc FROM bs GROUP BY w)
+        |          ORDER BY cc DESC, w LIMIT 64)
+        |SELECT bs.source, sum(bs.c)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN v.w IS NULL THEN bs.c ELSE 0 END)::BIGINT AS n_oov,
+        |  round(sum(CASE WHEN v.w IS NULL THEN bs.c ELSE 0 END) / sum(bs.c), 6) AS oov_rate
+        |FROM bs LEFT JOIN vocab v ON bs.w = v.w
+        |GROUP BY bs.source ORDER BY source""".stripMargin,
     "q81_source_drift" ->
       """WITH toks AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token FROM documents),
         |bs AS (SELECT source, token, count(*) AS c FROM toks GROUP BY 1, 2),

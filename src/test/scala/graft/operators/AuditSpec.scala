@@ -76,6 +76,38 @@ class AuditSpec extends AnyFunSuite {
       (2L, "s1", 2L, 1L, 0.5)))
   }
 
+  test("q106: pair counts weight by token frequency; 1-char tokens excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("audit-bpe").toString
+    // tf: ab->2, abc->1, x->1(excluded) => pairs ab: 2+1=3, bc: 1
+    Seq((0L, "ab ab abc x", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = PipelineQueries.bpePairs(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(r == Seq(("ab", 3L), ("bc", 1L)))
+  }
+
+  test("q107: vocabulary is the top-64 by frequency; OOV counts the tail") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("audit-oov").toString
+    // corpus: "hot" x10 (s0) + 70 singleton tokens t00..t69 split 35/35.
+    // vocab = hot + t00..t62 (singleton ties break lexicographic), so s0's
+    // tokens are all covered and s1 has exactly t63..t69 out of vocabulary.
+    val s0 = (List.fill(10)("hot") ++ (0 to 34).map(i => f"t$i%02d")).mkString(" ")
+    val s1 = (35 to 69).map(i => f"t$i%02d").mkString(" ")
+    Seq((0L, s0, "en", "s0"), (1L, s1, "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = PipelineQueries.oovRate(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(r == Seq(("s0", 45L, 0L, 0.0), ("s1", 35L, 7L, 0.2)))
+  }
+
   test("q105: runt tails dedup by content; empty docs vanish") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("audit-docs2").toString
