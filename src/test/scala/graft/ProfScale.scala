@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale sweep for the round-10 text operators (test scope — run with
+  * `sbt "Test/runMain graft.ProfScale"`; not part of the shipped artifact).
+  *
+  * Writes the sf0.1 documents corpus and a 10×-blown-up variant (each
+  * replica PREPENDS a distinct token, so chunk boundaries shift and every
+  * replica's chunks are distinct — the worst case for chunk dedup: the
+  * digest relation grows the full 10×, nothing collapses early) to temp
+  * dirs, then times q105/q106/q107 on both. The claim under test is the
+  * scale note each operator ships with: cost linear in corpus tokens
+  * (q105), vocabulary-bounded after the first aggregation (q106/q107) —
+  * so the 10× corpus should cost ≲10× for q105 and well UNDER 10× for the
+  * vocab-bounded pair. Results recorded in BASELINE.md.
+  */
+object ProfScale {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val blowup = sys.env.getOrElse("SPARK_GRAFT_SCALE_BLOWUP", "10").toInt
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+    val big = base
+      .withColumn("_rep", explode(array((0 until blowup).map(lit): _*)))
+      .withColumn("doc_id", col("doc_id") * blowup + col("_rep"))
+      .withColumn("text", concat(lit("r"), col("_rep"), lit(" "), col("text")))
+      .drop("_rep")
+    val d1 = java.nio.file.Files.createTempDirectory("profscale-1x").toString
+    val dN = java.nio.file.Files.createTempDirectory(s"profscale-${blowup}x").toString
+    base.write.mode("overwrite").parquet(s"$d1/documents.parquet")
+    big.write.mode("overwrite").parquet(s"$dN/documents.parquet")
+    println(s"[scale] corpus 1x=${base.count()} ${blowup}x=${big.count()} docs")
+
+    val queries: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+      "q105_chunk_dedup" -> (d => operators.CurationQueries.chunkDedup(spark, d)),
+      "q106_bpe_pairs" -> (d => operators.PipelineQueries.bpePairs(spark, d)),
+      "q107_oov_rate" -> (d => operators.PipelineQueries.oovRate(spark, d)))
+
+    for (round <- 1 to 3; (name, q) <- queries; (label, d) <- Seq("1x" -> d1, s"${blowup}x" -> dN)) {
+      val t0 = System.nanoTime()
+      q(d).write.format("noop").mode("overwrite").save()
+      println(f"[scale] r$round $name $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.sharedState.cacheManager.clearCache()
+    }
+    spark.stop()
+  }
+}
