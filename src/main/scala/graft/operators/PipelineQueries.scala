@@ -154,6 +154,34 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** q108 — TOKENIZER MATERIALIZATION: map every token to its vocabulary id
+    * (q107's top-64 vocab, ranked by frequency then lexicographically;
+    * out-of-vocabulary → 0) and certify the per-document id SEQUENCE with a
+    * position-weighted checksum (Σ (pos+1)·id) — the last transform before
+    * ids ship to training shards, where an off-by-one in position or a
+    * drifted vocab rank silently corrupts every sequence. Scale shape: the
+    * vocab ranks inside a 64-row bounded frame (the window sorts 64 rows
+    * post-limit — a bounded model, not a corpus sort) and joins broadcast;
+    * the corpus-side cost is one posexplode + one aggregation. */
+  def tokenIds(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .withColumnRenamed("col", "w")
+    // persist: feeds the vocab aggregation and the id-assignment join.
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    toks.persist()
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cc"))
+      .orderBy(col("cc").desc, col("w").asc).limit(64)
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("cc").desc, col("w").asc)))
+      .select("w", "id")
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum((col("pos") + 1) * coalesce(col("id"), lit(0))).as("ids_checksum"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language sampling fractions for q58 — 'es' at 1.0 exercises the
     * saturated-threshold path in a production query. */
   private val strataFractions = Seq(
@@ -488,7 +516,8 @@ object PipelineQueries {
     "q80_ngram_novelty" -> (ngramNovelty _),
     "q81_source_drift" -> (sourceDrift _),
     "q106_bpe_pairs" -> (bpePairs _),
-    "q107_oov_rate" -> (oovRate _)
+    "q107_oov_rate" -> (oovRate _),
+    "q108_token_ids" -> (tokenIds _)
   )
 
   /** q58 oracle: thresholds derived from the SAME fractions as the Spark
@@ -521,6 +550,20 @@ object PipelineQueries {
         |  round(sum(CASE WHEN v.w IS NULL THEN bs.c ELSE 0 END) / sum(bs.c), 6) AS oov_rate
         |FROM bs LEFT JOIN vocab v ON bs.w = v.w
         |GROUP BY bs.source ORDER BY source""".stripMargin,
+    "q108_token_ids" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(ts) AS w,
+        |           unnest(generate_series(1, len(ts))) AS pos FROM tk),
+        |tf AS (SELECT w, count(*) AS cc FROM toks GROUP BY w),
+        |vocab AS (SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY cc DESC, w) AS INTEGER) AS id
+        |          FROM (SELECT w, cc FROM tf ORDER BY cc DESC, w LIMIT 64)),
+        |j AS (SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
+        |      FROM toks t LEFT JOIN vocab v ON t.w = v.w)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  sum(pos * id)::BIGINT AS ids_checksum
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q81_source_drift" ->
       """WITH toks AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token FROM documents),
         |bs AS (SELECT source, token, count(*) AS c FROM toks GROUP BY 1, 2),

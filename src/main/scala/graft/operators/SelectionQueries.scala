@@ -419,17 +419,21 @@ object SelectionQueries {
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val s0 = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
       .select(col("doc_id"), col("source"), col("text"))
-    // S1 scrub: all downstream stages see masked text only
-    val s1 = s0.withColumn("_m", Scrub.scrub(col("text")).getField("masked"))
-    // S2 quality gate: integer hashed-BoW score on the masked text (array
-    // fold — row-local, shared with the streaming mirror)
-    val s2 = s1
-      .withColumn("_score", graft.streaming.StreamingScrub.score(col("_m")))
-      .where(col("_score") >= 0)
+    // S1 scrub: all downstream stages see masked text only. BOTH token
+    // counts (raw + masked) and the gate score ride in this one persisted
+    // projection, so the regex scrub and tokenization run exactly once —
+    // the stage-0/1 reports used to re-run them on unpersisted frames.
+    // Ownership: Verify/Bench clear caches per query.
+    val s1 = s0
+      .withColumn("_nt0", size(TextOps.tokens(col("text"))))
+      .withColumn("_m", Scrub.scrub(col("text")).getField("masked"))
       .withColumn("_nt", size(TextOps.tokens(col("_m"))))
-      // persist: winners join + near-dup input + rate aggregation all read
-      // this frame. Ownership: Verify/Bench clear caches per query.
+      .withColumn("_score", graft.streaming.StreamingScrub.score(col("_m")))
       .persist()
+    // S2 quality gate: integer hashed-BoW score on the masked text (array
+    // fold — row-local, shared with the streaming mirror); a cheap cached
+    // filter, re-read by winners + near-dup input + rate aggregation
+    val s2 = s1.where(col("_score") >= 0)
     // S3 exact dedup, keep-first: group on a 128-bit digest pair so text
     // never travels as a shuffle key
     val winners = s2.select(xxhash64(col("_m")).as("_d1"),
@@ -458,8 +462,8 @@ object SelectionQueries {
       df.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(tokens), lit(0L)).as("n_tokens"))
         .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
-    stage("0_ingest", s0, size(TextOps.tokens(col("text"))))
-      .unionByName(stage("1_scrub", s1, size(TextOps.tokens(col("_m")))))
+    stage("0_ingest", s1, col("_nt0"))
+      .unionByName(stage("1_scrub", s1, col("_nt")))
       .unionByName(stage("2_quality", s2, col("_nt")))
       .unionByName(stage("3_exact_dedup", s3, col("_nt")))
       .unionByName(stage("4_near_dedup", s4, col("_nt")))

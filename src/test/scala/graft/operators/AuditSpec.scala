@@ -108,6 +108,27 @@ class AuditSpec extends AnyFunSuite {
     assert(r == Seq(("s0", 45L, 0L, 0.0), ("s1", 35L, 7L, 0.2)))
   }
 
+  test("q108: vocab ids rank by frequency then lexicographically; OOV -> 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("audit-ids").toString
+    // tf: a:2 (id 1), b:1 (id 2), u00..u64 singletons -> u00..u61 get ids
+    // 3..64; u62..u64 fall past the 64-token vocab -> id 0
+    val tail = (0 to 64).map(i => f"u$i%02d")
+    Seq(
+      (0L, "b a a", "en", "s0"),
+      (1L, tail.mkString(" "), "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = PipelineQueries.tokenIds(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 0: positions (1,2,3) x ids (2,1,1) -> 1*2 + 2*1 + 3*1 = 7
+    // doc 1: u_i at pos i+1 with id i+3 for i <= 61, 0 past the vocab
+    val ck1 = (0 to 61).map(i => (i + 1L) * (i + 3L)).sum
+    assert(r == Seq((0L, 3L, 7L), (1L, 65L, ck1)))
+  }
+
   test("q105: runt tails dedup by content; empty docs vanish") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("audit-docs2").toString
