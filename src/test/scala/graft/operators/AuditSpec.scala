@@ -108,6 +108,33 @@ class AuditSpec extends AnyFunSuite {
     assert(r == Seq(("s0", 45L, 0L, 0.0), ("s1", 35L, 7L, 0.2)))
   }
 
+  test("null/empty/whitespace docs flow through q105-q108 without errors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("audit-edge").toString
+    Seq(
+      (0L, null.asInstanceOf[String], "en", "s0"),
+      (1L, "", "en", "s0"),
+      (2L, "   ", "en", "s0"),
+      (3L, "ab ab cd", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // tokenless docs vanish from all four (explode/filter semantics match
+    // the oracles: NULL/empty token arrays produce no rows)
+    assert(CurationQueries.chunkDedup(spark, dir)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq ==
+      Seq((3L, "s1", 1L, 1L, 1.0)))
+    assert(PipelineQueries.bpePairs(spark, dir)
+      .as[(String, Long)].collect().toSeq == Seq(("ab", 2L), ("cd", 1L)))
+    assert(PipelineQueries.oovRate(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq ==
+      Seq(("s1", 3L, 0L, 0.0)))
+    // vocab: ab (2) id 1, cd (1) id 2 -> checksum 1*1 + 2*1 + 3*2 = 9
+    assert(PipelineQueries.tokenIds(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq == Seq((3L, 3L, 9L)))
+  }
+
   test("q108: vocab ids rank by frequency then lexicographically; OOV -> 0") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("audit-ids").toString

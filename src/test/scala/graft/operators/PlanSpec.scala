@@ -221,6 +221,24 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q106: top-k is a TakeOrdered, and the pair agg follows a vocab-bounded agg") {
+    val p = plan(PipelineQueries.bpePairs(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"TakeOrdered expected, not a global sort\n$p")
+    // two aggregations: token->count (corpus) then pair->sum (vocab-bounded),
+    // both with map-side partials
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"partial aggregation expected at both levels\n$p")
+  }
+
+  test("q107/q108: the <=64-row vocab joins broadcast, never shuffling the corpus side") {
+    for (df <- Seq(PipelineQueries.oovRate(spark, sf), PipelineQueries.tokenIds(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast\n$p")
+      assert(!p.contains("SortMergeJoin"), s"no sort-merge join expected\n$p")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("no accidental cartesian/nested-loop joins anywhere in the query surface") {
     // the only legitimate non-equi joins: q27's documented brute-force
     // broadcast-cross oracle path, q35's cross-join operator itself, and
