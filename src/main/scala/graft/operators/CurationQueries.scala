@@ -275,10 +275,15 @@ object CurationQueries {
     * Output: per-document retention — how much of each doc remains after
     * corpus-wide chunk dedup. Scale shape: per-row split/digest (no sort,
     * no window), one digest-keyed aggregation whose partial ships
-    * |distinct chunks| rows, one membership join back on the digest; the
-    * chunk relation is persisted because both sides read it. Boilerplate
-    * and templated spans collapse corpus-wide without any pairwise
-    * comparison — cost is linear in corpus tokens at any scale. */
+    * |distinct chunks| rows — and NO membership join back on the digest:
+    * the winning occurrence's doc_id decodes from the composite key, so
+    * per-doc kept counts come from re-aggregating the |distinct|-sized
+    * digest relation. A corpus-wide hot chunk (boilerplate in 90% of docs)
+    * therefore collapses map-side in the digest agg instead of routing 90%
+    * of the corpus through one join reducer; the only join left is
+    * doc-level, both sides |docs|-sized and uniform. The chunk relation is
+    * persisted because both aggregations read it. Cost is linear in corpus
+    * tokens at any scale. */
   def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val tk = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
       .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("_ts"))
@@ -298,11 +303,14 @@ object CurationQueries {
           slice(col("_ts"), col("_start") + 1,
             least(lit(ChunkW), col("_n") - col("_start"))))).as("_h"))
       .persist()
-    val first = chunks.groupBy("_h").agg(min("_k").as("_first"))
-    chunks.join(first, "_h")
-      .groupBy("doc_id", "source")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("_k") === col("_first"), 1L).otherwise(0L)).as("n_kept"))
+    val perDoc = chunks.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_chunks"))
+    val kept = chunks.groupBy("_h").agg(min("_k").as("_first"))
+      .select(expr("_first DIV 1000000").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+    perDoc.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .withColumn("kept_frac", round(col("n_kept") / col("n_chunks"), 6))
       .orderBy("doc_id")
   }

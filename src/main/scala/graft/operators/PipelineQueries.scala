@@ -364,11 +364,18 @@ object PipelineQueries {
         explode(graft.expr.GraftFunctions.wordNGrams(col("text"), 3)).as("_g"))
       .select(col("doc_id"), graft.ops.PortableSketch.h60(col("_g")).as("_h"))
       .persist()
-    val first = pairs.groupBy("_h").agg(min("doc_id").as("_first"))
-    pairs.join(first, "_h")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("_first") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    // no membership join back on the gram hash: a doc's novel count is the
+    // number of DISTINCT grams it first-owns, which re-aggregates straight
+    // off the |distinct grams| first-occurrence relation — a corpus-hot
+    // gram collapses map-side in the agg instead of skewing a join; the
+    // remaining join is per-doc, uniform, |docs|-sized on both sides
+    val perDoc = pairs.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val novel = pairs.groupBy("_h").agg(min("doc_id").as("_first"))
+      .groupBy("_first").agg(count(lit(1)).as("n_novel"))
+      .withColumnRenamed("_first", "doc_id")
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty", round(col("n_novel") / col("n_grams"), 6))
       .orderBy("doc_id")
   }
