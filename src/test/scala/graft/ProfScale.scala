@@ -32,11 +32,32 @@ object ProfScale {
       .withColumn("doc_id", col("doc_id") * blowup + col("_rep"))
       .withColumn("text", concat(lit("r"), col("_rep"), lit(" "), col("text")))
       .drop("_rep")
+    // hot variant, same size as `big`: 90% of docs PREPEND one fixed
+    // 20-token chunk (the corpus-wide boilerplate worst case — one digest
+    // holds 90% of chunk occurrences), the rest the distinct tag. q105 must
+    // run hot ≈ distinct: the hot digest collapses in map-side partials and
+    // no corpus-sized relation joins on the digest (BASELINE.md (p) addendum).
+    val hotChunk = (1 to 20).map(i => f"h$i%02d").mkString(" ")
+    val hot = base
+      .withColumn("_rep", explode(array((0 until blowup).map(lit): _*)))
+      .withColumn("doc_id", col("doc_id") * blowup + col("_rep"))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) < 9, concat(lit(hotChunk), lit(" "), col("text")))
+          .otherwise(concat(lit("r"), col("_rep"), lit(" "), col("text"))))
+      .drop("_rep")
     val d1 = java.nio.file.Files.createTempDirectory("profscale-1x").toString
     val dN = java.nio.file.Files.createTempDirectory(s"profscale-${blowup}x").toString
+    val dH = java.nio.file.Files.createTempDirectory(s"profscale-hot${blowup}x").toString
     base.write.mode("overwrite").parquet(s"$d1/documents.parquet")
     big.write.mode("overwrite").parquet(s"$dN/documents.parquet")
-    println(s"[scale] corpus 1x=${base.count()} ${blowup}x=${big.count()} docs")
+    hot.write.mode("overwrite").parquet(s"$dH/documents.parquet")
+    println(s"[scale] corpus 1x=${base.count()} ${blowup}x=${big.count()} hot=${hot.count()} docs")
+    for (round <- 1 to 3; (label, d) <- Seq(s"${blowup}x-distinct" -> dN, s"${blowup}x-hot" -> dH)) {
+      val t0 = System.nanoTime()
+      operators.CurationQueries.chunkDedup(spark, d).write.format("noop").mode("overwrite").save()
+      println(f"[scale] r$round q105 $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.sharedState.cacheManager.clearCache()
+    }
 
     val queries: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
       "q105_chunk_dedup" -> (d => operators.CurationQueries.chunkDedup(spark, d)),
