@@ -226,6 +226,33 @@ object NorthStarQueries {
       .orderBy("queryId")
   }
 
+  /** q109 — PQ RECALL AUDIT: q104's honesty check extended to the third ANN
+    * configuration, the IVF-PQ ADC path (q89 — the 100 TB shape: 8-byte
+    * codes in place of 512-byte vectors). Per-query recall@5 of the
+    * ADC-ranked, top-12-reranked result against the exact brute-force
+    * top-5 — quantization error is the one loss source q104 cannot see
+    * (same buckets, compressed distances), so the family's recall story is
+    * complete only with this leg. Cost: the q89 pipeline + one
+    * sample-bounded exact pass. */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val emb = table(spark, dir, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val pq = embeddingPqTopK(spark, dir).select("queryId", "neighborId")
+    // referenced by the hit join + the base rows.
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val truth = Similarity.bruteForceTopK(
+      emb, "embedding", "vec_id", emb.where(col("vec_id") < 10), "embedding", "vec_id",
+      k = 5).select("queryId", "neighborId").persist()
+    val hits = truth.join(pq, Seq("queryId", "neighborId"))
+      .groupBy("queryId").agg(count(lit(1)).as("hits_pq"))
+    truth.select("queryId").distinct()
+      .join(hits, Seq("queryId"), "left")
+      .select(col("queryId"), coalesce(col("hits_pq"), lit(0L)).as("hits_pq"))
+      .withColumn("recall_pq", round(col("hits_pq") / 5.0, 6))
+      .orderBy("queryId")
+  }
+
   /** q75 — IVF with a broadcast centroid MODEL (nlist=40): the scale form
     * q47's scaladoc promises for centroid counts past the ~16-literal
     * codegen cap. Same pipeline shape as q47 — assign, probe own bucket,
@@ -656,6 +683,7 @@ object NorthStarQueries {
     "q75_embedding_ivf_model" -> (embeddingIvfModelTopK _),
     "q77_embedding_ivf_probe2" -> (embeddingIvfProbe2TopK _),
     "q104_ann_recall" -> (annRecall _),
+    "q109_pq_recall" -> (pqRecall _),
     "q78_containment_decontam" -> (containmentDecontam _),
     "q79_embedding_ivf_model_probe2" -> (embeddingIvfModelProbe2TopK _),
     "q89_embedding_pq_topk" -> (embeddingPqTopK _),
@@ -787,6 +815,21 @@ object NorthStarQueries {
       "round(COALESCE(h1.c, 0) / 5.0, 6) AS recall_p1, round(COALESCE(h2.c, 0) / 5.0, 6) AS recall_p2 " +
       "FROM (SELECT DISTINCT qid FROM bf) b LEFT JOIN h1 ON h1.qid = b.qid LEFT JOIN h2 ON h2.qid = b.qid " +
       "ORDER BY 1"
+
+  /** q109 oracle: the q89 PQ replication rides as a NESTED-WITH CTE (its
+    * inner e/cent/... shadow the outer names), joined against an
+    * independently-computed brute-force top-5; recall = hits/5 rounds clean
+    * at 6 dp on both engines. */
+  private def pqRecallOracleSql: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "pq AS (" + pqOracleSql + "), " +
+      "bf AS (SELECT qid, nid FROM (SELECT q.qid, c.vec_id AS nid, " +
+      "ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY " + cosineSql("q.qv", "c.v") + " DESC, c.vec_id) AS rk " +
+      "FROM (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10) q CROSS JOIN e c WHERE c.vec_id <> q.qid) WHERE rk <= 5), " +
+      "h AS (SELECT bf.qid, count(*) AS c FROM bf JOIN pq ON pq.\"queryId\" = bf.qid AND pq.\"neighborId\" = bf.nid GROUP BY 1) " +
+      "SELECT b.qid AS \"queryId\", COALESCE(h.c, 0)::BIGINT AS hits_pq, " +
+      "round(COALESCE(h.c, 0) / 5.0, 6) AS recall_pq " +
+      "FROM (SELECT DISTINCT qid FROM bf) b LEFT JOIN h ON h.qid = b.qid ORDER BY 1"
 
   /** q89 oracle: the full IVF-PQ replication — codebooks re-derived from
     * the same data sample (subspace slices of every 50th vector), encode
@@ -949,6 +992,7 @@ object NorthStarQueries {
     "q75_embedding_ivf_model" -> ivfOracleSql(centroidEvery = 20),
     "q77_embedding_ivf_probe2" -> ivfOracleSql(centroidEvery = 50, nprobe = 2),
     "q104_ann_recall" -> annRecallOracleSql,
+    "q109_pq_recall" -> pqRecallOracleSql,
     "q79_embedding_ivf_model_probe2" -> ivfOracleSql(centroidEvery = 20, nprobe = 2),
     "q29_lang_quality" ->
       ("WITH base AS (SELECT text, " +

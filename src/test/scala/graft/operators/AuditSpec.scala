@@ -108,6 +108,24 @@ class AuditSpec extends AnyFunSuite {
     assert(r == Seq(("s0", 45L, 0L, 0.0), ("s1", 35L, 7L, 0.2)))
   }
 
+  test("q109: lossless codebook makes PQ exact, so recall is the bucket's share") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("audit-pq").toString
+    // every corpus vector EQUALS one of the codebook sample vectors (ids 0
+    // and 50), so PQ encoding is lossless and ADC == exact cosine — the
+    // only recall loss left is the single-probe bucket restriction:
+    // q0/q1 (dir e1, bucket 0) see {1,51}\self -> hits 2; q2 (dir e2,
+    // bucket 1) sees {50} -> hits 1; truth is all 4 others at k=5
+    val e1 = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val e2 = Array.tabulate(64)(i => if (i == 1) 1.0f else 0.0f)
+    Seq((0L, e1, 0), (1L, e1, 0), (2L, e2, 0), (50L, e2, 0), (51L, e1, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = NorthStarQueries.pqRecall(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(r == Seq((0L, 2L, 0.4), (1L, 2L, 0.4), (2L, 1L, 0.2)))
+  }
+
   test("null/empty/whitespace docs flow through q105-q108 without errors") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("audit-edge").toString

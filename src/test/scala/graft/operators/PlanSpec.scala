@@ -248,12 +248,12 @@ class PlanSpec extends AnyFunSuite {
     // raw-weight sum onto the per-source frame) — a keyless 1-row join is
     // BNLJ by construction and O(|other side|); q92 inherits q86's two
     // one-row constant joins (token total + raw-weight sum)
-    // q104 embeds q27's brute-force broadcast-cross pass as its ground truth
+    // q104/q109 embed q27's brute-force broadcast-cross pass as ground truth
     val allowNestedLoop = Set(
       "q27_embedding_topk", "q35_cross_join", "q67_bm25_topk", "q81_source_drift",
       "q84_bigram_lm", "q86_mix_weights", "q92_mixture_sample",
       "q96_embedding_filter", "q98_dedup_recall", "q99_pipeline_funnel",
-      "q104_ann_recall")
+      "q104_ann_recall", "q109_pq_recall")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
