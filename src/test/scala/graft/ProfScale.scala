@@ -52,10 +52,17 @@ object ProfScale {
     big.write.mode("overwrite").parquet(s"$dN/documents.parquet")
     hot.write.mode("overwrite").parquet(s"$dH/documents.parquet")
     println(s"[scale] corpus 1x=${base.count()} ${blowup}x=${big.count()} hot=${hot.count()} docs")
-    for (round <- 1 to 3; (label, d) <- Seq(s"${blowup}x-distinct" -> dN, s"${blowup}x-hot" -> dH)) {
+    // the hot corpus doubles as the q97 boilerplate stress: the shared
+    // 20-token chunk plants ~18 word-3-grams each present in 90% of docs —
+    // the flagged-gram join's worst case (every occurrence of a flagged
+    // gram meets the boiler relation on that gram's key)
+    for (round <- 1 to 3; (name, q) <- Seq[(String, String => org.apache.spark.sql.DataFrame)](
+        "q105" -> (d => operators.CurationQueries.chunkDedup(spark, d)),
+        "q97" -> (d => operators.SelectionQueries.boilerplate(spark, d)));
+        (label, d) <- Seq(s"${blowup}x-distinct" -> dN, s"${blowup}x-hot" -> dH)) {
       val t0 = System.nanoTime()
-      operators.CurationQueries.chunkDedup(spark, d).write.format("noop").mode("overwrite").save()
-      println(f"[scale] r$round q105 $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      q(d).write.format("noop").mode("overwrite").save()
+      println(f"[scale] r$round $name $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       spark.sharedState.cacheManager.clearCache()
     }
 
