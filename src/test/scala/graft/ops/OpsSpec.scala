@@ -717,6 +717,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeAudio(mono.take(16)).isEmpty)
   }
 
+  private def makeAudio(rate: Float, channels: Int, samples: Array[Short],
+      fileType: javax.sound.sampled.AudioFileFormat.Type,
+      bigEndian: Boolean): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16,
+      channels, channels * 2, rate, bigEndian)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val (lo, hi) = if (bigEndian) (2 * i + 1, 2 * i) else (2 * i, 2 * i + 1)
+      bytes(lo) = (samples(i) & 0xFF).toByte
+      bytes(hi) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(bytes),
+      fmt, samples.length / channels)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, fileType, out)
+    out.toByteArray
+  }
+
+  test("AIFF and AU containers decode with the same exact stats as WAV") {
+    import javax.sound.sampled.AudioFileFormat
+    // identical square wave in all three containers must yield identical
+    // decoded stats — container parsing, not arithmetic, is what varies
+    val samples = Array.tabulate[Short](800)(i => if (i % 2 == 0) 1000 else -1000)
+    for (t <- Seq(AudioFileFormat.Type.AIFF, AudioFileFormat.Type.AU)) {
+      val payload = makeAudio(8000f, 1, samples, t, bigEndian = true)
+      val st = Multimodal.decodeAudio(payload).get
+      assert(st.sampleRate == 8000 && st.channels == 1 && st.bitDepth == 16,
+        s"$t header mismatch: $st")
+      assert(st.durationMs == 100L && st.meanSq == 1e6 && st.peak == 1000 && st.decoded,
+        s"$t stats mismatch: $st")
+    }
+    // stereo AIFF at 16 kHz, same per-sample stats
+    val st2 = Multimodal.decodeAudio(makeAudio(16000f, 2,
+      Array.tabulate[Short](800)(i => if (i % 2 == 0) 2000 else -2000),
+      AudioFileFormat.Type.AIFF, bigEndian = true)).get
+    assert(st2.sampleRate == 16000 && st2.channels == 2 && st2.durationMs == 25L)
+    assert(st2.meanSq == 4e6 && st2.peak == 2000)
+  }
+
   test("fakeAudioStats is the exact byte arithmetic the q101 oracle replays") {
     val p = "abc".getBytes("UTF-8") // 97, 98, 99
     val st = Multimodal.fakeAudioStats(p, durationMs = 120L)
