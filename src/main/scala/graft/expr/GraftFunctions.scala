@@ -56,7 +56,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => WordBigrams(args.head)),
     (FunctionIdentifier("graft_word_ngrams"),
       new ExpressionInfo(classOf[WordNGrams].getName, "graft_word_ngrams"),
-      (args: Seq[Expression]) => WordNGrams(args.head, intArg(args, 1, "graft_word_ngrams")))
+      (args: Seq[Expression]) => WordNGrams(args.head, intArg(args, 1, "graft_word_ngrams"))),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (args: Seq[Expression]) => NfcNormalize(args.head))
   )
 
   /** Idempotently register the fused functions on a live session (no-op when
@@ -111,6 +114,9 @@ object GraftFunctions {
   /** Fused winnowing fingerprint set over lowercased byte n-grams. */
   def winnow(text: Column, n: Int, w: Int): Column =
     call_function("graft_winnow", lower(text), lit(n), lit(w))
+
+  /** Unicode NFC normalization (codegen'd; DuckDB `nfc_normalize` parity). */
+  def nfc(text: Column): Column = call_function("graft_nfc", text)
 
   /** Fused adjacent word-pair array ("w1 w2" strings; empty under two
     * tokens — NOT lowercased, raw-text tokenization like wordMinhash). */

@@ -315,6 +315,30 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** q110 — TEXT REPAIR profile (the ftfy/normalization pass every crawl
+    * corpus runs before anything hashes or tokenizes it): Unicode NFC
+    * normalization (combining sequences → composed forms, via the codegen'd
+    * [[graft.expr.NfcNormalize]] kernel — a dedup digest must not see
+    * e+◌́ and é as different documents), control-character strip, whitespace
+    * collapse, trim; reported per source as docs changed + net character
+    * delta. Pure projection + one aggregation — at 100 TB this is a
+    * scan-side pass whose cost is the scan. Cross-engine: DuckDB's
+    * `nfc_normalize` is the same Unicode NFC; regex classes stay in the
+    * java.regex ∩ RE2 common subset. */
+  def normalizeRepair(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val cleaned = trim(regexp_replace(regexp_replace(
+      graft.expr.GraftFunctions.nfc(col("text")),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""), "\\s+", " "))
+    graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .withColumn("_clean", cleaned)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("_clean") =!= col("text")).cast("long")).as("n_changed"),
+        sum(length(col("text")) - length(col("_clean"))).as("char_delta"))
+      .orderBy("source")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q82_gopher_rules" -> (gopherRules _),
     "q83_doc_chunks" -> (docChunks _),
@@ -323,10 +347,20 @@ object CurationQueries {
     "q86_mix_weights" -> (mixWeights _),
     "q87_embedding_drift" -> (embeddingDrift _),
     "q88_sequence_packing" -> (sequencePacking _),
-    "q105_chunk_dedup" -> (chunkDedup _)
+    "q105_chunk_dedup" -> (chunkDedup _),
+    "q110_normalize_repair" -> (normalizeRepair _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q110_normalize_repair" ->
+      """WITH c AS (SELECT source, text,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS clean
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(CASE WHEN clean <> text THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+        |  sum(length(text) - length(clean))::BIGINT AS char_delta
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "q105_chunk_dedup" ->
       """WITH tk AS (SELECT doc_id, source,
         |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts

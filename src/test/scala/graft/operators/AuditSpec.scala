@@ -126,6 +126,31 @@ class AuditSpec extends AnyFunSuite {
     assert(r == Seq((0L, 2L, 0.4), (1L, 2L, 0.4), (2L, 1L, 0.2)))
   }
 
+  test("q110: NFC composes, controls strip, whitespace collapses — counted by hand") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("audit-nfc").toString
+    // "cafe" + combining acute + double space + x + NUL + y + trailing space
+    // = 11 chars -> NFC composes é (10) -> NUL stripped (9) -> "  "->" "
+    // (8) -> trim (7): delta 4, changed
+    val dirty = "cafe\u0301  x\u0000y "
+    Seq(
+      (0L, dirty, "en", "s0"),
+      (1L, "plain text", "en", "s0"),
+      (2L, null.asInstanceOf[String], "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = CurationQueries.normalizeRepair(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(("s0", 3L, 1L, 4L)))
+    // kernel: ASCII fast path returns the SAME instance; combining composes
+    val ascii = org.apache.spark.unsafe.types.UTF8String.fromString("plain")
+    assert(graft.expr.TextNormalize.nfc(ascii) eq ascii)
+    assert(graft.expr.TextNormalize.nfc(
+      org.apache.spark.unsafe.types.UTF8String.fromString("e\u0301")).toString == "\u00e9")
+  }
+
   test("null/empty/whitespace docs flow through q105-q108 without errors") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("audit-edge").toString
