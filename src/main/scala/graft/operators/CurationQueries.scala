@@ -327,9 +327,9 @@ object CurationQueries {
     * java.regex ∩ RE2 common subset. */
   def normalizeRepair(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(spark)
-    val cleaned = trim(regexp_replace(regexp_replace(
-      graft.expr.GraftFunctions.nfc(col("text")),
-      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""), "\\s+", " "))
+    // the repair expression lives in StreamingRepair.clean — ONE definition
+    // serves the batch profile and the streaming ingest mirror
+    val cleaned = graft.streaming.StreamingRepair.clean(col("text"))
     graft.ops.Partitioning.spread(table(spark, dir, "documents"))
       .withColumn("_clean", cleaned)
       .groupBy("source")

@@ -4,10 +4,12 @@ import graft.expr.ProbeGramIndex
 import org.apache.spark.sql.DataFrame
 
 /** The streaming INGEST FUNNEL — the always-on counterpart of the batch q99
-  * composition: PII scrub → classifier quality gate → benchmark
-  * decontamination screen → exact content dedup, as ONE append-mode query.
+  * composition: text repair (q110's NFC/control/whitespace pass) → PII
+  * scrub → classifier quality gate → benchmark decontamination screen →
+  * exact content dedup, as ONE append-mode query.
   *
-  * Stage order is the batch funnel's: masking runs FIRST so the gate scores
+  * Stage order is the batch funnel's: repair runs before anything digests
+  * or scores the text, then masking runs so the gate scores
   * and the dedup digests see redacted text (a dup pair differing only in
   * the raw PII span still collapses), and the stateless stages (scrub,
   * gate, screen — pure projections/filters, no state store) run BEFORE the
@@ -33,7 +35,10 @@ object StreamingFunnel {
       minShared: Int = 2,
       n: Int = 3,
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    val masked = StreamingScrub.scrub(docs, textCol)
+    // repair FIRST: decomposed-vs-composed forms of the same text must not
+    // carry different digests into the dedup state (q110's rationale)
+    val repaired = StreamingRepair.repair(docs, textCol)
+    val masked = StreamingScrub.scrub(repaired, textCol)
     val gated = StreamingScrub.classifierGate(masked, textCol)
     val clean = StreamingDecontam.screen(gated, probeIndex, minShared, textCol, n)
     StreamingDedup.firstOccurrence(clean, textCol, tsCol, watermarkDelay)

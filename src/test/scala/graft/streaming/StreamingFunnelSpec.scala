@@ -23,7 +23,10 @@ class StreamingFunnelSpec extends AnyFunSuite {
     (2L, "ids 42 and 31337 only"),
     (3L, "spark table join hash window row a1234@ex.com"),
     (4L, "spark table the quick brown fox jumps window row"),
-    (5L, "clean text with no sensitive content")) // dup of 1 (post-mask)
+    (5L, "clean text with no sensitive content"), // dup of 1 (post-mask)
+    // dup of 1 only AFTER repair: NUL inside a token + doubled space —
+    // without the repair stage its digest would differ and it would survive
+    (6L, "clean text with no sensitive c" + 0.toChar + "ontent  "))
 
   test("streamed funnel survivors equal the batch composition, across micro-batches") {
     import spark.implicits._
@@ -51,7 +54,8 @@ class StreamingFunnelSpec extends AnyFunSuite {
     // batch replay of the same stages; keep-first computed per masked text
     // in arrival order (the stream is in event-time order here)
     val static = rows.toDF("doc_id", "text", "ts")
-    val gated = StreamingScrub.classifierGate(StreamingScrub.scrub(static))
+    val gated = StreamingScrub.classifierGate(
+      StreamingScrub.scrub(StreamingRepair.repair(static)))
     val gatedIds = gated.select("doc_id").as[Long].collect().toSet
     val clean = StreamingDecontam.screen(gated, idx)
       .select("doc_id", "text").as[(Long, String)].collect().toSeq.sortBy(_._1)
@@ -67,6 +71,8 @@ class StreamingFunnelSpec extends AnyFunSuite {
       "screen (not the gate) must drop the contaminated doc")
     assert(cleanIds.contains(5L) && !streamed.exists(_._1 == 5L),
       "dedup (not an earlier stage) must drop the cross-batch duplicate")
+    assert(cleanIds.contains(6L) && !streamed.exists(_._1 == 6L),
+      "the NUL-dirtied dup must dedup — only possible if repair ran first")
     assert(streamed.map(_._1) == Set(1L, 2L, 3L))
   }
 }
