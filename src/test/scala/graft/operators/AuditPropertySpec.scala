@@ -42,7 +42,12 @@ class AuditPropertySpec extends Properties("audit") {
   private def toks(t: String): Seq[String] =
     t.split("\\s+").filter(_.nonEmpty).toSeq
 
-  private def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+  // Spark's round() (and DuckDB's) is HALF_UP on the shortest decimal
+  // representation — math.rint would be HALF_EVEN and diverges on exact
+  // dyadic halves like 9/128 = 0.0703125 (caught by this very suite)
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   property("chunkDedup matches the keep-first tile reference") =
     Prop.forAll(genCorpus) { rows =>
