@@ -188,6 +188,74 @@ object SelectionQueries {
       |  CAST(sum(('0x' || substr(md5(s3), 1, 15))::BIGINT % $ChecksumMod) AS BIGINT) AS mask_checksum
       |FROM m3 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q111: rare-token suppression ----------------------------------------
+
+  /** q111 — RARE-TOKEN suppression (the k-anonymity pass memorization
+    * mitigation runs after regex PII scrubbing): any token whose CORPUS
+    * frequency is below K masks to `<RARE>` — regexes catch shaped PII
+    * (q93), this catches the unshaped long tail (account ids, one-off
+    * handles) that a model can only reproduce by memorizing. Runs over the
+    * same two high-cardinality string surfaces as q93. Scale shape: the
+    * frequency table aggregates first (vocab-bounded, map-side partials);
+    * the membership join's MATCHING keys are skew-immune by definition
+    * (every rare token has < K occurrences), and the frequent-token probe
+    * side carries no matches, so an AQE skew split can always divide it —
+    * same posture as the q97 flagged-gram join, measured in BASELINE (q).
+    * The rebuild re-assembles each row's token sequence by position
+    * (array_sort on (pos, token) structs — no window), and the checksum
+    * (Σ h60 mod 1e9+7, q93's mechanism) pins the exact rewritten text
+    * cross-engine. */
+  def rareScrub(spark: SparkSession, dir: String): DataFrame = {
+    val RareK = 3
+    val cust = table(spark, dir, "customer")
+      .select(lit("customer").as("src"), col("c_custkey").as("rid"), col("c_name").as("s"))
+    val ev = table(spark, dir, "events")
+      .select(lit("events").as("src"), col("event_id").as("rid"), col("props").as("s"))
+    // persist: read by the frequency aggregation and the mask join.
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val toks = graft.ops.Partitioning.spread(cust.unionByName(ev))
+      .select(col("src"), col("rid"), posexplode(graft.ops.TextOps.tokens(col("s"))))
+      .withColumnRenamed("col", "w").persist()
+    val rare = toks.groupBy("w").agg(count(lit(1)).as("_c"))
+      .where(col("_c") < RareK).select(col("w"), lit(1).as("_rare"))
+    toks.join(rare, Seq("w"), "left")
+      .select(col("src"), col("rid"), col("pos"),
+        when(col("_rare").isNotNull, lit("<RARE>")).otherwise(col("w")).as("_t"),
+        coalesce(col("_rare"), lit(0)).as("_r"))
+      .groupBy("src", "rid")
+      .agg(count(lit(1)).as("_n"), sum("_r").as("_m"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("_t")))),
+          x => x.getField("_t"))).as("_rb"))
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("_n").as("n_tokens"),
+        sum("_m").cast("long").as("n_masked"),
+        round(sum("_m") / sum("_n"), 6).as("masked_frac"),
+        sum(PortableSketch.h60(col("_rb")) % ChecksumMod).as("rare_checksum"))
+      .orderBy("src")
+  }
+
+  private def q111OracleSql: String =
+    s"""WITH rows0 AS (SELECT 'customer' AS src, c_custkey AS rid, c_name AS s FROM customer
+      |  UNION ALL SELECT 'events', event_id, props FROM events),
+      |tk AS (SELECT src, rid, list_filter(string_split_regex(s, '\\s+'), x -> x <> '') AS ts FROM rows0),
+      |toks AS (SELECT src, rid, unnest(ts) AS w,
+      |           unnest(generate_series(1, len(ts))) AS pos FROM tk),
+      |rare AS (SELECT w FROM (SELECT w, count(*) AS c FROM toks GROUP BY w) WHERE c < 3),
+      |m AS (SELECT t.src, t.rid, t.pos,
+      |        CASE WHEN r.w IS NULL THEN t.w ELSE '<RARE>' END AS tt,
+      |        CASE WHEN r.w IS NULL THEN 0 ELSE 1 END AS msk
+      |      FROM toks t LEFT JOIN rare r ON t.w = r.w),
+      |d AS (SELECT src, rid, count(*) AS n, sum(msk) AS m2,
+      |        string_agg(tt, ' ' ORDER BY pos) AS rb
+      |      FROM m GROUP BY 1, 2)
+      |SELECT src, count(*) AS n_rows, sum(n)::BIGINT AS n_tokens,
+      |  sum(m2)::BIGINT AS n_masked,
+      |  round(sum(m2) / sum(n), 6) AS masked_frac,
+      |  CAST(sum(('0x' || substr(md5(rb), 1, 15))::BIGINT % $ChecksumMod) AS BIGINT) AS rare_checksum
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- q94: epoch-order materialization ------------------------------------
 
   /** q94 — deterministic training epoch order: every document gets an exact
@@ -618,6 +686,7 @@ object SelectionQueries {
     "q96_embedding_filter" -> (embeddingFilter _),
     "q97_boilerplate" -> (boilerplate _),
     "q99_pipeline_funnel" -> (pipelineFunnel _),
+    "q111_rare_scrub" -> (rareScrub _),
     "q100_epoch_resume" -> (epochResume _),
     "q103_trained_gate" -> (trainedGate _)
   )
@@ -626,6 +695,7 @@ object SelectionQueries {
     "q91_semantic_dedup" -> q91OracleSql,
     "q92_mixture_sample" -> q92OracleSql,
     "q93_pii_scrub" -> q93OracleSql,
+    "q111_rare_scrub" -> q111OracleSql,
     "q94_epoch_order" -> q94OracleSql,
     "q95_classifier_gate" -> q95OracleSql,
     "q96_embedding_filter" -> q96OracleSql,

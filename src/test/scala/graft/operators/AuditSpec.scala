@@ -151,6 +151,31 @@ class AuditSpec extends AnyFunSuite {
       org.apache.spark.unsafe.types.UTF8String.fromString("e\u0301")).toString == "\u00e9")
   }
 
+  test("q111: tokens below the corpus-frequency floor mask; checksum pins the rewrite") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("audit-rare").toString
+    // corpus counts span BOTH surfaces: alice x3 (kept), cooper x2 /
+    // stone x1 / x x1 (masked); events' k,v x3 (kept)
+    Seq((1L, "alice cooper"), (2L, "alice stone"), (3L, "alice cooper x"))
+      .toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, "k v"), (2L, "k v"), (3L, "k v"))
+      .toDF("event_id", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SelectionQueries.rareScrub(spark, dir)
+      .as[(String, Long, Long, Long, Double, Long)].collect().toSeq
+    def h60mod(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000000007L
+    }
+    val ckCust = Seq("alice <RARE>", "alice <RARE>", "alice <RARE> <RARE>").map(h60mod).sum
+    val ckEv = Seq.fill(3)("k v").map(h60mod).sum
+    assert(r == Seq(
+      ("customer", 3L, 7L, 4L, math.rint(4.0 / 7 * 1e6) / 1e6, ckCust),
+      ("events", 3L, 6L, 0L, 0.0, ckEv)))
+  }
+
   test("null/empty/whitespace docs flow through q105-q108 without errors") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("audit-edge").toString
