@@ -503,7 +503,31 @@ object PipelineQueries {
       .orderBy("rule")
   }
 
+  /** q112 — REFERENTIAL-INTEGRITY audit (q73's framework extended with FK
+    * rules): every cross-table key relationship a pipeline publishes on,
+    * checked as key-only anti joins — the parent side reduces to its
+    * distinct keys (broadcastable for dimensions), the child ships key
+    * columns only. Three true FKs (expect 0) plus the REVERSE probe
+    * customer→orders, where a non-zero count is the real answer (customers
+    * who never ordered) — the audit must prove it can count violations, not
+    * just print zeros. */
+  def refIntegrityReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Quality
+    val orders = table(spark, dir, "orders")
+    val customer = table(spark, dir, "customer")
+    val nation = table(spark, dir, "nation")
+    Quality.check(table(spark, dir, "lineitem"),
+        Seq(Quality.refIntegrity(Seq("l_orderkey"), orders, Seq("o_orderkey"))))
+      .unionByName(Quality.check(orders,
+        Seq(Quality.refIntegrity(Seq("o_custkey"), customer, Seq("c_custkey")))))
+      .unionByName(Quality.check(customer,
+        Seq(Quality.refIntegrity(Seq("c_nationkey"), nation, Seq("n_nationkey")),
+          Quality.refIntegrity(Seq("c_custkey"), orders, Seq("o_custkey")))))
+      .orderBy("rule")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q112_ref_integrity" -> (refIntegrityReport _),
     "q53_asof_join" -> (asofViewBeforeClick _),
     "q54_range_join" -> (windowRangeCounts _),
     "q55_sessionization" -> (userSessions _),
@@ -541,6 +565,24 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q112_ref_integrity" ->
+      """SELECT 'ref(l_orderkey)' AS rule,
+        |  (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT AS violations,
+        |  (SELECT count(*) FROM lineitem)::BIGINT AS total_rows
+        |UNION ALL SELECT 'ref(o_custkey)',
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT,
+        |  (SELECT count(*) FROM orders)::BIGINT
+        |UNION ALL SELECT 'ref(c_nationkey)',
+        |  (SELECT count(*) FROM customer c WHERE c.c_nationkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))::BIGINT,
+        |  (SELECT count(*) FROM customer)::BIGINT
+        |UNION ALL SELECT 'ref(c_custkey)',
+        |  (SELECT count(*) FROM customer c WHERE c.c_custkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))::BIGINT,
+        |  (SELECT count(*) FROM customer)::BIGINT
+        |ORDER BY rule""".stripMargin,
     "q106_bpe_pairs" ->
       """WITH toks AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w FROM documents),
         |tf AS (SELECT w, count(*) AS c FROM toks GROUP BY w),

@@ -18,11 +18,19 @@ object Quality {
   final case class RowRule(name: String, pred: Column) extends Rule
   /** Violated rows = rows beyond the first per duplicate key group. */
   final case class UniqueRule(name: String, keys: Seq[String]) extends Rule
+  /** Violated rows = rows whose (fully non-null) key has no match in
+    * `parent` — standard SQL FK semantics: null keys are not violations
+    * (notNull is its own rule). */
+  final case class RefRule(name: String, childKeys: Seq[String],
+      parent: DataFrame, parentKeys: Seq[String]) extends Rule
 
   def notNull(c: String): Rule = RowRule(s"not_null($c)", col(c).isNotNull)
   def inRange(c: String, lo: Double, hi: Double): Rule =
     RowRule(s"range($c)", col(c).between(lo, hi))
   def unique(keys: String*): Rule = UniqueRule(s"unique(${keys.mkString(",")})", keys)
+  def refIntegrity(childKeys: Seq[String], parent: DataFrame,
+      parentKeys: Seq[String]): Rule =
+    RefRule(s"ref(${childKeys.mkString(",")})", childKeys, parent, parentKeys)
 
   /** Violation report: one row per rule — (rule, violations, total_rows).
     * All RowRules evaluate in a single aggregation over one scan; each
@@ -32,6 +40,7 @@ object Quality {
     require(rules.nonEmpty, "no rules given")
     val rowRules = rules.collect { case r: RowRule => r }
     val uniqueRules = rules.collect { case r: UniqueRule => r }
+    val refRules = rules.collect { case r: RefRule => r }
     val rowReport =
       if (rowRules.isEmpty) None
       else Some(df.agg(
@@ -50,6 +59,22 @@ object Quality {
           coalesce(sum(col("_n")), lit(0L)).as("total_rows"))
       dups.select(lit(r.name).as("rule"), col("violations"), col("total_rows"))
     }
-    (rowReport.toSeq ++ uniqueReports).reduce(_ unionByName _)
+    // each RefRule: one key-only anti join. The parent side reduces to its
+    // DISTINCT keys first (|key domain| rows — broadcastable for dimension
+    // tables, AQE-splittable otherwise); the child ships key columns only.
+    val refReports = refRules.map { r =>
+      require(r.childKeys.length == r.parentKeys.length,
+        s"${r.name}: child/parent key arity mismatch")
+      val p = r.parent.select(r.parentKeys.map(col): _*)
+        .toDF(r.childKeys: _*).distinct()
+      val viol = df
+        .where(r.childKeys.map(col(_).isNotNull).reduce(_ && _))
+        .select(r.childKeys.map(col): _*)
+        .join(p, r.childKeys, "left_anti")
+        .agg(count(lit(1)).as("violations"))
+      viol.crossJoin(df.agg(count(lit(1)).as("total_rows")))
+        .select(lit(r.name).as("rule"), col("violations"), col("total_rows"))
+    }
+    (rowReport.toSeq ++ uniqueReports ++ refReports).reduce(_ unionByName _)
   }
 }

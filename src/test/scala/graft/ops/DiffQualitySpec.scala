@@ -71,6 +71,30 @@ class DiffQualitySpec extends AnyFunSuite {
     assert(got == (("range(v)", 2L, 3L))) // null AND out-of-range both violate
   }
 
+  test("refIntegrity counts orphans, skips null keys, composes with row rules") {
+    val child = Seq(
+      (Some(1L), "a"), (Some(2L), "b"), (Some(9L), "c"), // 9 is an orphan
+      (None, "d"),                                       // null key: NOT a violation
+      (Some(9L), "e")                                    // orphans count per ROW
+    ).toDF("fk", "payload")
+    val parent = Seq((1L, "p"), (2L, "q"), (3L, "r")).toDF("pk", "name")
+    val got = Quality.check(child, Seq(
+      Quality.notNull("fk"),
+      Quality.refIntegrity(Seq("fk"), parent, Seq("pk"))))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("ref(fk)") == ((2L, 5L)))
+    assert(got("not_null(fk)") == ((1L, 5L)))
+    // empty child: 0 violations / 0 rows, same as every other rule family
+    val gotEmpty = Quality.check(child.where(lit(false)),
+      Seq(Quality.refIntegrity(Seq("fk"), parent, Seq("pk"))))
+      .as[(String, Long, Long)].head()
+    assert(gotEmpty == (("ref(fk)", 0L, 0L)))
+    // key-arity mismatch fails loudly at construction time, not mid-job
+    intercept[IllegalArgumentException] {
+      Quality.check(child, Seq(Quality.refIntegrity(Seq("fk"), parent, Seq("pk", "name"))))
+    }
+  }
+
   test("quality report on an empty table: every rule reads 0 violations / 0 rows") {
     val df = Seq((1L, Some(5.0))).toDF("k", "v").where(lit(false))
     val got = Quality.check(df, Seq(
