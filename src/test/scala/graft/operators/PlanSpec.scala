@@ -253,7 +253,10 @@ class PlanSpec extends AnyFunSuite {
       "q27_embedding_topk", "q35_cross_join", "q67_bm25_topk", "q81_source_drift",
       "q84_bigram_lm", "q86_mix_weights", "q92_mixture_sample",
       "q96_embedding_filter", "q98_dedup_recall", "q99_pipeline_funnel",
-      "q104_ann_recall", "q109_pq_recall")
+      "q104_ann_recall", "q109_pq_recall",
+      // q112: each ref rule attaches its 1-row total via a keyless
+      // broadcast join (the q86 one-row-constants pattern)
+      "q112_ref_integrity")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
