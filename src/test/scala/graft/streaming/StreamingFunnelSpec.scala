@@ -37,19 +37,28 @@ class StreamingFunnelSpec extends AnyFunSuite {
     def ts(i: Int) = new java.sql.Timestamp(t0.getTime + i * 1000L)
     val rows = fixture.zipWithIndex.map { case ((id, tx), i) => (id, tx, ts(i)) }
 
-    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
-    val query = StreamingFunnel.ingest(
-        input.toDS().toDF("doc_id", "text", "ts"), idx)
-      .select("doc_id", "text")
-      .writeStream.format("memory").queryName("funnel_out")
-      .outputMode("append").start()
-    val streamed = try {
-      input.addData(rows.take(3): _*)
-      query.processAllAvailable()
-      input.addData(rows.drop(3): _*) // the dup arrives a batch later
-      query.processAllAvailable()
-      spark.sql("SELECT * FROM funnel_out").as[(Long, String)].collect().toSet
-    } finally query.stop()
+    // the survivor set must be INVARIANT to where micro-batch boundaries
+    // fall (order is preserved; only batching changes): all-at-once,
+    // the dup pair split from its original, and one-row batches
+    def runSplit(cuts: Seq[Int], qn: String): Set[(Long, String)] = {
+      val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val query = StreamingFunnel.ingest(
+          input.toDS().toDF("doc_id", "text", "ts"), idx)
+        .select("doc_id", "text")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        val bounds = (0 +: cuts :+ rows.size).distinct.sorted
+        bounds.sliding(2).foreach { case Seq(a, b) =>
+          if (b > a) { input.addData(rows.slice(a, b): _*); query.processAllAvailable() }
+        }
+        spark.sql(s"SELECT * FROM $qn").as[(Long, String)].collect().toSet
+      } finally query.stop()
+    }
+    val streamed = runSplit(Seq(3), "funnel_out")
+    assert(runSplit(Seq(), "funnel_one") == streamed, "single-batch run must agree")
+    assert(runSplit((1 until rows.size), "funnel_rowwise") == streamed,
+      "one-row micro-batches must agree")
 
     // batch replay of the same stages; keep-first computed per masked text
     // in arrival order (the stream is in event-time order here)
