@@ -25,10 +25,19 @@ object Verify {
         // red `err` row for this query instead of silently omitting it (the
         // round-9 NTZ regression was invisible in CORRECTNESS because thrown
         // queries just vanished from the output dir).
-        val d = Paths.get(s"$outDir/$name")
-        Files.createDirectories(d)
-        Files.writeString(d.resolve("_FAILED"),
-          s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(4000)}\n")
+        // The marker write itself must never abort the loop: if the query
+        // failed because the output volume is sick (ENOSPC, read-only),
+        // this write fails the same way and would otherwise kill every
+        // remaining query — recreating the invisible-failure mode the
+        // marker exists to prevent.
+        try {
+          val d = Paths.get(s"$outDir/$name")
+          Files.createDirectories(d)
+          Files.writeString(d.resolve("_FAILED"),
+            s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(4000)}\n")
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name marker write failed too: ${m.getMessage}")
+        }
       }
       // release per-query persisted intermediates — no cached-block leaks
       spark.sharedState.cacheManager.clearCache()

@@ -285,23 +285,19 @@ object CurationQueries {
     * persisted because both aggregations read it. Cost is linear in corpus
     * tokens at any scale. */
   def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val tk = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
-      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("_ts"))
-      .select(col("doc_id"), col("source"), col("_ts"), size(col("_ts")).as("_n"))
-      .where(col("_n") >= 1) // sequence(0,-1,s) throws; empty docs have no chunks
+    // tiling via the SHARED TextOps.chunkTiles (one definition with the
+    // streaming mirror — digests cannot drift between batch and stream).
     // Ownership: Verify/Bench clear the cache after each query's action.
-    val chunks = tk
-      .select(col("doc_id"), col("source"), col("_ts"), col("_n"),
-        explode(sequence(lit(0), col("_n") - 1, lit(ChunkW))).as("_start"))
+    val chunks = TextOps.chunkTiles(
+        graft.ops.Partitioning.spread(table(spark, dir, "documents")),
+        "text", Seq("doc_id", "source"))
       .select(col("doc_id"), col("source"),
         // composite occurrence key: chunk_idx < 1e6 for any real document,
         // so (doc_id, chunk_idx) order == numeric order of this long
-        (col("doc_id") * 1000000L + (col("_start") / ChunkW).cast("long")).as("_k"),
+        (col("doc_id") * 1000000L + col("chunk_idx")).as("_k"),
         // 60-bit portable digest (the q80/q97 kernel): the dedup agg and the
-        // membership join shuffle 8-byte keys, not 32-char md5 hex strings
-        graft.ops.PortableSketch.h60(concat_ws(" ",
-          slice(col("_ts"), col("_start") + 1,
-            least(lit(ChunkW), col("_n") - col("_start"))))).as("_h"))
+        // re-aggregation shuffle 8-byte keys, not 32-char md5 hex strings
+        graft.ops.PortableSketch.h60(col("_chunk")).as("_h"))
       .persist()
     val perDoc = chunks.groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_chunks"))

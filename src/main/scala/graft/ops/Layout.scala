@@ -80,6 +80,19 @@ object Layout {
     * it (sequence-state persistence) don't pay a second action. */
   def globalSequenceWithCount(df: DataFrame, keys: Seq[Column],
       posName: String = "pos", partitions: Int = 0): (DataFrame, Long) = {
+    val (seq, total, _) = globalSequenceHandle(df, keys, posName, partitions)
+    (seq, total)
+  }
+
+  /** [[globalSequenceWithCount]] plus the persisted range-partitioned frame
+    * BACKING the result — for callers that consume the sequence exactly
+    * once per invocation (a streaming foreachBatch runs this every
+    * micro-batch) and must unpersist afterwards: without the handle, each
+    * batch would leave one cached copy behind for the lifetime of an
+    * always-on stream. Batch callers may ignore it (Verify/Bench clear
+    * caches per query). */
+  private[graft] def globalSequenceHandle(df: DataFrame, keys: Seq[Column],
+      posName: String = "pos", partitions: Int = 0): (DataFrame, Long, DataFrame) = {
     val n = if (partitions > 0) partitions
       else df.sparkSession.sparkContext.defaultParallelism
     val ranged = df.repartitionByRange(n, keys: _*)
@@ -96,7 +109,7 @@ object Layout {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_pid").orderBy(keys: _*)
     (ranged.withColumn(posName, row_number().over(w).cast("long") + offsetExpr)
-      .drop("_pid"), counts.values.sum)
+      .drop("_pid"), counts.values.sum, ranged)
   }
 
   // --- resumable sequence: continuation across shards / restarts -----------

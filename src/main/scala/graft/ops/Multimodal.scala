@@ -237,8 +237,13 @@ object Multimodal {
         rows.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { r =>
             val payload = r.getAs[Array[Byte]]("payload")
+            // durationMs is null for a null-text asset (fakeAssets derives
+            // it from length(text)); decodeAudio/fakeAudioStats already
+            // guard a null payload, so mirror that here instead of letting
+            // getLong NPE on the null field
+            val dur = if (r.isNullAt(2)) 0L else r.getLong(2)
             val st = decodeAudio(payload)
-              .getOrElse(fakeAudioStats(payload, r.getLong(2)))
+              .getOrElse(fakeAudioStats(payload, dur))
             Row(r.getLong(0), st.sampleRate, st.channels, st.bitDepth,
               st.durationMs, st.meanSq, st.peak, st.decoded)
           }

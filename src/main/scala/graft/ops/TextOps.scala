@@ -19,6 +19,27 @@ object TextOps {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Non-overlapping chunk-tile width shared by batch chunk dedup (q105)
+    * and its streaming mirror. */
+  val ChunkTileW = 20
+
+  /** Tile each row's text into non-overlapping [[ChunkTileW]]-token chunks:
+    * (carry…, chunk_idx, n_chunk, _chunk) — ONE definition serves the batch
+    * q105 dedup and StreamingChunkDedup, so their tiling (and therefore
+    * their digests) cannot drift. Tokenless rows produce no tiles (and
+    * `sequence(0,-1,s)` throws, so the guard is required, not stylistic).
+    * Pure per-row generator — streaming-safe, no state, no shuffle. */
+  def chunkTiles(df: DataFrame, textCol: String, carry: Seq[String]): DataFrame =
+    df.select(carry.map(col) :+ tokens(col(textCol)).as("_ts"): _*)
+      .withColumn("_n", size(col("_ts")))
+      .where(col("_n") >= 1)
+      .withColumn("_start", explode(sequence(lit(0), col("_n") - 1, lit(ChunkTileW))))
+      .select(carry.map(col) ++ Seq(
+        (col("_start") / ChunkTileW).cast("long").as("chunk_idx"),
+        least(lit(ChunkTileW), col("_n") - col("_start")).as("n_chunk"),
+        concat_ws(" ", slice(col("_ts"), col("_start") + 1,
+          least(lit(ChunkTileW), col("_n") - col("_start")))).as("_chunk")): _*)
+
   /** BPE-ish subword count: splits on word/number/punct boundaries the way
     * byte-pair tokenizers pre-segment (a contraction-aware GPT-2-style
     * pre-tokenization regex, simplified to what Java regex supports). */

@@ -22,27 +22,16 @@ import org.apache.spark.sql.functions._
   * in StreamingChunkDedupSpec. */
 object StreamingChunkDedup {
 
-  private val ChunkW = 20 // tokens per chunk — must match CurationQueries
-
   def keptChunks(
       docs: DataFrame, textCol: String = "text", tsCol: String = "ts",
-      watermarkDelay: String = "10 minutes"): DataFrame = {
-    val tk = docs
-      .select(col("doc_id"), col(tsCol), TextOps.tokens(col(textCol)).as("_ts"))
-      .select(col("doc_id"), col(tsCol), col("_ts"), size(col("_ts")).as("_n"))
-      .where(col("_n") >= 1) // sequence(0,-1,s) throws; tokenless docs have no chunks
-    tk.select(col("doc_id"), col(tsCol), col("_ts"), col("_n"),
-        explode(sequence(lit(0), col("_n") - 1, lit(ChunkW))).as("_start"))
-      .select(col("doc_id"), col(tsCol),
-        (col("_start") / ChunkW).cast("long").as("chunk_idx"),
-        least(lit(ChunkW), col("_n") - col("_start")).as("n_chunk"),
-        concat_ws(" ", slice(col("_ts"), col("_start") + 1,
-          least(lit(ChunkW), col("_n") - col("_start")))).as("_c"))
-      .withColumn("_d1", xxhash64(col("_c")))
-      .withColumn("_d2", xxhash64(lit(0x9E3779B9L), col("_c")))
-      .drop("_c")
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    // tiling via the SHARED TextOps.chunkTiles — one definition with the
+    // batch q105 operator, so the dedup units cannot drift
+    TextOps.chunkTiles(docs, textCol, Seq("doc_id", tsCol))
+      .withColumn("_d1", xxhash64(col("_chunk")))
+      .withColumn("_d2", xxhash64(lit(0x9E3779B9L), col("_chunk")))
+      .drop("_chunk")
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("_d1", "_d2")
       .select("doc_id", "chunk_idx", "n_chunk")
-  }
 }

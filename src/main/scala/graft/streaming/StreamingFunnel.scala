@@ -4,11 +4,17 @@ import graft.expr.ProbeGramIndex
 import org.apache.spark.sql.DataFrame
 
 /** The streaming INGEST FUNNEL — the always-on counterpart of the batch q99
-  * composition: text repair (q110's NFC/control/whitespace pass) → PII
-  * scrub → classifier quality gate → benchmark decontamination screen →
-  * exact content dedup, as ONE append-mode query.
+  * composition, EXTENDED with a repair front stage the batch funnel does
+  * not run: text repair (q110's NFC/control/whitespace pass) → PII scrub →
+  * classifier quality gate → benchmark decontamination screen → exact
+  * content dedup, as ONE append-mode query. (q99's oracle pins the 5-stage
+  * batch composition as-is; a decomposed-vs-composed duplicate therefore
+  * dedups here but would survive batch q99 — by design, since ingest sees
+  * raw crawl text while q99's corpus is already normalized. The parity
+  * pinned in StreamingFunnelSpec is against the batch composition OF THESE
+  * stages, repair included.)
   *
-  * Stage order is the batch funnel's: repair runs before anything digests
+  * Within the funnel, repair runs before anything digests
   * or scores the text, then masking runs so the gate scores
   * and the dedup digests see redacted text (a dup pair differing only in
   * the raw PII span still collapses), and the stateless stages (scrub,

@@ -56,11 +56,19 @@ object StreamingSequence {
     * fully distributed. */
   private[graft] def assignBatch(batch: DataFrame, keys: Seq[Column],
       ledgerPath: String, batchId: Long, posName: String = "pos",
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0): DataFrame =
+    assignBatchHandle(batch, keys, ledgerPath, batchId, posName, partitions)._1
+
+  /** [[assignBatch]] plus the cached frame backing the ranking, so the
+    * per-micro-batch loop can unpersist it — an always-on stream must not
+    * accumulate one cached copy per processed batch. */
+  private def assignBatchHandle(batch: DataFrame, keys: Seq[Column],
+      ledgerPath: String, batchId: Long, posName: String = "pos",
+      partitions: Int = 0): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     val ledger = readLedger(spark, ledgerPath)
-    val (seq, total) =
-      Layout.globalSequenceWithCount(batch, keys, posName, partitions)
+    val (seq, total, handle) =
+      Layout.globalSequenceHandle(batch, keys, posName, partitions)
     val start = ledger.find(_._1 == batchId) match {
       case Some((_, s, _)) => s // replayed batch: same positions again
       case None =>
@@ -68,7 +76,7 @@ object StreamingSequence {
         appendLedger(spark, ledgerPath, batchId, s, s + total)
         s
     }
-    seq.withColumn(posName, col(posName) + lit(start))
+    (seq.withColumn(posName, col(posName) + lit(start)), handle)
   }
 
   /** Start a stream that hands each micro-batch to `sink` with a `posName`
@@ -81,8 +89,12 @@ object StreamingSequence {
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        sink(assignBatch(batch.toDF(), keys, ledgerPath, batchId,
-          posName, partitions), batchId)
+        val (assigned, handle) = assignBatchHandle(batch.toDF(), keys,
+          ledgerPath, batchId, posName, partitions)
+        // unpersist per batch: an always-on stream would otherwise leave
+        // one cached copy of every processed micro-batch in executor
+        // storage until eviction/OOM
+        try sink(assigned, batchId) finally handle.unpersist()
       }
       .start()
 }
