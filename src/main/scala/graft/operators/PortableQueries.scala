@@ -142,24 +142,21 @@ object PortableQueries {
     // n_missed_banding says add bands / shrink rows, not tune the verify).
     // The true-pair relation is audit-sample-bounded, so signatures attach
     // to it by broadcast rather than shuffling the doc-sized sketch frame.
-    // ONE corpus signature pass, immediately restricted to the docs that
-    // appear in a true pair (broadcast semi — a narrow map, no shuffle);
-    // both pair sides then attach from that |pair ids|-bounded relation by
-    // broadcast hash joins. The previous shape referenced the corpus-sized
-    // sigs frame twice, and the second attach had no broadcast hint — a
-    // sort-merge shuffle of the whole sketch frame at scale.
-    val pairIds = truth.select(col("idA").as("doc_id"))
-      .union(truth.select(col("idB").as("doc_id"))).distinct()
-    // persist: read by both attach joins. Verify/Bench clear caches after.
-    val pairSigs = graft.ops.Partitioning.spread(docs)
+    // ONE corpus signature pass (persisted — the previous shape recomputed
+    // it for each pair side), consumed by two BROADCAST joins in which the
+    // cached sigs frame is always the streamed probe side and the
+    // truth-bounded relation is the build side: no shuffle of the
+    // doc-sized sketch frame at any scale, and the broadcasts stay
+    // audit-sample-bounded. Verify/Bench clear caches after the query.
+    val sigs = graft.ops.Partitioning.spread(docs)
       .select(col("doc_id"),
         PortableSketch.minhashSigFromGramsFast(
           graft.expr.GraftFunctions.wordNGrams(col("text"), 3), 16).as("_sig"))
-      .join(broadcast(pairIds), Seq("doc_id"), "left_semi")
       .persist()
-    val withSigs = broadcast(truth)
-      .join(broadcast(pairSigs.select(col("doc_id").as("idA"), col("_sig").as("_sigA"))), Seq("idA"))
-      .join(broadcast(pairSigs.select(col("doc_id").as("idB"), col("_sig").as("_sigB"))), Seq("idB"))
+    val attachA = sigs.select(col("doc_id").as("idA"), col("_sig").as("_sigA"))
+      .join(broadcast(truth), Seq("idA"))
+    val withSigs = sigs.select(col("doc_id").as("idB"), col("_sig").as("_sigB"))
+      .join(broadcast(attachA), Seq("idB"))
     val bandHit = (0 until 4).map(b =>
       PortableSketch.bandKey(col("_sigA"), b, 4) ===
         PortableSketch.bandKey(col("_sigB"), b, 4))
