@@ -256,6 +256,82 @@ object SelectionQueries {
       |  CAST(sum(('0x' || substr(md5(rb), 1, 15))::BIGINT % $ChecksumMod) AS BIGINT) AS rare_checksum
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q113: importance-weighted selection (DSIR) ---------------------------
+
+  /** Shared q113 constants (Spark + oracle). */
+  private val DsirBuckets = 128
+  private val DsirTargetLang = "en"
+
+  /** q113 — IMPORTANCE-WEIGHTED data selection (the DSIR shape, Xie et al.
+    * 2023): score every document by how target-like its hashed unigram
+    * distribution is, where "target" is the in-domain slice (here
+    * lang = 'en') and "raw" is the whole corpus. Tokens hash into
+    * [[DsirBuckets]] buckets (h60 mod B — engine-portable); both bucket
+    * distributions get add-one smoothing; each bucket's log importance
+    * ratio ln(p_target / p_raw) is rounded to 9 dp so both engines sum the
+    * SAME per-token contributions (the SemDedup float-parity mechanism —
+    * summation-order wobble ~1e-12 against a 5e-7 rounding margin); a
+    * document's log-weight is the sum over its token positions, and
+    * selection keeps logw > 0 (more target-like than the corpus average).
+    * Scale shape: the corpus tokenizes ONCE (persisted explode feeds the
+    * bucket counts and the per-doc scoring); the distribution estimate is a
+    * B-bounded aggregate with map-side partials; the ratio model is a
+    * 128-row broadcast — at 100 TB the whole fit is one corpus scan plus a
+    * bounded-model join, and scoring a new batch reuses the broadcast
+    * model without refitting. */
+  def importanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val B = DsirBuckets
+    // persist: feeds the bucket-distribution fit AND the per-doc scoring.
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val toks = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), col("source"),
+        (PortableSketch.h60(col("w")) % B).as("b"),
+        when(col("lang") === DsirTargetLang, 1L).otherwise(0L).as("t"))
+      .persist()
+    val counts = toks.groupBy("b")
+      .agg(count(lit(1)).as("cr"), sum("t").as("ct"))
+    // one-row corpus totals: broadcast onto the 128-row bucket frame
+    val totals = counts.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+    val ratio = counts.crossJoin(broadcast(totals))
+      .select(col("b"), round(log(
+        ((col("ct") + 1).cast("double") / (col("tt") + B)) /
+          ((col("cr") + 1).cast("double") / (col("tr") + B))), 9).as("r"))
+    val perDoc = toks.join(broadcast(ratio), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), round(sum("r"), 6).as("logw"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("logw") > 0, 1L).otherwise(0L)).as("sel_docs"),
+        sum("n").as("n_tokens"),
+        round(avg("logw"), 6).as("avg_logw"),
+        round(max("logw"), 6).as("max_logw"))
+      .orderBy("source")
+  }
+
+  private def q113OracleSql: String = {
+    val b = DsirBuckets
+    s"""WITH tk AS (SELECT doc_id, source, lang,
+      |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts FROM documents),
+      |toks AS (SELECT doc_id, source,
+      |    ('0x' || substr(md5(unnest(ts)), 1, 15))::BIGINT % $b AS b,
+      |    CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END AS t FROM tk),
+      |cnt AS (SELECT b, count(*) AS cr, sum(t) AS ct FROM toks GROUP BY b),
+      |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cnt),
+      |ratio AS (SELECT b, round(ln(
+      |    ((ct + 1)::DOUBLE / (tt + $b)) / ((cr + 1)::DOUBLE / (tr + $b))), 9) AS r
+      |  FROM cnt, tot),
+      |pd AS (SELECT doc_id, source, count(*) AS n, round(sum(r), 6) AS logw
+      |  FROM toks JOIN ratio USING (b) GROUP BY 1, 2)
+      |SELECT source, count(*) AS docs,
+      |  sum(CASE WHEN logw > 0 THEN 1 ELSE 0 END)::BIGINT AS sel_docs,
+      |  sum(n)::BIGINT AS n_tokens,
+      |  round(avg(logw), 6) AS avg_logw,
+      |  round(max(logw), 6) AS max_logw
+      |FROM pd GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // --- q94: epoch-order materialization ------------------------------------
 
   /** q94 — deterministic training epoch order: every document gets an exact
@@ -687,11 +763,13 @@ object SelectionQueries {
     "q97_boilerplate" -> (boilerplate _),
     "q99_pipeline_funnel" -> (pipelineFunnel _),
     "q111_rare_scrub" -> (rareScrub _),
+    "q113_importance_weights" -> (importanceWeights _),
     "q100_epoch_resume" -> (epochResume _),
     "q103_trained_gate" -> (trainedGate _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q113_importance_weights" -> q113OracleSql,
     "q91_semantic_dedup" -> q91OracleSql,
     "q92_mixture_sample" -> q92OracleSql,
     "q93_pii_scrub" -> q93OracleSql,

@@ -265,4 +265,89 @@ class SelectionSpec extends AnyFunSuite {
     val f = Seq.empty[(Double, Double)].toDF("y", "x_b")
     assert(TrainedGate.fitLogistic(f, Seq("x_b"), "y", 0.5, 4) == Seq(0.0))
   }
+
+  // --- q113: importance-weighted selection (DSIR) --------------------------
+
+  /** Plain-Scala replay of the q113 pipeline (h60-mod-128 buckets, add-one
+    * smoothing, 9-dp log ratios, 6-dp doc sums) — the reference the Spark
+    * result must match bit-for-bit. */
+  private def dsirReference(docs: Seq[(Long, String, String, String)])
+      : Seq[(String, Long, Long, Long, Double, Double)] = {
+    val B = 128
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.ByteBuffer.wrap(md, 0, 8).getLong >>> 4
+    }
+    def rnd(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val toks = docs.flatMap { case (id, text, lang, source) =>
+      text.split("\\s+").filter(_.nonEmpty).map { w =>
+        (id, source, (h60(w) % B).toInt, if (lang == "en") 1L else 0L)
+      }
+    }
+    val cnt = toks.groupBy(_._3).view.mapValues(xs =>
+      (xs.size.toLong, xs.map(_._4).sum)).toMap
+    val tr = cnt.values.map(_._1).sum
+    val tt = cnt.values.map(_._2).sum
+    val r = cnt.map { case (b, (cr, ct)) =>
+      b -> rnd(math.log(((ct + 1).toDouble / (tt + B)) /
+        ((cr + 1).toDouble / (tr + B))), 9)
+    }
+    val perDoc = toks.groupBy(t => (t._1, t._2)).view.mapValues { xs =>
+      (xs.size.toLong, rnd(xs.map(t => r(t._3)).sum, 6))
+    }.toSeq
+    perDoc.groupBy(_._1._2).map { case (source, ds) =>
+      val ws = ds.map(_._2._2)
+      (source, ds.size.toLong, ws.count(_ > 0).toLong, ds.map(_._2._1).sum,
+        rnd(ws.sum / ds.size, 6), rnd(ws.max, 6))
+    }.toSeq.sortBy(_._1)
+  }
+
+  test("q113 importance weights match the plain-Scala DSIR replay") {
+    val dir = java.nio.file.Files.createTempDirectory("dsir-docs").toString
+    // target = en; srcA is target-heavy, srcB raw-only; one token-less doc
+    // (must vanish from the rollup — explode drops it, as unnest does)
+    val docs = Seq(
+      (0L, "alpha beta alpha gamma", "en", "srcA"),
+      (1L, "alpha alpha beta beta", "en", "srcA"),
+      (2L, "delta epsilon zeta", "de", "srcB"),
+      (3L, "alpha delta delta", "de", "srcB"),
+      (4L, "   ", "en", "srcB"),
+      (5L, "beta gamma gamma gamma alpha", "en", "srcB"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.SelectionQueries.importanceWeights(spark, dir)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == dsirReference(docs))
+    // and the intended behavior: the target-heavy source scores higher
+    val bySrc = got.map(t => t._1 -> t._5).toMap
+    assert(bySrc("srcA") > bySrc("srcB"))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q113 is re-run deterministic and scores en-token docs above de-only") {
+    val dir = java.nio.file.Files.createTempDirectory("dsir-docs2").toString
+    // larger mixed corpus: en docs draw from {good*}, de docs from {bad*}
+    val docs = (0L until 40L).map { i =>
+      if (i % 2 == 0)
+        (i, s"good${i % 5} good${(i + 1) % 5} common", "en", "srcT")
+      else
+        (i, s"bad${i % 7} bad${(i + 2) % 7} common", "de", "srcR")
+    }
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q = graft.operators.SelectionQueries.importanceWeights(spark, dir)
+    val a = q.as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    spark.sharedState.cacheManager.clearCache()
+    val b = q.as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    spark.sharedState.cacheManager.clearCache()
+    assert(a == b)
+    assert(a == dsirReference(docs))
+    val bySrc = a.map(t => t._1 -> t._5).toMap
+    // every srcT doc is en-heavy -> its mean log-weight must exceed srcR's
+    assert(bySrc("srcT") > bySrc("srcR"))
+  }
 }
