@@ -104,6 +104,57 @@ object PipelineQueries {
       .orderBy("lang", "rank")
   }
 
+  /** Shared q114 constants (Spark + oracle): a corpus trigram frequent
+    * enough to match at the oracle scale factors. */
+  private val PhraseTerms = Seq("slow", "hash", "batch")
+
+  /** q114 — POSITIONAL PHRASE SEARCH: exact-phrase retrieval over a
+    * positional posting relation — the capability BM25 (q67) lacks (bag of
+    * words can't distinguish "slow hash batch" from its anagrams), and the
+    * retrieval half of exact-substring audits done at token granularity.
+    * Each phrase term's postings align to the would-be phrase START
+    * (pos - term offset), so a phrase occurrence is one (doc, start) key
+    * present in ALL term legs — an equi-join chain, no window and no
+    * string re-scan. Scale shape: the posexplode filters to the phrase's
+    * term set at the scan (the Retrieval.bm25 posture), so only matching
+    * postings are ever shuffled; the legs join on (doc_id, start) — Catalyst
+    * picks broadcast/AQE shapes per leg size; top-k is a TakeOrdered. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    // persist: one filtered posting relation feeds all three term legs.
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val post = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .withColumnRenamed("col", "w")
+      .where(col("w").isin(PhraseTerms: _*))
+      .persist()
+    val legs = PhraseTerms.zipWithIndex.map { case (t, i) =>
+      post.where(col("w") === t)
+        .select(col("doc_id"), (col("pos") - i).as("p"))
+    }
+    legs.reduce(_.join(_, Seq("doc_id", "p")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        (min("p") + 1).cast("long").as("first_pos")) // 1-based, oracle-aligned
+      .orderBy(col("n_matches").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  private def q114OracleSql: String = {
+    val legs = PhraseTerms.zipWithIndex.map { case (t, i) =>
+      s"p$i AS (SELECT doc_id, pos - $i AS p FROM toks WHERE w = '$t')"
+    }.mkString(",\n")
+    val joins = PhraseTerms.indices.tail
+      .map(i => s"JOIN p$i USING (doc_id, p)").mkString(" ")
+    s"""WITH tk AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts FROM documents),
+      |toks AS (SELECT doc_id, unnest(ts) AS w,
+      |           unnest(generate_series(1, len(ts))) AS pos FROM tk),
+      |$legs
+      |SELECT doc_id, count(*) AS n_matches, min(p)::BIGINT AS first_pos
+      |FROM p0 $joins
+      |GROUP BY doc_id ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** q106 — BPE MERGE-PAIR candidates: the top adjacent character pairs by
     * corpus frequency — the scoring pass of byte-pair-encoding vocabulary
     * induction (each output row is a candidate first merge). Scale shape:
@@ -548,7 +599,8 @@ object PipelineQueries {
     "q81_source_drift" -> (sourceDrift _),
     "q106_bpe_pairs" -> (bpePairs _),
     "q107_oov_rate" -> (oovRate _),
-    "q108_token_ids" -> (tokenIds _)
+    "q108_token_ids" -> (tokenIds _),
+    "q114_phrase_search" -> (phraseSearch _)
   )
 
   /** q58 oracle: thresholds derived from the SAME fractions as the Spark
@@ -565,6 +617,7 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q114_phrase_search" -> q114OracleSql,
     "q112_ref_integrity" ->
       """SELECT 'ref(l_orderkey)' AS rule,
         |  (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL

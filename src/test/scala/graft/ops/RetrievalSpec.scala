@@ -45,4 +45,46 @@ class RetrievalSpec extends AnyFunSuite {
     // direct idf monotonicity instead (df enters only through idf)
     assert(s(("beta", 2L)) > s(("beta", 1L)))
   }
+
+  // --- q114: positional phrase search --------------------------------------
+
+  /** q114's phrase is "slow hash batch"; these docs pin adjacency and order
+    * semantics the bag-of-words leg cannot express. */
+  test("q114 phrase search: adjacency and order are required, overlaps count") {
+    val dir = java.nio.file.Files.createTempDirectory("phrase-docs").toString
+    Seq(
+      // two exact occurrences (positions 1 and 5, 1-based)
+      (0L, "slow hash batch x slow hash batch"),
+      // all terms present but never adjacent -> no match
+      (1L, "slow x hash y batch"),
+      // reversed order -> no match
+      (2L, "batch hash slow"),
+      // one occurrence mid-doc (position 2)
+      (3L, "x slow hash batch y"),
+      // prefix only -> no match
+      (4L, "slow hash x batch"))
+      .map { case (id, t) => (id, t, "en", "s0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.PipelineQueries.phraseSearch(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    // ordered by matches desc then doc_id; first_pos is 1-based
+    assert(got == Seq((0L, 2L, 1L), (3L, 1L, 2L)))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q114 phrase search: empty corpus yields an empty, well-typed result") {
+    val dir = java.nio.file.Files.createTempDirectory("phrase-empty").toString
+    Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.PipelineQueries.phraseSearch(spark, dir)
+    assert(got.columns.toSeq == Seq("doc_id", "n_matches", "first_pos"))
+    assert(got.count() == 0)
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
