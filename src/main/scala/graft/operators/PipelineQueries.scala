@@ -155,6 +155,100 @@ object PipelineQueries {
       |GROUP BY doc_id ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Shared q115 constant (Spark + oracle): the standard RRF dampening. */
+  private val RrfK = 60
+
+  /** q115 — HYBRID RETRIEVAL with reciprocal-rank fusion: the sparse+dense
+    * architecture every modern retrieval stack runs. Leg 1 is the q67 BM25
+    * ranking; leg 2 expands each term semantically — the mean embedding of
+    * its lexical top-10 (pseudo-relevance feedback, a bounded per-term
+    * model with 6-dp-rounded components for cross-engine parity) cosine-
+    * ranks the WHOLE corpus, surfacing docs that never contain the term.
+    * Fusion: rrf = Σ legs 1/(60 + rank) over rounded integer ranks (exact
+    * rational arithmetic — no float drift), top-5 per term, rank 0 marking
+    * "absent from that leg's top-10". Scale shape: BM25 postings filter at
+    * the scan (only query terms shuffle); the 5 centroids broadcast into a
+    * one-scan brute-force rank (Similarity.bruteForceTopK — at larger k the
+    * IVF path, q47, swaps in); fusion joins two ≤(terms×10 + terms×10)-row
+    * relations. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.ops.Retrieval.bm25(
+      table(spark, dir, "documents"), "text", "doc_id", bm25Terms)
+    val wl = Window.partitionBy("term").orderBy(col("score").desc, col("doc_id").asc)
+    // persist: the lexical top-10 feeds the centroid build AND the fusion.
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val lex = scored.withColumn("lex_rnk", row_number().over(wl))
+      .where(col("lex_rnk") <= 10)
+      .select(col("term"), col("doc_id"), col("lex_rnk")).persist()
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = lex.join(emb, lex("doc_id") === emb("vec_id"))
+      .select(col("term"), posexplode(col("v")))
+      .groupBy(col("term"), col("pos")).agg(round(avg("col"), 6).as("m"))
+      .groupBy("term")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cv"))
+    val sem = graft.ops.Similarity.bruteForceTopK(
+        emb, "v", "vec_id", cents, "cv", "term", k = 10, excludeSelf = false)
+      .select(col("queryId").as("term"), col("neighborId").as("doc_id"),
+        col("rank").as("sem_rnk"))
+    val wf = Window.partitionBy("term").orderBy(col("rrf").desc, col("doc_id").asc)
+    lex.join(sem, Seq("term", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("sem_rnk")), lit(0.0)), 6))
+      .withColumn("fused_rnk", row_number().over(wf))
+      .where(col("fused_rnk") <= 5)
+      .select(col("term"), col("doc_id"),
+        coalesce(col("lex_rnk"), lit(0)).cast("long").as("lex_rnk"),
+        coalesce(col("sem_rnk"), lit(0)).cast("long").as("sem_rnk"),
+        col("rrf"), col("fused_rnk"))
+      .orderBy("term", "fused_rnk")
+  }
+
+  private def q115OracleSql: String = {
+    def cosSql(a: String, b: String): String =
+      s"ROUND(CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0 THEN 0.0 " +
+        s"ELSE list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END, 6)"
+    val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+      |  FROM documents),
+      |st AS (SELECT count(*) AS n, avg(len(ts)) AS avgl FROM tk),
+      |post AS (
+      |  SELECT t.term, tk.doc_id, len(ts) AS dl, len(list_filter(ts, x -> x = t.term)) AS tf
+      |  FROM tk, (SELECT unnest([$terms]) AS term) t
+      |  WHERE len(list_filter(ts, x -> x = t.term)) > 0),
+      |dfq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+      |bscored AS (
+      |  SELECT post.term, post.doc_id,
+      |    ln((st.n - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE) + 1) * (post.tf * (1.2::DOUBLE + 1)) /
+      |      (post.tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE * post.dl / st.avgl)) AS score
+      |  FROM post JOIN dfq ON post.term = dfq.term, st),
+      |lex AS (SELECT term, doc_id, rnk AS lex_rnk FROM (
+      |    SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rnk
+      |    FROM bscored) WHERE rnk <= 10),
+      |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT term, list(m ORDER BY i) AS cv FROM (
+      |    SELECT term, i, round(avg(x), 6) AS m FROM (
+      |      SELECT l.term AS term, unnest(e.v) AS x, generate_subscripts(e.v, 1) AS i
+      |      FROM lex l JOIN emb e ON l.doc_id = e.vec_id)
+      |    GROUP BY term, i) GROUP BY term),
+      |sscored AS (SELECT c.term, e.vec_id AS doc_id, ${cosSql("c.cv", "e.v")} AS cosine
+      |  FROM cent c, emb e),
+      |sem AS (SELECT term, doc_id, rnk AS sem_rnk FROM (
+      |    SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY cosine DESC, doc_id) AS rnk
+      |    FROM sscored) WHERE rnk <= 10),
+      |f AS (SELECT term, doc_id,
+      |    COALESCE(lex_rnk, 0)::BIGINT AS lex_rnk, COALESCE(sem_rnk, 0)::BIGINT AS sem_rnk,
+      |    round(COALESCE(1.0::DOUBLE / ($RrfK + lex_rnk), 0) +
+      |          COALESCE(1.0::DOUBLE / ($RrfK + sem_rnk), 0), 6) AS rrf
+      |  FROM lex FULL OUTER JOIN sem USING (term, doc_id))
+      |SELECT term, doc_id, lex_rnk, sem_rnk, rrf, fused_rnk FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY term ORDER BY rrf DESC, doc_id) AS INTEGER) AS fused_rnk
+      |  FROM f) WHERE fused_rnk <= 5 ORDER BY term, fused_rnk""".stripMargin
+  }
+
   /** q106 — BPE MERGE-PAIR candidates: the top adjacent character pairs by
     * corpus frequency — the scoring pass of byte-pair-encoding vocabulary
     * induction (each output row is a candidate first merge). Scale shape:
@@ -600,7 +694,8 @@ object PipelineQueries {
     "q106_bpe_pairs" -> (bpePairs _),
     "q107_oov_rate" -> (oovRate _),
     "q108_token_ids" -> (tokenIds _),
-    "q114_phrase_search" -> (phraseSearch _)
+    "q114_phrase_search" -> (phraseSearch _),
+    "q115_hybrid_rrf" -> (hybridRrf _)
   )
 
   /** q58 oracle: thresholds derived from the SAME fractions as the Spark
@@ -618,6 +713,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q114_phrase_search" -> q114OracleSql,
+    "q115_hybrid_rrf" -> q115OracleSql,
     "q112_ref_integrity" ->
       """SELECT 'ref(l_orderkey)' AS rule,
         |  (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL

@@ -75,6 +75,49 @@ class RetrievalSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  // --- q115: hybrid RRF fusion ---------------------------------------------
+
+  /** One query term ("spark", from the shared bm25 term set) over a corpus
+    * where doc 3 never contains the term but sits exactly on the lexical
+    * top-docs' mean embedding — the semantic-only discovery hybrid fusion
+    * exists to surface. All ranks are hand-derived. */
+  test("q115 hybrid RRF: semantic leg surfaces a term-free doc; rrf exact") {
+    val dir = java.nio.file.Files.createTempDirectory("rrf-docs").toString
+    Seq(
+      (1L, "spark spark x"), // lex rank 1 (tf 2)
+      (2L, "spark y z"),     // lex rank 2
+      (3L, "nothing here"),  // no term; embedding == centroid direction
+      (4L, "other words"))   // no term, orthogonal-ish embedding
+      .map { case (id, t) => (id, t, "en", "s0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.95f, 0.05f), 0), // == mean(e1, e2): cosine 1 vs centroid
+      (4L, Array(0.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.PipelineQueries.hybridRrf(spark, dir)
+      .as[(String, Long, Long, Long, Double, Int)].collect().toSeq
+    def f(r: Long): Double = if (r == 0) 0.0 else 1.0 / (60.0 + r)
+    def rnd6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // sem ranks vs centroid [0.95, 0.05]: d3 (cos 1) > d1 (0.998617)
+    // > d2 (0.998314) > d4
+    val expect = Seq(
+      ("spark", 1L, 1L, 2L, rnd6(f(1) + f(2)), 1), // both legs -> fused top
+      ("spark", 2L, 2L, 3L, rnd6(f(2) + f(3)), 2),
+      ("spark", 3L, 0L, 1L, rnd6(f(1)), 3),        // semantic-only discovery
+      ("spark", 4L, 0L, 4L, rnd6(f(4)), 4))
+    assert(got == expect)
+    // arithmetic self-consistency on every row: rrf recomputes from ranks
+    got.foreach { case (_, _, lr, sr, rrf, _) => assert(rrf == rnd6(f(lr) + f(sr))) }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q114 phrase search: empty corpus yields an empty, well-typed result") {
     val dir = java.nio.file.Files.createTempDirectory("phrase-empty").toString
     Seq.empty[(Long, String, String, String)]
