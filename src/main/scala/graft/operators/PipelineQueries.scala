@@ -155,6 +155,60 @@ object PipelineQueries {
       |GROUP BY doc_id ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** q116 — ORDERED CONVERSION FUNNEL: view → click → purchase, where each
+    * stage must occur STRICTLY AFTER the user's entry into the previous one
+    * (min-ts chaining — the sequential-pattern semantics a bag-of-events
+    * rollup like q09 cannot express; a click before any view does not
+    * convert). Output is the classic funnel report: per-stage converted
+    * users and the mean seconds spent between consecutive stages. Scale
+    * shape: events filter to the three stage types at the scan; each stage
+    * is a user-keyed aggregate joined to the previous stage's one-row-per-
+    * user frame — shuffle keys stay `user_id` throughout, so AQE can reuse
+    * the exchange; the final report is three one-row aggregates unioned.
+    * Gap arithmetic stays exact-integer micros until one double division
+    * per stage (identical op order in the oracle). */
+  def conversionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    // persist: the stage-typed slice feeds all three stage aggregates.
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val e = ev.where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), tsMicros(ev).as("tsu"))
+      .persist()
+    val s1 = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tsu").as("t1"))
+    val s2 = e.where(col("event_type") === "click")
+      .join(s1, "user_id").where(col("tsu") > col("t1"))
+      .groupBy("user_id").agg(min("tsu").as("t2"), min("t1").as("t1"))
+    val s3 = e.where(col("event_type") === "purchase")
+      .join(s2.select(col("user_id"), col("t2")), "user_id")
+      .where(col("tsu") > col("t2"))
+      .groupBy("user_id").agg(min("tsu").as("t3"), min("t2").as("t2"))
+    def report(df: DataFrame, stage: String,
+        gap: org.apache.spark.sql.Column): DataFrame =
+      df.agg(count(lit(1)).as("users"),
+        coalesce(round(gap / count(lit(1)) / 1e6, 6), lit(0.0)).as("avg_gap_sec"))
+        .select(lit(stage).as("stage"), col("users"), col("avg_gap_sec"))
+    report(s1, "1_view", lit(null).cast("long"))
+      .unionByName(report(s2, "2_click", sum(col("t2") - col("t1"))))
+      .unionByName(report(s3, "3_purchase", sum(col("t3") - col("t2"))))
+      .orderBy("stage")
+  }
+
+  private def q116OracleSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |s1 AS (SELECT user_id, min(tsu) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(tsu) AS t2, min(t1) AS t1 FROM e
+      |  JOIN s1 USING (user_id) WHERE event_type = 'click' AND tsu > t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(tsu) AS t3, min(t2) AS t2 FROM e
+      |  JOIN s2 USING (user_id) WHERE event_type = 'purchase' AND tsu > t2 GROUP BY e.user_id)
+      |SELECT '1_view' AS stage, count(*) AS users, 0.0::DOUBLE AS avg_gap_sec FROM s1
+      |UNION ALL SELECT '2_click', count(*),
+      |  COALESCE(round(sum(t2 - t1)::DOUBLE / count(*) / 1000000.0::DOUBLE, 6), 0.0) FROM s2
+      |UNION ALL SELECT '3_purchase', count(*),
+      |  COALESCE(round(sum(t3 - t2)::DOUBLE / count(*) / 1000000.0::DOUBLE, 6), 0.0) FROM s3
+      |ORDER BY stage""".stripMargin
+
   /** Shared q115 constant (Spark + oracle): the standard RRF dampening. */
   private val RrfK = 60
 
@@ -695,7 +749,8 @@ object PipelineQueries {
     "q107_oov_rate" -> (oovRate _),
     "q108_token_ids" -> (tokenIds _),
     "q114_phrase_search" -> (phraseSearch _),
-    "q115_hybrid_rrf" -> (hybridRrf _)
+    "q115_hybrid_rrf" -> (hybridRrf _),
+    "q116_conversion_funnel" -> (conversionFunnel _)
   )
 
   /** q58 oracle: thresholds derived from the SAME fractions as the Spark
@@ -714,6 +769,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q114_phrase_search" -> q114OracleSql,
     "q115_hybrid_rrf" -> q115OracleSql,
+    "q116_conversion_funnel" -> q116OracleSql,
     "q112_ref_integrity" ->
       """SELECT 'ref(l_orderkey)' AS rule,
         |  (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL

@@ -249,4 +249,46 @@ class AuditSpec extends AnyFunSuite {
       (0L, "s0", 2L, 2L, 1.0),
       (1L, "s0", 2L, 1L, 0.5)))
   }
+
+  test("q116: funnel stages require strict order; gaps average exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("funnel-ev").toString
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    Seq(
+      // u1: full conversion, gaps 10 s then 10 s
+      (1L, "view", ts(10)), (1L, "click", ts(20)), (1L, "purchase", ts(30)),
+      // u2: click BEFORE the first view must not count; later click does (gap 5 s)
+      (2L, "click", ts(5)), (2L, "view", ts(10)), (2L, "click", ts(15)),
+      // u3: view then purchase with no click -> stalls at stage 1
+      (3L, "view", ts(10)), (3L, "purchase", ts(20)),
+      // u4: click with no view at all -> never enters the funnel
+      (4L, "click", ts(5)),
+      // u5: click at EXACTLY the view ts -> strict 'after' excludes it
+      (5L, "view", ts(10)), (5L, "click", ts(10)),
+      // noise event type is filtered at the scan
+      (1L, "error", ts(25)))
+      .toDF("user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = PipelineQueries.conversionFunnel(spark, dir)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      ("1_view", 4L, 0.0),        // u1 u2 u3 u5
+      ("2_click", 2L, 7.5),       // u1 gap 10, u2 gap 5
+      ("3_purchase", 1L, 10.0)))  // u1 only (u3 never clicked)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q116: an empty stage yields zero users and a 0.0 gap, not null") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("funnel-ev2").toString
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    Seq((1L, "view", ts(10)), (2L, "purchase", ts(5)))
+      .toDF("user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = PipelineQueries.conversionFunnel(spark, dir)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(r == Seq(("1_view", 1L, 0.0), ("2_click", 0L, 0.0),
+      ("3_purchase", 0L, 0.0)))
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
