@@ -256,7 +256,14 @@ class PlanSpec extends AnyFunSuite {
       "q104_ann_recall", "q109_pq_recall",
       // q112: each ref rule attaches its 1-row total via a keyless
       // broadcast join (the q86 one-row-constants pattern)
-      "q112_ref_integrity")
+      "q112_ref_integrity",
+      // q113: the 1-row corpus-totals frame broadcasts onto the 128-row
+      // bucket aggregate (q86 pattern); per-token scoring itself is a
+      // keyed broadcast-hash join
+      "q113_importance_weights",
+      // q115: embeds q67's one-row corpus constants AND q27's brute-force
+      // broadcast-cross centroid ranking (5 centroids x corpus)
+      "q115_hybrid_rrf")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -340,6 +347,38 @@ class PlanSpec extends AnyFunSuite {
     // per-doc bigram counts (first-draft plan re-ran explode+window 3×)
     val cacheReads = p.linesIterator.count(l => l.trim.matches("\\(\\d+\\) InMemoryTableScan.*"))
     assert(cacheReads >= 3, s"grouped bigram counts must be cached and reread, got $cacheReads reads\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q113: the ratio model attaches broadcast; bucket agg is partial") {
+    val p = plan(SelectionQueries.importanceWeights(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 128-row ratio model must broadcast onto the token stream\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "bucket distribution must combine map-side")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q114: phrase top-k is a TakeOrdered; scan reads only id + text") {
+    val p = plan(PipelineQueries.phraseSearch(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"posting build must prune the documents scan\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q115: the embedding scan is pruned to id + vector") {
+    val p = plan(PipelineQueries.hybridRrf(spark, sf))
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      s"dense leg must prune the embeddings scan\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q116: every funnel exchange keys on user_id — one reusable shuffle key") {
+    val p = plan(PipelineQueries.conversionFunnel(spark, sf))
+    val parts = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(parts.nonEmpty && parts.forall(_.contains("user_id#")),
+      s"funnel must shuffle on user_id only\n${parts.mkString("\n")}")
     spark.sharedState.cacheManager.clearCache()
   }
 
