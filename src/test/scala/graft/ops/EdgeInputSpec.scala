@@ -120,4 +120,23 @@ class EdgeInputSpec extends AnyFunSuite {
     assert(Layout.globalSequence(empty, Seq(col("k"), col("id")), "pos",
       partitions = 4).count() == 0)
   }
+
+  test("importance scoring survives edge inputs; gate drops null and tokenless") {
+    import graft.streaming.StreamingImportance
+    // fit on the edge corpus itself: null/empty/whitespace rows contribute
+    // no tokens and must not poison the model
+    val model = StreamingImportance.fitModel(edgeDocs, "text", col("doc_id") >= 5)
+    assert(model.length === 128)
+    val byId = StreamingImportance.annotate(edgeDocs, model)
+      .select("doc_id", "logw").as[(Long, Option[Double])].collect().toMap
+    assert(byId(1L).isEmpty, "null text -> null logw (dropped by the gate)")
+    assert(byId(2L).contains(0.0) && byId(3L).contains(0.0),
+      "tokenless -> fold init 0.0")
+    val kept = StreamingImportance.gate(edgeDocs, model)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.intersect(Set(1L, 2L, 3L)).isEmpty,
+      "null and tokenless docs never pass the logw > 0 gate")
+    // the target-slice docs (the only token sources) must score positive
+    assert(kept == Set(5L, 6L))
+  }
 }
