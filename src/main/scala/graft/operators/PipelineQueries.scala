@@ -325,6 +325,100 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** Shared q117 constant (Spark + oracle): induction rounds. */
+  private val BpeRounds = 6
+
+  /** q117 — ITERATIVE BPE INDUCTION: the full merge loop q106 only scores
+    * the first round of. Each round counts adjacent symbol pairs over the
+    * CURRENT segmentation of the frequency-weighted vocabulary, merges the
+    * argmax pair (ties: count desc, then left/right lexicographic), and
+    * re-segments every word with a greedy left-to-right fold (a merged
+    * symbol never re-merges with the following token within the same pass —
+    * the canonical Sennrich semantics); later rounds see earlier products
+    * as single symbols, so merge 6 can pick pairs like ("m", "er"). Scale
+    * shape: the corpus collapses to its vocabulary FIRST (the q106
+    * posture) — every round is |vocab|-bounded work regardless of corpus
+    * size; the per-round argmax is a one-row driver decision (the bounded-
+    * model exception, 6 rows total), and the re-segment fold is a codegen'd
+    * higher-order aggregate, no UDF. */
+  def bpeInduct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    // persist: each round's segmentation feeds pair counting AND the next
+    // round's re-segment. Ownership: unpersisted in-loop; Verify/Bench
+    // clear any remainder after the query's action.
+    var seg = tf.select(col("c"),
+      transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))).as("s"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= BpeRounds && !done) {
+      val top = seg.where(size(col("s")) >= 2)
+        .select(col("c"), col("s"),
+          explode(sequence(lit(1), size(col("s")) - 1)).as("i"))
+        .select(element_at(col("s"), col("i")).as("a"),
+          element_at(col("s"), col("i") + 1).as("b"), col("c"))
+        .groupBy("a", "b").agg(sum("c").as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .head(1)
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a + " " + b, cnt))
+        // greedy left-to-right merge: fold the tail onto [first symbol] so
+        // the accumulator is never empty (mirrors DuckDB list_reduce's
+        // first-element seeding exactly)
+        val next = seg.select(col("c"),
+          aggregate(
+            slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
+            slice(col("s"), 1, 1),
+            (acc, x) => when(
+              element_at(acc, -1) === a && x === b,
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))).as("s"))
+          .persist()
+        next.count() // materialize before releasing the parent cache
+        seg.unpersist()
+        seg = next
+      }
+      r += 1
+    }
+    seg.unpersist()
+    merges.toSeq.toDF("step", "pair", "n").orderBy("step")
+  }
+
+  /** q117 oracle: unrolls all [[BpeRounds]] merge rounds as CTEs; the
+    * re-segment fold runs inside DuckDB's list_reduce with a chr(1)-joined
+    * string accumulator (safe: the testdata corpus is printable ASCII —
+    * verified, the q49-style oracle-scale assumption). */
+  private def q117OracleSql: String = {
+    def lastSym(acc: String) = s"list_extract(string_split($acc, chr(1)), -1)"
+    val head =
+      """tk AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w FROM documents),
+        |tf AS (SELECT w, count(*) AS c FROM tk GROUP BY w),
+        |seg0 AS (SELECT c, list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)) AS s FROM tf)""".stripMargin
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (SELECT t.a, t.b, sum(c)::BIGINT AS cnt FROM (
+         |  SELECT c, s[i] AS a, s[i+1] AS b FROM seg${r - 1}, unnest(generate_series(1, len(s)-1)) AS u(i)) t
+         |  GROUP BY 1, 2),
+         |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |seg$r AS (SELECT c, string_split(list_reduce(s, (acc, x) -> CASE
+         |    WHEN ${lastSym("acc")} = m.a AND x = m.b
+         |    THEN substr(acc, 1, len(acc) - len(${lastSym("acc")})) || m.a || m.b
+         |    ELSE acc || chr(1) || x END), chr(1)) AS s
+         |  FROM seg${r - 1}, m$r m)""".stripMargin
+    }
+    val sel = (1 to BpeRounds)
+      .map(r => s"SELECT CAST($r AS INTEGER) AS step, a || ' ' || b AS pair, cnt AS n FROM m$r")
+      .mkString("\nUNION ALL ")
+    s"WITH $head,\n${rounds.mkString(",\n")}\n$sel ORDER BY step"
+  }
+
   /** q107 — vocabulary COVERAGE / OOV rate: fix the tokenizer vocabulary as
     * the corpus's top-64 tokens by frequency (ties lexicographic), then
     * report each source's out-of-vocabulary token fraction — the coverage
@@ -750,7 +844,8 @@ object PipelineQueries {
     "q108_token_ids" -> (tokenIds _),
     "q114_phrase_search" -> (phraseSearch _),
     "q115_hybrid_rrf" -> (hybridRrf _),
-    "q116_conversion_funnel" -> (conversionFunnel _)
+    "q116_conversion_funnel" -> (conversionFunnel _),
+    "q117_bpe_merges" -> (bpeInduct _)
   )
 
   /** q58 oracle: thresholds derived from the SAME fractions as the Spark
@@ -770,6 +865,7 @@ object PipelineQueries {
     "q114_phrase_search" -> q114OracleSql,
     "q115_hybrid_rrf" -> q115OracleSql,
     "q116_conversion_funnel" -> q116OracleSql,
+    "q117_bpe_merges" -> q117OracleSql,
     "q112_ref_integrity" ->
       """SELECT 'ref(l_orderkey)' AS rule,
         |  (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL

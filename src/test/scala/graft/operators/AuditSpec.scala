@@ -250,6 +250,44 @@ class AuditSpec extends AnyFunSuite {
       (1L, "s0", 2L, 1L, 0.5)))
   }
 
+  test("q117: BPE merges chain (later rounds see earlier products); ties lexicographic") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe-docs").toString
+    // tf: aaab x2, aab x1. Hand trace:
+    //  r1 pairs: (a,a)=2*2+1=5, (a,b)=2+1=3            -> merge (a,a) 5
+    //  r2 seg aaab=[aa,a,b] aab=[aa,b]:
+    //     (aa,a)=2, (a,b)=2, (aa,b)=1; tie 'a'<'aa'    -> merge (a,b) 2
+    //  r3 seg aaab=[aa,ab] aab=[aa,b]: (aa,ab)=2,(aa,b)=1 -> merge (aa,ab) 2
+    //  r4 seg aaab=[aaab] aab=[aa,b]: (aa,b)=1         -> merge (aa,b) 1
+    //  r5: no pairs left -> induction stops early (4 of 6 rounds)
+    Seq((0L, "aaab aaab aab", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = PipelineQueries.bpeInduct(spark, dir)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(r == Seq((1, "a a", 5L), (2, "a b", 2L), (3, "aa ab", 2L),
+      (4, "aa b", 1L)))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q117: greedy left-to-right fold never re-merges a fresh product in-pass") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe-docs2").toString
+    // 'cccc': r1 counts 3 adjacent (c,c) pairs but the greedy re-segment
+    // yields [cc, cc] (two non-overlapping merges), so r2 merges (cc,cc)
+    Seq((0L, "cccc", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = PipelineQueries.bpeInduct(spark, dir)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(r == Seq((1, "c c", 3L), (2, "cc cc", 1L)))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q116: funnel stages require strict order; gaps average exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("funnel-ev").toString
