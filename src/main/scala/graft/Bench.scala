@@ -91,7 +91,12 @@ object Bench {
     // sample in the artifact names the round that stalled.
     val roundSecs = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
     val samples: Seq[(String, Seq[(Double, Long)])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) =>
+          // local-iteration filter (unset on the driver), as in Verify
+          sys.env.get("SPARK_GRAFT_ONLY")
+            .forall(_.split(",").exists(name.contains)) }
+        .map { case (name, fn) =>
         val ts = (0 to runs).map { _ =>
           graft.ops.Dedup.resetRoundSecs()
           val (sec, gcMs) = exec(name, fn)

@@ -25,16 +25,24 @@ object Retrieval {
   def bm25(df: DataFrame, textCol: String, idCol: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val toks = Partitioning.spread(df)
+    // One tokenize pass: the corpus collapses to a NARROW (id, len,
+    // query-term matches) projection — the token arrays are dropped before
+    // anything persists or shuffles, so the cached frame is ~40 B/doc (vs
+    // the corpus text), and both downstream reads (postings and the corpus
+    // constants) reuse it instead of re-running the split kernel.
+    // Ownership: callers' Verify/Bench clear the cache after each action.
+    val termsArr = array(terms.map(lit): _*)
+    val narrow = Partitioning.spread(df)
       .select(col(idCol), TextOps.tokens(col(textCol)).as("_ts"))
-      .select(col(idCol), col("_ts"), size(col("_ts")).as("_len"))
-    val postings = toks
-      .select(col(idCol), col("_len"), explode(col("_ts")).as("term"))
-      .where(col("term").isin(terms: _*))
+      .select(col(idCol), size(col("_ts")).as("_len"),
+        filter(col("_ts"), t => array_contains(termsArr, t)).as("_m"))
+      .persist()
+    val postings = narrow
+      .select(col(idCol), col("_len"), explode(col("_m")).as("term"))
       .groupBy("term", idCol, "_len")
       .agg(count(lit(1)).as("tf"))
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("_df"))
-    val stats = toks.agg(count(lit(1)).as("_n"), avg(col("_len")).as("_avg"))
+    val stats = narrow.agg(count(lit(1)).as("_n"), avg(col("_len")).as("_avg"))
     postings
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats)) // one row: corpus constants
