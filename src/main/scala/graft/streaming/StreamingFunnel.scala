@@ -40,13 +40,22 @@ object StreamingFunnel {
       tsCol: String = "ts",
       minShared: Int = 2,
       n: Int = 3,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      importanceModel: Option[Array[Double]] = None): DataFrame = {
     // repair FIRST: decomposed-vs-composed forms of the same text must not
     // carry different digests into the dedup state (q110's rationale)
     val repaired = StreamingRepair.repair(docs, textCol)
     val masked = StreamingScrub.scrub(repaired, textCol)
     val gated = StreamingScrub.classifierGate(masked, textCol)
-    val clean = StreamingDecontam.screen(gated, probeIndex, minShared, textCol, n)
+    // optional DSIR stage (q113's batch-fitted model): importance-gates on
+    // the MASKED text — like the classifier, the target-likeness decision
+    // must not key on raw PII spans. Stateless, so it slots with the other
+    // pre-dedup filters and the dedup state only holds selected docs.
+    val targeted = importanceModel match {
+      case Some(m) => StreamingImportance.gate(gated, m, textCol)
+      case None => gated
+    }
+    val clean = StreamingDecontam.screen(targeted, probeIndex, minShared, textCol, n)
     StreamingDedup.firstOccurrence(clean, textCol, tsCol, watermarkDelay)
   }
 }

@@ -84,4 +84,45 @@ class StreamingFunnelSpec extends AnyFunSuite {
       "the NUL-dirtied dup must dedup — only possible if repair ran first")
     assert(streamed.map(_._1) == Set(1L, 2L, 3L))
   }
+
+  test("importance stage gates inside the funnel; the drop attributes to it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = StreamingDecontam.probeIndex(Seq(probeText).toDF("text"))
+    // fit: 'clean' is the target vocabulary, 'quality' raw-only; both words
+    // carry POSITIVE classifier token weights (+46 / +14), so the
+    // classifier gate keeps both arrivals and any drop below is the
+    // importance stage's alone
+    val fit = Seq(("clean clean", "t"), ("quality quality", "r"))
+      .toDF("text", "slice")
+    val model = StreamingImportance.fitModel(fit, "text", col("slice") === "t")
+
+    val t0 = java.sql.Timestamp.valueOf("2025-08-11 00:00:00")
+    val rows = Seq(
+      (10L, "clean clean", new java.sql.Timestamp(t0.getTime)),        // target-like
+      (11L, "quality quality", new java.sql.Timestamp(t0.getTime + 1000))) // raw-like
+
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val query = StreamingFunnel.ingest(
+        input.toDS().toDF("doc_id", "text", "ts"), idx,
+        importanceModel = Some(model))
+      .select("doc_id")
+      .writeStream.format("memory").queryName("funnel_imp")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(1): _*); query.processAllAvailable()
+      input.addData(rows.drop(1): _*); query.processAllAvailable()
+      val survivors = spark.sql("SELECT * FROM funnel_imp").as[Long].collect().toSet
+      assert(survivors == Set(10L), s"got $survivors")
+      // attribution: both docs pass repair+scrub+gate AND the screen; only
+      // the importance stage separates them
+      val static = rows.toDF("doc_id", "text", "ts")
+      val gated = StreamingScrub.classifierGate(
+        StreamingScrub.scrub(StreamingRepair.repair(static)))
+      val screened = StreamingDecontam.screen(gated, idx)
+        .select("doc_id").as[Long].collect().toSet
+      assert(screened == Set(10L, 11L),
+        "both arrivals must survive every non-importance stage")
+    } finally query.stop()
+  }
 }
