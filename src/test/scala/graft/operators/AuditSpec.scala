@@ -288,6 +288,25 @@ class AuditSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q118: encode report weights the final segmentation by word frequency") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe-docs3").toString
+    // same vocabulary as the q117 trace, split across two sources; final
+    // segmentation after the 4 possible merges ((a,a),(a,b),(aa,ab),(aa,b)):
+    // both words collapse to a single symbol
+    Seq((0L, "aaab aaab", "en", "s0"), (1L, "aab", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = PipelineQueries.bpeEncodeReport(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      ("s0", 2L, 8L, 2L, 4.0),   // both 'aaab's encode to 1 symbol
+      ("s1", 1L, 3L, 1L, 3.0)))  // merge 4 (aa,b) collapses 'aab' too
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q116: funnel stages require strict order; gaps average exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("funnel-ev").toString
