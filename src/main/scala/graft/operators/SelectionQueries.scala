@@ -74,6 +74,64 @@ object SelectionQueries {
       "FROM a2 LEFT JOIN pruned p ON a2.vec_id = p.vec_id " +
       "GROUP BY 1 ORDER BY 1"
 
+  // --- q119: cluster-balanced coreset selection -----------------------------
+
+  /** q119 — CLUSTER-BALANCED CORESET: diversity subsampling in embedding
+    * space (the D4/SemDeDup-family "balance the clusters" step): the q91
+    * k-means blocks the corpus, then each cluster keeps only
+    * ceil(sqrt(|cluster|)) members — concentration in over-represented
+    * regions is downweighted sublinearly while every region keeps
+    * representation. WHICH members survive is a deterministic content-hash
+    * shuffle (h60 of 'cs:'+id, ties by id — the q94 epoch-order mechanism),
+    * so re-runs and other engines keep identical ids. Scale shape: one
+    * assignment pass against the broadcast centroid model (bounded, q91's);
+    * quota + rank run inside one cluster-partitioned exchange (count and
+    * row_number share the partitioning); the report is cluster-bounded.
+    * sqrt/ceil arithmetic is exact-integer-input double math — identical
+    * across engines. */
+  def coresetSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val e = table(spark, dir, "embeddings")
+    val cents = SemDedup.kmeansFit(e, "embedding", "vec_id",
+      KmInitEvery, KmInitMax, KmIters)
+    val assigned = graft.ops.Partitioning.spread(e)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("_v"))
+      .withColumn("_ci", SemDedup.assignLabeled(col("_v"), cents))
+      .select(col("vec_id"), col("_ci"))
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy("_ci").orderBy(
+      PortableSketch.h60(concat(lit("cs:"), col("vec_id").cast("string"))).asc,
+      col("vec_id").asc)
+    val sz = Window.partitionBy("_ci")
+    assigned
+      .withColumn("_n", count(lit(1)).over(sz))
+      .withColumn("_rn", row_number().over(ord))
+      .where(col("_rn") <= ceil(sqrt(col("_n"))))
+      .groupBy(col("_ci").as("cluster_id"))
+      .agg(max("_n").as("n_members"),
+        count(lit(1)).as("n_kept"),
+        sum("vec_id").as("kept_id_sum"),
+        min("vec_id").as("kept_min_id"))
+      .orderBy("cluster_id")
+  }
+
+  private def q119OracleSql: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci, v AS cv " +
+      s"FROM e WHERE vec_id % $KmInitEvery = 0 AND vec_id < $KmInitMax), " +
+      assignCte("c0", "a0") + ", " + updateCte("a0", "c1") + ", " +
+      assignCte("c1", "a1") + ", " + updateCte("a1", "c2") + ", " +
+      assignCte("c2", "a2") + ", " +
+      "ranked AS (SELECT vec_id, ci, " +
+      "COUNT(*) OVER (PARTITION BY ci) AS n, " +
+      "ROW_NUMBER() OVER (PARTITION BY ci ORDER BY " +
+      "('0x' || substr(md5('cs:' || vec_id), 1, 15))::BIGINT, vec_id) AS rn FROM a2) " +
+      "SELECT ci AS cluster_id, max(n)::BIGINT AS n_members, " +
+      "count(*) AS n_kept, sum(vec_id)::BIGINT AS kept_id_sum, " +
+      "min(vec_id) AS kept_min_id " +
+      "FROM ranked WHERE rn <= ceil(sqrt(n)) GROUP BY ci ORDER BY ci"
+
   // --- q92: mixture-weighted sampling --------------------------------------
 
   /** Target corpus-token fraction for the sampled epoch. */
@@ -764,12 +822,14 @@ object SelectionQueries {
     "q99_pipeline_funnel" -> (pipelineFunnel _),
     "q111_rare_scrub" -> (rareScrub _),
     "q113_importance_weights" -> (importanceWeights _),
+    "q119_coreset_sample" -> (coresetSample _),
     "q100_epoch_resume" -> (epochResume _),
     "q103_trained_gate" -> (trainedGate _)
   )
 
   val oracles: Map[String, String] = Map(
     "q113_importance_weights" -> q113OracleSql,
+    "q119_coreset_sample" -> q119OracleSql,
     "q91_semantic_dedup" -> q91OracleSql,
     "q92_mixture_sample" -> q92OracleSql,
     "q93_pii_scrub" -> q93OracleSql,

@@ -266,6 +266,36 @@ class SelectionSpec extends AnyFunSuite {
     assert(TrainedGate.fitLogistic(f, Seq("x_b"), "y", 0.5, 4) == Seq(0.0))
   }
 
+  // --- q119: cluster-balanced coreset --------------------------------------
+
+  test("q119 coreset keeps ceil(sqrt(n)) per cluster by the content-hash order") {
+    val dir = java.nio.file.Files.createTempDirectory("coreset-emb").toString
+    // init centroids are ids 0 and 50 (initEvery=50, initMax=800): cluster 0
+    // gets the four +x vectors (quota ceil(sqrt(4)) = 2), cluster 1 the one
+    // +y vector (quota 1)
+    Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.95f, 0.02f), 0),
+      (3L, Array(1.0f, 0.05f), 0),
+      (50L, Array(0.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.SelectionQueries.coresetSample(spark, dir)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    // which two +x ids survive: first two under (h60('cs:'+id), id)
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.ByteBuffer.wrap(md, 0, 8).getLong >>> 4
+    }
+    val kept = Seq(0L, 1L, 2L, 3L).sortBy(id => (h60(s"cs:$id"), id)).take(2)
+    assert(got == Seq(
+      (0, 4L, 2L, kept.sum, kept.min),
+      (1, 1L, 1L, 50L, 50L)))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   // --- q113: importance-weighted selection (DSIR) --------------------------
 
   /** Plain-Scala replay of the q113 pipeline (h60-mod-128 buckets, add-one
