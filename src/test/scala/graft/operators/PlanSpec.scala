@@ -115,10 +115,11 @@ class PlanSpec extends AnyFunSuite {
   test("q67: df aggregation combines map-side; term filter applied before grouping") {
     val p = plan(PipelineQueries.bm25TopK(spark, sf))
     assert(p.contains("partial_count"), s"postings/df aggregation must combine map-side\n$p")
-    // the term restriction must appear as a literal IN filter (postings are
-    // built for the query terms only - the corpus never reaches the shuffle)
-    assert(p.contains("IN (spark,table,join,hash,window)"),
-      s"broadcast term-set filter expected in plan\n$p")
+    // the term restriction must run INSIDE the token array, before the
+    // generator (round 11): the explode emits query-term hits only, so the
+    // corpus token stream never exists as rows, let alone reaches a shuffle
+    assert(p.contains("array_contains") && p.contains("filter("),
+      s"pre-explode array term filter expected in plan\n$p")
   }
 
   test("q68: per-lang rollup is one partial+final aggregation (no extra shuffle)") {
