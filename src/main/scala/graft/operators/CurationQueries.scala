@@ -335,7 +335,40 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** q120 — SOFT DEDUP / duplicate-aware loss weighting: instead of
+    * dropping exact duplicates (q21), weight every document by
+    * 1/(its corpus-wide duplicate count) — the data-constrained-regime
+    * alternative where repeated text still trains but contributes one
+    * document's worth of gradient in total. Report per source: raw docs,
+    * distinct texts, and the effective (weight-summed) document count —
+    * the corpus-size number a loss-weighted epoch actually delivers.
+    * Scale shape: fully collapsed before any join — (source, digest)
+    * counts aggregate map-side first, the global duplicate count is a
+    * second digest-keyed aggregate, and the join matches two
+    * distinct-text-bounded relations (a mega-duplicate is ONE row on each
+    * side, never a hot key — the q105/q80 posture). */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val sd = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("source"), md5(col("text").cast("binary")).as("_d"))
+      .groupBy("source", "_d").agg(count(lit(1)).as("_c"))
+    val g = sd.groupBy("_d").agg(sum("_c").as("_n"))
+    sd.join(g, Seq("_d"))
+      .groupBy("source")
+      .agg(sum("_c").as("docs"),
+        count(lit(1)).as("distinct_texts"),
+        round(sum(col("_c") / col("_n")), 6).as("effective_docs"))
+      .orderBy("source")
+  }
+
+  private def q120OracleSql: String =
+    """WITH sd AS (SELECT source, md5(text) AS d, count(*) AS c FROM documents GROUP BY 1, 2),
+      |g AS (SELECT d, sum(c) AS n FROM sd GROUP BY d)
+      |SELECT source, sum(c)::BIGINT AS docs, count(*) AS distinct_texts,
+      |  round(sum(c / n), 6) AS effective_docs
+      |FROM sd JOIN g USING (d) GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q120_soft_dedup" -> (softDedupWeights _),
     "q82_gopher_rules" -> (gopherRules _),
     "q83_doc_chunks" -> (docChunks _),
     "q84_bigram_lm" -> (bigramLm _),
@@ -348,6 +381,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q120_soft_dedup" -> q120OracleSql,
     "q110_normalize_repair" ->
       """WITH c AS (SELECT source, text,
         |  trim(regexp_replace(regexp_replace(nfc_normalize(text),

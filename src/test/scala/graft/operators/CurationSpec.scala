@@ -192,4 +192,25 @@ class CurationSpec extends AnyFunSuite {
     val w = math.pow(0.1, 0.3) / (math.pow(0.1, 0.3) + math.pow(0.9, 0.3))
     assert(math.abs(r("minor")._4 - w) < 1e-5)
   }
+
+  test("q120 soft dedup: weights sum to one per duplicate group, across sources") {
+    import spark.implicits._
+    // 'dup' appears 3x total (2 in sA, 1 in sB): each copy weighs 1/3, so
+    // sA gets 2/3 + 1 (its unique doc) and sB gets 1/3 + 1
+    val dir = docsDir(Seq(
+      (0L, "dup text body", "en", "sA"),
+      (1L, "dup text body", "en", "sA"),
+      (2L, "dup text body", "en", "sB"),
+      (3L, "unique a", "en", "sA"),
+      (4L, "unique b", "en", "sB")))
+    val r = CurationQueries.softDedupWeights(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    def rnd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r == Seq(
+      ("sA", 3L, 2L, rnd6(2.0 / 3 + 1)),
+      ("sB", 2L, 2L, rnd6(1.0 / 3 + 1))))
+    // invariant: total effective docs == number of distinct texts
+    assert(rnd6(r.map(_._4).sum) == 3.0)
+  }
 }
