@@ -69,7 +69,17 @@ object ProfScale {
     val queries: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
       "q105_chunk_dedup" -> (d => operators.CurationQueries.chunkDedup(spark, d)),
       "q106_bpe_pairs" -> (d => operators.PipelineQueries.bpePairs(spark, d)),
-      "q107_oov_rate" -> (d => operators.PipelineQueries.oovRate(spark, d)))
+      "q107_oov_rate" -> (d => operators.PipelineQueries.oovRate(spark, d)),
+      // round 11: q113 is one-tokenize linear (≲10×); q114's cost is the
+      // postings, a small corpus-proportional slice (≲10×); q117/q118 are
+      // vocabulary-bounded after the first aggregation (the blowup adds 10
+      // vocab entries, so expect far UNDER 10×); q120 is distinct-text
+      // bounded (the distinct-prefix blowup grows it the full 10×)
+      "q113_importance" -> (d => operators.SelectionQueries.importanceWeights(spark, d)),
+      "q114_phrase" -> (d => operators.PipelineQueries.phraseSearch(spark, d)),
+      "q117_bpe_merges" -> (d => operators.PipelineQueries.bpeInduct(spark, d)),
+      "q118_bpe_encode" -> (d => operators.PipelineQueries.bpeEncodeReport(spark, d)),
+      "q120_soft_dedup" -> (d => operators.CurationQueries.softDedupWeights(spark, d)))
 
     for (round <- 1 to 3; (name, q) <- queries; (label, d) <- Seq("1x" -> d1, s"${blowup}x" -> dN)) {
       val t0 = System.nanoTime()
