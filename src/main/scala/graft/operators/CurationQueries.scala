@@ -200,20 +200,33 @@ object CurationQueries {
   /** q87 — embedding-space source drift: cosine of each label's embedding
     * centroid against the corpus centroid (the embedding-space sibling of
     * q81's token-distribution drift — catches a source whose text stats
-    * look fine but whose semantic distribution moved). Scale shape: one
-    * posexplode → (label, dim) partial-sum aggregation is the only
-    * corpus-sized pass; the corpus centroid derives from the per-label
-    * sums (weighted mean — never a second read of the exploded frame), and
-    * everything after operates on |labels|×dim rows. That small frame is
-    * the only persist (read by the corpus derivation and the scoring
-    * join). */
+    * look fine but whose semantic distribution moved). Scale shape
+    * (round-11 rewrite): the corpus-sized pass is ONE generator-free
+    * aggregate — per-dimension sums as dims fixed columns with map-side
+    * partials, so the 64×-corpus row blow-up of the old posexplode never
+    * exists; the dimension count probes from a single limit-1 row
+    * (embeddings are fixed-width by contract). The corpus centroid derives
+    * from the per-label sums (weighted mean — never a second corpus read),
+    * and everything after operates on |labels|×dim rows; that small frame
+    * is the only persist. */
   def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
-    val bl = graft.ops.Partitioning.spread(table(spark, dir, "embeddings"))
-      .select(col("label"), posexplode(col("embedding")))
-      .toDF("label", "pos", "v")
-      .groupBy("label", "pos")
-      .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
-      .select(col("label"), col("pos"), (col("s") / col("n")).as("m"), col("n"))
+    val e = graft.ops.Partitioning.spread(table(spark, dir, "embeddings"))
+      .select(col("label"), col("embedding").cast("array<double>").as("_v"))
+    val dims = e.select(size(col("_v"))).take(1).headOption
+      .map(_.getInt(0)).getOrElse(0)
+    if (dims == 0)
+      return e.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("n_vecs"),
+          lit(0.0d).as("centroid_cos"), lit(0.0d).as("centroid_norm"))
+        .orderBy("label")
+    val sums = (0 until dims).map(i =>
+      sum(element_at(col("_v"), i + 1)).as(s"_s$i"))
+    val bl = e.groupBy("label")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("label"), col("n"),
+        posexplode(array((0 until dims).map(i => col(s"_s$i")): _*)))
+      .select(col("label"), (col("pos") + 1).as("pos"),
+        (col("col") / col("n")).as("m"), col("n"))
       .persist()
     val corpus = bl.groupBy("pos")
       .agg((sum(col("m") * col("n")) / sum("n")).as("mc"))
