@@ -373,6 +373,102 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** q121 — N-GRAM REPETITION PROFILE: the Gopher repetition suite
+    * (Rae et al. 2021, Table A1) that q82's max-single-token rule only
+    * approximates — per document, the fraction of characters claimed by
+    * (a) the most frequent word 2-gram, (b) the most frequent word
+    * 3-gram, and (c) ALL word 2-grams occurring more than once, rolled
+    * up per language with corpus-calibrated violation thresholds
+    * (top-2 > 0.10, top-3 > 0.10, dup-2 > 0.20 — Gopher's dup-{5..10}
+    * legs are degenerate on this corpus and would pin zeros). Every
+    * keep/violate decision is INTEGER arithmetic (`num*10 > totchars`),
+    * so the gate has no float boundary; the reported averages take the
+    * §2.5 9-dp-per-doc / 6-dp-rollup canonicalization. Scale shape: ONE
+    * corpus scan builds both gram sizes in-row (tagged structs, no
+    * second pass), the exploded frame collapses immediately to
+    * (doc, n, gram) counts (map-side partials; grouping key contains
+    * doc_id so no corpus-wide hot key exists), then to one row per doc,
+    * then to the per-language rollup — each stage strictly smaller. */
+  def repetitionProfile(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("_ts"))
+    val docStats = base.select(col("doc_id"), col("lang"),
+      expr("aggregate(_ts, 0L, (a, x) -> a + length(x))").as("totchars"))
+    // all 2- and 3-grams WITH multiplicity (graft_word_ngrams is distinct
+    // by design — counts are the whole point here), built in one pass;
+    // the filter() guard types the empty array for docs shorter than n
+    def gramsExpr(n: Int): String =
+      s"transform(filter(sequence(0, greatest(size(_ts)-$n, 0)), i -> i <= size(_ts)-$n), " +
+        s"i -> named_struct('n', $n, 'g', concat_ws(' ', slice(_ts, i+1, $n))))"
+    val cnts = base
+      .selectExpr("doc_id", s"explode(concat(${gramsExpr(2)}, ${gramsExpr(3)})) AS gr")
+      .select(col("doc_id"), col("gr.n").as("n"), col("gr.g").as("g"))
+      .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+      .withColumn("num", col("c") * (length(col("g")) - (col("n") - lit(1))))
+    def top(n: Int) = // (count desc, gram asc) argmax via struct-min
+      min(when(col("n") === n,
+        struct((-col("c")).as("nc"), col("g").as("g"), col("num").as("num"))))
+    val perDoc = cnts.groupBy("doc_id").agg(
+      top(2).as("t2"), top(3).as("t3"),
+      sum(when(col("n") === 2 && col("c") > 1, col("num")).otherwise(0L)).as("d2"))
+    def frac(num: org.apache.spark.sql.Column) =
+      when(col("totchars") > 0, round(num / col("totchars"), 9)).otherwise(lit(0.0))
+    val joined = docStats.join(perDoc, Seq("doc_id"), "left").select(
+      col("lang"), col("totchars"),
+      coalesce(col("t2.num"), lit(0L)).as("num2"),
+      coalesce(col("t3.num"), lit(0L)).as("num3"),
+      coalesce(col("d2"), lit(0L)).as("dup2"))
+    joined.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      round(avg(frac(col("num2"))), 6).as("avg_top2_frac"),
+      round(avg(frac(col("num3"))), 6).as("avg_top3_frac"),
+      round(avg(frac(col("dup2"))), 6).as("avg_dup2_frac"),
+      sum((col("num2") * 10 > col("totchars")).cast("long")).as("v_top2"),
+      sum((col("num3") * 10 > col("totchars")).cast("long")).as("v_top3"),
+      sum((col("dup2") * 5 > col("totchars")).cast("long")).as("v_dup2"),
+      sum((col("num2") * 10 <= col("totchars") &&
+        col("num3") * 10 <= col("totchars") &&
+        col("dup2") * 5 <= col("totchars")).cast("long")).as("n_keep"))
+      .orderBy("lang")
+  }
+
+  private def q121OracleSql: String =
+    """WITH tk AS (SELECT doc_id, lang,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |tc AS (SELECT doc_id, lang,
+      |    coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS totchars FROM tk),
+      |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+      |         i -> array_to_string(t[i:i+1], ' '))) AS g FROM tk WHERE len(t) >= 2),
+      |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+      |t2 AS (SELECT doc_id, c*(len(g)-1) AS num2 FROM
+      |        (SELECT doc_id, g, c, row_number() OVER
+      |          (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM c2)
+      |       WHERE rn = 1),
+      |d2 AS (SELECT doc_id, sum(c*(len(g)-1)) AS dup2 FROM c2 WHERE c > 1 GROUP BY 1),
+      |g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+      |         i -> array_to_string(t[i:i+2], ' '))) AS g FROM tk WHERE len(t) >= 3),
+      |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+      |t3 AS (SELECT doc_id, c*(len(g)-2) AS num3 FROM
+      |        (SELECT doc_id, g, c, row_number() OVER
+      |          (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM c3)
+      |       WHERE rn = 1),
+      |d AS (SELECT tc.lang, tc.totchars,
+      |        coalesce(num2, 0) AS num2, coalesce(num3, 0) AS num3,
+      |        coalesce(dup2, 0) AS dup2
+      |      FROM tc LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+      |        LEFT JOIN d2 USING (doc_id))
+      |SELECT lang, count(*) AS n_docs,
+      |  round(avg(CASE WHEN totchars > 0 THEN round(num2/totchars, 9) ELSE 0 END), 6) AS avg_top2_frac,
+      |  round(avg(CASE WHEN totchars > 0 THEN round(num3/totchars, 9) ELSE 0 END), 6) AS avg_top3_frac,
+      |  round(avg(CASE WHEN totchars > 0 THEN round(dup2/totchars, 9) ELSE 0 END), 6) AS avg_dup2_frac,
+      |  sum(CASE WHEN num2*10 > totchars THEN 1 ELSE 0 END)::BIGINT AS v_top2,
+      |  sum(CASE WHEN num3*10 > totchars THEN 1 ELSE 0 END)::BIGINT AS v_top3,
+      |  sum(CASE WHEN dup2*5 > totchars THEN 1 ELSE 0 END)::BIGINT AS v_dup2,
+      |  sum(CASE WHEN num2*10 <= totchars AND num3*10 <= totchars
+      |        AND dup2*5 <= totchars THEN 1 ELSE 0 END)::BIGINT AS n_keep
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   private def q120OracleSql: String =
     """WITH sd AS (SELECT source, md5(text) AS d, count(*) AS c FROM documents GROUP BY 1, 2),
       |g AS (SELECT d, sum(c) AS n FROM sd GROUP BY d)
@@ -382,6 +478,7 @@ object CurationQueries {
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q120_soft_dedup" -> (softDedupWeights _),
+    "q121_repetition_profile" -> (repetitionProfile _),
     "q82_gopher_rules" -> (gopherRules _),
     "q83_doc_chunks" -> (docChunks _),
     "q84_bigram_lm" -> (bigramLm _),
@@ -395,6 +492,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q120_soft_dedup" -> q120OracleSql,
+    "q121_repetition_profile" -> q121OracleSql,
     "q110_normalize_repair" ->
       """WITH c AS (SELECT source, text,
         |  trim(regexp_replace(regexp_replace(nfc_normalize(text),

@@ -213,4 +213,32 @@ class CurationSpec extends AnyFunSuite {
     // invariant: total effective docs == number of distinct texts
     assert(rnd6(r.map(_._4).sum) == 3.0)
   }
+
+  test("q121 repetition profile: argmax + tie-break, dup overlap, clean doc, empty doc") {
+    import spark.implicits._
+    // doc0 "a b a b a b c": 2-grams 'a b'x3,'b a'x2,'b c'x1 → top num2=3*2=6;
+    // 3-grams 'a b a'x2,'b a b'x2 TIE at c=2 → 'a b a' wins (gram asc) →
+    // num3=2*3=6; dup2 = 3*2 + 2*2 = 10 (overlapping chars counted per
+    // occurrence — the fraction may exceed 1 by design); totchars=7 → all
+    // three integer gates trip (60>7, 60>7, 50>7)
+    val a = "a b a b a b c"
+    // doc1: 30 distinct 3-char tokens → totchars=90; top2 num=1*6 (60<=90
+    // keeps), top3 num=1*9 (90<=90 keeps — the boundary is NOT a violation),
+    // dup2=0 → clean keep
+    val b = (1 to 30).map(i => f"w$i%02d").mkString(" ")
+    val dir = docsDir(Seq((0L, a, "en", "s0"), (1L, b, "en", "s0"), (2L, "", "fr", "s0")))
+    val r = CurationQueries.repetitionProfile(spark, dir)
+      .as[(String, Long, Double, Double, Double, Long, Long, Long, Long)]
+      .collect().toSeq
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val en = ("en", 2L,
+      r6((r9(6.0 / 7) + r9(6.0 / 90)) / 2),
+      r6((r9(6.0 / 7) + r9(9.0 / 90)) / 2),
+      r6((r9(10.0 / 7) + 0.0) / 2),
+      1L, 1L, 1L, 1L)
+    // doc2 is tokenless: totchars=0 → fractions pin to 0.0, nothing trips
+    val fr = ("fr", 1L, 0.0, 0.0, 0.0, 0L, 0L, 0L, 1L)
+    assert(r == Seq(en, fr))
+  }
 }
