@@ -59,7 +59,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => WordNGrams(args.head, intArg(args, 1, "graft_word_ngrams"))),
     (FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
-      (args: Seq[Expression]) => NfcNormalize(args.head))
+      (args: Seq[Expression]) => NfcNormalize(args.head)),
+    (FunctionIdentifier("graft_phash64"),
+      new ExpressionInfo(classOf[PHash64].getName, "graft_phash64"),
+      (args: Seq[Expression]) => PHash64(args.head))
   )
 
   /** Idempotently register the fused functions on a live session (no-op when
@@ -117,6 +120,9 @@ object GraftFunctions {
 
   /** Unicode NFC normalization (codegen'd; DuckDB `nfc_normalize` parity). */
   def nfc(text: Column): Column = call_function("graft_nfc", text)
+
+  /** Fused 64-bit positional average-hash over a binary payload. */
+  def phash64(payload: Column): Column = call_function("graft_phash64", payload)
 
   /** Fused adjacent word-pair array ("w1 w2" strings; empty under two
     * tokens — NOT lowercased, raw-text tokenization like wordMinhash). */

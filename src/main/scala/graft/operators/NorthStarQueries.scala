@@ -459,6 +459,17 @@ object NorthStarQueries {
       .orderBy("frame_no")
   }
 
+  /** q122 — perceptual-hash near-dup report over the multimodal assets:
+    * [[Multimodal.phashNearDupReport]] (64-bit positional aHash, 4x16-bit
+    * banded LSH — structurally complete for Hamming <= 3 — capped buckets,
+    * exact bit_count verify). 64-bit/16-bit-band is the SCALE-correct
+    * density: a 16-bit hash family saturates its 65k-value space at corpus
+    * scale and every bucket goes hot, while 16-bit bands of a 64-bit hash
+    * keep bucket occupancy ~n/65k per modality per band. */
+  def phashNearDups(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.phashNearDupReport(
+      Multimodal.fakeAssets(table(spark, dir, "documents")))
+
   // --- deterministic splits / sampling -------------------------------------
 
   private[operators] val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -671,6 +682,7 @@ object NorthStarQueries {
     "q31_multimodal_features" -> (multimodalFeatures _),
     "q32_video_frames" -> (videoFrameSample _),
     "q101_audio_stats" -> (audioStreamStats _),
+    "q122_phash_neardups" -> (phashNearDups _),
     "q33_dependency_links" -> (dependencyLinks _),
     "q34_approx_distinct" -> (approxDistinct _),
     "q46_v1_two_table_links" -> (v1TwoTableLinks _),
@@ -937,6 +949,53 @@ object NorthStarQueries {
         |  CASE WHEN n = 0 THEN 0 ELSE list_max(bs) END::INT AS peak,
         |  FALSE AS decoded
         |FROM b ORDER BY asset_id""".stripMargin,
+    // q122: the 64-segment positional average-hash replayed bit-by-bit
+    // (ord(char) == payload byte on the all-ASCII corpus — the same
+    // correspondence every fallback-decode oracle in this family relies
+    // on), banding as 16-bit slices of the bit list, candidate pairs as
+    // the distinct bucket self-join, Hamming verify as elementwise bit
+    // compare. Valid while no LSH bucket exceeds the 1024 star-cap —
+    // asserted at both oracle SFs (largest observed bucket: 9 at sf0.1).
+    "q122_phash_neardups" ->
+      """WITH d AS (SELECT doc_id AS asset_id,
+        |    ['image','audio','video'][(doc_id % 3)::INT + 1] AS modality,
+        |    list_transform(range(1, length(text)+1), i -> ord(text[i])) AS b,
+        |    length(text) AS L
+        |  FROM documents),
+        |bits AS (SELECT asset_id, modality,
+        |    list_transform(range(0, 64), i ->
+        |      CASE WHEN list_sum(list_slice(b, (i*L)//64 + 1, ((i+1)*L)//64)) * L >
+        |                list_sum(b) * (((i+1)*L)//64 - (i*L)//64)
+        |           THEN 1 ELSE 0 END) AS bt
+        |  FROM d),
+        |bands AS (SELECT asset_id, modality, j,
+        |    list_sum(list_transform(range(0,16),
+        |      k -> bt[16*j + k + 1] * (1 << (15 - k)))) AS bv
+        |  FROM bits, unnest(range(0,4)) AS t(j)),
+        |cand AS (SELECT DISTINCT a.asset_id AS x, b2.asset_id AS y, a.modality
+        |  FROM bands a JOIN bands b2
+        |    ON a.modality = b2.modality AND a.j = b2.j AND a.bv = b2.bv
+        |   AND a.asset_id < b2.asset_id),
+        |ham AS (SELECT c.modality, c.x, c.y,
+        |    list_sum(list_transform(range(1,65),
+        |      i -> CASE WHEN ha.bt[i] <> hb.bt[i] THEN 1 ELSE 0 END)) AS hd
+        |  FROM cand c JOIN bits ha ON ha.asset_id = c.x
+        |    JOIN bits hb ON hb.asset_id = c.y),
+        |pstats AS (SELECT modality, count(*) AS cand_pairs,
+        |    sum(CASE WHEN hd <= 3 THEN 1 ELSE 0 END) AS near_pairs
+        |  FROM ham GROUP BY 1),
+        |na AS (SELECT modality, count(DISTINCT id) AS near_assets FROM
+        |    (SELECT modality, unnest([x, y]) AS id FROM ham WHERE hd <= 3)
+        |  GROUP BY 1),
+        |astats AS (SELECT modality, count(*) AS n_assets,
+        |    count(DISTINCT bt) AS n_hash FROM bits GROUP BY 1)
+        |SELECT a.modality, n_assets, n_hash,
+        |  coalesce(cand_pairs, 0)::BIGINT AS cand_pairs,
+        |  coalesce(near_pairs, 0)::BIGINT AS near_pairs,
+        |  coalesce(near_assets, 0)::BIGINT AS near_assets
+        |FROM astats a LEFT JOIN pstats USING (modality)
+        |  LEFT JOIN na USING (modality)
+        |ORDER BY modality""".stripMargin,
     "q49_embedding_neardups" -> q49OracleSql,
     "q50_train_splits" -> q50OracleSql,
     "q51_contamination" ->

@@ -437,4 +437,63 @@ object Multimodal {
         }
       }(enc)
   }
+
+  /** Perceptual-hash near-duplicate report (q122): the payload-level dedup
+    * the text family (q24/q63) cannot see — byte-identical reposts aside,
+    * re-encoded or lightly-edited media only collide on a PERCEPTUAL hash.
+    * Per asset, a 64-bit positional average-hash (codegen'd
+    * [[graft.expr.PHash64]]); candidate pairs via banded LSH — `bands`
+    * bands of `64/bands` bits, so every pair within Hamming distance
+    * `bands - 1` shares at least one full band (pigeonhole) and the
+    * recall floor is structural, not probabilistic; verification is an
+    * exact `bit_count(xor)` on the two 8-byte hashes. Buckets are keyed
+    * (modality, band, bits) — cross-modality collisions never pair — and
+    * go through [[Dedup.cappedPairs]]' hot-bucket star cap, so a
+    * degenerate constant-payload corpus at 100 TB costs O(bucket) not
+    * O(bucket^2). Shuffled relations carry only (id, modality, 8-byte
+    * hash) — the payload never leaves the scan stage.
+    *
+    * Returns one row per modality: asset/distinct-hash counts, candidate
+    * and verified-near pair counts (Hamming <= maxHamming), and how many
+    * assets sit in at least one near pair — all integers, no float
+    * boundary. */
+  def phashNearDupReport(assets: DataFrame, bands: Int = 4,
+      maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    require(maxHamming < bands, // keep the pigeonhole recall guarantee
+      s"maxHamming=$maxHamming needs bands > maxHamming for complete recall")
+    val width = 64 / bands
+    graft.expr.GraftFunctions.ensureRegistered(assets.sparkSession)
+    val hashed = Partitioning.spread(assets)
+      .select(col("asset_id").as("_id"), col("meta.modality").as("modality"),
+        graft.expr.GraftFunctions.phash64(col("payload")).as("_h"))
+      .persist() // 3-column sketch frame, read by banding + both verify sides
+    val banded = hashed.select(col("_id"), explode(array((0 until bands).map { j =>
+      struct(col("modality"),
+        lit(j).as("band"),
+        shiftrightunsigned(col("_h"), 64 - width * (j + 1))
+          .bitwiseAND(lit((1L << width) - 1)).as("bits"))
+    }: _*)).as("_b"))
+    val pairs = Dedup.cappedPairs(banded, maxBucket)
+      .join(hashed.select(col("_id").as("idA"), col("modality"),
+        col("_h").as("_hA")), "idA")
+      .join(hashed.select(col("_id").as("idB"), col("_h").as("_hB")), "idB")
+      .withColumn("_near", bit_count(col("_hA").bitwiseXOR(col("_hB"))) <= maxHamming)
+      .persist() // candidate relation: read for pair counts AND near-asset ids
+    val pairStats = pairs.groupBy("modality").agg(
+      count(lit(1)).as("cand_pairs"),
+      sum(col("_near").cast("long")).as("near_pairs"))
+    val nearAssets = pairs.where(col("_near"))
+      .select(col("modality"), explode(array(col("idA"), col("idB"))).as("_id"))
+      .groupBy("modality").agg(count_distinct(col("_id")).as("near_assets"))
+    hashed.groupBy("modality")
+      .agg(count(lit(1)).as("n_assets"), count_distinct(col("_h")).as("n_hash"))
+      .join(pairStats, Seq("modality"), "left_outer")
+      .join(nearAssets, Seq("modality"), "left_outer")
+      .select(col("modality"), col("n_assets"), col("n_hash"),
+        coalesce(col("cand_pairs"), lit(0L)).as("cand_pairs"),
+        coalesce(col("near_pairs"), lit(0L)).as("near_pairs"),
+        coalesce(col("near_assets"), lit(0L)).as("near_assets"))
+      .orderBy("modality")
+  }
 }

@@ -1,0 +1,71 @@
+package graft.expr
+
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The fused phash kernel against an independent BigInt-arithmetic
+  * reference (the main kernel stays in Long — the reference would diverge
+  * if the cross-multiplied products ever overflowed), plus codegen/SQL
+  * reachability and null propagation. */
+class PHashExprSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  /** Independent formulation: per-segment mean comparison via BigInt cross
+    * products over a slice, not a running Long accumulator. */
+  private def ref(bytes: Array[Byte]): Long = {
+    val len = bytes.length
+    if (len == 0) return 0L
+    val vals = bytes.map(b => (b & 0xFF).toLong)
+    val total = vals.sum
+    (0 until 64).foldLeft(0L) { (acc, i) =>
+      val lo = (i.toLong * len / 64).toInt
+      val hi = ((i + 1).toLong * len / 64).toInt
+      val seg = vals.slice(lo, hi)
+      if (seg.nonEmpty && BigInt(seg.sum) * len > BigInt(total) * seg.length)
+        acc | (1L << (63 - i))
+      else acc
+    }
+  }
+
+  test("phash64 matches the BigInt reference on random payloads (incl. short + empty)") {
+    val rnd = new scala.util.Random(11)
+    val cases: Seq[Array[Byte]] =
+      Seq(Array.emptyByteArray, Array[Byte](0), Array[Byte](-1),
+        Array.fill(63)(7.toByte), Array.fill(64)(0.toByte),
+        Array.fill(65)(-1.toByte)) ++
+        Seq.fill(300) {
+          val n = rnd.nextInt(400)
+          val a = new Array[Byte](n); rnd.nextBytes(a); a
+        }
+    cases.foreach { bytes =>
+      assert(PHash.phash64(bytes) == ref(bytes), s"len=${bytes.length}")
+    }
+  }
+
+  test("codegen, interpreted, and SQL paths agree; null propagates") {
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(13)
+    val payloads = Seq.fill(50) {
+      val a = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(a); a
+    }
+    val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "payload")
+    val viaDf = df.select(col("id"), GraftFunctions.phash64(col("payload")))
+      .as[(Long, Long)].collect().toMap
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      assert(viaDf(i.toLong) == PHash.phash64(p))
+      val interp = PHash64(org.apache.spark.sql.catalyst.expressions.Literal(p))
+        .eval(null)
+      assert(interp == PHash.phash64(p))
+    }
+    df.createOrReplaceTempView("phash_in")
+    val viaSql = spark.sql("SELECT id, graft_phash64(payload) FROM phash_in")
+      .as[(Long, Long)].collect().toMap
+    assert(viaSql == viaDf)
+    val n = Seq((1L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+      .select(GraftFunctions.phash64(col("payload"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+}

@@ -887,4 +887,54 @@ class MultimodalSpec extends AnyFunSuite {
       .as[Boolean].collect()
     assert(ok.forall(identity))
   }
+
+  // --- perceptual-hash near-dup report (q122) ------------------------------
+
+  /** 128-byte payload whose phash64 is EXACTLY `bits`: each 2-byte segment
+    * is all-255 (bit 1) or all-0 (bit 0). With k ones-segments (0<k<64)
+    * the ones mean 255 always beats the global mean and the zeros never do,
+    * so the hash realizes any chosen pattern — lets the spec plant pairs at
+    * exact Hamming distances. */
+  private def payloadFor(bits: Long): Array[Byte] =
+    (0 until 64).flatMap { i =>
+      val one = ((bits >>> (63 - i)) & 1L) == 1L
+      Seq.fill(2)(if (one) 255.toByte else 0.toByte)
+    }.toArray
+
+  private def assetsDf(rows: Seq[(Long, Array[Byte], String)]) =
+    rows.toDF("asset_id", "payload", "m")
+      .select(col("asset_id"), col("payload"),
+        struct(col("m").as("modality"), lit("png").as("format"),
+          lit(8).as("width"), lit(4).as("height"), lit(0L).as("durationMs"),
+          length(col("payload")).cast("long").as("sizeBytes")).as("meta"))
+
+  test("phashNearDupReport: planted hamming pairs, exact dup, modality isolation") {
+    val p = 0x5A5A5A5A5A5A5A5AL // 32 ones — payloadFor's k precondition holds
+    assert(graft.expr.PHash.phash64(payloadFor(p)) == p)
+    val near = p ^ 3L // 2 flips, both in band 3 → bands 0-2 still collide
+    // 5 flips in EVERY 16-bit band → no shared band with p or near (and
+    // hamming 20 ≫ 3 even if a bucket had paired it)
+    val far = p ^ 0x1F001F001F001F00L
+    val rows = Seq(
+      (1L, payloadFor(p), "image"),
+      (2L, payloadFor(near), "image"),
+      (3L, payloadFor(p), "image"), // exact dup of 1
+      (4L, payloadFor(far), "image"),
+      (5L, payloadFor(p), "audio")) // same hash, other modality: no pair
+    val r = Multimodal.phashNearDupReport(assetsDf(rows))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("audio", 1L, 1L, 0L, 0L, 0L),
+      ("image", 4L, 3L, 3L, 3L, 3L)))
+  }
+
+  test("phashNearDupReport: hot bucket takes the star cap, not all-pairs") {
+    val p = 0x00FF00FF00FF00FFL
+    val rows = (1L to 4L).map(i => (i, payloadFor(p), "image"))
+    val r = Multimodal.phashNearDupReport(assetsDf(rows), maxBucket = 2)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // 4 identical hashes over cap 2: star pairs (1,2)(1,3)(1,4) — O(bucket)
+    // pair count — yet every asset still surfaces as a near-dup member
+    assert(r == Seq(("image", 4L, 1L, 3L, 3L, 4L)))
+  }
 }
