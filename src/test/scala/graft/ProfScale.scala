@@ -79,12 +79,41 @@ object ProfScale {
       "q114_phrase" -> (d => operators.PipelineQueries.phraseSearch(spark, d)),
       "q117_bpe_merges" -> (d => operators.PipelineQueries.bpeInduct(spark, d)),
       "q118_bpe_encode" -> (d => operators.PipelineQueries.bpeEncodeReport(spark, d)),
-      "q120_soft_dedup" -> (d => operators.CurationQueries.softDedupWeights(spark, d)))
+      "q120_soft_dedup" -> (d => operators.CurationQueries.softDedupWeights(spark, d)),
+      // round 11 late: q121 is one-scan linear in corpus tokens (grouping
+      // keys all contain doc_id — expect ≲10×); q122's candidate set grows
+      // with per-bucket density (pairs ∝ n²/65k per band under a uniform
+      // hash) but the star cap bounds any single bucket — expect ~10× on
+      // the distinct corpus, and the const-payload stress below to stay
+      // near it rather than exploding quadratically
+      "q121_repetition" -> (d => operators.CurationQueries.repetitionProfile(spark, d)),
+      "q122_phash" -> (d => operators.NorthStarQueries.phashNearDups(spark, d)))
 
     for (round <- 1 to 3; (name, q) <- queries; (label, d) <- Seq("1x" -> d1, s"${blowup}x" -> dN)) {
       val t0 = System.nanoTime()
       q(d).write.format("noop").mode("overwrite").save()
       println(f"[scale] r$round $name $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.sharedState.cacheManager.clearCache()
+    }
+
+    // q122 worst case: 90% of the 10x corpus is ONE payload, so each
+    // modality's four band buckets hold ~15k identical hashes — without the
+    // star cap this is ~10^8 pairs per modality; with it, O(bucket)
+    val constText = (1 to 60).map(i => f"c$i%03d").mkString(" ")
+    val ph = base
+      .withColumn("_rep", explode(array((0 until blowup).map(lit): _*)))
+      .withColumn("doc_id", col("doc_id") * blowup + col("_rep"))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) < 9, lit(constText))
+          .otherwise(concat(lit("r"), col("_rep"), lit(" "), col("text"))))
+      .drop("_rep")
+    val dP = java.nio.file.Files.createTempDirectory(s"profscale-phash-hot${blowup}x").toString
+    ph.write.mode("overwrite").parquet(s"$dP/documents.parquet")
+    for (round <- 1 to 3) {
+      val t0 = System.nanoTime()
+      operators.NorthStarQueries.phashNearDups(spark, dP)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[scale] r$round q122_phash ${blowup}x-const-hot: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()

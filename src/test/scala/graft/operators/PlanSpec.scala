@@ -383,6 +383,28 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q121: gram counts combine map-side; scan pruned to doc_id+lang+text") {
+    val p = plan(CurationQueries.repetitionProfile(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"the (doc, n, gram) collapse must aggregate before its exchange\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      s"source/ts must not be read\n$p")
+  }
+
+  test("q122: hot-bucket inventory broadcasts; the hash sketch is cached, payload never shuffles") {
+    val p = plan(NorthStarQueries.phashNearDups(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"cappedPairs' hot inventory must attach broadcast\n$p")
+    val cacheReads = p.linesIterator.count(l => l.trim.matches("\\(\\d+\\) InMemoryTableScan.*"))
+    assert(cacheReads >= 3, s"hashed sketch read by banding + both verify sides, got $cacheReads\n$p")
+    // every exchange moves only id/hash/band/modality-derived columns —
+    // the binary payload stays inside the scan stage
+    val exch = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(exch.nonEmpty && !exch.exists(_.contains("payload")),
+      s"payload must never key or ride an exchange\n${exch.mkString("\n")}")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("link pipeline: window pushed to scan; exactly two exchanges; partial agg") {
     val spans = LinkJob.readJsonV2(spark,
       getClass.getResource("/fixtures/spans_day.jsonl").getPath)
