@@ -464,9 +464,16 @@ object Multimodal {
       s"maxHamming=$maxHamming needs bands > maxHamming for complete recall")
     val width = 64 / bands
     graft.expr.GraftFunctions.ensureRegistered(assets.sparkSession)
+    // null payloads hash like empty ones (0L) instead of null-propagating:
+    // the SQL oracle's bit rule yields all-zero bits for null documents, and
+    // a null hash would silently drop the asset from every bucket join —
+    // degenerate rows must stay VISIBLE in the report (n_assets counts them,
+    // and null/empty payloads pair as exact dups, star-capped like any
+    // other hot bucket)
     val hashed = Partitioning.spread(assets)
       .select(col("asset_id").as("_id"), col("meta.modality").as("modality"),
-        graft.expr.GraftFunctions.phash64(col("payload")).as("_h"))
+        graft.expr.GraftFunctions.phash64(
+          coalesce(col("payload"), lit(Array.emptyByteArray))).as("_h"))
       .persist() // 3-column sketch frame, read by banding + both verify sides
     val banded = hashed.select(col("_id"), explode(array((0 until bands).map { j =>
       struct(col("modality"),

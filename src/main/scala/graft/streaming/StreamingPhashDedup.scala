@@ -59,7 +59,9 @@ object StreamingPhashDedup {
       col(idCol).cast("long").as("assetId"),
       col(tsCol).cast("timestamp").as("eventTime"),
       col(modalityCol).as("modality"),
-      graft.expr.GraftFunctions.phash64(col(payloadCol)).as("h"))
+      // null payloads hash to 0L like empty ones — the batch report's rule
+      graft.expr.GraftFunctions.phash64(
+        coalesce(col(payloadCol), lit(Array.emptyByteArray))).as("h"))
     val banded = hashed.select(col("assetId"), col("eventTime"),
       col("modality"), expr(s"explode(sequence(0, ${bands - 1}))").as("band"),
       col("h"))

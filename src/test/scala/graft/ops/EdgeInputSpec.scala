@@ -139,4 +139,23 @@ class EdgeInputSpec extends AnyFunSuite {
     // the target-slice docs (the only token sources) must score positive
     assert(kept == Set(5L, 6L))
   }
+
+  test("phash near-dup report: null and empty payloads stay visible as 0-hash exact dups") {
+    val assets = Seq(
+      (1L, null.asInstanceOf[Array[Byte]], "image"),
+      (2L, Array.emptyByteArray, "image"),
+      (3L, Array.fill(128)(65.toByte), "image")) // constant bytes also hash 0
+      .toDF("asset_id", "payload", "m")
+      .select(col("asset_id"), col("payload"),
+        struct(col("m").as("modality"), lit("png").as("format"),
+          lit(0).as("width"), lit(0).as("height"), lit(0L).as("durationMs"),
+          coalesce(length(col("payload")).cast("long"), lit(0L)).as("sizeBytes"))
+          .as("meta"))
+    val r = Multimodal.phashNearDupReport(assets)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // all three collapse to hash 0 (null == empty == mean-flat payload):
+    // n_assets counts every row — a null payload never vanishes from the
+    // report — and the trio forms 3 exact-dup pairs
+    assert(r == Seq(("image", 3L, 1L, 3L, 3L, 3L)))
+  }
 }
