@@ -470,6 +470,21 @@ object NorthStarQueries {
     Multimodal.phashNearDupReport(
       Multimodal.fakeAssets(table(spark, dir, "documents")))
 
+  /** q123 — incremental perceptual admission: sources src18/src19 play the
+    * daily asset batch (the q76 convention), everything else the standing
+    * corpus; [[Multimodal.phashAdmit]] screens only batch×prior — at 100 TB
+    * the corpus is never self-joined. Output is the admitted batch
+    * (asset_id, modality). */
+  def phashAdmitBatch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val isBatch = col("source").isin("src18", "src19")
+    Multimodal.phashAdmit(
+      Multimodal.fakeAssets(docs.where(!isBatch)),
+      Multimodal.fakeAssets(docs.where(isBatch)))
+      .select(col("asset_id"), col("meta.modality").as("modality"))
+      .orderBy("asset_id")
+  }
+
   // --- deterministic splits / sampling -------------------------------------
 
   private[operators] val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -683,6 +698,7 @@ object NorthStarQueries {
     "q32_video_frames" -> (videoFrameSample _),
     "q101_audio_stats" -> (audioStreamStats _),
     "q122_phash_neardups" -> (phashNearDups _),
+    "q123_phash_admit" -> (phashAdmitBatch _),
     "q33_dependency_links" -> (dependencyLinks _),
     "q34_approx_distinct" -> (approxDistinct _),
     "q46_v1_two_table_links" -> (v1TwoTableLinks _),
@@ -996,6 +1012,36 @@ object NorthStarQueries {
         |FROM astats a LEFT JOIN pstats USING (modality)
         |  LEFT JOIN na USING (modality)
         |ORDER BY modality""".stripMargin,
+    // q123: the q122 hash/banding CTEs with the batch flag carried; a batch
+    // asset is rejected when a same-modality prior (corpus, or batch with a
+    // smaller id) shares a band within Hamming 3. The prior-side cap does
+    // not bind at oracle scale (q122 note: max bucket 9).
+    "q123_phash_admit" ->
+      """WITH d AS (SELECT doc_id AS asset_id,
+        |    source IN ('src18','src19') AS is_batch,
+        |    ['image','audio','video'][(doc_id % 3)::INT + 1] AS modality,
+        |    list_transform(range(1, length(text)+1), i -> ord(text[i])) AS b,
+        |    length(text) AS L
+        |  FROM documents),
+        |bits AS (SELECT asset_id, is_batch, modality,
+        |    list_transform(range(0, 64), i ->
+        |      CASE WHEN list_sum(list_slice(b, (i*L)//64 + 1, ((i+1)*L)//64)) * L >
+        |                list_sum(b) * (((i+1)*L)//64 - (i*L)//64)
+        |           THEN 1 ELSE 0 END) AS bt
+        |  FROM d),
+        |bands AS (SELECT asset_id, is_batch, modality, bt, j,
+        |    list_sum(list_transform(range(0,16),
+        |      k -> bt[16*j + k + 1] * (1 << (15 - k)))) AS bv
+        |  FROM bits, unnest(range(0,4)) AS t(j)),
+        |rej AS (SELECT DISTINCT nb.asset_id
+        |  FROM bands nb JOIN bands pb
+        |    ON nb.modality = pb.modality AND nb.j = pb.j AND nb.bv = pb.bv
+        |   AND nb.is_batch AND (NOT pb.is_batch OR pb.asset_id < nb.asset_id)
+        |  WHERE list_sum(list_transform(range(1,65),
+        |      i -> CASE WHEN nb.bt[i] <> pb.bt[i] THEN 1 ELSE 0 END)) <= 3)
+        |SELECT asset_id, modality FROM bits
+        |WHERE is_batch AND asset_id NOT IN (SELECT asset_id FROM rej)
+        |ORDER BY asset_id""".stripMargin,
     "q49_embedding_neardups" -> q49OracleSql,
     "q50_train_splits" -> q50OracleSql,
     "q51_contamination" ->

@@ -503,4 +503,74 @@ object Multimodal {
         coalesce(col("near_assets"), lit(0L)).as("near_assets"))
       .orderBy("modality")
   }
+
+  /** Incremental perceptual admission (q123) — the asset-side analogue of
+    * `PortableSketch.incrementalAdmit` (q76): only the new batch is
+    * screened against the standing corpus, so corpus×corpus pairs are
+    * NEVER formed and the steady-state ingest cost is ∝ batch, not corpus
+    * — the shape that keeps a daily admission run viable when the corpus
+    * is 100 TB and the batch is a shard. A batch asset is rejected when a
+    * same-modality prior — a corpus asset, or an earlier (smaller-id)
+    * batch asset — shares one of its LSH bands within `maxHamming`.
+    *
+    * Leaner than the minhash version: the whole sketch is ONE long, so the
+    * banded relation carries it (~30 bytes/row) and the verify needs no
+    * signature re-join — candidate and Hamming check happen in the same
+    * join. Hot-bucket cap on the prior side only, corpus rows ranked
+    * first (a batch id displacing corpus witnesses could wrongly admit a
+    * probe — same argument as the minhash cap), smallest ids kept
+    * (deterministic; at hot-bucket scale members are interchangeable
+    * witnesses). Returns the admitted rows of `batch`, schema unchanged. */
+  def phashAdmit(corpus: DataFrame, batch: DataFrame, bands: Int = 4,
+      maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    require(maxHamming < bands,
+      s"maxHamming=$maxHamming needs bands > maxHamming for complete recall")
+    val width = 64 / bands
+    graft.expr.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    def banded(df: DataFrame): DataFrame = Partitioning.spread(df)
+      .select(col("asset_id").as("_id"), col("meta.modality").as("modality"),
+        graft.expr.GraftFunctions.phash64(
+          coalesce(col("payload"), lit(Array.emptyByteArray))).as("_h"))
+      .select(col("_id"), col("modality"), col("_h"),
+        explode(array((0 until bands).map { j =>
+          struct(lit(j).as("band"),
+            shiftrightunsigned(col("_h"), 64 - width * (j + 1))
+              .bitwiseAND(lit((1L << width) - 1)).as("bits"))
+        }: _*)).as("_b"))
+      .select(col("_id"), col("modality"), col("_h"),
+        col("_b.band").as("_band"), col("_b.bits").as("_bits"))
+    val newBands = banded(batch).persist() // read by prior union + probe side
+    val priorBands = banded(corpus).withColumn("_isCorpus", lit(true))
+      .unionByName(newBands.withColumn("_isCorpus", lit(false)))
+    // hot-key inventory is map-side-combined and tiny → broadcasts back;
+    // cold buckets (all but pathologies) pass through without a sort
+    val hotKeys = priorBands
+      .groupBy(col("modality"), col("_band"), col("_bits"))
+      .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucket)
+      .select(col("modality").as("_hmod"), col("_band").as("_hband"),
+        col("_bits").as("_hbits"))
+    val flagged = priorBands.join(broadcast(hotKeys),
+      col("modality") === col("_hmod") && col("_band") === col("_hband") &&
+        col("_bits") === col("_hbits"), "left_outer")
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("modality"), col("_band"), col("_bits"))
+      .orderBy(col("_isCorpus").desc, col("_id"))
+    val cappedHot = flagged.where(col("_hband").isNotNull)
+      .drop("_hmod", "_hband", "_hbits")
+      .withColumn("_rk", row_number().over(byBucket))
+      .where(col("_rk") <= maxBucket).drop("_rk")
+    val capped = flagged.where(col("_hband").isNull)
+      .drop("_hmod", "_hband", "_hbits")
+      .unionByName(cappedHot)
+    val rejected = newBands.as("nw")
+      .join(capped.as("pr"),
+        col("nw.modality") === col("pr.modality") &&
+          col("nw._band") === col("pr._band") &&
+          col("nw._bits") === col("pr._bits") &&
+          (col("pr._isCorpus") || col("pr._id") < col("nw._id")))
+      .where(bit_count(col("nw._h").bitwiseXOR(col("pr._h"))) <= maxHamming)
+      .select(col("nw._id").as("_rejId")).distinct()
+    batch.join(rejected, col("asset_id") === col("_rejId"), "left_anti")
+  }
 }

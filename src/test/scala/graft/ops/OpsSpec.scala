@@ -928,6 +928,32 @@ class MultimodalSpec extends AnyFunSuite {
       ("image", 4L, 3L, 3L, 3L, 3L)))
   }
 
+  test("phashAdmit: corpus witness, in-batch order, modality isolation — incl. under cap 1") {
+    val p = 0x5A5A5A5A5A5A5A5AL
+    val q = 0x0F0F0F0F0F0F0F0FL // shares no band with p
+    val corpus = assetsDf(Seq(
+      (10L, payloadFor(p), "image"),
+      (11L, payloadFor(p ^ 0x1F001F001F001F00L), "image"),
+      (12L, payloadFor(p), "audio")))
+    val batch = assetsDf(Seq(
+      (1L, payloadFor(p ^ 3L), "image"), // hamming 2 vs corpus 10 → rejected
+      (2L, payloadFor(p), "image"), // exact corpus dup → rejected
+      (3L, payloadFor(q), "image"), // novel → admitted
+      (4L, payloadFor(q), "image"), // dup of EARLIER batch id 3 → rejected
+      (5L, payloadFor(p), "video"))) // corpus has no video → admitted
+    for (cap <- Seq(1024, 1)) {
+      // cap 1 makes every multi-member bucket hot; corpus-first ranking
+      // must keep corpus 10 as the witness for probe 2, and the batch-only
+      // q bucket must keep id 3 (so 4 is still rejected, 3 still admitted)
+      val admitted = Multimodal.phashAdmit(corpus, batch, maxBucket = cap)
+        .select("asset_id").as[Long].collect().toSet
+      assert(admitted == Set(3L, 5L), s"cap=$cap")
+    }
+    // corpus is never screened against itself: admitting an empty batch
+    // forms no pairs and returns an empty frame
+    assert(Multimodal.phashAdmit(corpus, batch.limit(0)).count() == 0)
+  }
+
   test("phashNearDupReport: hot bucket takes the star cap, not all-pairs") {
     val p = 0x00FF00FF00FF00FFL
     val rows = (1L to 4L).map(i => (i, payloadFor(p), "image"))
