@@ -432,6 +432,106 @@ object CurationQueries {
       .orderBy("lang")
   }
 
+  /** q124 — EXACT DUPLICATED-SUBSTRING SPANS: the ExactSubstr formulation
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better") the chunk (q105) and gram (q80) families only approximate —
+    * fixed-boundary tiles miss shifted copies and word grams miss
+    * sub-token overlap. Every stride-1 40-char window is hashed (60-bit
+    * md5 family, the q80 discipline: the shuffle carries 8 bytes, never
+    * window text); a position is duplicated iff its window content occurs
+    * ≥ 2 times corpus-wide (any doc, including its own — self-repetition
+    * is duplication here, exactly as in suffix-array dedup); per doc,
+    * duplicated positions coalesce into MAXIMAL spans (positions within W
+    * of the previous merge — overlapping or touching extents are one
+    * span), rolled up per language.
+    *
+    * Scale shape: the window relation is O(corpus chars) — the honest
+    * cost of exact-substring detection (a suffix array is also O(chars)).
+    * It is built once, repartitioned on the 8-byte hash, and persisted:
+    * the duplicate-hash aggregation and the flag join both consume that
+    * SAME partitioning (exchange reuse — the corpus-sized relation
+    * shuffles once). The flag join's build side is one row per duplicated
+    * hash; a corpus-hot window (boilerplate) fans out only to its own
+    * positions — output-proportional, and AQE's skew split handles the
+    * residual imbalance. Span merging is a per-doc window — uniform keys.
+    * A full materialized span list is deliberately NOT the output (at
+    * 100 TB it rivals the corpus); the per-language rollup is. */
+  def substringDupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val W = 40
+    val base = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        length(col("text")).as("_len"))
+    val pairs = base.where(col("_len") >= W)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), col("_len") - (W - 1)),
+          i => struct(i.as("pos"),
+            graft.ops.PortableSketch.h60(col("text").substr(i, lit(W))).as("h"))))
+          .as("_w"))
+      .select(col("doc_id"), col("_w.pos").as("pos"), col("_w.h").as("_h"))
+      .repartition(col("_h"))
+      .persist() // read by the dup-hash agg AND the flag join (same key)
+    val dupHashes = pairs.groupBy("_h").agg(count(lit(1)).as("_c"))
+      .where(col("_c") >= 2).select("_h")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val spans = pairs.join(dupHashes, Seq("_h"))
+      .select("doc_id", "pos")
+      .withColumn("_new",
+        when(lag("pos", 1).over(byDoc).isNull ||
+          col("pos") > lag("pos", 1).over(byDoc) + W, 1L).otherwise(0L))
+      .withColumn("_sid", sum("_new").over(byDoc))
+      .groupBy("doc_id", "_sid")
+      .agg((max("pos") - min("pos") + W).as("_spanLen"))
+    val perDoc = spans.groupBy("doc_id").agg(
+      sum("_spanLen").as("_dup"), count(lit(1)).as("_nspans"),
+      max("_spanLen").as("_mx"))
+    base.select("doc_id", "lang", "_len")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("lang"), col("_len"),
+        coalesce(col("_dup"), lit(0L)).as("_dup"),
+        coalesce(col("_nspans"), lit(0L)).as("_nspans"),
+        coalesce(col("_mx"), lit(0L)).as("_mx"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("_nspans") > 0).cast("long")).as("docs_with_dup"),
+        round(avg(when(col("_len") > 0,
+          round(col("_dup") / col("_len"), 9)).otherwise(0.0)), 6)
+          .as("avg_dup_frac"),
+        sum("_dup").as("dup_chars"),
+        sum("_nspans").as("n_spans"),
+        max("_mx").as("max_span"))
+      .orderBy("lang")
+  }
+
+  private def q124OracleSql: String =
+    """WITH d AS (SELECT doc_id, lang, text, length(text) AS len FROM documents),
+      |w AS (SELECT doc_id, i AS pos,
+      |    ('0x'||substr(md5(substr(text, i, 40)),1,15))::BIGINT AS h
+      |  FROM d, unnest(range(1, len - 40 + 2)) AS t(i)
+      |  WHERE len >= 40),
+      |c AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+      |p AS (SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER dw IS NULL THEN 1
+      |         WHEN pos > lag(pos) OVER dw + 40 THEN 1 ELSE 0 END AS nw
+      |  FROM w JOIN c USING (h)
+      |  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+      |s AS (SELECT doc_id, sid, max(pos) - min(pos) + 40 AS slen
+      |  FROM (SELECT doc_id, pos, sum(nw) OVER
+      |          (PARTITION BY doc_id ORDER BY pos) AS sid FROM p)
+      |  GROUP BY doc_id, sid),
+      |pd AS (SELECT doc_id, sum(slen) AS dup, count(*) AS nspans,
+      |    max(slen) AS mx FROM s GROUP BY doc_id),
+      |j AS (SELECT d.lang, d.len, coalesce(dup, 0) AS dup,
+      |    coalesce(nspans, 0) AS nspans, coalesce(mx, 0) AS mx
+      |  FROM d LEFT JOIN pd USING (doc_id))
+      |SELECT lang, count(*) AS n_docs,
+      |  sum(CASE WHEN nspans > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_dup,
+      |  round(avg(CASE WHEN len > 0 THEN round(dup/len, 9) ELSE 0 END), 6) AS avg_dup_frac,
+      |  sum(dup)::BIGINT AS dup_chars,
+      |  sum(nspans)::BIGINT AS n_spans,
+      |  max(mx)::BIGINT AS max_span
+      |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
   private def q121OracleSql: String =
     """WITH tk AS (SELECT doc_id, lang,
       |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
@@ -479,6 +579,7 @@ object CurationQueries {
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q120_soft_dedup" -> (softDedupWeights _),
     "q121_repetition_profile" -> (repetitionProfile _),
+    "q124_substring_spans" -> (substringDupSpans _),
     "q82_gopher_rules" -> (gopherRules _),
     "q83_doc_chunks" -> (docChunks _),
     "q84_bigram_lm" -> (bigramLm _),
@@ -493,6 +594,7 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "q120_soft_dedup" -> q120OracleSql,
     "q121_repetition_profile" -> q121OracleSql,
+    "q124_substring_spans" -> q124OracleSql,
     "q110_normalize_repair" ->
       """WITH c AS (SELECT source, text,
         |  trim(regexp_replace(regexp_replace(nfc_normalize(text),

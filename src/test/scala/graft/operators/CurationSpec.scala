@@ -241,4 +241,34 @@ class CurationSpec extends AnyFunSuite {
     val fr = ("fr", 1L, 0.0, 0.0, 0.0, 0L, 0L, 0L, 1L)
     assert(r == Seq(en, fr))
   }
+
+  test("q124 substring spans: cross-doc, self-repetition, periodic merge, W-gap split") {
+    import spark.implicits._
+    val common = "abcdefghij" * 4 // the shared 40-char block
+    val rows = Seq(
+      // window at pos 1 == common, shared with doc1/5/6 → one span [1,40]
+      (0L, common + "0" * 10, "en", "s0"),
+      // common at pos 6 → one span, frac 40/50
+      (1L, "1" * 5 + common + "2" * 5, "en", "s0"),
+      // every window identical (self-repetition IS duplication): positions
+      // 1..61 all dup → ONE merged span covering all 100 chars
+      (2L, "R" * 100, "en", "s0"),
+      // under W chars: no windows, frac 0
+      (3L, "short text", "en", "s0"),
+      // fully periodic 80 chars: all 41 positions dup, one span of 80
+      (5L, common + common, "en", "s0"),
+      // two common copies split by a 40-char M-run: dup at pos 1 and 81,
+      // 81 > 1 + W → TWO spans of 40 (the M-run itself occurs once — clean)
+      (6L, common + "M" * 40 + common, "en", "s0"),
+      // other language, no dups anywhere
+      (7L, ('a' to 'z').mkString + "0123456789" * 3, "fr", "s0"))
+    val r = CurationQueries.substringDupSpans(spark, docsDir(rows))
+      .as[(String, Long, Long, Double, Long, Long, Long)].collect().toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val en = ("en", 6L, 5L,
+      r6((r9(40.0 / 50) + r9(40.0 / 50) + 1.0 + 0.0 + 1.0 + r9(80.0 / 120)) / 6),
+      40L + 40L + 100L + 80L + 80L, 6L, 100L)
+    assert(r == Seq(en, ("fr", 1L, 0L, 0.0, 0L, 0L, 0L)))
+  }
 }

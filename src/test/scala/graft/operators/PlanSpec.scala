@@ -405,6 +405,21 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q124: the corpus-sized window relation shuffles once and is reread cached") {
+    val p = plan(CurationQueries.substringDupSpans(spark, sf))
+    val cacheReads = p.linesIterator.count(l => l.trim.matches("\\(\\d+\\) InMemoryTableScan.*"))
+    assert(cacheReads >= 2, s"dup-hash agg + flag join must reread the persisted pairs, got $cacheReads\n$p")
+    // shuffles key only on the 8-byte hash or doc_id — window text never
+    // rides an exchange, and the span merge is per-doc (never single-part)
+    val parts = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(parts.nonEmpty && parts.forall(l =>
+      l.contains("_h#") || l.contains("doc_id#") || l.contains("lang#")),
+      s"unexpected exchange key\n${parts.mkString("\n")}")
+    assert(!p.contains("SinglePartition") || !p.contains("Window"),
+      "span merge must not collapse to one partition")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("link pipeline: window pushed to scan; exactly two exchanges; partial agg") {
     val spans = LinkJob.readJsonV2(spark,
       getClass.getResource("/fixtures/spans_day.jsonl").getPath)
