@@ -56,9 +56,13 @@ object ProfScale {
     // 20-token chunk plants ~18 word-3-grams each present in 90% of docs —
     // the flagged-gram join's worst case (every occurrence of a flagged
     // gram meets the boiler relation on that gram's key)
+    // the hot corpus is also q124's worst case: every window inside the
+    // shared 20-token prefix is duplicated ~45k times — the flag join's
+    // hottest key, plus a maximal merged span in 90% of docs
     for (round <- 1 to 3; (name, q) <- Seq[(String, String => org.apache.spark.sql.DataFrame)](
         "q105" -> (d => operators.CurationQueries.chunkDedup(spark, d)),
-        "q97" -> (d => operators.SelectionQueries.boilerplate(spark, d)));
+        "q97" -> (d => operators.SelectionQueries.boilerplate(spark, d)),
+        "q124" -> (d => operators.CurationQueries.substringDupSpans(spark, d)));
         (label, d) <- Seq(s"${blowup}x-distinct" -> dN, s"${blowup}x-hot" -> dH)) {
       val t0 = System.nanoTime()
       q(d).write.format("noop").mode("overwrite").save()
@@ -87,7 +91,8 @@ object ProfScale {
       // the distinct corpus, and the const-payload stress below to stay
       // near it rather than exploding quadratically
       "q121_repetition" -> (d => operators.CurationQueries.repetitionProfile(spark, d)),
-      "q122_phash" -> (d => operators.NorthStarQueries.phashNearDups(spark, d)))
+      "q122_phash" -> (d => operators.NorthStarQueries.phashNearDups(spark, d)),
+      "q124_substr" -> (d => operators.CurationQueries.substringDupSpans(spark, d)))
 
     for (round <- 1 to 3; (name, q) <- queries; (label, d) <- Seq("1x" -> d1, s"${blowup}x" -> dN)) {
       val t0 = System.nanoTime()
