@@ -503,6 +503,122 @@ object CurationQueries {
       .orderBy("lang")
   }
 
+  /** q125 — EXACT DUPLICATED-SUBSTRING CUT: the ACTIONABLE pass behind
+    * q124's report — Lee et al.'s ExactSubstr removal. A window position is
+    * cut-eligible iff its 40-char content occurs ≥ 2 times corpus-wide AND
+    * the position is not the content's CANONICAL occurrence (the corpus-
+    * wide smallest (doc_id, pos) — deterministic, engine-portable);
+    * eligible positions merge into maximal spans exactly as in q124 and
+    * the spans are cut out of the text. Span-union semantics, stated
+    * plainly: the canonical occurrence's BYTES may still be cut where a
+    * non-canonical window's span overlaps them (a fully periodic doc
+    * collapses to its first byte) — the guarantee is that no duplicated
+    * window survives in two places, which is the dedup goal; documents
+    * that were pure duplicate content rewrite to the empty string rather
+    * than vanishing (retention is a downstream filter's call).
+    *
+    * Output is the per-language rollup — docs, docs cut, chars before /
+    * after, and the q93-style order-insensitive rewrite checksum (sum of
+    * 60-bit md5 mod 1e9+7 over rewritten texts) that pins the exact byte
+    * result cross-engine without shipping a rewritten corpus through the
+    * compare. Scale shape: q124's (one corpus-chars-sized relation,
+    * shuffled once on the 8-byte hash, persisted for agg + flag join);
+    * the rebuild is a per-doc fold over that doc's merged intervals —
+    * bounded by len/W per doc, never corpus-sized. */
+  def substringCut(spark: SparkSession, dir: String): DataFrame = {
+    val W = 40
+    val base = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        length(col("text")).as("_len"))
+    val pairs = base.where(col("_len") >= W)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), col("_len") - (W - 1)),
+          i => struct(i.as("pos"),
+            graft.ops.PortableSketch.h60(col("text").substr(i, lit(W))).as("h"))))
+          .as("_w"))
+      .select(col("doc_id"), col("_w.pos").as("pos"), col("_w.h").as("_h"))
+      .repartition(col("_h"))
+      .persist() // read by the canonical agg AND the eligibility join
+    // canonical key packs (doc_id, pos) into ONE long (doc_id·2^32 + pos —
+    // same lexicographic order while doc_id < 2^31 and pos < 2^32; a
+    // larger id space would move the factor, the order argument is
+    // unchanged): a scalar MIN aggregates map-side in both engines where a
+    // struct-min forced DuckDB into a memory-hungry sort state that OOM'd
+    // the sf0.1 oracle
+    val canon = pairs.groupBy("_h").agg(count(lit(1)).as("_c"),
+      min(col("doc_id") * lit(4294967296L) + col("pos")).as("_firstKey"))
+      .where(col("_c") >= 2)
+      .select(col("_h"), col("_firstKey"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val ivs = pairs.join(canon, Seq("_h"))
+      .where(col("doc_id") * lit(4294967296L) + col("pos") =!= col("_firstKey"))
+      .select("doc_id", "pos")
+      .withColumn("_new",
+        when(lag("pos", 1).over(byDoc).isNull ||
+          col("pos") > lag("pos", 1).over(byDoc) + W, 1L).otherwise(0L))
+      .withColumn("_sid", sum("_new").over(byDoc))
+      .groupBy("doc_id", "_sid")
+      .agg(min("pos").as("s"), (max("pos") + (W - 1)).as("e"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("_ivs"))
+    base.join(ivs, Seq("doc_id"), "left")
+      .withColumn("_rw", when(col("_ivs").isNull, col("text")).otherwise(
+        expr("""aggregate(_ivs, named_struct('p', 1, 'acc', ''),
+          (a, iv) -> named_struct('p', iv.e + 1,
+            'acc', concat(a.acc, substring(text, a.p, iv.s - a.p))),
+          a -> concat(a.acc, substring(text, a.p)))""")))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_ivs").isNotNull.cast("long")).as("docs_cut"),
+        sum("_len").as("chars_before"),
+        sum(length(col("_rw"))).as("chars_after"),
+        sum(graft.ops.PortableSketch.h60(col("_rw")) % 1000000007L)
+          .as("cut_checksum"))
+      .orderBy("lang")
+  }
+
+  private def q125OracleSql: String =
+    """WITH d AS (SELECT doc_id, lang, text, length(text) AS len FROM documents),
+      |w AS (SELECT doc_id, i AS pos,
+      |    ('0x'||substr(md5(substr(text, i, 40)),1,15))::BIGINT AS h
+      |  FROM d, unnest(range(1, len - 40 + 2)) AS t(i)
+      |  WHERE len >= 40),
+      |c AS (SELECT h, min(doc_id * 4294967296 + pos) AS firstkey
+      |  FROM w GROUP BY h HAVING count(*) >= 2),
+      |el AS (SELECT doc_id, pos FROM w JOIN c USING (h)
+      |  WHERE w.doc_id * 4294967296 + w.pos <> c.firstkey),
+      |p AS (SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER dw IS NULL THEN 1
+      |         WHEN pos > lag(pos) OVER dw + 40 THEN 1 ELSE 0 END AS nw
+      |  FROM el WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+      |iv AS (SELECT doc_id, sid, min(pos) AS s, max(pos) + 39 AS e
+      |  FROM (SELECT doc_id, pos, sum(nw) OVER
+      |          (PARTITION BY doc_id ORDER BY pos) AS sid FROM p)
+      |  GROUP BY doc_id, sid),
+      |seg AS (SELECT doc_id,
+      |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
+      |    s - 1 AS ke
+      |  FROM iv
+      |  UNION ALL
+      |  SELECT doc_id, max(e) + 1, NULL FROM iv GROUP BY doc_id),
+      |reb AS (SELECT seg.doc_id, string_agg(
+      |    substr(d.text, ks,
+      |      CASE WHEN ke IS NULL THEN d.len - ks + 1 ELSE ke - ks + 1 END),
+      |    '' ORDER BY ks) AS rw
+      |  FROM seg JOIN d USING (doc_id) GROUP BY seg.doc_id),
+      |j AS (SELECT d.lang, d.len,
+      |    CASE WHEN reb.doc_id IS NULL THEN d.text ELSE coalesce(rw, '') END AS rw,
+      |    reb.doc_id IS NOT NULL AS was_cut
+      |  FROM d LEFT JOIN reb ON reb.doc_id = d.doc_id)
+      |SELECT lang, count(*) AS n_docs,
+      |  sum(CASE WHEN was_cut THEN 1 ELSE 0 END)::BIGINT AS docs_cut,
+      |  sum(len)::BIGINT AS chars_before,
+      |  sum(length(rw))::BIGINT AS chars_after,
+      |  CAST(sum(('0x'||substr(md5(rw),1,15))::BIGINT % 1000000007) AS BIGINT)
+      |    AS cut_checksum
+      |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
   private def q124OracleSql: String =
     """WITH d AS (SELECT doc_id, lang, text, length(text) AS len FROM documents),
       |w AS (SELECT doc_id, i AS pos,
@@ -580,6 +696,7 @@ object CurationQueries {
     "q120_soft_dedup" -> (softDedupWeights _),
     "q121_repetition_profile" -> (repetitionProfile _),
     "q124_substring_spans" -> (substringDupSpans _),
+    "q125_substring_cut" -> (substringCut _),
     "q82_gopher_rules" -> (gopherRules _),
     "q83_doc_chunks" -> (docChunks _),
     "q84_bigram_lm" -> (bigramLm _),
@@ -595,6 +712,7 @@ object CurationQueries {
     "q120_soft_dedup" -> q120OracleSql,
     "q121_repetition_profile" -> q121OracleSql,
     "q124_substring_spans" -> q124OracleSql,
+    "q125_substring_cut" -> q125OracleSql,
     "q110_normalize_repair" ->
       """WITH c AS (SELECT source, text,
         |  trim(regexp_replace(regexp_replace(nfc_normalize(text),

@@ -271,4 +271,35 @@ class CurationSpec extends AnyFunSuite {
       40L + 40L + 100L + 80L + 80L, 6L, 100L)
     assert(r == Seq(en, ("fr", 1L, 0L, 0.0, 0L, 0L, 0L)))
   }
+
+  test("q125 substring cut: canonical keeps, span-union overlap, full-doc cut, checksum") {
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val M = 1000000007L
+    val common = "abcdefghij" * 4
+    val d0 = common + "0" * 10 // owns the canonical common → kept whole
+    val d3 = "short text"
+    val d7 = ('a' to 'z').mkString + "0123456789" * 3
+    val rows = Seq(
+      (0L, d0, "en", "s0"),
+      (1L, "1" * 5 + common + "2" * 5, "en", "s0"), // cut [6,45] → "1111122222"
+      (2L, "R" * 100, "en", "s0"), // canonical pos 1; span-union cuts [2,100] → "R"
+      (3L, d3, "en", "s0"), // sub-W: untouched
+      // periodic: class-1 canonical lives in doc0, in-doc shift classes
+      // self-duplicate → cut spans union to the WHOLE doc → ""
+      (5L, common + common, "en", "s0"),
+      (6L, common + "M" * 40 + common, "en", "s0"), // two cuts → "M"*40
+      (7L, d7, "fr", "s0"))
+    val r = CurationQueries.substringCut(spark, docsDir(rows))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val enSum = Seq(d0, "1111122222", "R", d3, "", "M" * 40)
+      .map(s => h60(s) % M).sum
+    assert(r == Seq(
+      ("en", 6L, 4L, 410L, 111L, enSum),
+      ("fr", 1L, 0L, 56L, 56L, h60(d7) % M)))
+  }
 }
