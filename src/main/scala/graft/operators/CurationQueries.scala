@@ -503,6 +503,66 @@ object CurationQueries {
       .orderBy("lang")
   }
 
+  /** q126 — CHARACTER COVERAGE: the SentencePiece `character_coverage`
+    * statistic the tokenizer family (q106-q108, q117-q118) presumes but
+    * never measures — per language, how much of the raw character stream
+    * the top-32 characters cover, and how many distinct characters are
+    * RARE (frequency below 1/10000, the byte-fallback candidates). The
+    * keep/rare decision is INTEGER arithmetic (`c * 10000 < total`), the
+    * single float surface is the 6-dp-rounded coverage ratio. Scale
+    * shape: the per-char explode collapses immediately to (lang, char)
+    * counts — map-side partials over a ≤ |alphabet|·|langs| result — and
+    * every later stage (totals, top-32 rank, rare screen) runs on that
+    * tiny persisted relation; the rank window partitions per lang over
+    * alphabet-sized groups, never corpus rows. */
+  def charCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val chars = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .where(length(col("text")) > 0) // sequence(1,0) would DESCEND
+      .select(col("lang"),
+        explode(transform(sequence(lit(1), length(col("text"))),
+          i => col("text").substr(i, lit(1)))).as("ch"))
+      .groupBy("lang", "ch").agg(count(lit(1)).as("c"))
+      .persist() // alphabet-sized; read by totals, rank, and rare screen
+    val tot = chars.groupBy("lang")
+      .agg(sum("c").as("n_chars"), count(lit(1)).as("n_distinct"))
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("c").desc, col("ch").asc)
+    val top = chars.withColumn("_rk", row_number().over(byFreq))
+      .where(col("_rk") <= 32)
+      .groupBy("lang").agg(sum("c").as("_top32"))
+    val rare = chars.join(broadcast(tot), Seq("lang"))
+      .where(col("c") * 10000 < col("n_chars"))
+      .groupBy("lang").agg(count(lit(1)).as("n_rare"))
+    tot.join(top, Seq("lang"))
+      .join(rare, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_chars"), col("n_distinct"),
+        col("_top32").as("top32_chars"),
+        round(col("_top32") / col("n_chars"), 6).as("coverage32"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      .orderBy("lang")
+  }
+
+  private def q126OracleSql: String =
+    """WITH ch AS (SELECT lang, substr(text, i, 1) AS ch
+      |  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+      |  WHERE length(text) > 0),
+      |cc AS (SELECT lang, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+      |tot AS (SELECT lang, sum(c) AS n_chars, count(*) AS n_distinct
+      |  FROM cc GROUP BY 1),
+      |tp AS (SELECT lang, sum(c) AS top32 FROM
+      |    (SELECT lang, c, row_number() OVER
+      |       (PARTITION BY lang ORDER BY c DESC, ch ASC) AS rk FROM cc)
+      |  WHERE rk <= 32 GROUP BY lang),
+      |rr AS (SELECT cc.lang, count(*) AS n_rare FROM cc
+      |  JOIN tot ON tot.lang = cc.lang
+      |  WHERE cc.c * 10000 < tot.n_chars GROUP BY cc.lang)
+      |SELECT lang, n_chars::BIGINT AS n_chars, n_distinct::BIGINT AS n_distinct,
+      |  top32::BIGINT AS top32_chars,
+      |  round(top32 / n_chars, 6) AS coverage32,
+      |  coalesce(n_rare, 0)::BIGINT AS n_rare
+      |FROM tot JOIN tp USING (lang) LEFT JOIN rr USING (lang)
+      |ORDER BY lang""".stripMargin
+
   /** q125 — EXACT DUPLICATED-SUBSTRING CUT: the ACTIONABLE pass behind
     * q124's report — Lee et al.'s ExactSubstr removal. A window position is
     * cut-eligible iff its 40-char content occurs ≥ 2 times corpus-wide AND
@@ -697,6 +757,7 @@ object CurationQueries {
     "q121_repetition_profile" -> (repetitionProfile _),
     "q124_substring_spans" -> (substringDupSpans _),
     "q125_substring_cut" -> (substringCut _),
+    "q126_char_coverage" -> (charCoverage _),
     "q82_gopher_rules" -> (gopherRules _),
     "q83_doc_chunks" -> (docChunks _),
     "q84_bigram_lm" -> (bigramLm _),
@@ -713,6 +774,7 @@ object CurationQueries {
     "q121_repetition_profile" -> q121OracleSql,
     "q124_substring_spans" -> q124OracleSql,
     "q125_substring_cut" -> q125OracleSql,
+    "q126_char_coverage" -> q126OracleSql,
     "q110_normalize_repair" ->
       """WITH c AS (SELECT source, text,
         |  trim(regexp_replace(regexp_replace(nfc_normalize(text),

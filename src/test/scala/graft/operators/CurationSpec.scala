@@ -272,6 +272,25 @@ class CurationSpec extends AnyFunSuite {
     assert(r == Seq(en, ("fr", 1L, 0L, 0.0, 0L, 0L, 0L)))
   }
 
+  test("q126 char coverage: top-32 tie-break at the boundary, rare-char screen") {
+    import spark.implicits._
+    // en: 33 distinct chars, each exactly twice — every count ties, so the
+    // rank-33 exclusion is decided purely by the char-asc tiebreak ('g' is
+    // the largest: ASCII uppercase sorts before lowercase)
+    val chars = ('A' to 'Z') ++ ('a' to 'g')
+    assert(chars.size == 33)
+    val en = (chars ++ chars).mkString
+    // fr: one dominant char + one singleton at frequency 1/20001 < 1/10000
+    val fr = "x" * 20000 + "q"
+    val dir = docsDir(Seq((0L, en, "en", "s0"), (1L, fr, "fr", "s0")))
+    val r = CurationQueries.charCoverage(spark, dir)
+      .as[(String, Long, Long, Long, Double, Long)].collect().toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r == Seq(
+      ("en", 66L, 33L, 64L, r6(64.0 / 66), 0L),
+      ("fr", 20001L, 2L, 20001L, 1.0, 1L)))
+  }
+
   test("q125 substring cut: canonical keeps, span-union overlap, full-doc cut, checksum") {
     import spark.implicits._
     def h60(s: String): Long = {
