@@ -92,7 +92,9 @@ object ProfScale {
       // near it rather than exploding quadratically
       "q121_repetition" -> (d => operators.CurationQueries.repetitionProfile(spark, d)),
       "q122_phash" -> (d => operators.NorthStarQueries.phashNearDups(spark, d)),
-      "q124_substr" -> (d => operators.CurationQueries.substringDupSpans(spark, d)))
+      "q124_substr" -> (d => operators.CurationQueries.substringDupSpans(spark, d)),
+      "q125_cut" -> (d => operators.CurationQueries.substringCut(spark, d)),
+      "q126_charcov" -> (d => operators.CurationQueries.charCoverage(spark, d)))
 
     for (round <- 1 to 3; (name, q) <- queries; (label, d) <- Seq("1x" -> d1, s"${blowup}x" -> dN)) {
       val t0 = System.nanoTime()
