@@ -391,9 +391,16 @@ object CurationQueries {
     * then to the per-language rollup — each stage strictly smaller. */
   def repetitionProfile(spark: SparkSession, dir: String): DataFrame = {
     val base = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
-      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("_ts"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextOps.tokens(col("text")).as("_ts"))
+    // Σ token lengths == the non-whitespace char count — computed WITHOUT a
+    // second tokenize pass (the gram branch below is the only one), and
+    // coalesced so a null text lands at 0 like the oracle's coalesce (a
+    // null totchars would NULL the keep predicate and silently drop the
+    // doc from n_keep)
     val docStats = base.select(col("doc_id"), col("lang"),
-      expr("aggregate(_ts, 0L, (a, x) -> a + length(x))").as("totchars"))
+      coalesce(length(regexp_replace(col("text"), "\\s+", "")), lit(0))
+        .cast("long").as("totchars"))
     // all 2- and 3-grams WITH multiplicity (graft_word_ngrams is distinct
     // by design — counts are the whole point here), built in one pass;
     // the filter() guard types the empty array for docs shorter than n
@@ -456,32 +463,53 @@ object CurationQueries {
     * residual imbalance. Span merging is a per-doc window — uniform keys.
     * A full materialized span list is deliberately NOT the output (at
     * 100 TB it rivals the corpus); the per-language rollup is. */
-  def substringDupSpans(spark: SparkSession, dir: String): DataFrame = {
-    val W = 40
-    val base = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+  /** Shared q124/q125 machinery. `SubstrW` is the window width; `substrBase`
+    * the narrow doc projection; `windowPairs` the ONE corpus-chars-sized
+    * relation (stride-1 windows → 8-byte h60, repartitioned on the hash and
+    * persisted — the dup/canonical aggregation and the eligibility join
+    * both consume that exchange); `mergeSpans` coalesces eligible (doc,
+    * pos) rows into maximal [s, e] char intervals (merge while the next
+    * position is within W of the previous — overlapping or touching
+    * extents are one span). */
+  private val SubstrW = 40
+
+  private def substrBase(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Partitioning.spread(table(spark, dir, "documents"))
       .select(col("doc_id"), col("lang"), col("text"),
         length(col("text")).as("_len"))
-    val pairs = base.where(col("_len") >= W)
+
+  private def windowPairs(base: DataFrame): DataFrame =
+    base.where(col("_len") >= SubstrW)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), col("_len") - (W - 1)),
+        explode(transform(sequence(lit(1), col("_len") - (SubstrW - 1)),
           i => struct(i.as("pos"),
-            graft.ops.PortableSketch.h60(col("text").substr(i, lit(W))).as("h"))))
+            graft.ops.PortableSketch.h60(col("text").substr(i, lit(SubstrW)))
+              .as("h"))))
           .as("_w"))
       .select(col("doc_id"), col("_w.pos").as("pos"), col("_w.h").as("_h"))
       .repartition(col("_h"))
-      .persist() // read by the dup-hash agg AND the flag join (same key)
-    val dupHashes = pairs.groupBy("_h").agg(count(lit(1)).as("_c"))
-      .where(col("_c") >= 2).select("_h")
+      .persist() // read by the hash agg AND the eligibility join (same key)
+
+  private def mergeSpans(eligible: DataFrame): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    val spans = pairs.join(dupHashes, Seq("_h"))
-      .select("doc_id", "pos")
+    eligible
       .withColumn("_new",
         when(lag("pos", 1).over(byDoc).isNull ||
-          col("pos") > lag("pos", 1).over(byDoc) + W, 1L).otherwise(0L))
+          col("pos") > lag("pos", 1).over(byDoc) + SubstrW, 1L).otherwise(0L))
       .withColumn("_sid", sum("_new").over(byDoc))
       .groupBy("doc_id", "_sid")
-      .agg((max("pos") - min("pos") + W).as("_spanLen"))
+      .agg(min("pos").as("s"), (max("pos") + (SubstrW - 1)).as("e"))
+  }
+
+  def substringDupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val base = substrBase(spark, dir)
+    val pairs = windowPairs(base)
+    val dupHashes = pairs.groupBy("_h").agg(count(lit(1)).as("_c"))
+      .where(col("_c") >= 2).select("_h")
+    val spans = mergeSpans(pairs.join(dupHashes, Seq("_h"))
+      .select("doc_id", "pos"))
+      .select(col("doc_id"), (col("e") - col("s") + 1).as("_spanLen"))
     val perDoc = spans.groupBy("doc_id").agg(
       sum("_spanLen").as("_dup"), count(lit(1)).as("_nspans"),
       max("_spanLen").as("_mx"))
@@ -586,40 +614,22 @@ object CurationQueries {
     * the rebuild is a per-doc fold over that doc's merged intervals —
     * bounded by len/W per doc, never corpus-sized. */
   def substringCut(spark: SparkSession, dir: String): DataFrame = {
-    val W = 40
-    val base = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
-      .select(col("doc_id"), col("lang"), col("text"),
-        length(col("text")).as("_len"))
-    val pairs = base.where(col("_len") >= W)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), col("_len") - (W - 1)),
-          i => struct(i.as("pos"),
-            graft.ops.PortableSketch.h60(col("text").substr(i, lit(W))).as("h"))))
-          .as("_w"))
-      .select(col("doc_id"), col("_w.pos").as("pos"), col("_w.h").as("_h"))
-      .repartition(col("_h"))
-      .persist() // read by the canonical agg AND the eligibility join
-    // canonical key packs (doc_id, pos) into ONE long (doc_id·2^32 + pos —
-    // same lexicographic order while doc_id < 2^31 and pos < 2^32; a
-    // larger id space would move the factor, the order argument is
-    // unchanged): a scalar MIN aggregates map-side in both engines where a
-    // struct-min forced DuckDB into a memory-hungry sort state that OOM'd
-    // the sf0.1 oracle
+    val base = substrBase(spark, dir)
+    val pairs = windowPairs(base)
+    // canonical occurrence = corpus-wide min (doc_id, pos). The ENGINE side
+    // takes a struct-min — exact at any id scale (no packing overflow);
+    // only the ORACLE packs the pair into doc_id·2^32 + pos (same
+    // lexicographic order at testdata id ranges — DuckDB's struct-min
+    // built a sort state that OOM'd a 125 GB box where the scalar min
+    // aggregates map-side)
     val canon = pairs.groupBy("_h").agg(count(lit(1)).as("_c"),
-      min(col("doc_id") * lit(4294967296L) + col("pos")).as("_firstKey"))
+      min(struct(col("doc_id"), col("pos"))).as("_first"))
       .where(col("_c") >= 2)
-      .select(col("_h"), col("_firstKey"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val ivs = pairs.join(canon, Seq("_h"))
-      .where(col("doc_id") * lit(4294967296L) + col("pos") =!= col("_firstKey"))
-      .select("doc_id", "pos")
-      .withColumn("_new",
-        when(lag("pos", 1).over(byDoc).isNull ||
-          col("pos") > lag("pos", 1).over(byDoc) + W, 1L).otherwise(0L))
-      .withColumn("_sid", sum("_new").over(byDoc))
-      .groupBy("doc_id", "_sid")
-      .agg(min("pos").as("s"), (max("pos") + (W - 1)).as("e"))
+      .select(col("_h"), col("_first"))
+    val ivs = mergeSpans(pairs.join(canon, Seq("_h"))
+      .where(!(col("_first.doc_id") === col("doc_id") &&
+        col("_first.pos") === col("pos")))
+      .select("doc_id", "pos"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("_ivs"))
     base.join(ivs, Seq("doc_id"), "left")

@@ -226,7 +226,10 @@ class CurationSpec extends AnyFunSuite {
     // keeps), top3 num=1*9 (90<=90 keeps — the boundary is NOT a violation),
     // dup2=0 → clean keep
     val b = (1 to 30).map(i => f"w$i%02d").mkString(" ")
-    val dir = docsDir(Seq((0L, a, "en", "s0"), (1L, b, "en", "s0"), (2L, "", "fr", "s0")))
+    // doc3's NULL text must land at totchars 0 and count in n_keep like the
+    // oracle's coalesce — not NULL out of the keep predicate
+    val dir = docsDir(Seq((0L, a, "en", "s0"), (1L, b, "en", "s0"),
+      (2L, "", "fr", "s0"), (3L, null.asInstanceOf[String], "fr", "s0")))
     val r = CurationQueries.repetitionProfile(spark, dir)
       .as[(String, Long, Double, Double, Double, Long, Long, Long, Long)]
       .collect().toSeq
@@ -237,8 +240,9 @@ class CurationSpec extends AnyFunSuite {
       r6((r9(6.0 / 7) + r9(9.0 / 90)) / 2),
       r6((r9(10.0 / 7) + 0.0) / 2),
       1L, 1L, 1L, 1L)
-    // doc2 is tokenless: totchars=0 → fractions pin to 0.0, nothing trips
-    val fr = ("fr", 1L, 0.0, 0.0, 0.0, 0L, 0L, 0L, 1L)
+    // doc2 tokenless and doc3 null: totchars=0 → fractions pin to 0.0,
+    // nothing trips, BOTH count as keeps
+    val fr = ("fr", 2L, 0.0, 0.0, 0.0, 0L, 0L, 0L, 2L)
     assert(r == Seq(en, fr))
   }
 
@@ -293,11 +297,7 @@ class CurationSpec extends AnyFunSuite {
 
   test("q125 substring cut: canonical keeps, span-union overlap, full-doc cut, checksum") {
     import spark.implicits._
-    def h60(s: String): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    }
+    def h60(s: String): Long = graft.TestRefs.h60(s)
     val M = 1000000007L
     val common = "abcdefghij" * 4
     val d0 = common + "0" * 10 // owns the canonical common → kept whole

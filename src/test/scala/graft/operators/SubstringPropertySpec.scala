@@ -83,11 +83,7 @@ class SubstringPropertySpec extends Properties("substr") {
     Prop.forAll(genCorpus) { rows =>
       val s = spark
       import s.implicits._
-      def h60(str: String): Long = {
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(str.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-        java.lang.Long.parseLong(hex.substring(0, 15), 16)
-      }
+      def h60(str: String): Long = graft.TestRefs.h60(str)
       val M = 1000000007L
       val got = CurationQueries.substringCut(spark, docsDir(rows))
         .as[(String, Long, Long, Long, Long, Long)].collect().toSeq

@@ -890,16 +890,7 @@ class MultimodalSpec extends AnyFunSuite {
 
   // --- perceptual-hash near-dup report (q122) ------------------------------
 
-  /** 128-byte payload whose phash64 is EXACTLY `bits`: each 2-byte segment
-    * is all-255 (bit 1) or all-0 (bit 0). With k ones-segments (0<k<64)
-    * the ones mean 255 always beats the global mean and the zeros never do,
-    * so the hash realizes any chosen pattern — lets the spec plant pairs at
-    * exact Hamming distances. */
-  private def payloadFor(bits: Long): Array[Byte] =
-    (0 until 64).flatMap { i =>
-      val one = ((bits >>> (63 - i)) & 1L) == 1L
-      Seq.fill(2)(if (one) 255.toByte else 0.toByte)
-    }.toArray
+  private def payloadFor(bits: Long): Array[Byte] = graft.TestRefs.payloadFor(bits)
 
   private def assetsDf(rows: Seq[(Long, Array[Byte], String)]) =
     rows.toDF("asset_id", "payload", "m")

@@ -22,11 +22,7 @@ class PhashPropertySpec extends Properties("phash") {
     0x0F0F0F0F0F0F0F0FL, 0x0F0F0F0F0F0F0F1FL, 0x00FF00FF00FF00FFL,
     0x123456789ABCDEF0L, 0x123456789ABCDEF1L)
 
-  private def payloadFor(bits: Long): Array[Byte] =
-    (0 until 64).flatMap { i =>
-      val one = ((bits >>> (63 - i)) & 1L) == 1L
-      Seq.fill(2)(if (one) 255.toByte else 0.toByte)
-    }.toArray
+  private def payloadFor(bits: Long): Array[Byte] = graft.TestRefs.payloadFor(bits)
 
   private val genAssets: Gen[Seq[(Long, Array[Byte], String)]] = for {
     n <- Gen.choose(1, 24)

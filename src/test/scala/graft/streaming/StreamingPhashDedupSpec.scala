@@ -11,13 +11,7 @@ class StreamingPhashDedupSpec extends AnyFunSuite {
 
   private def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
 
-  /** Same construction as MultimodalSpec: 128-byte payload whose phash64 is
-    * exactly `bits` (2-byte segments, all-255 = bit 1 / all-0 = bit 0). */
-  private def payloadFor(bits: Long): Array[Byte] =
-    (0 until 64).flatMap { i =>
-      val one = ((bits >>> (63 - i)) & 1L) == 1L
-      Seq.fill(2)(if (one) 255.toByte else 0.toByte)
-    }.toArray
+  private def payloadFor(bits: Long): Array[Byte] = graft.TestRefs.payloadFor(bits)
 
   private val p = 0x5A5A5A5A5A5A5A5AL
   private val near = p ^ 3L // hamming 2, both flips in band 3
