@@ -62,7 +62,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => NfcNormalize(args.head)),
     (FunctionIdentifier("graft_phash64"),
       new ExpressionInfo(classOf[PHash64].getName, "graft_phash64"),
-      (args: Seq[Expression]) => PHash64(args.head))
+      (args: Seq[Expression]) => PHash64(args.head)),
+    (FunctionIdentifier("graft_phash64any"),
+      new ExpressionInfo(classOf[PHash64Any].getName, "graft_phash64any"),
+      (args: Seq[Expression]) => PHash64Any(args.head))
   )
 
   /** Idempotently register the fused functions on a live session (no-op when
@@ -123,6 +126,10 @@ object GraftFunctions {
 
   /** Fused 64-bit positional average-hash over a binary payload. */
   def phash64(payload: Column): Column = call_function("graft_phash64", payload)
+
+  /** Decoded-or-fallback perceptual hash (real images: 8×8 aHash). */
+  def phash64Any(payload: Column): Column =
+    call_function("graft_phash64any", payload)
 
   /** Fused adjacent word-pair array ("w1 w2" strings; empty under two
     * tokens — NOT lowercased, raw-text tokenization like wordMinhash). */

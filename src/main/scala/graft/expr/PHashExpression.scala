@@ -44,6 +44,86 @@ object PHash {
   }
 }
 
+object PHashAny {
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Container magic for every image format the stock JRE's ImageIO reads
+    * (PNG, JPEG, GIF, BMP, TIFF both byte orders) — a 4-byte sniff that
+    * spares non-image payloads the per-row ImageIO registry + stream
+    * setup. A format with no magic (WBMP) takes the byte-kernel fallback
+    * — the same result a decode failure would give. */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+      (p(0) == 'B' && p(1) == 'M') ||
+      (p(0) == 'I' && p(1) == 'I' && p(2) == 42 && p(3) == 0) ||
+      (p(0) == 'M' && p(1) == 'M' && p(2) == 0 && p(3) == 42)
+
+  /** REAL perceptual hash: ImageIO decode → BT.601 integer luma → 8×8
+    * cell-mean average-hash in ONE pixel pass (no luma plane allocated;
+    * cross-multiplied bit rule with floor cell boundaries — the 2-D
+    * analogue of [[PHash.phash64]]'s segment rule; exact to ~190 MPixel
+    * before 255·(wh)² leaves Long). Payloads no reader claims take the
+    * byte kernel's EXACT arithmetic, so synthetic corpora and their SQL
+    * oracles are untouched while re-encodings of the same pixels (PNG ↔
+    * BMP, image-type changes) collide — the point of a perceptual hash. */
+  def phash64Any(payload: Array[Byte]): Long = {
+    if (payload == null || payload.length < 8 || !looksLikeImage(payload))
+      return PHash.phash64(payload)
+    imageIoNoDiskCache
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Throwable => null }
+    if (img == null) return PHash.phash64(payload)
+    val w = img.getWidth
+    val h = img.getHeight
+    // cell-outer loops so cell membership IS the floor-boundary rule
+    // (a fused per-pixel floor(x*8/w) index is a DIFFERENT partition of
+    // the same pixels and silently disagrees with the x0/x1 extents);
+    // cells are disjoint and covering, so getRGB still runs once per pixel
+    val cellSum = new Array[Long](64)
+    val cellPx = new Array[Long](64)
+    var total = 0L
+    var cy = 0
+    while (cy < 8) {
+      val y0 = (cy.toLong * h / 8).toInt
+      val y1 = ((cy + 1).toLong * h / 8).toInt
+      var cx = 0
+      while (cx < 8) {
+        val x0 = (cx.toLong * w / 8).toInt
+        val x1 = ((cx + 1).toLong * w / 8).toInt
+        val i = cy * 8 + cx
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            val luma = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            cellSum(i) += luma
+            x += 1
+          }
+          y += 1
+        }
+        cellPx(i) = (y1 - y0).toLong * (x1 - x0)
+        total += cellSum(i)
+        cx += 1
+      }
+      cy += 1
+    }
+    val totalPx = w.toLong * h
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (cellSum(i) * totalPx > total * cellPx(i)) out |= (1L << (63 - i))
+      i += 1
+    }
+    out
+  }
+}
+
 /** `graft_phash64(payload)` — 64-bit positional average-hash (codegen'd). */
 case class PHash64(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -55,5 +135,21 @@ case class PHash64(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expr.PHash.phash64($c)")
   override protected def withNewChildInternal(newChild: Expression): PHash64 =
+    copy(child = newChild)
+}
+
+/** `graft_phash64any(payload)` — decoded-8×8-or-byte-kernel perceptual
+  * hash (codegen'd: the decode attempt happens inside whole-stage codegen
+  * via the static kernel, no UDF serialization boundary on the scan). */
+case class PHash64Any(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_phash64any"
+  protected override def nullSafeEval(input: Any): Any =
+    PHashAny.phash64Any(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.PHashAny.phash64Any($c)")
+  override protected def withNewChildInternal(newChild: Expression): PHash64Any =
     copy(child = newChild)
 }

@@ -438,11 +438,27 @@ object Multimodal {
       }(enc)
   }
 
+  /** The decoded-or-fallback perceptual hash — lives as a codegen'd
+    * expression ([[graft.expr.PHashAny.phash64Any]] behind
+    * `graft_phash64any`) so the scan stays inside whole-stage codegen
+    * (a Scala-UDF draft of this cost q122 a 35% regression on the
+    * serialization boundary alone). Delegated here for the specs and the
+    * column form the asset operators share. Callers coalesce null
+    * payloads first (the 0L-for-null rule). */
+  private[ops] def phash64Any(payload: Array[Byte]): Long =
+    graft.expr.PHashAny.phash64Any(payload)
+
+  def phashCol(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.expr.GraftFunctions.phash64Any(payload)
+
   /** Perceptual-hash near-duplicate report (q122): the payload-level dedup
     * the text family (q24/q63) cannot see — byte-identical reposts aside,
     * re-encoded or lightly-edited media only collide on a PERCEPTUAL hash.
-    * Per asset, a 64-bit positional average-hash (codegen'd
-    * [[graft.expr.PHash64]]); candidate pairs via banded LSH — `bands`
+    * Per asset, a 64-bit average-hash ([[phash64Any]]: decoded 8×8
+    * cell-mean aHash for real images, the codegen'd
+    * [[graft.expr.PHash64]] byte kernel for everything else — the
+    * synthetic corpus and its oracle ride the fallback); candidate pairs
+    * via banded LSH — `bands`
     * bands of `64/bands` bits, so every pair within Hamming distance
     * `bands - 1` shares at least one full band (pigeonhole) and the
     * recall floor is structural, not probabilistic; verification is an
@@ -472,8 +488,7 @@ object Multimodal {
     // other hot bucket)
     val hashed = Partitioning.spread(assets)
       .select(col("asset_id").as("_id"), col("meta.modality").as("modality"),
-        graft.expr.GraftFunctions.phash64(
-          coalesce(col("payload"), lit(Array.emptyByteArray))).as("_h"))
+        phashCol(coalesce(col("payload"), lit(Array.emptyByteArray))).as("_h"))
       .persist() // 3-column sketch frame, read by banding + both verify sides
     val banded = hashed.select(col("_id"), explode(array((0 until bands).map { j =>
       struct(col("modality"),
@@ -530,8 +545,7 @@ object Multimodal {
     graft.expr.GraftFunctions.ensureRegistered(corpus.sparkSession)
     def banded(df: DataFrame): DataFrame = Partitioning.spread(df)
       .select(col("asset_id").as("_id"), col("meta.modality").as("modality"),
-        graft.expr.GraftFunctions.phash64(
-          coalesce(col("payload"), lit(Array.emptyByteArray))).as("_h"))
+        phashCol(coalesce(col("payload"), lit(Array.emptyByteArray))).as("_h"))
       .select(col("_id"), col("modality"), col("_h"),
         explode(array((0 until bands).map { j =>
           struct(lit(j).as("band"),

@@ -9,7 +9,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * in, emit a rejection for every one whose 64-bit positional average-hash
   * sits within `maxHamming` of an earlier arrival that shares an LSH band.
   *
-  * Shape: the same blocking as batch — the codegen'd `graft_phash64` runs
+  * Shape: the same blocking as batch — `Multimodal.phashCol` (decoded 8×8
+  * aHash for real images, the `graft_phash64` byte kernel otherwise) runs
   * in the select (payloads never enter the state store), each asset visits
   * its `bands` 16-bit band buckets, and keyed state per (modality, band,
   * bits) bucket holds the first `bucketCap` arrivals' hashes (16 bytes per
@@ -59,8 +60,10 @@ object StreamingPhashDedup {
       col(idCol).cast("long").as("assetId"),
       col(tsCol).cast("timestamp").as("eventTime"),
       col(modalityCol).as("modality"),
-      // null payloads hash to 0L like empty ones — the batch report's rule
-      graft.expr.GraftFunctions.phash64(
+      // null payloads hash to 0L like empty ones — the batch report's rule;
+      // real images take the decoded 8x8 hash, same as batch (parity holds:
+      // both sides call the same phash64Any)
+      graft.ops.Multimodal.phashCol(
         coalesce(col(payloadCol), lit(Array.emptyByteArray))).as("h"))
     val banded = hashed.select(col("assetId"), col("eventTime"),
       col("modality"), expr(s"explode(sequence(0, ${bands - 1}))").as("band"),

@@ -945,6 +945,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.phashAdmit(corpus, batch.limit(0)).count() == 0)
   }
 
+  test("phash: re-encodings of the same pixels collide on the decoded hash; fallback is the kernel") {
+    val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/gradient_8x4.png").toURI))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    // lossless re-encode via an alpha-free copy (BMP writers reject ARGB)
+    val rgb = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    rgb.getGraphics.drawImage(img, 0, 0, null)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(rgb, "bmp", out))
+    val bmp = out.toByteArray
+    assert(!java.util.Arrays.equals(bmp, png))
+    // same pixels, different container bytes: the DECODED hash collides
+    // where the byte kernel cannot — the point of a perceptual hash
+    assert(Multimodal.phash64Any(png) == Multimodal.phash64Any(bmp))
+    assert(graft.expr.PHash.phash64(png) != graft.expr.PHash.phash64(bmp))
+    // unclaimed payloads take the fused kernel's exact arithmetic
+    val text = "not an image at all".getBytes("UTF-8")
+    assert(Multimodal.phash64Any(text) == graft.expr.PHash.phash64(text))
+    val cut = png.take(20)
+    assert(Multimodal.phash64Any(cut) == graft.expr.PHash.phash64(cut))
+    // and the segment-constant spec payloads stay on the fallback too —
+    // the planted-pattern fixtures above remain valid under phashCol
+    val planted = payloadFor(0x5A5A5A5A5A5A5A5AL)
+    assert(Multimodal.phash64Any(planted) == graft.expr.PHash.phash64(planted))
+  }
+
   test("phashNearDupReport: hot bucket takes the star cap, not all-pairs") {
     val p = 0x00FF00FF00FF00FFL
     val rows = (1L to 4L).map(i => (i, payloadFor(p), "image"))
