@@ -50,10 +50,13 @@ class PhashPropertySpec extends Properties("phash") {
     (0 until 4).map(j => (j, (h >>> (64 - 16 * (j + 1))) & 0xFFFFL))
 
   /** Brute-force near relation: every same-modality id pair sharing a band
-    * with Hamming <= 3 (no blocking shortcuts — O(n^2) on purpose). */
+    * with Hamming <= 3 (no blocking shortcuts — O(n^2) on purpose). The
+    * reference hashes through phash64Any like the operators do — on these
+    * generated payloads (no image magic) it equals the byte kernel, but
+    * the reference should not assume that. */
   private def refPairs(rows: Seq[(Long, Array[Byte], String)])
       : Set[(Long, Long, Boolean)] = {
-    val hs = rows.map { case (id, p, m) => (id, m, PHash.phash64(p)) }
+    val hs = rows.map { case (id, p, m) => (id, m, Multimodal.phash64Any(p)) }
     (for {
       (ia, ma, ha) <- hs; (ib, mb, hb) <- hs
       if ia < ib && ma == mb
@@ -72,7 +75,7 @@ class PhashPropertySpec extends Properties("phash") {
       val byId = rows.map { case (id, p, m) => id -> m }.toMap
       val want = rows.map(_._3).distinct.map { m =>
         val ids = rows.collect { case (id, _, `m`) => id }
-        val hashes = rows.collect { case (_, p, `m`) => PHash.phash64(p) }.distinct
+        val hashes = rows.collect { case (_, p, `m`) => Multimodal.phash64Any(p) }.distinct
         val mp = pairs.filter(t => byId(t._1) == m)
         val near = mp.filter(_._3)
         m -> ((ids.size.toLong, hashes.size.toLong, mp.size.toLong,
@@ -89,7 +92,7 @@ class PhashPropertySpec extends Properties("phash") {
       val admitted = Multimodal.phashAdmit(assetsDf(corpus), assetsDf(batch))
         .select("asset_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
         .collect().toSet
-      val hs = rows.map { case (id, p, m) => id -> ((m, PHash.phash64(p))) }.toMap
+      val hs = rows.map { case (id, p, m) => id -> ((m, Multimodal.phash64Any(p))) }.toMap
       val batchIds = batch.map(_._1).toSet
       val rejected = batchIds.filter { id =>
         val (m, h) = hs(id)
