@@ -485,6 +485,34 @@ object NorthStarQueries {
       .orderBy("asset_id")
   }
 
+  /** q127 — perceptual dup CLUSTERS: connected components over q122's
+    * near relation — the q48 shape for assets, so transitive re-encode
+    * chains collapse to one representative. The corpus plants a replica
+    * stream (src18/src19 docs re-materialized with their first byte
+    * bumped — the value-level edit a re-encode makes; a LENGTH change
+    * would shift every segment boundary, measured avg Hamming 11, while
+    * the byte bump stays ≤ 2), because the base corpus is hash-sparse and
+    * a clustering of nothing proves nothing. Replica ids offset by
+    * 999999 ≡ 0 (mod 3), preserving fakeAssets' modality derivation.
+    * Clustering is [[graft.ops.Dedup.dupClusters]]' adaptive pointer
+    * jumping — O(log D) rounds, never a driver-side union-find. */
+  def phashDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val replicas = docs
+      .where(col("source").isin("src18", "src19") && length(col("text")) > 0)
+      .withColumn("doc_id", col("doc_id") + 999999L)
+      .withColumn("text",
+        expr("concat(char(ascii(substring(text, 1, 1)) + 1), substring(text, 2))"))
+    val assets = Multimodal.fakeAssets(docs.unionByName(replicas))
+    // persist: dupClusters reads the pair relation twice (edges = pairs ∪
+    // swapped). Ownership: Verify/Bench clear the cache after each query.
+    graft.ops.Dedup.dupClusters(
+      Multimodal.phashNearPairs(assets).select("idA", "idB").persist())
+      .withColumnRenamed("id", "asset_id")
+      .withColumnRenamed("rep", "cluster_rep")
+      .orderBy("asset_id")
+  }
+
   // --- deterministic splits / sampling -------------------------------------
 
   private[operators] val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -699,6 +727,7 @@ object NorthStarQueries {
     "q101_audio_stats" -> (audioStreamStats _),
     "q122_phash_neardups" -> (phashNearDups _),
     "q123_phash_admit" -> (phashAdmitBatch _),
+    "q127_phash_clusters" -> (phashDupClusters _),
     "q33_dependency_links" -> (dependencyLinks _),
     "q34_approx_distinct" -> (approxDistinct _),
     "q46_v1_two_table_links" -> (v1TwoTableLinks _),
@@ -1042,6 +1071,43 @@ object NorthStarQueries {
         |SELECT asset_id, modality FROM bits
         |WHERE is_batch AND asset_id NOT IN (SELECT asset_id FROM rej)
         |ORDER BY asset_id""".stripMargin,
+    // q127: the q122 hash/band CTEs over the replica-extended corpus, near
+    // pairs at Hamming <= 3, then the q48-style recursive reach for
+    // connected components (min reachable id = cluster representative)
+    "q127_phash_clusters" ->
+      """WITH RECURSIVE src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 999999, chr(ord(text[1]) + 1) || substr(text, 2)
+        |  FROM documents
+        |  WHERE source IN ('src18','src19') AND length(text) > 0),
+        |d AS (SELECT doc_id AS asset_id,
+        |    ['image','audio','video'][(doc_id % 3)::INT + 1] AS modality,
+        |    list_transform(range(1, length(text)+1), i -> ord(text[i])) AS b,
+        |    length(text) AS L
+        |  FROM src),
+        |bits AS (SELECT asset_id, modality,
+        |    list_transform(range(0, 64), i ->
+        |      CASE WHEN list_sum(list_slice(b, (i*L)//64 + 1, ((i+1)*L)//64)) * L >
+        |                list_sum(b) * (((i+1)*L)//64 - (i*L)//64)
+        |           THEN 1 ELSE 0 END) AS bt
+        |  FROM d),
+        |bands AS (SELECT asset_id, modality, bt, j,
+        |    list_sum(list_transform(range(0,16),
+        |      k -> bt[16*j + k + 1] * (1 << (15 - k)))) AS bv
+        |  FROM bits, unnest(range(0,4)) AS t(j)),
+        |p AS (SELECT DISTINCT a.asset_id AS ia, b2.asset_id AS ib
+        |  FROM bands a JOIN bands b2
+        |    ON a.modality = b2.modality AND a.j = b2.j AND a.bv = b2.bv
+        |   AND a.asset_id < b2.asset_id
+        |  WHERE list_sum(list_transform(range(1,65),
+        |      i -> CASE WHEN a.bt[i] <> b2.bt[i] THEN 1 ELSE 0 END)) <= 3),
+        |edges AS (SELECT ia AS s, ib AS d2 FROM p
+        |  UNION ALL SELECT ib, ia FROM p),
+        |reach(id, r) AS (SELECT s, s FROM edges
+        |  UNION SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d2)
+        |SELECT id AS asset_id, MIN(r) AS cluster_rep FROM reach
+        |GROUP BY id ORDER BY asset_id""".stripMargin,
     "q49_embedding_neardups" -> q49OracleSql,
     "q50_train_splits" -> q50OracleSql,
     "q51_contamination" ->

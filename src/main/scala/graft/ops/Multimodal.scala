@@ -473,8 +473,12 @@ object Multimodal {
     * and verified-near pair counts (Hamming <= maxHamming), and how many
     * assets sit in at least one near pair — all integers, no float
     * boundary. */
-  def phashNearDupReport(assets: DataFrame, bands: Int = 4,
-      maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
+  /** Shared q122/q127 relations: the persisted (id, modality, 8-byte hash)
+    * sketch frame and the persisted candidate-pair relation with exact
+    * Hamming distances. Cache ownership is the house rule: Verify/Bench
+    * clear after each query's action. */
+  private[ops] def phashRelations(assets: DataFrame, bands: Int,
+      maxHamming: Int, maxBucket: Int): (DataFrame, DataFrame) = {
     require(64 % bands == 0, s"bands=$bands must divide 64")
     require(maxHamming < bands, // keep the pigeonhole recall guarantee
       s"maxHamming=$maxHamming needs bands > maxHamming for complete recall")
@@ -500,8 +504,22 @@ object Multimodal {
       .join(hashed.select(col("_id").as("idA"), col("modality"),
         col("_h").as("_hA")), "idA")
       .join(hashed.select(col("_id").as("idB"), col("_h").as("_hB")), "idB")
-      .withColumn("_near", bit_count(col("_hA").bitwiseXOR(col("_hB"))) <= maxHamming)
+      .withColumn("_hd", bit_count(col("_hA").bitwiseXOR(col("_hB"))))
+      .withColumn("_near", col("_hd") <= maxHamming)
       .persist() // candidate relation: read for pair counts AND near-asset ids
+    (hashed, pairs)
+  }
+
+  /** Verified near-dup pairs — the relation q127's clustering consumes. */
+  def phashNearPairs(assets: DataFrame, bands: Int = 4,
+      maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame =
+    phashRelations(assets, bands, maxHamming, maxBucket)._2
+      .where(col("_near"))
+      .select(col("idA"), col("idB"), col("modality"), col("_hd").as("hamming"))
+
+  def phashNearDupReport(assets: DataFrame, bands: Int = 4,
+      maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
+    val (hashed, pairs) = phashRelations(assets, bands, maxHamming, maxBucket)
     val pairStats = pairs.groupBy("modality").agg(
       count(lit(1)).as("cand_pairs"),
       sum(col("_near").cast("long")).as("near_pairs"))

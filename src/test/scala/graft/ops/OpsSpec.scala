@@ -972,6 +972,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.phash64Any(planted) == graft.expr.PHash.phash64(planted))
   }
 
+  test("phashNearPairs + dupClusters: a transitive chain collapses to one rep") {
+    val p = 0x5A5A5A5A5A5A5A5AL
+    val b = p ^ 3L // hd(A,B) = 2
+    val c = p ^ 0x1FL // hd(A,C) = 5 — NOT near; hd(B,C) = 3 — near
+    val rows = Seq(
+      (1L, payloadFor(p), "image"),
+      (2L, payloadFor(b), "image"),
+      (3L, payloadFor(c), "image"),
+      (4L, payloadFor(p ^ 0x1F001F001F001F00L), "image"), // isolated
+      (5L, payloadFor(p), "audio")) // pattern shadow in another modality
+    val pairsDf = Multimodal.phashNearPairs(assetsDf(rows)).persist()
+    val pairs = pairsDf.select("idA", "idB", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    // A-C (hamming 5) is correctly absent even though they share bands 0-2
+    assert(pairs == Set((1L, 2L, 2), (2L, 3L, 3)))
+    // ...yet the CLUSTER joins all three through B — the q48 semantics
+    val clusters = Dedup.dupClusters(pairsDf.select("idA", "idB"))
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("phashNearDupReport: hot bucket takes the star cap, not all-pairs") {
     val p = 0x00FF00FF00FF00FFL
     val rows = (1L to 4L).map(i => (i, payloadFor(p), "image"))
