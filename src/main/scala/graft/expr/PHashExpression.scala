@@ -61,17 +61,80 @@ object PHashAny {
       (p(0) == 'I' && p(1) == 'I' && p(2) == 42 && p(3) == 0) ||
       (p(0) == 'M' && p(1) == 'M' && p(2) == 0 && p(3) == 42)
 
-  /** REAL perceptual hash: ImageIO decode → BT.601 integer luma → 8×8
-    * cell-mean average-hash in ONE pixel pass (no luma plane allocated;
+  /** Audio container magic for the stock JRE's javax.sound readers:
+    * RIFF/WAVE, FORM/AIFF (incl. AIFC), and .snd (AU). */
+  private def looksLikeAudio(p: Array[Byte]): Boolean =
+    p.length >= 12 && (
+      (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') ||
+      (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M' &&
+        p(8) == 'A' && p(9) == 'I' && p(10) == 'F') ||
+      (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'))
+
+  /** Perceptual AUDIO hash: decode to 16-bit signed PCM (the audioStats
+    * conversion, so every source encoding lands on uniform samples), take
+    * the 64-segment hash over per-segment mean ABSOLUTE amplitude vs the
+    * global mean — the energy-envelope analogue of the image aHash, still
+    * the cross-multiplied integer rule. Sums are bounded by 2^15·n — exact
+    * to ~7.8e3 hours of 48 kHz mono. Returns the byte-kernel hash when no
+    * reader claims the payload. */
+  private def audioHash(payload: Array[Byte]): Long = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val samples =
+      try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val channels = math.max(1, fmt.getChannels)
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, channels, channels * 2, fmt.getSampleRate,
+            false) // little-endian
+          AudioSystem.getAudioInputStream(target, in).readAllBytes()
+        } finally in.close()
+      } catch { case _: Throwable => null }
+    if (samples == null) return PHash.phash64(payload)
+    val n = samples.length / 2
+    if (n == 0) return 0L
+    var total = 0L
+    val abs = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val s = (((samples(2 * i + 1) & 0xFF) << 8) | (samples(2 * i) & 0xFF))
+        .toShort.toInt
+      abs(i) = math.abs(s)
+      total += abs(i)
+      i += 1
+    }
+    var out = 0L
+    var seg = 0
+    while (seg < 64) {
+      val lo = (seg.toLong * n / 64).toInt
+      val hi = ((seg + 1).toLong * n / 64).toInt
+      var sum = 0L
+      var k = lo
+      while (k < hi) { sum += abs(k); k += 1 }
+      if (sum * n > total * (hi - lo)) out |= (1L << (63 - seg))
+      seg += 1
+    }
+    out
+  }
+
+  /** REAL perceptual hash, modality-dispatched by container magic:
+    * images → ImageIO decode → BT.601 integer luma → 8×8 cell-mean
+    * average-hash in ONE pixel pass (no luma plane allocated;
     * cross-multiplied bit rule with floor cell boundaries — the 2-D
     * analogue of [[PHash.phash64]]'s segment rule; exact to ~190 MPixel
-    * before 255·(wh)² leaves Long). Payloads no reader claims take the
-    * byte kernel's EXACT arithmetic, so synthetic corpora and their SQL
-    * oracles are untouched while re-encodings of the same pixels (PNG ↔
-    * BMP, image-type changes) collide — the point of a perceptual hash. */
+    * before 255·(wh)² leaves Long); audio containers → [[audioHash]]'s
+    * energy-envelope hash over decoded PCM. Payloads no reader claims
+    * take the byte kernel's EXACT arithmetic, so synthetic corpora and
+    * their SQL oracles are untouched while re-encodings of the same
+    * pixels (PNG ↔ BMP) or samples (WAV ↔ AIFF ↔ AU) collide — the point
+    * of a perceptual hash. */
   def phash64Any(payload: Array[Byte]): Long = {
-    if (payload == null || payload.length < 8 || !looksLikeImage(payload))
-      return PHash.phash64(payload)
+    if (payload == null || payload.length < 8) return PHash.phash64(payload)
+    if (looksLikeAudio(payload)) return audioHash(payload)
+    if (!looksLikeImage(payload)) return PHash.phash64(payload)
     imageIoNoDiskCache
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))

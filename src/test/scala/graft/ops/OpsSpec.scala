@@ -972,6 +972,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.phash64Any(planted) == graft.expr.PHash.phash64(planted))
   }
 
+  test("phash: WAV/AIFF/AU re-encodings of the same samples collide on the decoded hash") {
+    import javax.sound.sampled.AudioFileFormat
+    // a RAMP (not a flat square wave — that hashes to 0 everywhere and
+    // proves nothing): per-segment mean |amplitude| varies, so the hash is
+    // nontrivial and container-independent
+    val samples = Array.tabulate[Short](1024)(i =>
+      (if (i % 2 == 0) i else -i).toShort)
+    val wav = makeWav(8000f, 1, samples)
+    val aiff = makeAudio(8000f, 1, samples, AudioFileFormat.Type.AIFF, bigEndian = true)
+    val au = makeAudio(8000f, 1, samples, AudioFileFormat.Type.AU, bigEndian = true)
+    val hw = Multimodal.phash64Any(wav)
+    assert(hw != 0L && hw == Multimodal.phash64Any(aiff)
+      && hw == Multimodal.phash64Any(au))
+    // the byte kernel sees three different containers
+    assert(graft.expr.PHash.phash64(wav) != graft.expr.PHash.phash64(aiff))
+    // a truncated container no reader claims falls back to the kernel
+    val cut = wav.take(10)
+    assert(Multimodal.phash64Any(cut) == graft.expr.PHash.phash64(cut))
+  }
+
   test("phashNearPairs + dupClusters: a transitive chain collapses to one rep") {
     val p = 0x5A5A5A5A5A5A5A5AL
     val b = p ^ 3L // hd(A,B) = 2
