@@ -68,4 +68,20 @@ class PHashExprSpec extends AnyFunSuite {
       .select(GraftFunctions.phash64(col("payload"))).collect()
     assert(n.head.isNullAt(0))
   }
+
+  test("graft_phash64any is SQL-reachable and equals the dispatch kernel") {
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(19)
+    val payloads = Seq.fill(20) {
+      val a = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(a); a
+    }
+    payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "payload").createOrReplaceTempView("phash_any_in")
+    val viaSql = spark.sql(
+      "SELECT id, graft_phash64any(payload) FROM phash_any_in")
+      .as[(Long, Long)].collect().toMap
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      assert(viaSql(i.toLong) == PHashAny.phash64Any(p))
+    }
+  }
 }

@@ -992,6 +992,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.phash64Any(cut) == graft.expr.PHash.phash64(cut))
   }
 
+  test("audio phash matches a plain-Scala envelope reference on random waves") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 20) {
+      val n = 64 + rnd.nextInt(2000)
+      val samples = Array.fill[Short](n)((rnd.nextInt(65536) - 32768).toShort)
+      val wav = makeWav(8000f, 1, samples)
+      // reference: 64-segment mean |amplitude| vs global mean, BigInt side
+      val abs = samples.map(s => math.abs(s.toInt).toLong)
+      val total = abs.sum
+      val want = (0 until 64).foldLeft(0L) { (acc, seg) =>
+        val lo = (seg.toLong * n / 64).toInt
+        val hi = ((seg + 1).toLong * n / 64).toInt
+        val sum = abs.slice(lo, hi).sum
+        if (BigInt(sum) * n > BigInt(total) * (hi - lo)) acc | (1L << (63 - seg))
+        else acc
+      }
+      assert(Multimodal.phash64Any(wav) == want, s"n=$n")
+    }
+  }
+
   test("phashNearPairs + dupClusters: a transitive chain collapses to one rep") {
     val p = 0x5A5A5A5A5A5A5A5AL
     val b = p ^ 3L // hd(A,B) = 2
