@@ -94,7 +94,13 @@ object ProfScale {
       "q122_phash" -> (d => operators.NorthStarQueries.phashNearDups(spark, d)),
       "q124_substr" -> (d => operators.CurationQueries.substringDupSpans(spark, d)),
       "q125_cut" -> (d => operators.CurationQueries.substringCut(spark, d)),
-      "q126_charcov" -> (d => operators.CurationQueries.charCoverage(spark, d)))
+      "q126_charcov" -> (d => operators.CurationQueries.charCoverage(spark, d)),
+      // round 11 post-close: admission is batch-proportional (the blowup
+      // grows batch AND corpus 10x — expect ~10x); clusters add the CC
+      // rounds on top of the q122 relations (expect ~10x + a flat round
+      // floor — replica chains stay 2-node, so the round count is stable)
+      "q123_admit" -> (d => operators.NorthStarQueries.phashAdmitBatch(spark, d)),
+      "q127_clusters" -> (d => operators.NorthStarQueries.phashDupClusters(spark, d)))
 
     for (round <- 1 to 3; (name, q) <- queries; (label, d) <- Seq("1x" -> d1, s"${blowup}x" -> dN)) {
       val t0 = System.nanoTime()
