@@ -711,7 +711,38 @@ object NorthStarQueries {
           col("exact_uniq") * 0.06 + lit(3.0)).as("approx_ok"))
       .orderBy("source")
 
+  /** q128 — graph rank propagation: weighted PageRank over the
+    * customer↔supplier trade graph (nodes = trading customers + suppliers,
+    * one directed edge EACH WAY per trading pair weighted by its lineitem
+    * count — symmetrization also guarantees [[graft.ops.Graph.pageRank]]'s
+    * no-dangling-node precondition). The rank family CC (q48/q127) doesn't
+    * cover: in curation terms this is host-graph centrality (Common Crawl's
+    * published host ranking), here ranking suppliers/customers by recursive
+    * trade importance, 10 damped power-iteration steps at 0.85. Entirely
+    * integer arithmetic in BIGINT mass units (see Graph.pageRank), so the
+    * top-20 rank vector hash-matches DuckDB's unrolled-CTE replay exactly.
+    * Scale: the pair aggregation collapses lineitem×orders to the distinct
+    * trading-pair relation before any iteration; the loop touches only
+    * (node, long) rows. */
+  def tradePageRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    // persist: both union legs read the pair relation (else the big
+    // lineitem⋈orders join runs twice). Verify/Bench clear the cache after
+    // each query's action.
+    val pair = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("w")).persist()
+    val edges = pair.select(concat(lit("c:"), col("c")).as("src"),
+        concat(lit("s:"), col("s")).as("dst"), col("w"))
+      .unionByName(pair.select(concat(lit("s:"), col("s")).as("src"),
+        concat(lit("c:"), col("c")).as("dst"), col("w")))
+    graft.ops.Graph.pageRank(edges, iterations = 10)
+      .orderBy(col("rank_u").desc, col("node")).limit(20)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q128_pagerank" -> (tradePageRank _),
     "q21_dedup_keep_first" -> (dedupKeepFirst _),
     "q22_token_count" -> (tokenCounts _),
     "q23_text_stats_by_lang" -> (textStatsByLang _),
@@ -932,7 +963,36 @@ object NorthStarQueries {
       "SELECT \"queryId\", \"neighborId\", cosine, approx_cos, rank FROM ranked WHERE rank <= 5 ORDER BY \"queryId\", rank"
 
   /** DuckDB oracles for the SQL-expressible subset. */
+  /** q128 oracle: the 10 power-iteration steps unrolled as chained CTEs
+    * (the q117 discipline — DuckDB recursive CTEs can't aggregate over the
+    * recursive term). Every step is the same integer arithmetic as
+    * Graph.pageRank: `//` here == `div` there on all-positive operands;
+    * hugeint intermediates cast back to BIGINT. */
+  private def q128OracleSql: String = {
+    val steps = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    ((15 * (SELECT b FROM base)) // 100
+         |      + (85 * sum((r.rank_u * e.w) // d.wsum)) // 100)::BIGINT AS rank_u
+         |  FROM edges e JOIN r${i - 1} r ON r.node = e.src
+         |    JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pair AS (
+       |  SELECT o_custkey AS c, l_suppkey AS s, count(*)::BIGINT AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT 'c:' || c AS src, 's:' || s AS dst, w FROM pair
+       |  UNION ALL SELECT 's:' || s, 'c:' || c, w FROM pair),
+       |deg AS (SELECT src, sum(w)::BIGINT AS wsum FROM edges GROUP BY 1),
+       |base AS (SELECT 1000000000 // count(*) AS b FROM deg),
+       |r0 AS (SELECT src AS node, (SELECT b FROM base)::BIGINT AS rank_u FROM deg),
+       |$steps
+       |SELECT node, rank_u FROM r10 ORDER BY rank_u DESC, node LIMIT 20""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q128_pagerank" -> q128OracleSql,
     // q31/q32: the decode STUB is deterministic byte arithmetic, so the
     // oracle replays it — byte histogram via hex-nibble counting (float32
     // division ::FLOAT matches the JVM's binary32 exactly), resize as a

@@ -53,6 +53,73 @@ object PipelineQueries {
       .orderBy("wtype")
   }
 
+  /** q129 — cohort retention matrix: users cohorted by their FIRST active
+    * day, retention reported per (cohort_day, day_offset) — the standard
+    * product-analytics view q116's funnel (one fixed stage chain) and q55's
+    * sessions (gap-local) don't express. Day ids are integer epoch-days
+    * (`tsu div 86400000000` == DuckDB `epoch_us(ts) // 86400000000`) and
+    * retention is basis points by integer division, so every cell is
+    * hash-exact cross-engine.
+    *
+    * Scale: the corpus collapses to the distinct (user, day) relation at
+    * the scan (bounded by users×days, not events); cohort assignment is a
+    * user-keyed aggregate + join (one reusable user_id exchange — the q116
+    * posture); cohort sizes are a days-bounded relation joined broadcast.
+    * No window function, no per-user sequence materialization. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val ud = ev.select(col("user_id"), tsMicros(ev).as("tsu"))
+      .select(col("user_id"), expr("tsu div 86400000000").as("day"))
+      .distinct()
+    val first = ud.groupBy("user_id").agg(min("day").as("d0"))
+    val sizes = first.groupBy("d0").agg(count(lit(1)).as("cohort_size"))
+    ud.join(first, "user_id")
+      .groupBy(col("d0"), (col("day") - col("d0")).as("day_offset"))
+      .agg(count(lit(1)).as("retained")) // (user, day) distinct ⇒ user count
+      .join(sizes, "d0")
+      .select(col("d0").as("cohort_day"), col("day_offset"),
+        col("cohort_size"), col("retained"),
+        expr("(retained * 10000) div cohort_size").as("retention_bp"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** q130 — hourly anomaly screen: per event type, hours whose count
+    * deviates from the type's own mean by more than 3σ (and 2σ), plus the
+    * peak hour — the volume-anomaly monitor a log pipeline runs ahead of
+    * any model. The σ rule is evaluated ENTIRELY in integers — |n−μ| > kσ
+    * rewritten as (n·H − S)² > k²·(H·Q − S²) with H = hours observed,
+    * S = Σn, Q = Σn² — so there is no float boundary and the strict->
+    * bound is exact in both engines (an exactly-kσ hour is NOT anomalous).
+    * Hours with zero events don't exist as rows and are out of scope by
+    * construction (documented semantic).
+    *
+    * Scale: one scan collapses to the (type, hour) count relation; the
+    * 5-row per-type stats relation joins back BROADCAST; everything after
+    * runs on hours-bounded frames. Overflow: (n·H)² must stay < 2^63 —
+    * fine to ~3e9 events per type-hour-corpus at day scale; widen to
+    * DECIMAL beyond.  Peak-hour tiebreak: smallest hour id. */
+  def hourlyAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    // persist: feeds both the per-type stats aggregate and the flag pass.
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val h = ev.select(col("event_type"), tsMicros(ev).as("tsu"))
+      .select(col("event_type"), expr("tsu div 3600000000").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+      .persist()
+    val s = h.groupBy("event_type").agg(count(lit(1)).as("hh"),
+      sum("n").as("ss"), sum(expr("n * n")).as("qq"), max("n").as("mx"))
+    h.join(broadcast(s), "event_type")
+      .groupBy("event_type")
+      .agg(max("hh").as("n_hours"),
+        sum(when(expr("(n*hh - ss)*(n*hh - ss) > 9*(hh*qq - ss*ss)"), 1L)
+          .otherwise(0L)).as("hours_3s"),
+        sum(when(expr("(n*hh - ss)*(n*hh - ss) > 4*(hh*qq - ss*ss)"), 1L)
+          .otherwise(0L)).as("hours_2s"),
+        min(when(col("n") === col("mx"), col("hr"))).as("peak_hr"),
+        max("mx").as("peak_n"))
+      .orderBy("event_type")
+  }
+
   private val gapU = 1800L * 1000000L // 30 min session gap (micros)
 
   /** q55 — gap sessionization: per-user sessions at a 30-minute silence
@@ -918,6 +985,8 @@ object PipelineQueries {
     "q114_phrase_search" -> (phraseSearch _),
     "q115_hybrid_rrf" -> (hybridRrf _),
     "q116_conversion_funnel" -> (conversionFunnel _),
+    "q129_cohort_retention" -> (cohortRetention _),
+    "q130_hourly_anomalies" -> (hourlyAnomalies _),
     "q117_bpe_merges" -> (bpeInduct _),
     "q118_bpe_encode" -> (bpeEncodeReport _)
   )
@@ -936,6 +1005,37 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q129_cohort_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS d0 FROM ud GROUP BY 1),
+        |sz AS (SELECT d0, count(*)::BIGINT AS cohort_size FROM f GROUP BY 1),
+        |r AS (
+        |  SELECT f.d0, ud.day - f.d0 AS day_offset, count(*)::BIGINT AS retained
+        |  FROM ud JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT r.d0 AS cohort_day, r.day_offset, sz.cohort_size, r.retained,
+        |  (r.retained * 10000) // sz.cohort_size AS retention_bp
+        |FROM r JOIN sz USING (d0)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    "q130_hourly_anomalies" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, count(*)::BIGINT AS hh, sum(n)::BIGINT AS ss,
+        |    sum(n * n)::BIGINT AS qq, max(n)::BIGINT AS mx
+        |  FROM h GROUP BY 1)
+        |SELECT h.event_type AS event_type, max(hh) AS n_hours,
+        |  sum(CASE WHEN (n*hh - ss)*(n*hh - ss) > 9*(hh*qq - ss*ss)
+        |      THEN 1 ELSE 0 END)::BIGINT AS hours_3s,
+        |  sum(CASE WHEN (n*hh - ss)*(n*hh - ss) > 4*(hh*qq - ss*ss)
+        |      THEN 1 ELSE 0 END)::BIGINT AS hours_2s,
+        |  min(CASE WHEN n = mx THEN hr END) AS peak_hr,
+        |  max(mx) AS peak_n
+        |FROM h JOIN s USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q114_phrase_search" -> q114OracleSql,
     "q115_hybrid_rrf" -> q115OracleSql,
     "q116_conversion_funnel" -> q116OracleSql,

@@ -348,4 +348,54 @@ class AuditSpec extends AnyFunSuite {
       ("3_purchase", 0L, 0.0)))
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q129: cohorts by first day, same-day repeats collapse, gaps stay gaps") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cohort-ev").toString
+    def ts(day: Long, sec: Long) =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(day * 86400 + sec))
+    Seq(
+      // cohort day 0: u1 active days 0,1,3 (day 2 is a gap); u2 day 0 only
+      (1L, ts(0, 10)), (1L, ts(1, 20)), (1L, ts(3, 30)),
+      (2L, ts(0, 40)),
+      // cohort day 1: u3 days 1,2; u4 day 1 twice (distinct must collapse)
+      (3L, ts(1, 50)), (3L, ts(2, 60)),
+      (4L, ts(1, 70)), (4L, ts(1, 80)))
+      .toDF("user_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = PipelineQueries.cohortRetention(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (0L, 0L, 2L, 2L, 10000L), // both cohort-0 users on day 0 by definition
+      (0L, 1L, 2L, 1L, 5000L),  // only u1 returns
+      (0L, 3L, 2L, 1L, 5000L),  // gap day 2 has no row
+      (1L, 0L, 2L, 2L, 10000L),
+      (1L, 1L, 2L, 1L, 5000L))) // u4's double event counted once
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q130: planted spike flags at 3σ, flat types don't, peak ties break low") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("anom-ev").toString
+    def ts(hr: Long, sec: Long) =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(hr * 3600 + sec))
+    val rows =
+      // type a: hours 0..9 one event each, hour 10 spikes to 12
+      // H=11 S=22 Q=154: spike (12·11−22)²=12100 > 9·(11·154−22²)=10890 → 3σ
+      (0L to 9L).map(h => ("a", ts(h, 1))) ++
+        (0L until 12L).map(i => ("a", ts(10, i))) ++
+        // type b: two hours both count 5 — zero variance, peak tie → hour 3
+        (0L until 5L).flatMap(i => Seq(("b", ts(3, i)), ("b", ts(7, i)))) ++
+        // type c: a single hour can never be anomalous (0 > 0 is false)
+        (0L until 4L).map(i => ("c", ts(2, i)))
+    rows.toDF("event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = PipelineQueries.hourlyAnomalies(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("a", 11L, 1L, 1L, 10L, 12L),
+      ("b", 2L, 0L, 0L, 3L, 5L),
+      ("c", 1L, 0L, 0L, 2L, 4L)))
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

@@ -383,6 +383,68 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q129: retention plans no window; every exchange keys on user/day ids") {
+    val p = plan(PipelineQueries.cohortRetention(spark, sf))
+    assert(!p.contains("Window"), s"retention must not sequence per user\n$p")
+    val parts = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(parts.nonEmpty && parts.forall(l =>
+      l.contains("user_id#") || l.contains("d0#") || l.contains("day")),
+      s"exchanges must key on user/day ids only\n${parts.mkString("\n")}")
+  }
+
+  test("q130: the 5-row stats relation joins broadcast; hour counts aggregate partially") {
+    val p = plan(PipelineQueries.hourlyAnomalies(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"stats join must broadcast\n$p")
+    assert(p.contains("partial_count"),
+      s"the (type, hour) collapse must aggregate before its exchange\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("pageRank: the iteration join reuses the cached src partitioning " +
+      "and the contribution sum aggregates partially") {
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the same normalized-edge construction Graph.pageRank performs
+      val pairs = (1L to 64L).map(i => (s"a$i", s"b${i % 8}", 1L + i % 3))
+      val e = (pairs ++ pairs.map(p => (p._2, p._1, p._3)))
+        .toDF("src", "dst", "w")
+      val deg = e.groupBy("src")
+        .agg(org.apache.spark.sql.functions.sum("w").as("wsum"))
+      val en = e.join(deg, "src").select("src", "dst", "w", "wsum")
+        .repartition(org.apache.spark.sql.functions.col("src")).persist()
+      en.count()
+      val ranks = en.select(org.apache.spark.sql.functions.col("src").as("node"))
+        .distinct()
+        .withColumn("rank_u", org.apache.spark.sql.functions.lit(1000000L))
+        .localCheckpoint()
+      val next = graft.ops.Graph.step(en, ranks, 85, 1000L)
+      val exec = next.queryExecution.executedPlan
+      val joins = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(joins.nonEmpty, s"expected a shuffle join\n$exec")
+      val cachedSide = joins.head.children.find(c => c.collectFirst {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+      }.nonEmpty)
+      assert(cachedSide.nonEmpty, s"expected the cached edges under the join\n$exec")
+      val reshuffles = cachedSide.get.collect {
+        case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => x }
+      assert(reshuffles.isEmpty,
+        s"edges side re-shuffled despite cached hash partitioning:\n${cachedSide.get}")
+      assert(exec.toString.contains("partial_sum"),
+        s"contributions must combine map-side before the dst exchange\n$exec")
+      en.unpersist()
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q121: gram counts combine map-side; scan pruned to doc_id+lang+text") {
     val p = plan(CurationQueries.repetitionProfile(spark, sf))
     assert(p.contains("partial_count") || p.contains("partial_min"),
