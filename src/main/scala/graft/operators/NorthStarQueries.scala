@@ -733,12 +733,15 @@ object NorthStarQueries {
     val pair = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .agg(count(lit(1)).as("w")).persist()
-    val edges = pair.select(concat(lit("c:"), col("c")).as("src"),
-        concat(lit("s:"), col("s")).as("dst"), col("w"))
-      .unionByName(pair.select(concat(lit("s:"), col("s")).as("src"),
-        concat(lit("c:"), col("c")).as("dst"), col("w")))
+    // the loop runs on LONG node ids (customer 2k, supplier 2k+1) — 8-byte
+    // keys through every per-iteration shuffle/sort; the readable label is
+    // rendered on the final 20 rows only
+    val edges = pair.select(expr("c * 2").as("src"), expr("s * 2 + 1").as("dst"), col("w"))
+      .unionByName(pair.select(expr("s * 2 + 1").as("src"), expr("c * 2").as("dst"), col("w")))
     graft.ops.Graph.pageRank(edges, iterations = 10)
       .orderBy(col("rank_u").desc, col("node")).limit(20)
+      .select(when(col("node") % 2 === 0, concat(lit("c:"), expr("node div 2")))
+        .otherwise(concat(lit("s:"), expr("node div 2"))).as("node"), col("rank_u"))
   }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -982,13 +985,15 @@ object NorthStarQueries {
        |  SELECT o_custkey AS c, l_suppkey AS s, count(*)::BIGINT AS w
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
        |edges AS (
-       |  SELECT 'c:' || c AS src, 's:' || s AS dst, w FROM pair
-       |  UNION ALL SELECT 's:' || s, 'c:' || c, w FROM pair),
+       |  SELECT c * 2 AS src, s * 2 + 1 AS dst, w FROM pair
+       |  UNION ALL SELECT s * 2 + 1, c * 2, w FROM pair),
        |deg AS (SELECT src, sum(w)::BIGINT AS wsum FROM edges GROUP BY 1),
        |base AS (SELECT 1000000000 // count(*) AS b FROM deg),
        |r0 AS (SELECT src AS node, (SELECT b FROM base)::BIGINT AS rank_u FROM deg),
-       |$steps
-       |SELECT node, rank_u FROM r10 ORDER BY rank_u DESC, node LIMIT 20""".stripMargin
+       |$steps,
+       |top AS (SELECT node, rank_u FROM r10 ORDER BY rank_u DESC, node LIMIT 20)
+       |SELECT CASE WHEN node % 2 = 0 THEN 'c:' || (node // 2)
+       |  ELSE 's:' || (node // 2) END AS node, rank_u FROM top""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
