@@ -3,12 +3,26 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev profiler for the q128 PageRank loop (test scope, not shipped):
-  * times each stage of Graph.pageRank separately to attribute the
-  * per-iteration cost. */
+/** Dev profiler for the round-11 analytics ops (test scope, not shipped):
+  * q128 PageRank stage attribution at sf0.1, then a 10× scale sweep for
+  * q128/q129/q130 on blown-up replicas of their input tables.
+  *
+  * Blowup design: orders/lineitem replicate with order keys `k*10+rep` and
+  * customer keys `c + rep*1e6` while SUPPLIERS stay shared — the trade
+  * graph grows to ~10× edges and ~10× customer nodes hanging off the same
+  * 1k supplier hubs (the realistic shape: hub degree grows, not hub
+  * count). events replicate with `user_id + rep*1e6`, so q129's distinct
+  * (user, day) relation grows the full 10× and q130's (type, hour) frame
+  * stays CONSTANT while its scan grows 10×.
+  *
+  * Claims under test (each op's scale note): q128 per-iteration cost ∝
+  * edges (expect ~10× plus a flat per-round floor), q129 ∝ users×days
+  * (expect ~10×), q130 scan-bound (expect ≲10×). Results in BASELINE.md.
+  */
 object ProfGraph {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val blowup = sys.env.getOrElse("SPARK_GRAFT_SCALE_BLOWUP", "10").toInt
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -22,6 +36,7 @@ object ProfGraph {
       println(f"  $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
+    // --- stage attribution of the PageRank loop at 1x ----------------------
     val li = table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val ord = table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val pair = li.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -30,7 +45,6 @@ object ProfGraph {
     t("pair materialize") { pair.count() }
     val edges = pair.select(expr("c * 2").as("src"), expr("s * 2 + 1").as("dst"), col("w"))
       .unionByName(pair.select(expr("s * 2 + 1").as("src"), expr("c * 2").as("dst"), col("w")))
-
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
     val deg = e.groupBy("src").agg(sum("w").as("wsum"))
     val en = e.join(deg, "src").select("src", "dst", "w", "wsum")
@@ -48,6 +62,41 @@ object ProfGraph {
       ranks = t(s"iter $i") {
         graft.ops.Graph.step(en, ranks, 85, hold).localCheckpoint()
       }
+    }
+    pair.unpersist(); en.unpersist()
+    spark.sharedState.cacheManager.clearCache()
+
+    // --- 10x sweep ----------------------------------------------------------
+    val reps = explode(array((0 until blowup).map(lit): _*))
+    val d1 = java.nio.file.Files.createTempDirectory("profgraph-1x").toString
+    val dN = java.nio.file.Files.createTempDirectory(s"profgraph-${blowup}x").toString
+    val li0 = spark.read.parquet(s"$dir/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    val or0 = spark.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_custkey")
+    val ev0 = spark.read.parquet(s"$dir/events.parquet").select("user_id", "event_type", "ts")
+    li0.write.mode("overwrite").parquet(s"$d1/lineitem.parquet")
+    or0.write.mode("overwrite").parquet(s"$d1/orders.parquet")
+    ev0.write.mode("overwrite").parquet(s"$d1/events.parquet")
+    li0.withColumn("_r", reps)
+      .select((col("l_orderkey") * blowup + col("_r")).as("l_orderkey"), col("l_suppkey"))
+      .write.mode("overwrite").parquet(s"$dN/lineitem.parquet")
+    or0.withColumn("_r", reps)
+      .select((col("o_orderkey") * blowup + col("_r")).as("o_orderkey"),
+        (col("o_custkey") + col("_r") * 1000000L).as("o_custkey"))
+      .write.mode("overwrite").parquet(s"$dN/orders.parquet")
+    ev0.withColumn("_r", reps)
+      .select((col("user_id") + col("_r") * 1000000L).as("user_id"),
+        col("event_type"), col("ts"))
+      .write.mode("overwrite").parquet(s"$dN/events.parquet")
+
+    val queries: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+      "q128_pagerank" -> (d => operators.NorthStarQueries.tradePageRank(spark, d)),
+      "q129_cohort" -> (d => operators.PipelineQueries.cohortRetention(spark, d)),
+      "q130_anomalies" -> (d => operators.PipelineQueries.hourlyAnomalies(spark, d)))
+    for (round <- 1 to 3; (name, q) <- queries; (label, d) <- Seq("1x" -> d1, s"${blowup}x" -> dN)) {
+      val t0 = System.nanoTime()
+      q(d).write.format("noop").mode("overwrite").save()
+      println(f"[scale] r$round $name $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }
