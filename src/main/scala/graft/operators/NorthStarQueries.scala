@@ -570,6 +570,38 @@ object NorthStarQueries {
       .orderBy("doc_id", "probe_id")
   }
 
+  /** q131 — Bloom-filter decontamination screen: the fixed-size-broadcast
+    * scale path for q51 (see [[graft.ops.TextOps.bloomDecontam]]). Probes
+    * are the q51/q90 benchmark slice (doc_id % 100 == 0), the screened
+    * corpus is everything else (a probe trivially contains its own grams —
+    * self-exclusion by partition, where q51 excludes self-PAIRS). A doc is
+    * bloom-flagged when ≥ 2 of its grams are filter candidates and
+    * exact-flagged when ≥ 2 are truly shared with the probe gram SET (the
+    * union semantics a stage-1 screen has — q51's per-pair report is the
+    * stage-2 refinement on survivors). The per-source report carries the
+    * audit: false_pos = bloom-only flags (position collisions; grows with
+    * filter load, shrinkable via mBits), false_neg pinned 0 structurally —
+    * a Bloom filter cannot miss a member. */
+  def bloomDecontamScreen(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val corpus = docs.where(pmod(col("doc_id"), lit(100)) =!= 0)
+    val probes = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+    val perDoc = TextOps.bloomDecontam(corpus, "text", "doc_id",
+      probes, "text", "doc_id")
+    corpus.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("bloom_shared", "exact_shared"))
+      .groupBy("source").agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("bloom_shared") >= 2, 1L).otherwise(0L)).as("bloom_flagged"),
+        sum(when(col("exact_shared") >= 2, 1L).otherwise(0L)).as("exact_flagged"),
+        sum(when(col("bloom_shared") >= 2 && col("exact_shared") < 2, 1L)
+          .otherwise(0L)).as("false_pos"),
+        sum(when(col("exact_shared") >= 2 && col("bloom_shared") < 2, 1L)
+          .otherwise(0L)).as("false_neg"))
+      .orderBy("source")
+  }
+
   /** q78 — the decontamination review queue: for each probe (eval item),
     * the 3 corpus documents that CONTAIN most of it — containment =
     * shared/|probe grams|, the asymmetric score that catches a short
@@ -770,6 +802,7 @@ object NorthStarQueries {
     "q49_embedding_neardups" -> (embeddingNearDupPairs _),
     "q50_train_splits" -> (trainSplits _),
     "q51_contamination" -> (contaminationReport _),
+    "q131_bloom_decontam" -> (bloomDecontamScreen _),
     "q52_source_quota" -> (sourceQuota _),
     "q75_embedding_ivf_model" -> (embeddingIvfModelTopK _),
     "q77_embedding_ivf_probe2" -> (embeddingIvfProbe2TopK _),
@@ -998,6 +1031,35 @@ object NorthStarQueries {
 
   val oracles: Map[String, String] = Map(
     "q128_pagerank" -> q128OracleSql,
+    // q131: full replication — same grams (gramsCte == the word-ngram
+    // kernel), same h60, same 4×14-bit-stride position slices, same
+    // position-set membership rule, same ≥2 flag thresholds and audit.
+    "q131_bloom_decontam" ->
+      (s"WITH $gramsCte,\n" +
+        """pg AS (SELECT DISTINCT ('0x'||substr(md5(x),1,15))::BIGINT AS g
+          |  FROM (SELECT unnest(g) AS x FROM grams WHERE doc_id % 100 = 0)),
+          |bp AS (SELECT DISTINCT unnest([(g >> 0) % 131072, (g >> 14) % 131072,
+          |    (g >> 28) % 131072, (g >> 42) % 131072]) AS p FROM pg),
+          |cg AS (SELECT doc_id, ('0x'||substr(md5(x),1,15))::BIGINT AS g
+          |  FROM (SELECT doc_id, unnest(g) AS x FROM grams WHERE doc_id % 100 <> 0)),
+          |ch AS (SELECT doc_id, count(*)::BIGINT AS bloom_shared FROM cg
+          |  WHERE (g >> 0) % 131072 IN (SELECT p FROM bp)
+          |    AND (g >> 14) % 131072 IN (SELECT p FROM bp)
+          |    AND (g >> 28) % 131072 IN (SELECT p FROM bp)
+          |    AND (g >> 42) % 131072 IN (SELECT p FROM bp)
+          |  GROUP BY 1),
+          |ce AS (SELECT doc_id, count(*)::BIGINT AS exact_shared FROM cg
+          |  WHERE g IN (SELECT g FROM pg) GROUP BY 1)
+          |SELECT d.source, count(*)::BIGINT AS docs,
+          |  sum(CASE WHEN coalesce(h.bloom_shared, 0) >= 2 THEN 1 ELSE 0 END)::BIGINT AS bloom_flagged,
+          |  sum(CASE WHEN coalesce(e.exact_shared, 0) >= 2 THEN 1 ELSE 0 END)::BIGINT AS exact_flagged,
+          |  sum(CASE WHEN coalesce(h.bloom_shared, 0) >= 2
+          |      AND coalesce(e.exact_shared, 0) < 2 THEN 1 ELSE 0 END)::BIGINT AS false_pos,
+          |  sum(CASE WHEN coalesce(e.exact_shared, 0) >= 2
+          |      AND coalesce(h.bloom_shared, 0) < 2 THEN 1 ELSE 0 END)::BIGINT AS false_neg
+          |FROM documents d LEFT JOIN ch h USING (doc_id) LEFT JOIN ce e USING (doc_id)
+          |WHERE d.doc_id % 100 <> 0
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
     // q31/q32: the decode STUB is deterministic byte arithmetic, so the
     // oracle replays it — byte histogram via hex-nibble counting (float32
     // division ::FLOAT matches the JVM's binary32 exactly), resize as a

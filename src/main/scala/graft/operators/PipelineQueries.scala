@@ -120,6 +120,47 @@ object PipelineQueries {
       .orderBy("event_type")
   }
 
+  /** q132 — EWMA volume trend: per event type, an exponentially-weighted
+    * moving average (α = 0.3) over the DAY-ordered daily counts, plus the
+    * count of "spike" days whose volume more than DOUBLES the running EWMA
+    * of all prior days — the adaptive-trend complement to q130's global-σ
+    * screen (a slow ramp never spikes here but shifts σ there; a step
+    * change spikes here immediately). The recurrence runs as ONE
+    * higher-order fold per type (the StreamingImportance/q125 discipline —
+    * no window function, no self-join), entirely in integers: EWMA in
+    * micro-units via `e' = (3·n·1e6 + 7·e) div 10`, spike count packed
+    * into the same accumulator (`acc = e·64 + spikes`; day counts are
+    * bounded by the span so spikes < 64), and the fold seeds with the
+    * FIRST day pre-packed so Spark's `aggregate` and DuckDB's
+    * seed-from-head `list_reduce` compute the identical chain. Both
+    * engines fold the same day-ascending sequence, so the result is
+    * hash-exact with no float anywhere.
+    *
+    * Scale: the corpus collapses to (type, day) counts at the scan; the
+    * fold runs over a days-bounded array per type (the bounded-model
+    * exception — thousands of elements after years, never corpus-sized).
+    * Overflow: e ≤ max-daily-count·1e6 and acc = e·64 needs
+    * max-daily-count < ~1.4e11. */
+  def ewmaTrend(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    ev.select(col("event_type"), tsMicros(ev).as("tsu"))
+      .select(col("event_type"), expr("tsu div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_days"),
+        expr("transform(array_sort(collect_list(struct(day, n))), x -> x.n)")
+          .as("ns"))
+      .select(col("event_type"), col("n_days"),
+        expr("""aggregate(slice(ns, 2, greatest(size(ns) - 1, 0)),
+          CAST(element_at(ns, 1) * 1000000 * 64 AS BIGINT),
+          (acc, nn) -> ((3 * nn * 1000000 + 7 * (acc div 64)) div 10) * 64
+            + pmod(acc, 64)
+            + IF(nn * 1000000 > 2 * (acc div 64), 1, 0))""").as("packed"))
+      .select(col("event_type"), col("n_days"),
+        expr("packed div 64").as("ewma_u"),
+        expr("pmod(packed, 64)").as("spike_days"))
+      .orderBy("event_type")
+  }
+
   private val gapU = 1800L * 1000000L // 30 min session gap (micros)
 
   /** q55 — gap sessionization: per-user sessions at a 30-minute silence
@@ -987,6 +1028,7 @@ object PipelineQueries {
     "q116_conversion_funnel" -> (conversionFunnel _),
     "q129_cohort_retention" -> (cohortRetention _),
     "q130_hourly_anomalies" -> (hourlyAnomalies _),
+    "q132_ewma_trend" -> (ewmaTrend _),
     "q117_bpe_merges" -> (bpeInduct _),
     "q118_bpe_encode" -> (bpeEncodeReport _)
   )
@@ -1018,6 +1060,26 @@ object PipelineQueries {
         |  (r.retained * 10000) // sz.cohort_size AS retention_bp
         |FROM r JOIN sz USING (d0)
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    "q132_ewma_trend" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_days,
+        |    list(n ORDER BY day) AS ns
+        |  FROM d GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n_days,
+        |    list_reduce(list_prepend(ns[1] * 1000000 * 64, ns[2:]),
+        |      (acc, nn) -> ((3 * nn * 1000000 + 7 * (acc // 64)) // 10) * 64
+        |        + acc % 64
+        |        + CASE WHEN nn * 1000000 > 2 * (acc // 64) THEN 1 ELSE 0 END
+        |    )::BIGINT AS packed
+        |  FROM l)
+        |SELECT event_type, n_days, packed // 64 AS ewma_u,
+        |  packed % 64 AS spike_days
+        |FROM f ORDER BY event_type""".stripMargin,
     "q130_hourly_anomalies" ->
       """WITH h AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,

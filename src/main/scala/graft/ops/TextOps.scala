@@ -250,6 +250,61 @@ object TextOps {
       .agg(count(lit(1)).as("shared_windows"))
   }
 
+  /** Bloom-filter decontamination screen — the fixed-size-broadcast scale
+    * path for [[contamination]]: at 100 TB the probe-gram relation a direct
+    * join must broadcast grows with the benchmark suite, while a Bloom
+    * filter is a FIXED `mBits`-bounded structure whatever the probe count.
+    * The filter is held as its set-bit POSITION SET (≤ mBits rows of one
+    * int — the relational form of the bitmap; bit-packing into longs is an
+    * engine-side micro-optimization this op skips so any engine replays it
+    * exactly, and DuckDB's checked `<<` can't even form the 2^63 mask).
+    * k = 4 positions per gram, sliced from the single engine-portable
+    * 60-bit md5 hash at 14-bit strides (bits [14i, 14i+17) ⊂ 60 for
+    * i ≤ 3) — no per-seed re-hash. A gram is a CANDIDATE iff all 4 of its
+    * positions are set; no true member is ever missed (its own insertion
+    * set exactly its own positions), so false negatives are structurally
+    * zero and the op returns per-doc candidate AND exact counts so the
+    * caller audits the false-positive rate the m/k/|probe| load implies.
+    *
+    * Returns (doc_id, bloom_shared, exact_shared) for every corpus doc
+    * with at least one candidate or shared gram; `bloom_shared >=
+    * exact_shared` by construction. Gram unit mirrors [[contamination]]
+    * (distinct word n-grams, whole-text fallback), hashed h60 so the
+    * positions are engine-portable.
+    *
+    * Scale: corpus grams collapse to 8-byte hashes at the scan; the
+    * position relation broadcasts (≤ mBits ints); the only corpus-sized
+    * shuffles are the two (doc, gram)-keyed aggregates. At production
+    * scale raise mBits to hold the FP rate (load factor ≈ 1−e^(−4·|probe
+    * grams|/mBits), per-gram FP ≈ load^4). */
+  def bloomDecontam(
+      corpus: DataFrame, corpusText: String, corpusId: String,
+      probes: DataFrame, probeText: String, probeId: String,
+      n: Int = 3, mBits: Int = 131072): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    def positions = (0 to 3).map(i =>
+      expr(s"pmod(shiftright(g, ${14 * i}), $mBits)"))
+    val pg = probes.select(
+        explode(graft.expr.GraftFunctions.wordNGrams(col(probeText), n)).as("_g"))
+      .select(PortableSketch.h60(col("_g")).as("g")).distinct()
+    val bloomPos = pg.select(explode(array(positions: _*)).as("p")).distinct()
+    // persist: feeds both the candidate screen and the exact audit.
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val cg = Partitioning.spread(corpus).select(col(corpusId).as("doc_id"),
+        explode(graft.expr.GraftFunctions.wordNGrams(col(corpusText), n)).as("_g"))
+      .select(col("doc_id"), PortableSketch.h60(col("_g")).as("g")).persist()
+    val bloomShared = cg.select(col("doc_id"), col("g"),
+        explode(array(positions: _*)).as("p"))
+      .join(broadcast(bloomPos), Seq("p"), "left_semi")
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("nhit"))
+      .where(col("nhit") === 4)
+      .groupBy("doc_id").agg(count(lit(1)).as("bloom_shared"))
+    val exactShared = cg.join(broadcast(pg), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("exact_shared"))
+    bloomShared.join(exactShared, Seq("doc_id"), "full_outer")
+      .na.fill(0L, Seq("bloom_shared", "exact_shared"))
+  }
+
   def contamination(
       corpus: DataFrame, corpusText: String, corpusId: String,
       probes: DataFrame, probeText: String, probeId: String,

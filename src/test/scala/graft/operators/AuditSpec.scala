@@ -374,6 +374,46 @@ class AuditSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q131: screen thresholds at 2 shared grams; probe docs are excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bloom-docs").toString
+    Seq(
+      (100L, "the quick brown fox jumps high", "sP"), // the probe (id % 100 == 0)
+      (1L, "the quick brown fox jumps over the lazy dog", "sA"), // 3 shared -> flagged
+      (2L, "quick brown fox under a red sun", "sA"),             // 1 shared -> clean
+      (3L, "completely unrelated text about spark catalyst plans", "sB"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = NorthStarQueries.bloomDecontamScreen(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("sA", 2L, 1L, 1L, 0L, 0L), // doc 1 flagged, doc 2 under threshold
+      ("sB", 1L, 0L, 0L, 0L, 0L))) // probe source absent: 100 is not screened
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q132: EWMA chain and spike count replay the hand-traced integer fold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ewma-ev").toString
+    def ts(day: Long, sec: Long) =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(day * 86400 + sec))
+    // type a, days 0..4 with counts [4,4,4,20,4] written OUT of day order:
+    // e=4e6 through day 2; day 3: 20e6 > 2*4e6 -> spike, e=(60e6+28e6)/10=8.8e6;
+    // day 4: no spike, e=(12e6+61.6e6)/10=7.36e6
+    val rows =
+      (0L until 20L).map(i => ("a", ts(3, i))) ++
+        (0L until 4L).flatMap(i => Seq(("a", ts(0, i)), ("a", ts(1, i)),
+          ("a", ts(2, i)), ("a", ts(4, i)))) ++
+        // type b: a single day is the fold's seed, never a spike
+        (0L until 3L).map(i => ("b", ts(7, i)))
+    rows.toDF("event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = PipelineQueries.ewmaTrend(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(("a", 5L, 7360000L, 1L), ("b", 1L, 3000000L, 0L)))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q130: planted spike flags at 3σ, flat types don't, peak ties break low") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("anom-ev").toString

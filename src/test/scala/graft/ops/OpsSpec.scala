@@ -206,6 +206,26 @@ class DedupSpec extends AnyFunSuite {
     assert(hits.forall(_._2 == 100L) && hits.forall(_._3 >= 2L))
   }
 
+  test("bloomDecontam: candidates == exact at low load; saturated filter forces FPs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // 3 shared grams
+      (2L, "a quick brown fox jumps over a sleepy cat"),   // 2 shared grams
+      (3L, "completely unrelated text about spark catalyst plans")
+    ).toDF("doc_id", "text")
+    val probes = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    def run(m: Int) = TextOps.bloomDecontam(docs, "text", "doc_id",
+        probes, "text", "doc_id", mBits = m)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // default load: 16 probe positions in 131072 bits — per-gram FP odds
+    // ~2e-16, so candidates equal exact and the clean doc has NO row
+    assert(run(131072) == Map(1L -> ((3L, 3L)), 2L -> ((2L, 2L))))
+    // one-bit filter: every gram is a candidate (bloom_shared = the doc's
+    // distinct gram count), exact untouched — the FP audit path exercised
+    assert(run(1) == Map(1L -> ((7L, 3L)), 2L -> ((7L, 2L)), 3L -> ((5L, 0L))))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("quotaPerKey keeps the first N per key deterministically") {
     import spark.implicits._
     val rows = (0 until 30).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v")
