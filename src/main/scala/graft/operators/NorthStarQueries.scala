@@ -756,28 +756,72 @@ object NorthStarQueries {
     * Scale: the pair aggregation collapses lineitem×orders to the distinct
     * trading-pair relation before any iteration; the loop touches only
     * (node, long) rows. */
-  def tradePageRank(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared symmetrized trade-graph edge relation on LONG node ids
+    * (customer 2k, supplier 2k+1 — 8-byte keys through every loop
+    * shuffle; labels render on final rows only). Persists the pair
+    * relation (both union legs read it — else the big lineitem⋈orders
+    * join runs twice); Verify/Bench clear the cache after each query's
+    * action. */
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val ord = table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    // persist: both union legs read the pair relation (else the big
-    // lineitem⋈orders join runs twice). Verify/Bench clear the cache after
-    // each query's action.
     val pair = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .agg(count(lit(1)).as("w")).persist()
-    // the loop runs on LONG node ids (customer 2k, supplier 2k+1) — 8-byte
-    // keys through every per-iteration shuffle/sort; the readable label is
-    // rendered on the final 20 rows only
-    val edges = pair.select(expr("c * 2").as("src"), expr("s * 2 + 1").as("dst"), col("w"))
+    pair.select(expr("c * 2").as("src"), expr("s * 2 + 1").as("dst"), col("w"))
       .unionByName(pair.select(expr("s * 2 + 1").as("src"), expr("c * 2").as("dst"), col("w")))
-    graft.ops.Graph.pageRank(edges, iterations = 10)
-      .orderBy(col("rank_u").desc, col("node")).limit(20)
+  }
+
+  /** The q133/q134 trusted seed set: every tenth supplier, as graph node
+    * ids. */
+  private def seedSuppliers(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "supplier")
+      .where(pmod(col("s_suppkey"), lit(10)) === 0)
+      .select(expr("s_suppkey * 2 + 1").as("node"))
+
+  private def labelTop20(ranked: DataFrame): DataFrame =
+    ranked.orderBy(col("rank_u").desc, col("node")).limit(20)
       .select(when(col("node") % 2 === 0, concat(lit("c:"), expr("node div 2")))
         .otherwise(concat(lit("s:"), expr("node div 2"))).as("node"), col("rank_u"))
+
+  def tradePageRank(spark: SparkSession, dir: String): DataFrame =
+    labelTop20(graft.ops.Graph.pageRank(tradeEdges(spark, dir), iterations = 10))
+
+  /** q133 — TrustRank / personalized PageRank: the q128 power iteration
+    * with ALL teleport mass on a trusted seed set (every tenth supplier) —
+    * Gyöngyi et al. 2004's trust propagation, the curation form of "rank
+    * hosts by recursive proximity to a seed whitelist" that demotes
+    * spam-farm subgraphs a global PageRank can't distinguish. Same integer
+    * discipline, same 10×0.85 loop; the rank vector keeps exact zeros for
+    * unreached nodes so every iteration's plan is identical. */
+  def tradeTrustRank(spark: SparkSession, dir: String): DataFrame =
+    labelTop20(graft.ops.Graph.personalizedPageRank(
+      tradeEdges(spark, dir), seedSuppliers(spark, dir), iterations = 10))
+
+  /** q134 — distance-to-seed histogram: multi-source BFS hop distance from
+    * the trusted seed set, bounded at 4 hops, rolled up per node side —
+    * TrustRank's discrete cousin (how many trade steps from a trusted
+    * supplier?) and the frontier-expansion Pregel shape: each round joins
+    * only the newly-reached frontier against the edges, so a converged
+    * graph stops early instead of burning rounds×|edges|. Unreached nodes
+    * report dist −1. */
+  def tradeSeedDistances(spark: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(spark, dir)
+    val dist = graft.ops.Graph.bfsDistances(edges, seedSuppliers(spark, dir),
+      maxHops = 4)
+    edges.select(col("src").as("node")).distinct()
+      .join(dist, Seq("node"), "left")
+      .select(when(col("node") % 2 === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("side"),
+        coalesce(col("dist"), lit(-1L)).as("dist"))
+      .groupBy("side", "dist").agg(count(lit(1)).as("n"))
+      .orderBy("side", "dist")
   }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q128_pagerank" -> (tradePageRank _),
+    "q133_trustrank" -> (tradeTrustRank _),
+    "q134_seed_distance" -> (tradeSeedDistances _),
     "q21_dedup_keep_first" -> (dedupKeepFirst _),
     "q22_token_count" -> (tokenCounts _),
     "q23_text_stats_by_lang" -> (textStatsByLang _),
@@ -1004,6 +1048,21 @@ object NorthStarQueries {
     * recursive term). Every step is the same integer arithmetic as
     * Graph.pageRank: `//` here == `div` there on all-positive operands;
     * hugeint intermediates cast back to BIGINT. */
+  /** Shared trade-graph CTE prefix for the q128/q133/q134 oracles. */
+  private val tradeGraphCtes =
+    """pair AS (
+      |  SELECT o_custkey AS c, l_suppkey AS s, count(*)::BIGINT AS w
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT c * 2 AS src, s * 2 + 1 AS dst, w FROM pair
+      |  UNION ALL SELECT s * 2 + 1, c * 2, w FROM pair),
+      |deg AS (SELECT src, sum(w)::BIGINT AS wsum FROM edges GROUP BY 1)""".stripMargin
+
+  private val labelTop20Sql =
+    """top AS (SELECT node, rank_u FROM r10 ORDER BY rank_u DESC, node LIMIT 20)
+      |SELECT CASE WHEN node % 2 = 0 THEN 'c:' || (node // 2)
+      |  ELSE 's:' || (node // 2) END AS node, rank_u FROM top""".stripMargin
+
   private def q128OracleSql: String = {
     val steps = (1 to 10).map { i =>
       s"""r$i AS (
@@ -1014,23 +1073,62 @@ object NorthStarQueries {
          |    JOIN deg d ON d.src = e.src
          |  GROUP BY e.dst)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pair AS (
-       |  SELECT o_custkey AS c, l_suppkey AS s, count(*)::BIGINT AS w
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
-       |edges AS (
-       |  SELECT c * 2 AS src, s * 2 + 1 AS dst, w FROM pair
-       |  UNION ALL SELECT s * 2 + 1, c * 2, w FROM pair),
-       |deg AS (SELECT src, sum(w)::BIGINT AS wsum FROM edges GROUP BY 1),
+    s"""WITH $tradeGraphCtes,
        |base AS (SELECT 1000000000 // count(*) AS b FROM deg),
        |r0 AS (SELECT src AS node, (SELECT b FROM base)::BIGINT AS rank_u FROM deg),
        |$steps,
-       |top AS (SELECT node, rank_u FROM r10 ORDER BY rank_u DESC, node LIMIT 20)
-       |SELECT CASE WHEN node % 2 = 0 THEN 'c:' || (node // 2)
-       |  ELSE 's:' || (node // 2) END AS node, rank_u FROM top""".stripMargin
+       |$labelTop20Sql""".stripMargin
+  }
+
+  /** q133 oracle: the personalized variant — teleport only on effective
+    * (graph-present) seeds, holds LEFT-joined so zero-rank nodes persist. */
+  private def q133OracleSql: String = {
+    val steps = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT h.node,
+         |    (h.hold_u + coalesce((85 * c.s) // 100, 0))::BIGINT AS rank_u
+         |  FROM holds h LEFT JOIN (
+         |    SELECT e.dst AS node, sum((r.rank_u * e.w) // d.wsum) AS s
+         |    FROM edges e JOIN r${i - 1} r ON r.node = e.src
+         |      JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) c ON c.node = h.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $tradeGraphCtes,
+       |sd AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_suppkey % 10 = 0),
+       |eff AS (SELECT node FROM sd WHERE node IN (SELECT src FROM deg)),
+       |tp AS (SELECT 1000000000 // count(*) AS t FROM eff),
+       |holds AS (
+       |  SELECT d.src AS node,
+       |    CASE WHEN d.src IN (SELECT node FROM eff)
+       |      THEN (15 * (SELECT t FROM tp)) // 100 ELSE 0 END AS hold_u,
+       |    CASE WHEN d.src IN (SELECT node FROM eff)
+       |      THEN (SELECT t FROM tp) ELSE 0 END AS r0
+       |  FROM deg d),
+       |r0 AS (SELECT node, r0::BIGINT AS rank_u FROM holds),
+       |$steps,
+       |$labelTop20Sql""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "q128_pagerank" -> q128OracleSql,
+    "q133_trustrank" -> q133OracleSql,
+    // q134: BFS min-hop via bounded recursive reach (UNION dedups (node,d)
+    // pairs and d < 4 bounds the recursion, so cycles terminate); min(d)
+    // IS the hop distance for every node reachable within 4
+    "q134_seed_distance" ->
+      (s"WITH RECURSIVE $tradeGraphCtes,\n" +
+        """sd AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_suppkey % 10 = 0),
+          |r(node, d) AS (
+          |  SELECT node, 0 FROM sd
+          |  UNION
+          |  SELECT e.dst, r.d + 1 FROM r JOIN edges e ON e.src = r.node
+          |  WHERE r.d < 4),
+          |dist AS (SELECT node, min(d)::BIGINT AS d FROM r GROUP BY 1),
+          |nodes AS (SELECT DISTINCT src AS node FROM edges)
+          |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+          |  coalesce(dist.d, -1) AS dist, count(*)::BIGINT AS n
+          |FROM nodes LEFT JOIN dist USING (node)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     // q131: full replication — same grams (gramsCte == the word-ngram
     // kernel), same h60, same 4×14-bit-stride position slices, same
     // position-set membership rule, same ≥2 flag thresholds and audit.

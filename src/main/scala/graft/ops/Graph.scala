@@ -81,6 +81,99 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (TrustRank): identical damped power iteration,
+    * but ALL teleport mass concentrates on `seeds(node)` instead of
+    * spreading uniformly — the trust/spam-propagation scoring of
+    * Gyöngyi et al. 2004, and the curation form of "rank hosts by
+    * recursive proximity to a trusted seed list". Only seeds present in
+    * the graph carry teleport (an isolated seed has no edges to propagate
+    * through — documented; the caller sees it absent from the output).
+    * Ranks of unreached nodes are exact zeros and STAY in the vector (the
+    * rank relation is |nodes| rows every iteration — no conditional
+    * shrinkage, so the plan is identical each round). Same integer
+    * discipline as [[pageRank]]: teleport = mass div |effective seeds|,
+    * per-node hold = ((100−d)·teleport) div 100 for seeds else 0, update
+    * `hold + (d·Σcontrib) div 100` — hash-exact cross-engine. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int, dampingPct: Int = 85,
+      mass: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val deg = e.groupBy("src").agg(sum("w").as("wsum"))
+    val en = e.join(deg, "src").select("src", "dst", "w", "wsum")
+      .repartition(col("src")).persist()
+    val nodes = en.select(col("src").as("node")).distinct()
+    val eff = nodes.join(seeds.select(col("node")).distinct(), Seq("node"),
+      "left_semi").persist()
+    val nSeeds = eff.count()
+    require(nSeeds > 0, "personalizedPageRank needs at least one seed in the graph")
+    val teleport = mass / nSeeds
+    val holdSeed = (100L - dampingPct) * teleport / 100L
+    // holds: the per-node teleport floor. Instead of re-joining it against
+    // the rank vector every round, the DESTINATION's hold rides the edge
+    // relation (attached once here), so each iteration stays the q128
+    // shape — one join + one aggregate (12.3 → 10.7 s at sf0.1; the
+    // remaining q128 gap is the en2 build's extra dst-join shuffle)
+    val holds = nodes.join(eff.withColumn("_s", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("_s").isNotNull, lit(holdSeed)).otherwise(lit(0L)).as("hold_u"),
+        when(col("_s").isNotNull, lit(teleport)).otherwise(lit(0L)).as("r0"))
+    val en2 = en.join(holds.select(col("node").as("dst"), col("hold_u").as("_dh")), "dst")
+      .select("src", "dst", "w", "wsum", "_dh")
+      .repartition(col("src")).persist()
+    var ranks = holds.select(col("node"), col("r0").as("rank_u")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      // every node of a symmetrized graph has an in-edge, so the dst-keyed
+      // aggregate covers the whole node set each round (zero-rank sources
+      // still emit zero-valued contribution rows)
+      ranks = en2.join(ranks, en2("src") === ranks("node"))
+        .select(col("dst"), col("_dh"), expr("(rank_u * w) div wsum").as("c"))
+        .groupBy("dst").agg(max("_dh").as("_h"), sum("c").as("s"))
+        .select(col("dst").as("node"),
+          (col("_h") + expr(s"($dampingPct * s) div 100")).as("rank_u"))
+        .localCheckpoint()
+    }
+    en.unpersist(); eff.unpersist(); en2.unpersist()
+    ranks
+  }
+
+  /** Multi-source BFS hop distance: the shortest hop count from any seed,
+    * bounded at `maxHops` — the "distance to a trusted set" reachability
+    * metric (TrustRank's discrete cousin) and the frontier-expansion
+    * Pregel shape: each round joins only the FRONTIER (nodes first reached
+    * last round) against the edge relation, so total work is
+    * Σ|frontier-incident edges| — never rounds×|edges| — and a converged
+    * graph costs nothing more (empty frontier short-circuits the loop).
+    * Seeds sit at distance 0 whether or not they trade; unreached nodes
+    * are ABSENT from the returned (node, dist) vector (the caller decides
+    * their sentinel). Pure integer output — hash-exact anywhere. */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val en = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var h = 1
+    var done = maxHops == 0
+    while (!done) {
+      val cand = en.join(frontier, en("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+      val fresh = cand.join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h.toLong)).localCheckpoint()
+      if (fresh.isEmpty) done = true
+      else {
+        dist = dist.unionByName(fresh).localCheckpoint()
+        frontier = fresh
+        h += 1
+        if (h > maxHops) done = true
+      }
+    }
+    en.unpersist()
+    dist
+  }
+
   /** One damped power-iteration step over the normalized edge relation —
     * exposed for plan pinning: the `en` side must reuse its cached src
     * partitioning (never re-shuffle per iteration) and the contribution

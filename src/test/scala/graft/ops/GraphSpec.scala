@@ -78,6 +78,85 @@ class GraphSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  /** Plain-Scala replay of personalizedPageRank's integer steps. */
+  private def refPpr(edges: Seq[(String, String, Long)], seeds: Set[String],
+      iters: Int, dPct: Long = 85L, mass: Long = 1000000000L): Map[String, Long] = {
+    val wsum = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = edges.map(_._1).distinct
+    val eff = nodes.filter(seeds)
+    val t = mass / eff.size
+    val hold = (100L - dPct) * t / 100L
+    var r = nodes.map(n => n -> (if (eff.contains(n)) t else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val s = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((u, v, w) <- edges) s(v) += r(u) * w / wsum(u)
+      r = nodes.map(n =>
+        n -> ((if (eff.contains(n)) hold else 0L) + dPct * s(n) / 100L)).toMap
+    }
+    r
+  }
+
+  private def runPpr(edges: Seq[(String, String, Long)], seeds: Seq[String],
+      iters: Int): Map[String, Long] =
+    Graph.personalizedPageRank(edges.toDF("src", "dst", "w"),
+        seeds.toDF("node"), iters)
+      .as[(String, Long)].collect().toMap
+
+  test("personalized: teleport concentrates on seeds; unseeded components stay exactly zero") {
+    // two components: a<->b (seeded at a), x<->y (no seed)
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L), ("x", "y", 1L), ("y", "x", 1L))
+    val got = runPpr(edges, Seq("a"), 6)
+    assert(got == refPpr(edges, Set("a"), 6))
+    assert(got("x") == 0L && got("y") == 0L, "no teleport, no mass — exact zeros")
+    assert(got("a") > got("b") && got("b") > 0L)
+    // a seed OUTSIDE the graph contributes nothing (effective-seed rule):
+    // with one in-graph seed the result is unchanged
+    assert(runPpr(edges, Seq("a", "zz"), 6) == got)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("personalized property: 25 random graphs and seed subsets match the reference") {
+    val rnd = new scala.util.Random(20260815L)
+    for (case_ <- 1 to 25) {
+      val n = 2 + rnd.nextInt(8)
+      val nodes = (0 until n).map(i => s"n$i")
+      val undirected = (1 until n).map(i => (nodes(rnd.nextInt(i)), nodes(i))) ++
+        Seq.fill(rnd.nextInt(n))((nodes(rnd.nextInt(n)), nodes(rnd.nextInt(n))))
+      val edges = undirected.filter(p => p._1 != p._2).distinct.flatMap { case (u, v) =>
+        val w = 1L + rnd.nextInt(4)
+        Seq((u, v, w), (v, u, w))
+      }
+      val seeds = nodes.filter(_ => rnd.nextBoolean()) match {
+        case s if s.nonEmpty => s
+        case _ => Seq(nodes.head)
+      }
+      val iters = 1 + rnd.nextInt(4)
+      assert(runPpr(edges, seeds, iters) == refPpr(edges, seeds.toSet, iters),
+        s"case $case_ seeds=$seeds edges=$edges iters=$iters")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("bfsDistances: hop layers, multi-seed min, hop bound, unreached absent") {
+    // chain a-b-c-d-e (symmetrized) plus disconnected pair p-q
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("p", "q"))
+    val edges = chain.flatMap { case (u, v) => Seq((u, v, 1L), (v, u, 1L)) }
+      .toDF("src", "dst", "w")
+    def dists(seeds: Seq[String], hops: Int) =
+      Graph.bfsDistances(edges, seeds.toDF("node"), hops)
+        .as[(String, Long)].collect().toMap
+    assert(dists(Seq("a"), 4) ==
+      Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L, "e" -> 4L))
+    assert(dists(Seq("a"), 2) == Map("a" -> 0L, "b" -> 1L, "c" -> 2L),
+      "the hop bound truncates the frontier expansion")
+    // multi-seed: distance is the MIN over seeds; p's component reachable
+    assert(dists(Seq("a", "e", "p"), 4) == Map("a" -> 0L, "b" -> 1L,
+      "c" -> 2L, "d" -> 1L, "e" -> 0L, "p" -> 0L, "q" -> 1L))
+    // early convergence: a tiny graph with a generous bound terminates
+    assert(dists(Seq("p"), 100) == Map("p" -> 0L, "q" -> 1L))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("re-run determinism and empty-edge rejection") {
     val edges = Seq(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L), ("c", "b", 9L))
     assert(run(edges, 5) == run(edges, 5))
