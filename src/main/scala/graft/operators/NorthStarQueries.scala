@@ -602,6 +602,24 @@ object NorthStarQueries {
       .orderBy("source")
   }
 
+  /** q135 — trade communities via synchronous weighted label propagation
+    * (4 rounds): the clustering semantics the graph family lacked —
+    * components say WHICH nodes connect (q48/q127), rank says WHO matters
+    * (q128/q133); communities say WHAT clusters together (the
+    * domain/topic-clustering verb). Labels are node ids (< 10^7 at every
+    * testdata SF — the argmax-encode bound Graph.labelPropagation
+    * documents); the report is the top-20 communities by size with the
+    * representative label rendered c:/s:. Bipartite oscillation is fixed
+    * by the deterministic round count and replayed identically by the
+    * oracle. */
+  def tradeCommunities(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.labelPropagation(tradeEdges(spark, dir), rounds = 4)
+      .groupBy("lab").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("lab")).limit(20)
+      .select(when(col("lab") % 2 === 0, concat(lit("c:"), expr("lab div 2")))
+        .otherwise(concat(lit("s:"), expr("lab div 2"))).as("community"),
+        col("n"))
+
   /** q78 — the decontamination review queue: for each probe (eval item),
     * the 3 corpus documents that CONTAIN most of it — containment =
     * shared/|probe grams|, the asymmetric score that catches a short
@@ -822,6 +840,7 @@ object NorthStarQueries {
     "q128_pagerank" -> (tradePageRank _),
     "q133_trustrank" -> (tradeTrustRank _),
     "q134_seed_distance" -> (tradeSeedDistances _),
+    "q135_communities" -> (tradeCommunities _),
     "q21_dedup_keep_first" -> (dedupKeepFirst _),
     "q22_token_count" -> (tokenCounts _),
     "q23_text_stats_by_lang" -> (textStatsByLang _),
@@ -1109,9 +1128,29 @@ object NorthStarQueries {
        |$labelTop20Sql""".stripMargin
   }
 
+  /** q135 oracle: 4 unrolled LPA rounds; the argmax uses the same
+    * `ws·1e7 − lab` total-order encode (max_by keys are distinct, so the
+    * unspecified-tie behavior of either engine's max_by never engages). */
+  private def q135OracleSql: String = {
+    val steps = (1 to 4).map { i =>
+      s"""w$i AS (SELECT e.dst AS node, l.lab, sum(e.w) AS ws
+         |  FROM edges e JOIN lab${i - 1} l ON l.node = e.src GROUP BY 1, 2),
+         |lab$i AS (SELECT node, max_by(lab, ws * 10000000 - lab)::BIGINT AS lab
+         |  FROM w$i GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $tradeGraphCtes,
+       |lab0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+       |$steps,
+       |top AS (SELECT lab, count(*)::BIGINT AS n FROM lab4 GROUP BY 1
+       |  ORDER BY n DESC, lab LIMIT 20)
+       |SELECT CASE WHEN lab % 2 = 0 THEN 'c:' || (lab // 2)
+       |  ELSE 's:' || (lab // 2) END AS community, n FROM top""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q128_pagerank" -> q128OracleSql,
     "q133_trustrank" -> q133OracleSql,
+    "q135_communities" -> q135OracleSql,
     // q134: BFS min-hop via bounded recursive reach (UNION dedups (node,d)
     // pairs and d < 4 bounds the recursion, so cycles terminate); min(d)
     // IS the hop distance for every node reachable within 4

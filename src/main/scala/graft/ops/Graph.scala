@@ -174,6 +174,47 @@ object Graph {
     dist
   }
 
+  /** Synchronous weighted label propagation (community detection): every
+    * node starts labeled with itself; each round it adopts the label with
+    * the greatest total incident edge weight, ties to the SMALLEST label —
+    * Raghavan et al. 2007 made deterministic. The third graph semantics
+    * next to components (same thing?) and rank (how important?):
+    * communities (which cluster?) — in curation terms, domain/topic
+    * clustering over a similarity or co-occurrence graph.
+    *
+    * Determinism: synchronous rounds + a total argmax order (encoded
+    * `ws·ordBound − label`, distinct per (ws, label) while every label <
+    * `ordBound` and ws·ordBound stays in int64 — caller-guaranteed,
+    * documented at the call site) make the result a pure function of the
+    * graph and round count; on bipartite structures synchronous LPA can
+    * OSCILLATE between two colorings (the classic artifact — a production
+    * run would semi-synchronously color first), which fixed rounds keep
+    * reproducible and the oracle replays exactly.
+    *
+    * Scale: same loop discipline as [[pageRank]] — edges cached
+    * src-partitioned once; each round is one join + a (dst, label)
+    * aggregate + a dst argmax (two label-keyed exchanges of 8-byte pairs);
+    * the label vector localCheckpoints per round. Labels are node ids, so
+    * the output is integer-exact anywhere. */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      ordBound: Long = 10000000L): DataFrame = {
+    require(rounds >= 1)
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .repartition(col("src")).persist()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst"), col("lab")).agg(sum("w").as("ws"))
+        .groupBy(col("dst"))
+        .agg(expr(s"max_by(lab, ws * $ordBound - lab)").as("lab"))
+        .select(col("dst").as("node"), col("lab"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    labels
+  }
+
   /** One damped power-iteration step over the normalized edge relation —
     * exposed for plan pinning: the `en` side must reuse its cached src
     * partitioning (never re-shuffle per iteration) and the contribution

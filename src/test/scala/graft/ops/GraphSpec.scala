@@ -157,6 +157,63 @@ class GraphSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  /** Plain-Scala replay of labelPropagation (same argmax encode). */
+  private def refLpa(edges: Seq[(Long, Long, Long)], rounds: Int): Map[Long, Long] = {
+    var lab = edges.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      val w = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+      for ((u, v, wt) <- edges) w((v, lab(u))) += wt
+      lab = w.keys.toSeq.groupBy(_._1).map { case (node, ks) =>
+        node -> ks.map(_._2).maxBy(l => w((node, l)) * 10000000L - l)
+      }
+    }
+    lab
+  }
+
+  private def runLpa(edges: Seq[(Long, Long, Long)], rounds: Int): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("src", "dst", "w"), rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("labelPropagation: disjoint triangles converge to their min labels") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val edges = tri.flatMap { case (u, v) => Seq((u, v, 1L), (v, u, 1L)) }
+    val got = runLpa(edges, 4)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    assert(got == refLpa(edges, 4))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("labelPropagation: heavy edges win; a path oscillates deterministically") {
+    // weighted star: node 2 hears label 1 at weight 5 vs label 3 at 1
+    val weighted = Seq((1L, 2L, 5L), (2L, 1L, 5L), (3L, 2L, 1L), (2L, 3L, 1L))
+    assert(runLpa(weighted, 1) == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    // unweighted path 1-2-3: synchronous updates swap colorings each round
+    // (the documented bipartite artifact — deterministic, round-parity-dependent)
+    val path = Seq((1L, 2L), (2L, 3L)).flatMap { case (u, v) =>
+      Seq((u, v, 1L), (v, u, 1L)) }
+    assert(runLpa(path, 1) == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    assert(runLpa(path, 2) == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("labelPropagation property: 25 random graphs match the plain-Scala reference") {
+    val rnd = new scala.util.Random(20260816L)
+    for (case_ <- 1 to 25) {
+      val n = 2 + rnd.nextInt(8)
+      val undirected = (1 until n).map(i => (rnd.nextInt(i).toLong, i.toLong)) ++
+        Seq.fill(rnd.nextInt(n))((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val edges = undirected.filter(p => p._1 != p._2).distinct.flatMap { case (u, v) =>
+        val w = 1L + rnd.nextInt(4)
+        Seq((u, v, w), (v, u, w))
+      }
+      val rounds = 1 + rnd.nextInt(4)
+      assert(runLpa(edges, rounds) == refLpa(edges, rounds),
+        s"case $case_ edges=$edges rounds=$rounds")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("re-run determinism and empty-edge rejection") {
     val edges = Seq(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L), ("c", "b", 9L))
     assert(run(edges, 5) == run(edges, 5))
