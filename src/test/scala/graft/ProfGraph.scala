@@ -76,6 +76,10 @@ object ProfGraph {
     li0.write.mode("overwrite").parquet(s"$d1/lineitem.parquet")
     or0.write.mode("overwrite").parquet(s"$d1/orders.parquet")
     ev0.write.mode("overwrite").parquet(s"$d1/events.parquet")
+    // suppliers stay shared across replicas (the hub set is fixed)
+    val su0 = spark.read.parquet(s"$dir/supplier.parquet").select("s_suppkey")
+    su0.write.mode("overwrite").parquet(s"$d1/supplier.parquet")
+    su0.write.mode("overwrite").parquet(s"$dN/supplier.parquet")
     li0.withColumn("_r", reps)
       .select((col("l_orderkey") * blowup + col("_r")).as("l_orderkey"), col("l_suppkey"))
       .write.mode("overwrite").parquet(s"$dN/lineitem.parquet")
@@ -91,7 +95,13 @@ object ProfGraph {
     val queries: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
       "q128_pagerank" -> (d => operators.NorthStarQueries.tradePageRank(spark, d)),
       "q129_cohort" -> (d => operators.PipelineQueries.cohortRetention(spark, d)),
-      "q130_anomalies" -> (d => operators.PipelineQueries.hourlyAnomalies(spark, d)))
+      "q130_anomalies" -> (d => operators.PipelineQueries.hourlyAnomalies(spark, d)),
+      // q133/q135 share q128's loop floor (expect ~flat at 10x edges);
+      // q134's work is frontier-proportional and the trade graph's
+      // diameter is unchanged by the blowup (expect flat)
+      "q133_trustrank" -> (d => operators.NorthStarQueries.tradeTrustRank(spark, d)),
+      "q134_bfs" -> (d => operators.NorthStarQueries.tradeSeedDistances(spark, d)),
+      "q135_lpa" -> (d => operators.NorthStarQueries.tradeCommunities(spark, d)))
     for (round <- 1 to 3; (name, q) <- queries; (label, d) <- Seq("1x" -> d1, s"${blowup}x" -> dN)) {
       val t0 = System.nanoTime()
       q(d).write.format("noop").mode("overwrite").save()
