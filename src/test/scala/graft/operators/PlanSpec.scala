@@ -400,6 +400,23 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q131: gram strings never shuffle — exchanges carry ids and 8-byte hashes only") {
+    val p = plan(NorthStarQueries.bloomDecontamScreen(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the position set / probe-gram relations must broadcast\n$p")
+    val parts = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(parts.nonEmpty && parts.forall(l => !l.contains("_g#")),
+      s"gram strings must collapse to hashes before any exchange\n${parts.mkString("\n")}")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q132: the fold plans no window; day counts aggregate partially") {
+    val p = plan(PipelineQueries.ewmaTrend(spark, sf))
+    assert(!p.contains("Window"), s"the EWMA chain must fold, not window\n$p")
+    assert(p.contains("partial_count"),
+      s"the (type, day) collapse must aggregate before its exchange\n$p")
+  }
+
   test("pageRank: the iteration join reuses the cached src partitioning " +
       "and the contribution sum aggregates partially") {
     import spark.implicits._

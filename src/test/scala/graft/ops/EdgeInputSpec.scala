@@ -140,6 +140,35 @@ class EdgeInputSpec extends AnyFunSuite {
     assert(kept == Set(5L, 6L))
   }
 
+  test("bloom screen survives null/empty/whitespace texts on both sides") {
+    // a null-text probe and null/degenerate corpus docs must not crash the
+    // gram kernel, the h60 hashing, or the position joins; doc 5/6 share
+    // their whole gram set with the identical probe
+    val probes = Seq((100L, "normal document with several words in it"),
+      (101L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextOps.bloomDecontam(edgeDocs, "text", "doc_id",
+        probes, "text", "doc_id")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(5L, 6L), s"only real sharers appear: $got")
+    assert(got(5L)._1 == got(5L)._2 && got(5L)._2 >= 2L,
+      "full-overlap doc: candidates == exact >= threshold")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("events analytics survive an empty day table shape") {
+    // zero events: retention, anomalies, EWMA, graph seeds — empty frames
+    // with the declared schema, never an error
+    val dir = java.nio.file.Files.createTempDirectory("edge-ev").toString
+    Seq.empty[(Long, String, java.sql.Timestamp)]
+      .toDF("user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(graft.operators.PipelineQueries.cohortRetention(spark, dir).count() == 0L)
+    assert(graft.operators.PipelineQueries.hourlyAnomalies(spark, dir).count() == 0L)
+    assert(graft.operators.PipelineQueries.ewmaTrend(spark, dir).count() == 0L)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("phash near-dup report: null and empty payloads stay visible as 0-hash exact dups") {
     val assets = Seq(
       (1L, null.asInstanceOf[Array[Byte]], "image"),
