@@ -620,6 +620,39 @@ object NorthStarQueries {
         .otherwise(concat(lit("s:"), expr("lab div 2"))).as("community"),
         col("n"))
 
+  /** q136 — bipartite co-occurrence projection: the graph-CONSTRUCTION
+    * verb the graph-algorithm family (q128/q133/q134/q135) consumes —
+    * project the customer↔supplier bipartite relation onto suppliers, two
+    * suppliers connected with weight = the number of customers they share
+    * (co-purchase; same shape as co-citation / co-click / doc-term
+    * co-occurrence). The scale hazard is the per-customer basket: pairs
+    * per customer grow as basket², so a whale customer explodes the join.
+    * Discipline: the basket caps at 256 suppliers per customer via the
+    * skew-safe bottom-k threshold form ([[graft.ops.Sampling
+    * .quotaPerKeyAgg]], the q52 operator — no single-task sort), keeping
+    * per-customer fanout ≤ cap²/2 at any scale. The cap is provably
+    * non-binding on this data (max basket 102 at sf0.1, 67 at sf0.01), so
+    * the oracle replays the UNCAPPED projection (the q63/q122 rule).
+    * Output: top-20 supplier pairs by shared customers. */
+  /** The capped projection core over a distinct (c, s) relation — exposed
+    * for the spec's whale-basket pin. */
+  private[operators] def coPurchaseProjection(ps: DataFrame, quota: Int): DataFrame = {
+    val capped = graft.ops.Sampling.quotaPerKeyAgg(ps, "c", "s", quota)
+    capped.as("a").join(capped.as("b"),
+        col("a.c") === col("b.c") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+      .agg(count(lit(1)).as("shared"))
+  }
+
+  def coPurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val ps = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+    coPurchaseProjection(ps, quota = 256)
+      .orderBy(col("shared").desc, col("s1"), col("s2")).limit(20)
+  }
+
   /** q78 — the decontamination review queue: for each probe (eval item),
     * the 3 corpus documents that CONTAIN most of it — containment =
     * shared/|probe grams|, the asymmetric score that catches a short
@@ -841,6 +874,7 @@ object NorthStarQueries {
     "q133_trustrank" -> (tradeTrustRank _),
     "q134_seed_distance" -> (tradeSeedDistances _),
     "q135_communities" -> (tradeCommunities _),
+    "q136_copurchase" -> (coPurchasePairs _),
     "q21_dedup_keep_first" -> (dedupKeepFirst _),
     "q22_token_count" -> (tokenCounts _),
     "q23_text_stats_by_lang" -> (textStatsByLang _),
@@ -1151,6 +1185,15 @@ object NorthStarQueries {
     "q128_pagerank" -> q128OracleSql,
     "q133_trustrank" -> q133OracleSql,
     "q135_communities" -> q135OracleSql,
+    // q136: the oracle replays the UNCAPPED projection — sound because the
+    // 256 basket cap cannot bind (max basket 102 at sf0.1, 67 at sf0.01)
+    "q136_copurchase" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT a.s AS s1, b.s AS s2, count(*)::BIGINT AS shared
+        |FROM ps a JOIN ps b ON a.c = b.c AND a.s < b.s
+        |GROUP BY 1, 2 ORDER BY shared DESC, s1, s2 LIMIT 20""".stripMargin,
     // q134: BFS min-hop via bounded recursive reach (UNION dedups (node,d)
     // pairs and d < 4 bounds the recursion, so cycles terminate); min(d)
     // IS the hop distance for every node reachable within 4

@@ -161,6 +161,37 @@ object PipelineQueries {
       .orderBy("event_type")
   }
 
+  /** q137 — rolling active users: per day, DAU (distinct users active that
+    * day), trailing-7-day WAU, and DAU/WAU "stickiness" in basis points —
+    * the engagement family's rolling-distinct verb, which naive SQL writes
+    * as a per-day window over user sets (quadratic re-scan). Relational
+    * form: each distinct (user, day) activity CONTRIBUTES to the 7 report
+    * days it covers (one bounded explode ×7), dedups to (user, report
+    * day), and counts — cost is 7×|user-days|, never days×|users|. Days
+    * past the last observed activity are cut (driver-scalar max, one
+    * aggregate); leading days carry partial (shorter) windows by
+    * definition. Integer-exact throughout. */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    // persist: feeds the max-day scalar, DAU, and the WAU contribution
+    // explode. Ownership: Verify/Bench clear the cache after each query.
+    val ud = ev.select(col("user_id"), tsMicros(ev).as("tsu"))
+      .select(col("user_id"), expr("tsu div 86400000000").as("day"))
+      .distinct().persist()
+    val maxDay = ud.agg(max("day")).head().getLong(0)
+    val wau = ud.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("d"))
+      .where(col("d") <= maxDay)
+      .distinct()
+      .groupBy("d").agg(count(lit(1)).as("wau"))
+    val dau = ud.groupBy(col("day").as("d")).agg(count(lit(1)).as("dau"))
+    wau.join(dau, Seq("d"), "left")
+      .na.fill(0L, Seq("dau"))
+      .select(col("d").as("day"), col("dau"), col("wau"),
+        expr("(dau * 10000) div wau").as("stickiness_bp"))
+      .orderBy("day")
+  }
+
   private val gapU = 1800L * 1000000L // 30 min session gap (micros)
 
   /** q55 — gap sessionization: per-user sessions at a 30-minute silence
@@ -1029,6 +1060,7 @@ object PipelineQueries {
     "q129_cohort_retention" -> (cohortRetention _),
     "q130_hourly_anomalies" -> (hourlyAnomalies _),
     "q132_ewma_trend" -> (ewmaTrend _),
+    "q137_rolling_active" -> (rollingActiveUsers _),
     "q117_bpe_merges" -> (bpeInduct _),
     "q118_bpe_encode" -> (bpeEncodeReport _)
   )
@@ -1060,6 +1092,20 @@ object PipelineQueries {
         |  (r.retained * 10000) // sz.cohort_size AS retention_bp
         |FROM r JOIN sz USING (d0)
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    "q137_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |mx AS (SELECT max(day) AS m FROM ud),
+        |contrib AS (
+        |  SELECT DISTINCT u, day + o AS d
+        |  FROM ud CROSS JOIN range(0, 7) t(o)
+        |  WHERE day + o <= (SELECT m FROM mx)),
+        |wau AS (SELECT d, count(*)::BIGINT AS wau FROM contrib GROUP BY 1),
+        |dau AS (SELECT day AS d, count(*)::BIGINT AS dau FROM ud GROUP BY 1)
+        |SELECT w.d AS day, coalesce(dau.dau, 0) AS dau, w.wau AS wau,
+        |  (coalesce(dau.dau, 0) * 10000) // w.wau AS stickiness_bp
+        |FROM wau w LEFT JOIN dau USING (d) ORDER BY day""".stripMargin,
     "q132_ewma_trend" ->
       """WITH d AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

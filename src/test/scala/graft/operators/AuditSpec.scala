@@ -414,6 +414,51 @@ class AuditSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q136: co-purchase pairs count distinct shared customers; the whale cap prunes pairs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("copurchase").toString
+    // customers→suppliers: c1 {1,2,3}, c2 {1,2}, c3 {1,2}, c4 {3};
+    // c1 buys supplier 1 twice across two orders (distinct must collapse)
+    Seq((10L, 1L), (11L, 1L), (20L, 2L), (30L, 3L), (40L, 4L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 1L),
+      (20L, 1L), (20L, 2L), (30L, 1L), (30L, 2L), (40L, 3L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = NorthStarQueries.coPurchasePairs(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    // whale pin: capping c1's basket at 2 keeps only its two SMALLEST
+    // supplier ids, so every pair involving supplier 3 via c1 disappears
+    val ps = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L))
+      .toDF("c", "s")
+    val capped = NorthStarQueries.coPurchaseProjection(ps, quota = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L, 2L)), s"capped basket must drop s=3 pairs: $capped")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q137: rolling WAU covers trailing 7 days; gap days report dau 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rolling-ev").toString
+    def ts(day: Long, sec: Long) =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(day * 86400 + sec))
+    // u1 active days 0 and 3 (twice on 0 — distinct collapses); u2 days 0, 1
+    Seq((1L, ts(0, 1)), (1L, ts(0, 2)), (1L, ts(3, 1)),
+      (2L, ts(0, 3)), (2L, ts(1, 1)))
+      .toDF("user_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = PipelineQueries.rollingActiveUsers(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (0L, 2L, 2L, 10000L),
+      (1L, 1L, 2L, 5000L),
+      (2L, 0L, 2L, 0L),   // nobody active, both in the trailing window
+      (3L, 1L, 2L, 5000L)))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q130: planted spike flags at 3σ, flat types don't, peak ties break low") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("anom-ev").toString
