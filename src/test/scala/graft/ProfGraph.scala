@@ -101,7 +101,11 @@ object ProfGraph {
       // diameter is unchanged by the blowup (expect flat)
       "q133_trustrank" -> (d => operators.NorthStarQueries.tradeTrustRank(spark, d)),
       "q134_bfs" -> (d => operators.NorthStarQueries.tradeSeedDistances(spark, d)),
-      "q135_lpa" -> (d => operators.NorthStarQueries.tradeCommunities(spark, d)))
+      "q135_lpa" -> (d => operators.NorthStarQueries.tradeCommunities(spark, d)),
+      // q136: pair rows grow ∝ customers (baskets unchanged) — expect ~10x;
+      // q137: user-days grow 10x — expect ~10x, both against a flat floor
+      "q136_copurchase" -> (d => operators.NorthStarQueries.coPurchasePairs(spark, d)),
+      "q137_rolling" -> (d => operators.PipelineQueries.rollingActiveUsers(spark, d)))
     for (round <- 1 to 3; (name, q) <- queries; (label, d) <- Seq("1x" -> d1, s"${blowup}x" -> dN)) {
       val t0 = System.nanoTime()
       q(d).write.format("noop").mode("overwrite").save()
