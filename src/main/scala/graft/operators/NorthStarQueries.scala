@@ -653,6 +653,71 @@ object NorthStarQueries {
       .orderBy(col("shared").desc, col("s1"), col("s2")).limit(20)
   }
 
+  /** Shared market-basket edge relation for the triangle family: parts are
+    * connected when they appear in the SAME order at least twice (support
+    * ≥ 2 — the a-priori screen that keeps the co-occurrence graph sparse
+    * where the q136 customer↔supplier projection is complete). Same basket
+    * discipline as q136: the per-order basket caps at 256 parts via the
+    * skew-safe bottom-k threshold ([[graft.ops.Sampling.quotaPerKeyAgg]]),
+    * bounding per-basket pair fanout at cap²/2 at any scale; the cap is
+    * provably non-binding here (TPC-H orders hold ≤ 7 lineitems), so the
+    * oracle replays the uncapped projection (the q63/q122 rule). */
+  private[operators] def basketEdges(spark: SparkSession, dir: String): DataFrame = {
+    val po = table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val capped = graft.ops.Sampling.quotaPerKeyAgg(po, "o", "p", 256)
+    capped.as("a").join(capped.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("sh"))
+      .where(col("sh") >= 2)
+      .select("u", "v")
+  }
+
+  /** q138 — triangle census: global cohesion of the market-basket
+    * co-occurrence graph — nodes, edges, wedges (open 2-paths), triangles,
+    * and transitivity (3·triangles/wedges) in integer basis points. The
+    * graph family's COUNTING verb next to components (q48), rank (q128),
+    * distance (q134) and communities (q135). Enumeration is the classic
+    * degree-ordered form ([[graft.ops.Graph.orientByDegree]]): orient every
+    * edge from its (degree, id)-smaller endpoint, then one wedge join plus
+    * one closure semi-join — O(m^1.5) intermediate rows on any graph (a
+    * power-law hub fans out deg² wedges under naive id-ordering; under
+    * degree-ordering every out-degree is O(√m)). No window, no driver
+    * state; the three census scalars cross-join as one-row frames.
+    * Persisted frames: the edge set feeds degrees + the edge count + the
+    * orientation; Verify/Bench clear the cache per query. */
+  def triangleCensus(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = basketEdges(spark, dir).persist()
+    val deg = graft.ops.Graph.degrees(e0).persist()
+    val oe = graft.ops.Graph.orientByDegree(e0, deg).persist()
+    val tris = graft.ops.Graph.triangles(oe)
+    val nw = deg.agg(count(lit(1)).as("nodes"),
+      sum(expr("d * (d - 1) div 2")).as("wedges"))
+    nw.crossJoin(e0.agg(count(lit(1)).as("edges")))
+      .crossJoin(tris.agg(count(lit(1)).as("triangles")))
+      .select(col("nodes"), col("edges"), col("wedges"), col("triangles"),
+        expr("(triangles * 30000) div wedges").as("transitivity_bp"))
+  }
+
+  /** q139 — local clustering coefficient: per-part triangle participation
+    * against its wedge capacity d(d−1)/2, in basis points — the node-level
+    * cohesion signal (is this part's neighborhood a clique or a star?)
+    * that the q138 global census averages away. Top-20 by (cc, triangles,
+    * id) — a total order, so ranks are deterministic under ties. */
+  def localClustering(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = basketEdges(spark, dir).persist()
+    val deg = graft.ops.Graph.degrees(e0).persist()
+    val oe = graft.ops.Graph.orientByDegree(e0, deg).persist()
+    val tn = graft.ops.Graph.triangleCounts(graft.ops.Graph.triangles(oe))
+    deg.join(tn, Seq("n"), "left").na.fill(0L, Seq("tri"))
+      .where(col("d") >= 2)
+      .select(col("n").as("part"), col("d").as("degree"), col("tri"),
+        expr("(tri * 20000) div (d * (d - 1))").as("local_cc_bp"))
+      .orderBy(col("local_cc_bp").desc, col("tri").desc, col("part"))
+      .limit(20)
+  }
+
   /** q78 — the decontamination review queue: for each probe (eval item),
     * the 3 corpus documents that CONTAIN most of it — containment =
     * shared/|probe grams|, the asymmetric score that catches a short
@@ -875,6 +940,8 @@ object NorthStarQueries {
     "q134_seed_distance" -> (tradeSeedDistances _),
     "q135_communities" -> (tradeCommunities _),
     "q136_copurchase" -> (coPurchasePairs _),
+    "q138_triangle_census" -> (triangleCensus _),
+    "q139_local_clustering" -> (localClustering _),
     "q21_dedup_keep_first" -> (dedupKeepFirst _),
     "q22_token_count" -> (tokenCounts _),
     "q23_text_stats_by_lang" -> (textStatsByLang _),
@@ -916,6 +983,22 @@ object NorthStarQueries {
     "toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t FROM documents), " +
       "grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
       "ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' ')) END) AS g FROM toks)"
+  /** q138/q139 shared replay: uncapped basket edges (the 256 cap cannot
+    * bind — ≤ 7 lineitems per order), (degree, id) tuple-ordered
+    * orientation, path-closure triangle enumeration. */
+  private val basketTriCtes =
+    """po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e0 AS (SELECT a.p AS u, b.p AS v FROM po a JOIN po b
+      |  ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg AS (SELECT n, count(*)::BIGINT AS d FROM
+      |  (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+      |oe AS (SELECT CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.u ELSE e0.v END AS s,
+      |              CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.v ELSE e0.u END AS t
+      |  FROM e0 JOIN deg du ON du.n = e0.u JOIN deg dv ON dv.n = e0.v),
+      |tris AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c FROM oe e1
+      |  JOIN oe e2 ON e2.s = e1.t
+      |  WHERE EXISTS (SELECT 1 FROM oe e3 WHERE e3.s = e1.s AND e3.t = e2.t))""".stripMargin
+
   private val jaccardGe05 =
     "len(list_intersect(a.g, b.g))::DOUBLE / GREATEST(len(list_distinct(a.g || b.g)), 1) >= 0.5"
 
@@ -1211,6 +1294,23 @@ object NorthStarQueries {
           |  coalesce(dist.d, -1) AS dist, count(*)::BIGINT AS n
           |FROM nodes LEFT JOIN dist USING (node)
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "q138_triangle_census" ->
+      (s"WITH $basketTriCtes\n" +
+        """SELECT (SELECT count(*) FROM deg)::BIGINT AS nodes,
+          |  (SELECT count(*) FROM e0)::BIGINT AS edges,
+          |  (SELECT sum(d * (d - 1) // 2) FROM deg)::BIGINT AS wedges,
+          |  (SELECT count(*) FROM tris)::BIGINT AS triangles,
+          |  ((SELECT count(*) FROM tris) * 30000
+          |    // (SELECT sum(d * (d - 1) // 2) FROM deg))::BIGINT AS transitivity_bp""".stripMargin),
+    "q139_local_clustering" ->
+      (s"WITH $basketTriCtes,\n" +
+        """tn AS (SELECT n, count(*)::BIGINT AS tri FROM
+          |  (SELECT a AS n FROM tris UNION ALL SELECT b FROM tris
+          |   UNION ALL SELECT c FROM tris) GROUP BY 1)
+          |SELECT deg.n AS part, deg.d AS degree, coalesce(tn.tri, 0)::BIGINT AS tri,
+          |  (coalesce(tn.tri, 0) * 20000 // (deg.d * (deg.d - 1)))::BIGINT AS local_cc_bp
+          |FROM deg LEFT JOIN tn ON tn.n = deg.n WHERE deg.d >= 2
+          |ORDER BY local_cc_bp DESC, tri DESC, part LIMIT 20""".stripMargin),
     // q131: full replication — same grams (gramsCte == the word-ngram
     // kernel), same h60, same 4×14-bit-stride position slices, same
     // position-set membership rule, same ≥2 flag thresholds and audit.

@@ -226,4 +226,49 @@ object Graph {
       .groupBy("dst").agg(sum("c").as("s"))
       .select(col("dst").as("node"),
         (lit(hold) + expr(s"($dampingPct * s) div 100")).as("rank_u"))
+
+  // --- triangle census (cohesion) -----------------------------------------
+
+  /** Undirected degree relation over `edges(u, v)` — one row per edge, each
+    * unordered pair exactly once. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("n"))
+      .unionByName(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+
+  /** Degree-ordered orientation of an undirected edge set: each edge `(u,v)`
+    * becomes `s → t` where `s` precedes `t` in the TOTAL order
+    * `(degree, id)` — the classic triangle-enumeration preparation
+    * (Chiba–Nishizeki / Schank–Wagner): in the resulting DAG every node's
+    * out-degree is O(√m), so the wedge join below generates O(m^1.5)
+    * intermediate rows on ANY graph, including power-law ones where
+    * id-ordering alone lets a small-id hub fan out deg² wedges. The order
+    * compares `struct(d, id)` — engine-native tuple comparison, no packed
+    * arithmetic to overflow. `deg` is expected from [[degrees]] (small —
+    * one row per node); joined twice, once per endpoint. */
+  def orientByDegree(edges: DataFrame, deg: DataFrame): DataFrame = {
+    val precedes = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(when(precedes, col("u")).otherwise(col("v")).as("s"),
+        when(precedes, col("v")).otherwise(col("u")).as("t"))
+  }
+
+  /** Triangle enumeration over a degree-oriented DAG `(s, t)`: each triangle
+    * `a ≺ b ≺ c` is produced exactly once as the path `a→b→c` closed by
+    * `a→c` — two equi-joins on node ids, no window, no driver state. The
+    * oriented relation is referenced three times; callers persist it. */
+  def triangles(oriented: DataFrame): DataFrame =
+    oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.t") === col("e2.s"))
+      .join(oriented.as("e3"),
+        col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"), "leftsemi")
+      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+
+  /** Per-node triangle participation: each triangle credits all three
+    * corners. */
+  def triangleCounts(tris: DataFrame): DataFrame =
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("tri"))
 }

@@ -222,4 +222,87 @@ class GraphSpec extends AnyFunSuite {
     }
     spark.sharedState.cacheManager.clearCache()
   }
+
+  // --- triangle census ------------------------------------------------------
+
+  /** O(n³) reference triangle set over an undirected edge list (pairs in
+    * any per-edge order, each unordered pair once). */
+  private def refTriangles(edges: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
+    val es = edges.map { case (u, v) => (u min v, u max v) }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    (for {
+      a <- nodes; b <- nodes if a < b && es((a, b))
+      c <- nodes if b < c && es((b, c)) && es((a, c))
+    } yield (a, b, c)).toSet
+  }
+
+  private def runTriangles(edges: Seq[(Long, Long)]): Seq[(Long, Long, Long)] = {
+    val e = edges.toDF("u", "v")
+    val tris = Graph.triangles(Graph.orientByDegree(e, Graph.degrees(e)).persist())
+    tris.as[(Long, Long, Long)].collect().toSeq
+  }
+
+  test("triangles: hand graph — one triangle with a pendant, none double-counted") {
+    // 1-2-3 triangle, 4 pendant off 3, 4-5 pendant chain: exactly one triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val got = runTriangles(edges)
+    assert(got.size == 1)
+    assert(got.map { case (a, b, c) => Set(a, b, c) }.toSet == Set(Set(1L, 2L, 3L)))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("triangles: two triangles sharing an edge credit the shared corners twice") {
+    // 1-2-3 and 2-3-4 share edge (2,3)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val e = edges.toDF("u", "v")
+    val oe = Graph.orientByDegree(e, Graph.degrees(e)).persist()
+    val counts = Graph.triangleCounts(Graph.triangles(oe))
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("triangles: K4 yields 4 triangles, each node in 3") {
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val edges = for (a <- nodes; b <- nodes if a < b) yield (a, b)
+    val e = edges.toDF("u", "v")
+    val oe = Graph.orientByDegree(e, Graph.degrees(e)).persist()
+    val tris = Graph.triangles(oe).as[(Long, Long, Long)].collect().toSeq
+    assert(tris.size == 4)
+    val counts = Graph.triangleCounts(Graph.triangles(oe))
+      .as[(Long, Long)].collect().toMap
+    assert(counts == nodes.map(_ -> 3L).toMap)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("orientByDegree: every edge appears exactly once, directed low-(deg,id) → high") {
+    // star center 9 has degree 3; leaves degree 1 → all edges leaf → center;
+    // the 1-2 edge ties on degree and breaks by id
+    val edges = Seq((9L, 1L), (9L, 2L), (9L, 3L), (1L, 2L))
+    val e = edges.toDF("u", "v")
+    val oe = Graph.orientByDegree(e, Graph.degrees(e))
+      .as[(Long, Long)].collect().toSeq
+    assert(oe.size == 4)
+    assert(oe.toSet == Set((1L, 9L), (2L, 9L), (3L, 9L), (1L, 2L)))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("triangles property: 30 random graphs match the O(n³) reference") {
+    val rnd = new scala.util.Random(20260815L)
+    for (case_ <- 1 to 30) {
+      val n = 3 + rnd.nextInt(9)
+      val pairs = Seq.fill(n * 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+        .map { case (u, v) => (u min v, u max v) }.distinct
+      if (pairs.nonEmpty) {
+        val got = runTriangles(pairs)
+        // each triangle exactly once, as its (deg,id)-ordered corner path
+        assert(got.size == got.toSet.size, s"case $case_ duplicated a triangle")
+        val canon = got.map { case (a, b, c) =>
+          val s = Seq(a, b, c).sorted; (s(0), s(1), s(2)) }.toSet
+        assert(canon == refTriangles(pairs), s"case $case_ pairs=$pairs")
+      }
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
