@@ -209,6 +209,55 @@ object PipelineQueries {
       .orderBy("user_id")
   }
 
+  /** q140 — event-type transition matrix: per user, consecutive event pairs
+    * in (ts, event_id) order, rolled up to first-order Markov transition
+    * counts with probabilities in integer basis points — the
+    * clickstream-modeling verb (next-action prediction, anomalous-flow
+    * screens) next to q55's sessions and q116's fixed funnel. Scale: one
+    * shuffle on user_id for the lead window (keys ∝ users, never hot); the
+    * pair rollup partially aggregates map-side into ≤ |types|² groups; the
+    * per-source normalizer is a window over that tiny grouped relation, not
+    * over events. Integer-exact (n·10000 div total). */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy(col("tsu").asc, col("event_id").asc)
+    ev.select(col("user_id"), tsMicros(ev).as("tsu"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src_type"), col("next_type").as("dst_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob_bp",
+        expr("(n * 10000) div sum(n) over (partition by src_type)"))
+      .orderBy("src_type", "dst_type")
+  }
+
+  /** q141 — session path mining: the first 5 event types of every q55-style
+    * session (30-min gap), as a `>`-joined path string, counted across
+    * sessions — top-20 common journeys (the sequence-mining verb over the
+    * session verb: what do sessions DO, not just how long are they). The
+    * per-session collect is bounded by the path cut and sessions are
+    * bounded by the gap; order inside the collect is made total by sorting
+    * (tsu, event_id, type) structs — collect_list alone is
+    * arrival-ordered. Scale: sessionize's user shuffle, then a
+    * (user, session) rollup that reuses the same key prefix, then a
+    * count over ≤ |types|^5 paths; top-20 is a TakeOrdered. */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val s = Temporal.sessionize(
+      ev.select(col("user_id"), tsMicros(ev).as("tsu"), col("event_id"),
+        col("event_type")),
+      "user_id", "tsu", "event_id", gapU)
+    s.groupBy("user_id", "session_seq")
+      .agg(array_join(
+        slice(transform(
+          array_sort(collect_list(struct(col("tsu"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), 1, 5), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
   /** q56 — distribution quantiles per language: exact percentiles
     * (interpolated, matching DuckDB quantile_cont) alongside the
     * fixed-size-sketch approximation (approx_percentile / KLL-style) that a
@@ -1061,6 +1110,8 @@ object PipelineQueries {
     "q130_hourly_anomalies" -> (hourlyAnomalies _),
     "q132_ewma_trend" -> (ewmaTrend _),
     "q137_rolling_active" -> (rollingActiveUsers _),
+    "q140_event_transitions" -> (eventTransitions _),
+    "q141_session_paths" -> (sessionPaths _),
     "q117_bpe_merges" -> (bpeInduct _),
     "q118_bpe_encode" -> (bpeEncodeReport _)
   )
@@ -1346,6 +1397,26 @@ object PipelineQueries {
         "SELECT user_id, count(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events, " +
         "ROUND(AVG(n), 4) AS avg_events, CAST(MAX(dur) AS BIGINT) AS max_dur_us " +
         "FROM g GROUP BY user_id ORDER BY user_id"),
+    "q140_event_transitions" ->
+      ("WITH o AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type FROM events), " +
+        "p AS (SELECT event_type AS src_type, " +
+        "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS dst_type FROM o), " +
+        "c AS (SELECT src_type, dst_type, count(*)::BIGINT AS n FROM p " +
+        "WHERE dst_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT src_type, dst_type, n, " +
+        "(n * 10000 // SUM(n) OVER (PARTITION BY src_type))::BIGINT AS prob_bp " +
+        "FROM c ORDER BY src_type, dst_type"),
+    "q141_session_paths" ->
+      ("WITH o AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type FROM events), " +
+        "l AS (SELECT *, LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev FROM o), " +
+        "s AS (SELECT user_id, tsu, event_id, event_type, " +
+        "SUM(CASE WHEN prev IS NULL OR tsu - prev > 1800000000 THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM l), " +
+        "p AS (SELECT user_id, sid, " +
+        "array_to_string((list(event_type ORDER BY tsu, event_id))[1:5], '>') AS path " +
+        "FROM s GROUP BY 1, 2) " +
+        "SELECT path, count(*)::BIGINT AS n_sessions FROM p GROUP BY 1 " +
+        "ORDER BY n_sessions DESC, path LIMIT 20"),
     "q56_quantiles" ->
       ("SELECT lang, ROUND(quantile_cont(n_chars, 0.5), 4) AS p50, " +
         "ROUND(quantile_cont(n_chars, 0.9), 4) AS p90, " +

@@ -459,6 +459,53 @@ class AuditSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q140: transitions pair consecutive events; same-ts order breaks by event_id") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("trans-ev").toString
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    Seq(
+      // u1: view→click→view
+      (1L, 10L, "view", ts(100)), (1L, 11L, "click", ts(200)), (1L, 12L, "view", ts(300)),
+      // u2: view and click share ts 50 — event_id 20 < 21 orders view first
+      (2L, 20L, "view", ts(50)), (2L, 21L, "click", ts(50)), (2L, 22L, "purchase", ts(60)),
+      // u3: a single event contributes no transition
+      (3L, 30L, "signup", ts(10)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = PipelineQueries.eventTransitions(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("click", "purchase", 1L, 5000L), // click totals 2 across users
+      ("click", "view", 1L, 5000L),
+      ("view", "click", 2L, 10000L)))   // view's only destination
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q141: paths cut at 5 events, split at the 30-min gap, tie-break by event_id") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("paths-ev").toString
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val u1Long = Seq("view", "click", "view", "click", "purchase", "error", "signup")
+      .zipWithIndex.map { case (t, i) => (1L, 10L + i, t, ts(100L + i)) }
+    Seq(
+      // u1 session 2 after a >30min silence: the same 2-path u2 produces
+      (1L, 20L, "error", ts(100 + 7 + 1900)), (1L, 21L, "signup", ts(100 + 7 + 1901)),
+      (2L, 30L, "error", ts(500)), (2L, 31L, "signup", ts(501)),
+      // u3: equal timestamps — event_id 40 < 41 puts click before view
+      (3L, 40L, "click", ts(700)), (3L, 41L, "view", ts(700))
+    ).++(u1Long)
+      .toDF("user_id", "event_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = PipelineQueries.sessionPaths(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(r == Seq(
+      ("error>signup", 2L),                  // u1 session 2 + u2
+      ("click>view", 1L),                    // u3 tie broken by id
+      ("view>click>view>click>purchase", 1L) // u1's 7-event session cut at 5
+    ))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q130: planted spike flags at 3σ, flat types don't, peak ties break low") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("anom-ev").toString
