@@ -718,6 +718,79 @@ object NorthStarQueries {
       .limit(20)
   }
 
+  /** q143 — association rules over the customer→supplier baskets: for each
+    * ordered supplier pair (antecedent → consequent), support (shared
+    * customers), confidence (shared div antecedent count, basis points) and
+    * lift (shared·N div ante·cons, basis points with N = distinct
+    * customers) — the market-basket RULE verb (Agrawal et al. 1993) over
+    * the q136 co-occurrence projection: q136 says which items co-occur,
+    * q143 says which co-occurrences are SURPRISING (lift > 10000) versus
+    * popularity artifacts. Top-20 by the total order (lift, conf, ante,
+    * cons) — (ante, cons) is unique, so ranks are deterministic.
+    *
+    * Scale: the pair relation is the q136 capped projection (cap provably
+    * non-binding here — the oracle replays uncapped); item counts are one
+    * |items|-row aggregate joined twice (broadcast-able at any realistic
+    * vocabulary); N is the one scalar collect (a count, like pageRank's
+    * |nodes|). Integer-exact; overflow bound documented on the lift
+    * product: shared·10000·N < 2^63 holds through ~9e14 customer-pairs —
+    * widen to DecimalType past that (the [[graft.ops.Graph]] rule). */
+  def associationRules(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val ps = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct().persist()
+    val nBaskets = ps.select("c").distinct().count()
+    val itemCnt = ps.groupBy("s").agg(count(lit(1)).as("cnt"))
+    val pairs = coPurchaseProjection(ps, quota = 256)
+    val rules = pairs.select(col("s1").as("ante"), col("s2").as("cons"), col("shared"))
+      .unionAll(pairs.select(col("s2").as("ante"), col("s1").as("cons"), col("shared")))
+    rules
+      .join(itemCnt.select(col("s").as("ante"), col("cnt").as("n_ante")), "ante")
+      .join(itemCnt.select(col("s").as("cons"), col("cnt").as("n_cons")), "cons")
+      .where(col("shared") >= 3)
+      .select(col("ante"), col("cons"), col("shared"), col("n_ante"), col("n_cons"),
+        expr("(shared * 10000) div n_ante").as("conf_bp"),
+        expr(s"(shared * 10000 * ${nBaskets}L) div (n_ante * n_cons)").as("lift_bp"))
+      .orderBy(col("lift_bp").desc, col("conf_bp").desc, col("ante"), col("cons"))
+      .limit(20)
+  }
+
+  /** q144 — 2-core peel trace of the market-basket graph
+    * ([[graft.ops.Graph.kCoreTrace]], k=2, 6 synchronous rounds): how fast
+    * the tree periphery strips away to the cohesive kernel. 6 rounds
+    * converge at both test SFs (sf0.1 peels 5922→3 nodes — the graph is
+    * almost all periphery; sf0.01 stabilizes by round 3), and convergence
+    * is visible as equal tail rows. Oracle unrolls the same 6 peels. */
+  def basketKCore(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.kCoreTrace(basketEdges(spark, dir), k = 2, rounds = 6)
+      .orderBy("round")
+
+  /** q145 — link prediction on the market-basket graph
+    * ([[graft.ops.Graph.linkPredict]]): the top-20 missing part-part links
+    * by resource-allocation index (ties: common neighbors, then ids) — the
+    * related-item recommendation the co-occurrence graph implies but
+    * doesn't contain. The 256 neighbor cap is provably non-binding (max
+    * degree 13 at both test SFs), so the oracle replays the uncapped wedge
+    * set (the q63/q122 rule). */
+  def basketLinkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = basketEdges(spark, dir).persist()
+    graft.ops.Graph.linkPredict(e0)
+      .orderBy(col("ra_ppm").desc, col("cn").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  /** q142 — edit-distance record linkage over documents: pairs within
+    * normalized Levenshtein 0.2 of the longer side, candidates from the
+    * portable 1/8 sampled-gram inverted index ([[graft.ops.Dedup
+    * .editNearDups]]). The 1024 bucket cap is provably non-binding on this
+    * corpus (max sampled-gram bucket 23 at sf0.1), so the oracle replays
+    * the UNCAPPED index + the unbounded levenshtein — same candidate set,
+    * same filter, hash-exact. */
+  def editDistanceLinks(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.editNearDups(table(spark, dir, "documents"), "text", "doc_id")
+      .orderBy("idA", "idB")
+
   /** q78 — the decontamination review queue: for each probe (eval item),
     * the 3 corpus documents that CONTAIN most of it — containment =
     * shared/|probe grams|, the asymmetric score that catches a short
@@ -942,6 +1015,10 @@ object NorthStarQueries {
     "q136_copurchase" -> (coPurchasePairs _),
     "q138_triangle_census" -> (triangleCensus _),
     "q139_local_clustering" -> (localClustering _),
+    "q142_edit_linkage" -> (editDistanceLinks _),
+    "q143_assoc_rules" -> (associationRules _),
+    "q144_kcore_peel" -> (basketKCore _),
+    "q145_link_predict" -> (basketLinkPredict _),
     "q21_dedup_keep_first" -> (dedupKeepFirst _),
     "q22_token_count" -> (tokenCounts _),
     "q23_text_stats_by_lang" -> (textStatsByLang _),
@@ -998,6 +1075,34 @@ object NorthStarQueries {
       |tris AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c FROM oe e1
       |  JOIN oe e2 ON e2.s = e1.t
       |  WHERE EXISTS (SELECT 1 FROM oe e3 WHERE e3.s = e1.s AND e3.t = e2.t))""".stripMargin
+
+  /** q144 replay: the same uncapped basket edge set, then 6 unrolled
+    * synchronous k=2 peels — d_r from e_r, e_{r+1} keeps edges whose both
+    * endpoints have d_r ≥ 2; one stats row per round. Every CTE level is
+    * MATERIALIZED: DuckDB otherwise inlines the recursion-shaped chain and
+    * the expanded tree re-opens the parquet exponentially (observed as
+    * "Too many open files" at depth 6). */
+  private def q144OracleSql: String = {
+    val sb = new StringBuilder(
+      """WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.p AS u, b.p AS v FROM po a JOIN po b
+        |  ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+        |""".stripMargin)
+    for (r <- 0 until 6) {
+      sb ++= s"d$r AS MATERIALIZED (SELECT n, count(*)::BIGINT AS d FROM " +
+        s"(SELECT u AS n FROM e$r UNION ALL SELECT v FROM e$r) GROUP BY 1),\n"
+      sb ++= s"e${r + 1} AS MATERIALIZED (SELECT u, v FROM e$r " +
+        s"WHERE u IN (SELECT n FROM d$r WHERE d >= 2) " +
+        s"AND v IN (SELECT n FROM d$r WHERE d >= 2)),\n"
+    }
+    sb ++= "d6 AS MATERIALIZED (SELECT n, count(*)::BIGINT AS d FROM " +
+      "(SELECT u AS n FROM e6 UNION ALL SELECT v FROM e6) GROUP BY 1)\n"
+    sb ++= (0 to 6).map(r =>
+      s"SELECT $r::BIGINT AS round, (SELECT count(*) FROM d$r)::BIGINT AS n_nodes, " +
+        s"(SELECT count(*) FROM e$r)::BIGINT AS n_edges")
+      .mkString("", " UNION ALL ", " ORDER BY round")
+    sb.toString
+  }
 
   private val jaccardGe05 =
     "len(list_intersect(a.g, b.g))::DOUBLE / GREATEST(len(list_distinct(a.g || b.g)), 1) >= 0.5"
@@ -1294,6 +1399,59 @@ object NorthStarQueries {
           |  coalesce(dist.d, -1) AS dist, count(*)::BIGINT AS n
           |FROM nodes LEFT JOIN dist USING (node)
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // q142: candidate blocking replayed verbatim — same word-3-grams
+    // (gramsCte), same h60 sample (mod 8), uncapped (max bucket 23 at
+    // sf0.1 ≪ the 1024 star-cap); verify is plain levenshtein + the same
+    // integer filter (the Spark side's bounded form only skips work the
+    // filter rejects anyway)
+    "q142_edit_linkage" ->
+      (s"WITH $gramsCte,\n" +
+        """sg AS (SELECT DISTINCT doc_id, ('0x'||substr(md5(x),1,15))::BIGINT AS h
+          |  FROM (SELECT doc_id, unnest(g) AS x FROM grams)
+          |  WHERE ('0x'||substr(md5(x),1,15))::BIGINT % 8 = 0),
+          |cand AS (SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+          |  FROM sg a JOIN sg b ON a.h = b.h AND a.doc_id < b.doc_id),
+          |v AS (SELECT idA, idB, levenshtein(da.text, db.text)::BIGINT AS lev,
+          |    greatest(length(da.text), length(db.text))::BIGINT AS ml
+          |  FROM cand JOIN documents da ON da.doc_id = idA
+          |  JOIN documents db ON db.doc_id = idB)
+          |SELECT idA, idB, lev, (10000 - (lev * 10000) // ml)::BIGINT AS sim_bp
+          |FROM v WHERE lev * 5 <= ml ORDER BY idA, idB""".stripMargin),
+    // q143: uncapped projection replay (the q136 rule); same integer
+    // conf/lift arithmetic — all operands positive so DuckDB `//` == div
+    "q143_assoc_rules" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nb AS (SELECT count(DISTINCT c)::BIGINT AS n FROM ps),
+        |ic AS (SELECT s, count(*)::BIGINT AS cnt FROM ps GROUP BY 1),
+        |pr AS (SELECT a.s AS s1, b.s AS s2, count(*)::BIGINT AS shared
+        |  FROM ps a JOIN ps b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2),
+        |ru AS (SELECT s1 AS ante, s2 AS cons, shared FROM pr
+        |  UNION ALL SELECT s2, s1, shared FROM pr)
+        |SELECT ante, cons, shared, ia.cnt AS n_ante, ic2.cnt AS n_cons,
+        |  (shared * 10000) // ia.cnt AS conf_bp,
+        |  (shared * 10000 * (SELECT n FROM nb)) // (ia.cnt * ic2.cnt) AS lift_bp
+        |FROM ru JOIN ic ia ON ia.s = ante JOIN ic ic2 ON ic2.s = cons
+        |WHERE shared >= 3
+        |ORDER BY lift_bp DESC, conf_bp DESC, ante, cons LIMIT 20""".stripMargin,
+    "q144_kcore_peel" -> q144OracleSql,
+    // q145: uncapped wedge replay (max degree 13 ≪ the 256 cap), same
+    // integer resource-allocation arithmetic, one NOT EXISTS for adjacency
+    "q145_link_predict" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT a.p AS u, b.p AS v FROM po a JOIN po b
+        |  ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+        |se AS (SELECT u AS w, v AS n FROM e0 UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT w AS n, count(*)::BIGINT AS d FROM se GROUP BY 1),
+        |wedge AS (SELECT a.n AS u, b.n AS v, dg.d AS dw
+        |  FROM se a JOIN se b ON a.w = b.w AND a.n < b.n
+        |  JOIN deg dg ON dg.n = a.w
+        |  WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.u = a.n AND e0.v = b.n))
+        |SELECT u, v, count(*)::BIGINT AS cn,
+        |  sum(1000000 // dw)::BIGINT AS ra_ppm
+        |FROM wedge GROUP BY 1, 2
+        |ORDER BY ra_ppm DESC, cn DESC, u, v LIMIT 20""".stripMargin,
     "q138_triangle_census" ->
       (s"WITH $basketTriCtes\n" +
         """SELECT (SELECT count(*) FROM deg)::BIGINT AS nodes,

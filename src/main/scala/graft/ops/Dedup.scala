@@ -295,6 +295,54 @@ object Dedup {
       .drop("_setA", "_setB")
   }
 
+  /** Edit-distance record linkage: near-duplicate pairs under NORMALIZED
+    * Levenshtein distance ≤ maxDistNum/maxDistDen of the longer side — the
+    * classic entity-resolution verify metric (character edits, order-aware)
+    * next to the dedup family's set metrics (Jaccard q24, hamming q26/q122).
+    *
+    * Blocking is a deterministic gram SAMPLE, not LSH: candidates share at
+    * least one word-`n`-gram whose portable 60-bit md5 hash ≡ 0
+    * (mod `sampleMod`) — a 1/sampleMod inverted index both engines compute
+    * identically (PortableSketch.h60), so the oracle replays the candidate
+    * set verbatim and the result is exact over it, never a recall gamble.
+    * Hot sampled grams (boilerplate) star-cap at `maxBucket` via the shared
+    * [[cappedPairs]] discipline; the cap must be non-binding wherever an
+    * exact oracle replays the uncapped index (the q63/q122 rule — callers
+    * measure).
+    *
+    * Verify is the BOUNDED band algorithm: `levenshtein(a, b, thr)` stops
+    * at O(len·thr) work instead of O(len²), with `thr` the largest
+    * admissible distance anywhere in the corpus — one scalar aggregate
+    * (ceil of maxLen·num/den), never a per-row collect. A pair the bound
+    * rejects (-1) cannot be admissible, since its own bound ml·num/den ≤
+    * thr. Returns (idA, idB, lev, sim_bp) with sim_bp = 10000 −
+    * lev·10000 div max(len) — integer-exact. */
+  def editNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, sampleMod: Int = 8, maxBucket: Int = 1024,
+      maxDistNum: Int = 1, maxDistDen: Int = 5): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
+    val base = spread(df)
+      .select(col(idCol).as("_bid"), col(textCol).as("_t")).persist()
+    val blocked = base.select(col("_bid").as("_id"),
+        explode(graft.expr.GraftFunctions.wordNGrams(col("_t"), n)).as("_g"))
+      .select(col("_id"), PortableSketch.h60(col("_g")).as("_b"))
+      .where(pmod(col("_b"), lit(sampleMod)) === 0)
+      .distinct()
+    val thr = Option(base.agg(max(length(col("_t")))).head().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(0) * maxDistNum / maxDistDen + 1
+    cappedPairs(blocked, maxBucket)
+      .join(base.select(col("_bid").as("idA"), col("_t").as("_ta")), "idA")
+      .join(base.select(col("_bid").as("idB"), col("_t").as("_tb")), "idB")
+      .withColumn("_ml",
+        greatest(length(col("_ta")), length(col("_tb"))).cast("long"))
+      .withColumn("lev", levenshtein(col("_ta"), col("_tb"), thr).cast("long"))
+      .where(col("lev") >= 0 &&
+        col("lev") * maxDistDen <= col("_ml") * maxDistNum)
+      .select(col("idA"), col("idB"), col("lev"),
+        expr("10000 - (lev * 10000) div _ml").as("sim_bp"))
+  }
+
   /** Brute-force exact n-gram Jaccard over all pairs — the small-data oracle
     * path (O(n²)); the scale path is minhashNearDups + ngramJaccardVerify. */
   def ngramJaccardAllPairs(

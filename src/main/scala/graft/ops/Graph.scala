@@ -271,4 +271,82 @@ object Graph {
   def triangleCounts(tris: DataFrame): DataFrame =
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("tri"))
+
+  // --- link prediction (similarity) ---------------------------------------
+
+  /** Link prediction over undirected `edges(u, v)` (u < v): for every
+    * NON-adjacent pair with ≥ 1 common neighbor, the common-neighbor count
+    * and the resource-allocation index (Zhou et al. 2009) — Σ over common
+    * neighbors w of `scale div deg(w)`, the integer-exact member of the
+    * Adamic-Adar family (low-degree shared neighbors are strong evidence, a
+    * shared hub is weak). The graph family's PREDICTION verb: which links
+    * are missing — recommendation, knowledge-graph completion, related-item
+    * mining.
+    *
+    * Enumeration is wedge-by-center over the symmetrized adjacency —
+    * Σ deg(w)² candidate rows, the honest cost of scoring every
+    * 2-path-connected pair. The hub hazard is bounded by `cap`: neighbor
+    * lists star-cap at `cap` members via the skew-safe bottom-k threshold
+    * ([[Sampling.quotaPerKeyAgg]] — no single-task sort), so one celebrity
+    * node can never fan out deg² rows; callers must verify the cap is
+    * non-binding wherever an exact oracle replays the uncapped wedge set
+    * (the q63/q122 rule). Adjacent pairs drop by ONE anti-join against the
+    * edge relation; center degrees ride the wedge relation from a
+    * \|nodes\|-row broadcast-able join. All integer. */
+  def linkPredict(edges: DataFrame, cap: Int = 256,
+      scale: Long = 1000000L): DataFrame = {
+    val se = edges.select(col("u").as("w"), col("v").as("n"))
+      .unionByName(edges.select(col("v").as("w"), col("u").as("n")))
+    val deg = degrees(edges)
+    val capped = Sampling.quotaPerKeyAgg(se, "w", "n", cap)
+      .join(deg.select(col("n").as("w"), col("d").as("dw")), "w")
+    capped.as("a").join(capped.as("b"),
+        col("a.w") === col("b.w") && col("a.n") < col("b.n"))
+      .select(col("a.n").as("u"), col("b.n").as("v"), col("a.dw").as("dw"))
+      .join(edges.select(col("u"), col("v")), Seq("u", "v"), "left_anti")
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("cn"),
+        sum(expr(s"${scale}L div dw")).as("ra_ppm"))
+  }
+
+  // --- k-core peel (density) ----------------------------------------------
+
+  /** k-core peel trace over undirected `edges(u, v)`: `rounds` synchronous
+    * peel steps (drop every node of current degree < k, keep only edges
+    * with both endpoints surviving), reporting `(round, n_nodes, n_edges)`
+    * after each — round 0 is the input graph. The graph family's DENSITY
+    * verb (Seidman 1983): the 2-core strips the tree periphery, higher k
+    * isolates the cohesive kernel spam/community analysis keys on. The
+    * fixed round count is part of the query definition (the q135 LPA
+    * discipline — deterministic, unrollable by any engine); a converged
+    * trace shows equal tail rows, so convergence is VISIBLE in the output
+    * rather than assumed.
+    *
+    * Scale shape: each round is one degree aggregation plus two left-semi
+    * joins against the surviving-node relation — work ∝ current |edges|,
+    * monotonically shrinking; the edge set is eagerly localCheckpoint'ed
+    * every round (the pageRank lineage discipline), and per-round stats are
+    * one-row aggregates UNIONed, never collected. Nodes are counted from
+    * the degree relation, so isolated nodes drop with their last edge —
+    * the standard subgraph-of-the-edge-set convention. */
+  def kCoreTrace(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    def stats(r: Int, e: DataFrame): DataFrame =
+      degrees(e).agg(count(lit(1)).as("n_nodes"),
+          // integer div: sum(d) is exactly 2·|edges|; float division would
+          // lose exactness past 2^53 summed degree at full scale
+          expr("coalesce(sum(d), 0L) div 2").as("n_edges"))
+        .select(lit(r).cast("long").as("round"), col("n_nodes"), col("n_edges"))
+    var e = edges.select(col("u"), col("v")).localCheckpoint()
+    var out = stats(0, e)
+    for (r <- 1 to rounds) {
+      val keep = degrees(e).where(col("d") >= k).select(col("n"))
+      e = e.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      out = out.unionAll(stats(r, e))
+    }
+    out
+  }
 }

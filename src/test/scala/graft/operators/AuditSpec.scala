@@ -439,6 +439,36 @@ class AuditSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q143: confidence divides by the antecedent, lift by both; support gate prunes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("assoc").toString
+    // baskets (distinct customer→supplier): c1{1,2,6} c2{1,2} c3{1,2} c4{1}
+    // c5{4,5} c6{4,5} c7{4,5} c8{4,5}; c1 buys supplier 1 twice (distinct
+    // collapses). N=8. shared: (1,2)=3 (1,6)=1 (2,6)=1 (4,5)=4 — the <3
+    // pairs prune. counts: n1=4 n2=3 n4=n5=4 n6=1.
+    Seq((11L, 1L), (12L, 1L), (20L, 2L), (30L, 3L), (40L, 4L),
+      (50L, 5L), (60L, 6L), (70L, 7L), (80L, 8L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((11L, 1L), (11L, 2L), (12L, 1L), (12L, 6L),
+      (20L, 1L), (20L, 2L), (30L, 1L), (30L, 2L), (40L, 1L),
+      (50L, 4L), (50L, 5L), (60L, 4L), (60L, 5L),
+      (70L, 4L), (70L, 5L), (80L, 4L), (80L, 5L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = NorthStarQueries.associationRules(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // 1→2: conf 3·1e4 div 4 = 7500, lift 3·1e4·8 div 12 = 20000
+    // 2→1: conf 10000, lift 20000; 4↔5: conf 10000, lift 4·1e4·8 div 16 = 20000
+    // order: lift ties → conf desc → ante asc (2, 4, 5), then the 7500 rule
+    assert(r == Seq(
+      (2L, 1L, 3L, 3L, 4L, 10000L, 20000L),
+      (4L, 5L, 4L, 4L, 4L, 10000L, 20000L),
+      (5L, 4L, 4L, 4L, 4L, 10000L, 20000L),
+      (1L, 2L, 3L, 4L, 3L, 7500L, 20000L)))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q137: rolling WAU covers trailing 7 days; gap days report dau 0") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("rolling-ev").toString

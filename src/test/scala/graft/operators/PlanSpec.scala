@@ -264,7 +264,11 @@ class PlanSpec extends AnyFunSuite {
       "q113_importance_weights",
       // q115: embeds q67's one-row corpus constants AND q27's brute-force
       // broadcast-cross centroid ranking (5 centroids x corpus)
-      "q115_hybrid_rrf")
+      "q115_hybrid_rrf",
+      // q138: the census row is three 1-row aggregate frames (node/wedge,
+      // edge, triangle counts) cross-joined — keyless 1-row BNLJ by
+      // construction (the q86 one-row-constants pattern)
+      "q138_triangle_census")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -415,6 +419,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"the EWMA chain must fold, not window\n$p")
     assert(p.contains("partial_count"),
       s"the (type, day) collapse must aggregate before its exchange\n$p")
+  }
+
+  test("q143: rule ranking is a TakeOrdered; item-count joins broadcast") {
+    val p = plan(NorthStarQueries.associationRules(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must never plan a global sort\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |items|-row count relation must broadcast onto the rules\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q144: per-round stats are unioned aggregates over checkpointed edges — no window, no sort until the final 7 rows") {
+    val p = plan(NorthStarQueries.basketKCore(spark, sf))
+    assert(!p.contains("Window"), s"the peel must not sequence anything\n$p")
+    // each round's edge set is an eager localCheckpoint: the trace plan
+    // reads 7 LogicalRDD scans, never re-deriving a round from lineitem
+    assert(!p.contains("lineitem"),
+      s"rounds must read checkpointed edges, not re-derive the basket graph\n$p")
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("pageRank: the iteration join reuses the cached src partitioning " +

@@ -305,4 +305,123 @@ class GraphSpec extends AnyFunSuite {
     }
     spark.sharedState.cacheManager.clearCache()
   }
+
+  // --- linkPredict --------------------------------------------------------
+
+  /** Plain-Scala reference: non-adjacent pairs with ≥1 common neighbor →
+    * (cn, Σ 1e6/deg(w)). */
+  private def refLp(edges: Seq[(Long, Long)]): Map[(Long, Long), (Long, Long)] = {
+    val es = edges.map { case (u, v) => (u min v, u max v) }.distinct
+    val adj = es.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    (for {
+      u <- nodes; v <- nodes
+      if u < v && !adj(u)(v)
+      common = adj(u) & adj(v)
+      if common.nonEmpty
+    } yield (u, v) -> (common.size.toLong,
+      common.toSeq.map(w => 1000000L / adj(w).size).sum)).toMap
+  }
+
+  private def runLp(edges: Seq[(Long, Long)],
+      cap: Int = 256): Map[(Long, Long), (Long, Long)] = {
+    val out = Graph.linkPredict(edges.toDF("u", "v"), cap)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    spark.sharedState.cacheManager.clearCache()
+    out
+  }
+
+  test("linkPredict: square diagonals score both centers; adjacent pairs never appear") {
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val got = runLp(square)
+    // diagonals (1,3) via {2,4} and (2,4) via {1,3}; every deg = 2
+    assert(got == Map((1L, 3L) -> (2L, 1000000L), (2L, 4L) -> (2L, 1000000L)))
+  }
+
+  test("linkPredict: a shared hub scores weaker than a shared low-degree neighbor") {
+    // 1 and 3 share hub 2 (deg 4); 5 and 6 share pendant-ish 4 (deg 3)
+    val edges = Seq((1L, 2L), (2L, 3L), (2L, 5L), (2L, 6L), (4L, 5L), (4L, 6L), (1L, 4L))
+    val got = runLp(edges)
+    assert(got((1L, 3L))._2 == 250000L)       // via the deg-4 hub
+    assert(got((5L, 6L))._2 == 250000L + 333333L) // via hub 2 AND deg-3 node 4
+  }
+
+  test("linkPredict: the neighbor cap stars a hub on its smallest neighbors") {
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L))
+    assert(runLp(star).keySet.size == 6) // C(4,2) leaf pairs
+    // cap 2 keeps the hub's two smallest neighbors — one candidate pair
+    assert(runLp(star, cap = 2).keySet == Set((1L, 2L)))
+  }
+
+  test("linkPredict property: 25 random graphs match the plain-Scala reference") {
+    val rnd = new scala.util.Random(20260819L)
+    for (case_ <- 1 to 25) {
+      val n = 3 + rnd.nextInt(10)
+      val pairs = Seq.fill(n * 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+        .map { case (u, v) => (u min v, u max v) }.distinct
+      if (pairs.nonEmpty)
+        assert(runLp(pairs) == refLp(pairs), s"case $case_ pairs=$pairs")
+    }
+  }
+
+  // --- kCoreTrace ---------------------------------------------------------
+
+  /** Plain-Scala synchronous peel: `rounds` steps of drop-degree-<k, keep
+    * edges with both endpoints surviving; (round, nodes, edges) trace. */
+  private def refKCore(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): Seq[(Long, Long, Long)] = {
+    var es = edges.map { case (u, v) => (u min v, u max v) }.distinct
+    def deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size }
+    val out = scala.collection.mutable.ArrayBuffer(
+      (0L, deg.size.toLong, es.size.toLong))
+    for (r <- 1 to rounds) {
+      val d = deg
+      val keep = d.filter(_._2 >= k).keySet
+      es = es.filter(e => keep(e._1) && keep(e._2))
+      out += ((r.toLong, deg.size.toLong, es.size.toLong))
+    }
+    out.toSeq
+  }
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): Seq[(Long, Long, Long)] = {
+    val out = Graph.kCoreTrace(edges.toDF("u", "v"), k, rounds)
+      .orderBy("round").as[(Long, Long, Long)].collect().toSeq
+    spark.sharedState.cacheManager.clearCache()
+    out
+  }
+
+  test("kCoreTrace: a triangle with pendant chains peels to the triangle at k=2") {
+    // triangle 1-2-3; chain 3-4-5-6 peels one layer per round (6, then 5,
+    // then 4) — the synchronous-peel cascade a one-shot degree filter misses
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val got = runKCore(edges, 2, 4)
+    assert(got == Seq((0L, 6L, 6L), (1L, 5L, 5L), (2L, 4L, 4L),
+      (3L, 3L, 3L), (4L, 3L, 3L)))
+  }
+
+  test("kCoreTrace: k above the max degree empties the graph in one round") {
+    val got = runKCore(Seq((1L, 2L), (2L, 3L)), 3, 2)
+    assert(got == Seq((0L, 3L, 2L), (1L, 0L, 0L), (2L, 0L, 0L)))
+  }
+
+  test("kCoreTrace property: 25 random graphs match the plain-Scala peel (k=2,3)") {
+    val rnd = new scala.util.Random(20260818L)
+    for (case_ <- 1 to 25) {
+      val n = 3 + rnd.nextInt(10)
+      val pairs = Seq.fill(n * 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+        .map { case (u, v) => (u min v, u max v) }.distinct
+      if (pairs.nonEmpty) {
+        for (k <- Seq(2, 3)) {
+          assert(runKCore(pairs, k, 4) == refKCore(pairs, k, 4),
+            s"case $case_ k=$k pairs=$pairs")
+        }
+      }
+    }
+  }
 }
