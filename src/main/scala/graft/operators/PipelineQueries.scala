@@ -292,6 +292,38 @@ object PipelineQueries {
       .orderBy("lang", "rank")
   }
 
+  /** q146 — distinctive terms per language: token-frequency LIFT against
+    * the corpus (tf_lang·T div tf·T_lang, basis points, the q143 lift
+    * formula on the (term, language) contingency) — the keyword-extraction
+    * verb that surfaces what a slice talks about that the corpus doesn't,
+    * log-free and integer-exact where TF-IDF needs floats. Works for any
+    * slice key (source, domain, cluster); language here. tf_l ≥ 5 is the
+    * noise floor (a hapax in a small language is infinite lift, not
+    * signal). Top-20 by (lift, lang, token) — a total order, (lang, token)
+    * unique.
+    *
+    * Scale: one tokenize pass; the (lang, token) rollup partially
+    * aggregates map-side; language totals (\|langs\| rows) and token totals
+    * (\|vocab\| rows) derive from that rollup, never from a re-scan; T is
+    * the one scalar collect. Overflow bound (the q143 rule): tf_l·T·10000
+    * < 2^63 holds through ~9e14 corpus tokens·slice-term frequency —
+    * widen to Decimal past that. */
+  def distinctiveTerms(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(coalesce(col("lang"), lit("??")).as("lang"),
+        explode(filter(split(col("text"), "\\s+"), t => t =!= lit(""))).as("token"))
+    val lt = toks.groupBy("lang", "token").agg(count(lit(1)).as("tf_l")).persist()
+    val langTot = lt.groupBy("lang").agg(sum("tf_l").as("ltot"))
+    val tokTot = lt.groupBy("token").agg(sum("tf_l").as("tf"))
+    val total = lt.agg(sum("tf_l")).head().getLong(0)
+    lt.join(langTot, "lang").join(tokTot, "token")
+      .where(col("tf_l") >= 5)
+      .select(col("lang"), col("token"), col("tf_l"), col("tf"),
+        expr(s"(tf_l * ${total}L * 10000) div (tf * ltot)").as("lift_bp"))
+      .orderBy(col("lift_bp").desc, col("lang"), col("token"))
+      .limit(20)
+  }
+
   /** Shared q114 constants (Spark + oracle): a corpus trigram frequent
     * enough to match at the oracle scale factors. */
   private val PhraseTerms = Seq("slow", "hash", "batch")
@@ -1087,6 +1119,7 @@ object PipelineQueries {
     "q55_sessionization" -> (userSessions _),
     "q56_quantiles" -> (charQuantiles _),
     "q57_top_tokens" -> (topTokensPerLang _),
+    "q146_distinctive_terms" -> (distinctiveTerms _),
     "q58_stratified_sample" -> (stratifiedSample _),
     "q59_source_overlap" -> (sourceOverlap _),
     "q60_salted_join" -> (saltedJoinRollup _),
@@ -1427,6 +1460,20 @@ object PipelineQueries {
         "g AS (SELECT lang, token, count(*) AS df FROM t GROUP BY lang, token), " +
         "r AS (SELECT lang, token, df, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, token) AS INTEGER) AS rank FROM g) " +
         "SELECT lang, token, df, rank FROM r WHERE rank <= 5 ORDER BY lang, rank"),
+    // q146: same tokenize, same integer lift; `//` == div (all positive)
+    "q146_distinctive_terms" ->
+      """WITH t AS (SELECT coalesce(lang, '??') AS lang,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |lt AS (SELECT lang, token, count(*)::BIGINT AS tf_l FROM t GROUP BY 1, 2),
+        |lg AS (SELECT lang, sum(tf_l)::BIGINT AS ltot FROM lt GROUP BY 1),
+        |tk AS (SELECT token, sum(tf_l)::BIGINT AS tf FROM lt GROUP BY 1),
+        |tot AS (SELECT sum(tf_l)::BIGINT AS t FROM lt)
+        |SELECT lang, token, tf_l, tf,
+        |  (tf_l * (SELECT t FROM tot) * 10000) // (tf * ltot) AS lift_bp
+        |FROM lt JOIN lg USING (lang) JOIN tk USING (token)
+        |WHERE tf_l >= 5
+        |ORDER BY lift_bp DESC, lang, token LIMIT 20""".stripMargin,
     "q58_stratified_sample" -> q58OracleSql,
     // exact columns replayed in SQL (same word-3-gram family as the q24/q51
     // oracles); the sketch estimate surfaces only through approx_ok = TRUE

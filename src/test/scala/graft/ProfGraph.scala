@@ -70,9 +70,11 @@ object ProfGraph {
     val reps = explode(array((0 until blowup).map(lit): _*))
     val d1 = java.nio.file.Files.createTempDirectory("profgraph-1x").toString
     val dN = java.nio.file.Files.createTempDirectory(s"profgraph-${blowup}x").toString
-    val li0 = spark.read.parquet(s"$dir/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey", "l_partkey")
     val or0 = spark.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_custkey")
-    val ev0 = spark.read.parquet(s"$dir/events.parquet").select("user_id", "event_type", "ts")
+    val ev0 = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "user_id", "event_type", "ts")
     li0.write.mode("overwrite").parquet(s"$d1/lineitem.parquet")
     or0.write.mode("overwrite").parquet(s"$d1/orders.parquet")
     ev0.write.mode("overwrite").parquet(s"$d1/events.parquet")
@@ -81,14 +83,16 @@ object ProfGraph {
     su0.write.mode("overwrite").parquet(s"$d1/supplier.parquet")
     su0.write.mode("overwrite").parquet(s"$dN/supplier.parquet")
     li0.withColumn("_r", reps)
-      .select((col("l_orderkey") * blowup + col("_r")).as("l_orderkey"), col("l_suppkey"))
+      .select((col("l_orderkey") * blowup + col("_r")).as("l_orderkey"),
+        col("l_suppkey"), col("l_partkey"))
       .write.mode("overwrite").parquet(s"$dN/lineitem.parquet")
     or0.withColumn("_r", reps)
       .select((col("o_orderkey") * blowup + col("_r")).as("o_orderkey"),
         (col("o_custkey") + col("_r") * 1000000L).as("o_custkey"))
       .write.mode("overwrite").parquet(s"$dN/orders.parquet")
     ev0.withColumn("_r", reps)
-      .select((col("user_id") + col("_r") * 1000000L).as("user_id"),
+      .select((col("event_id") * blowup + col("_r")).as("event_id"),
+        (col("user_id") + col("_r") * 1000000L).as("user_id"),
         col("event_type"), col("ts"))
       .write.mode("overwrite").parquet(s"$dN/events.parquet")
 
@@ -105,7 +109,22 @@ object ProfGraph {
       // q136: pair rows grow ∝ customers (baskets unchanged) — expect ~10x;
       // q137: user-days grow 10x — expect ~10x, both against a flat floor
       "q136_copurchase" -> (d => operators.NorthStarQueries.coPurchasePairs(spark, d)),
-      "q137_rolling" -> (d => operators.PipelineQueries.rollingActiveUsers(spark, d)))
+      "q137_rolling" -> (d => operators.PipelineQueries.rollingActiveUsers(spark, d)),
+      // q138/q139/q144/q145: the lineitem blowup replicates every order 10x
+      // with fresh order keys, so ALL co-occurring part pairs reach support
+      // ≥2 and the basket graph DENSIFIES (not just grows) — the stress is
+      // deliberately harsher than linear: it exercises the degree-ordered
+      // wedge bound (q138/q139), the shrinking-edge peel (q144), and the
+      // capped Σdeg² wedge enumeration (q145) on a denser graph
+      "q138_triangles" -> (d => operators.NorthStarQueries.triangleCensus(spark, d)),
+      "q139_local_cc" -> (d => operators.NorthStarQueries.localClustering(spark, d)),
+      "q143_assoc" -> (d => operators.NorthStarQueries.associationRules(spark, d)),
+      "q144_kcore" -> (d => operators.NorthStarQueries.basketKCore(spark, d)),
+      "q145_linkpred" -> (d => operators.NorthStarQueries.basketLinkPredict(spark, d)),
+      // q140: one user-keyed window over 10x users (~10x); q141: sessionize
+      // + per-session rollup on the same key (~10x)
+      "q140_transitions" -> (d => operators.PipelineQueries.eventTransitions(spark, d)),
+      "q141_paths" -> (d => operators.PipelineQueries.sessionPaths(spark, d)))
     for (round <- 1 to 3; (name, q) <- queries; (label, d) <- Seq("1x" -> d1, s"${blowup}x" -> dN)) {
       val t0 = System.nanoTime()
       q(d).write.format("noop").mode("overwrite").save()

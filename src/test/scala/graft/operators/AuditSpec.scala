@@ -469,6 +469,28 @@ class AuditSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q146: slice-exclusive tokens out-lift shared ones; the tf floor hides rare") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("distinctive").toString
+    // en: uniqen×5 both×5 rare×2 (ltot 12); fr: uniqfr×6 both×5 (ltot 11);
+    // T=23. rare (tf 2) sits under the ≥5 floor despite infinite-ish lift.
+    Seq(
+      (1L, "en", "uniqen uniqen uniqen both both rare"),
+      (2L, "en", "uniqen uniqen both both both rare"),
+      (3L, "fr", "uniqfr uniqfr uniqfr both both both"),
+      (4L, "fr", "uniqfr uniqfr uniqfr both both"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = PipelineQueries.distinctiveTerms(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("fr", "uniqfr", 6L, 6L, 20909L),  // 6·23·1e4 div (6·11)
+      ("en", "uniqen", 5L, 5L, 19166L),  // 5·23·1e4 div (5·12)
+      ("fr", "both", 5L, 10L, 10454L),   // 5·23·1e4 div (10·11)
+      ("en", "both", 5L, 10L, 9583L)))   // 5·23·1e4 div (10·12)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q137: rolling WAU covers trailing 7 days; gap days report dau 0") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("rolling-ev").toString
