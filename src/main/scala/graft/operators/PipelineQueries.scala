@@ -231,6 +231,52 @@ object PipelineQueries {
       .orderBy("src_type", "dst_type")
   }
 
+  /** q147 — transition dwell time: for every q140 consecutive-pair edge, the
+    * distribution of time spent between the two actions — p50/p90 seconds per
+    * (src, dst) — the latency face of the transition matrix (where do users
+    * stall?). Same single user-keyed window shuffle as q140; the rollup is
+    * ≤ |types|² groups. Quantiles follow the q56 discipline: the EXACT
+    * interpolating percentile is the oracled value (group sizes here are
+    * events div |types|², so exact percentile's per-group buffer is the
+    * honest cost to flag); `approx_ok` pins the bounded-memory
+    * approx_percentile — the column a 100 TB run would ship — to within
+    * 5%+2s of exact, so the scale path is continuously audited. */
+  def transitionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy(col("tsu").asc, col("event_id").asc)
+    ev.select(col("user_id"), tsMicros(ev).as("tsu"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("delta_us", lead(col("tsu"), 1).over(w) - col("tsu"))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src_type"), col("next_type").as("dst_type"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(delta_us, 0.5D)") / 1e6, 4).as("p50_s"),
+        round(expr("percentile(delta_us, 0.9D)") / 1e6, 4).as("p90_s"),
+        expr("approx_percentile(delta_us, 0.5D, 10000)").as("_ap50"))
+      .select(col("src_type"), col("dst_type"), col("n"), col("p50_s"), col("p90_s"),
+        (abs(col("_ap50") / 1e6 - col("p50_s")) <= col("p50_s") * 0.05 + lit(2.0))
+          .as("approx_ok"))
+      .orderBy("src_type", "dst_type")
+  }
+
+  /** q149 — weekday seasonality: per event type and ISO weekday, event count
+    * and seasonality index (share vs the uniform 1/7, basis points — 10000 =
+    * flat) — the periodicity profile behind q130's hourly screen and q132's
+    * daily trend (is Saturday REALLY quiet, per type?). Day-of-week is pure
+    * integer arithmetic on epoch days ((d+3) mod 7, 0 = Monday — epoch day 0
+    * was a Thursday), so no engine's locale/week-start convention is in
+    * play. One scan collapses map-side to ≤ |types|·7 groups; the per-type
+    * normalizer windows over that tiny relation. */
+  def weekdaySeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    ev.select(col("event_type"), tsMicros(ev).as("tsu"))
+      .select(col("event_type"), expr("(tsu div 86400000000 + 3) % 7").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+      .withColumn("idx_bp",
+        expr("(n * 7 * 10000) div sum(n) over (partition by event_type)"))
+      .orderBy("event_type", "dow")
+  }
+
   /** q141 — session path mining: the first 5 event types of every q55-style
     * session (30-min gap), as a `>`-joined path string, counted across
     * sessions — top-20 common journeys (the sequence-mining verb over the
@@ -1144,6 +1190,8 @@ object PipelineQueries {
     "q132_ewma_trend" -> (ewmaTrend _),
     "q137_rolling_active" -> (rollingActiveUsers _),
     "q140_event_transitions" -> (eventTransitions _),
+    "q147_transition_latency" -> (transitionLatency _),
+    "q149_weekday_seasonality" -> (weekdaySeasonality _),
     "q141_session_paths" -> (sessionPaths _),
     "q117_bpe_merges" -> (bpeInduct _),
     "q118_bpe_encode" -> (bpeEncodeReport _)
@@ -1439,6 +1487,24 @@ object PipelineQueries {
         "SELECT src_type, dst_type, n, " +
         "(n * 10000 // SUM(n) OVER (PARTITION BY src_type))::BIGINT AS prob_bp " +
         "FROM c ORDER BY src_type, dst_type"),
+    // q147: exact interpolating quantile == Spark `percentile`; the approx
+    // column surfaces only through approx_ok = TRUE (the q56 rule)
+    "q147_transition_latency" ->
+      ("WITH o AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type FROM events), " +
+        "p AS (SELECT event_type AS src_type, " +
+        "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS dst_type, " +
+        "LEAD(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) - tsu AS delta_us FROM o) " +
+        "SELECT src_type, dst_type, count(*)::BIGINT AS n, " +
+        "ROUND(quantile_cont(delta_us, 0.5) / 1e6, 4) AS p50_s, " +
+        "ROUND(quantile_cont(delta_us, 0.9) / 1e6, 4) AS p90_s, TRUE AS approx_ok " +
+        "FROM p WHERE dst_type IS NOT NULL GROUP BY 1, 2 ORDER BY src_type, dst_type"),
+    // q149: pure integer day-of-week — (epoch_day + 3) % 7, 0 = Monday
+    "q149_weekday_seasonality" ->
+      ("WITH o AS (SELECT event_type, (epoch_us(ts) // 86400000000 + 3) % 7 AS dow FROM events), " +
+        "c AS (SELECT event_type, dow, count(*)::BIGINT AS n FROM o GROUP BY 1, 2) " +
+        "SELECT event_type, dow, n, " +
+        "(n * 7 * 10000 // SUM(n) OVER (PARTITION BY event_type))::BIGINT AS idx_bp " +
+        "FROM c ORDER BY event_type, dow"),
     "q141_session_paths" ->
       ("WITH o AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type FROM events), " +
         "l AS (SELECT *, LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev FROM o), " +

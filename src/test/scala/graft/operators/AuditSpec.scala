@@ -533,6 +533,56 @@ class AuditSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q147: dwell quantiles interpolate the exact percentile; approx stays in band") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dwell-ev").toString
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    Seq(
+      // u1 view→click delta 10s, then click→view 80s
+      (1L, 10L, "view", ts(100)), (1L, 11L, "click", ts(110)), (1L, 12L, "view", ts(190)),
+      // u2 view→click delta 20s; u3 delta 30s — odd group so the exact
+      // interpolating p50 lands ON an element and the discrete
+      // approx_percentile must agree (a 2-element group's interpolated
+      // midpoint is a value no discrete sketch can return — not this
+      // audit's regime; the oracled p50/p90 columns stay exact regardless)
+      (2L, 20L, "view", ts(0)), (2L, 21L, "click", ts(20)),
+      (3L, 30L, "view", ts(0)), (3L, 31L, "click", ts(30)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = PipelineQueries.transitionLatency(spark, dir)
+      .as[(String, String, Long, Double, Double, Boolean)].collect().toSeq
+    // view→click deltas {10, 20, 30}: p50 = 20.0, p90 = 20 + 0.8·10 = 28.0
+    assert(r == Seq(
+      ("click", "view", 1L, 80.0, 80.0, true),
+      ("view", "click", 3L, 20.0, 28.0, true)))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q149: weekday ids are epoch-day arithmetic; index is share vs uniform") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dow-ev").toString
+    // 1970-01-01 (epoch day 0) was a THURSDAY → dow (0+3)%7 = 3 under the
+    // 0=Monday encoding; 1970-01-05 (day 4) was a Monday → (4+3)%7 = 0.
+    def at(day: Long, sec: Long) =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(day * 86400 + sec))
+    Seq(
+      (1L, 1L, "view", at(0, 10)),  // Thu → dow 3
+      (2L, 2L, "view", at(0, 20)),  // Thu → dow 3
+      (3L, 3L, "view", at(4, 0)),   // Mon → dow 0
+      (4L, 4L, "buy", at(6, 0)))    // Wed (1970-01-07) → dow 2
+      .toDF("user_id", "event_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = PipelineQueries.weekdaySeasonality(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // view: Thu 2 of 3 → 2·7·10000 div 3 = 46666; Mon 1 of 3 → 23333;
+    // buy: its only day → 70000 (7× uniform)
+    assert(r == Seq(
+      ("buy", 2L, 1L, 70000L),
+      ("view", 0L, 1L, 23333L),
+      ("view", 3L, 2L, 46666L)))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q141: paths cut at 5 events, split at the 30-min gap, tie-break by event_id") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("paths-ev").toString
