@@ -1007,8 +1007,36 @@ object NorthStarQueries {
       .orderBy("side", "dist")
   }
 
+  /** q148 — HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    * customer→supplier trade graph (edge weight = lineitem count): the
+    * endorsement rank the symmetrized PageRank family can't express — a
+    * strong BUYER (hub) is one buying from strong SUPPLIERS (authorities)
+    * and vice versa, two mutually-recursive vectors where q128 collapses
+    * both roles into one score. Curation reading: rank crawl seed lists
+    * (hubs) against content hosts (authorities) over the link bipartite.
+    * 4 rounds of [[graft.ops.Graph.hits]]'s integer loop; top-10 per side
+    * by the total (score, node) order, node ids labeled on final rows
+    * only. The pair aggregation collapses lineitem⋈orders before any
+    * iteration — the loop touches (node, long) rows only. */
+  def tradeHits(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val pair = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val scored = graft.ops.Graph.hits(pair, rounds = 4)
+    val hubs = scored.where(col("side") === "hub")
+      .orderBy(col("score_u").desc, col("node")).limit(10)
+      .select(col("side"), concat(lit("c:"), col("node")).as("node"), col("score_u"))
+    val auths = scored.where(col("side") === "auth")
+      .orderBy(col("score_u").desc, col("node")).limit(10)
+      .select(col("side"), concat(lit("s:"), col("node")).as("node"), col("score_u"))
+    hubs.unionByName(auths).orderBy(col("side"), col("score_u").desc, col("node"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q128_pagerank" -> (tradePageRank _),
+    "q148_hits" -> (tradeHits _),
     "q133_trustrank" -> (tradeTrustRank _),
     "q134_seed_distance" -> (tradeSeedDistances _),
     "q135_communities" -> (tradeCommunities _),
@@ -1321,6 +1349,43 @@ object NorthStarQueries {
        |$labelTop20Sql""".stripMargin
   }
 
+  /** q148 oracle: 4 unrolled HITS rounds with the identical integer renorm
+    * `(raw·10000) // (Σraw // 10000)`. MATERIALIZED on each raw/normalized
+    * vector: every a_i/h_i is referenced twice (the renorm scalar and the
+    * next half-round), so inlining would double the pair-join work per
+    * reference (the q144 lesson). */
+  private def q148OracleSql: String = {
+    val steps = (1 to 4).map { i =>
+      s"""a${i}r AS MATERIALIZED (
+         |  SELECT dst, sum(w * h)::BIGINT AS raw
+         |  FROM pair JOIN h${i - 1} ON h${i - 1}.c = pair.src GROUP BY dst),
+         |a$i AS MATERIALIZED (
+         |  SELECT dst AS s, (raw * 10000 // ((SELECT sum(raw) FROM a${i}r) // 10000))::BIGINT AS a
+         |  FROM a${i}r),
+         |h${i}r AS MATERIALIZED (
+         |  SELECT src, sum(w * a)::BIGINT AS raw
+         |  FROM pair JOIN a$i ON a$i.s = pair.dst GROUP BY src),
+         |h$i AS MATERIALIZED (
+         |  SELECT src AS c, (raw * 10000 // ((SELECT sum(raw) FROM h${i}r) // 10000))::BIGINT AS h
+         |  FROM h${i}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pair AS MATERIALIZED (
+       |  SELECT o_custkey AS src, l_suppkey AS dst, count(*)::BIGINT AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+       |h0 AS MATERIALIZED (
+       |  SELECT src AS c,
+       |    (100000000 // (SELECT count(DISTINCT src) FROM pair))::BIGINT AS h
+       |  FROM (SELECT DISTINCT src FROM pair)),
+       |$steps
+       |SELECT * FROM (
+       |  (SELECT 'hub' AS side, 'c:' || c::VARCHAR AS node, h AS score_u
+       |   FROM h4 ORDER BY h DESC, c LIMIT 10)
+       |  UNION ALL
+       |  (SELECT 'auth' AS side, 's:' || s::VARCHAR AS node, a AS score_u
+       |   FROM a4 ORDER BY a DESC, s LIMIT 10))
+       |ORDER BY side, score_u DESC, node""".stripMargin
+  }
+
   /** q133 oracle: the personalized variant — teleport only on effective
     * (graph-present) seeds, holds LEFT-joined so zero-rank nodes persist. */
   private def q133OracleSql: String = {
@@ -1371,6 +1436,7 @@ object NorthStarQueries {
 
   val oracles: Map[String, String] = Map(
     "q128_pagerank" -> q128OracleSql,
+    "q148_hits" -> q148OracleSql,
     "q133_trustrank" -> q133OracleSql,
     "q135_communities" -> q135OracleSql,
     // q136: the oracle replays the UNCAPPED projection — sound because the

@@ -227,6 +227,55 @@ object Graph {
       .select(col("dst").as("node"),
         (lit(hold) + expr(s"($dampingPct * s) div 100")).as("rank_u"))
 
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge set —
+    * the bipartite/endorsement rank the symmetrized PageRank family
+    * (q128/q133) can't express: a hub is good because it points at good
+    * authorities, an authority because good hubs point at it — two
+    * mutually-recursive vectors, not one. Integer discipline throughout:
+    * scores are BIGINT mass units, each half-round is ONE src-partitioned
+    * join + ONE dst-keyed (or src-keyed) aggregate shuffling 8-byte longs,
+    * and the per-round renormalization back to ~`mass` total is
+    * `(raw·10000) div (Σraw div 10000)` — both factors exact integer ops
+    * (Spark `div` == DuckDB `//` on positives), so the vectors hash-match
+    * an unrolled-CTE replay with no float boundary. The Σraw scalar is a
+    * one-row driver aggregate per half-round over the checkpointed raw
+    * vector (the q128 bounded-model exception). Overflow bound: raw ≤
+    * Σscore·maxWeightedDegree ≈ mass·maxdeg, and the renorm multiplies by
+    * 10000 — safe while mass·maxdeg < 9.2e14 (maxdeg < ~9.2e6 at the
+    * default mass); widen to Decimal past that. Truncation: each renorm
+    * loses < 10^-4 relative mass — deterministic, not approximate.
+    * Precondition: every src has ≥1 out-edge by construction; `mass` must
+    * keep Σraw ≥ 10000 (default 1e8 does at any graph size ≥ 1 node). */
+  def hits(edges: DataFrame, rounds: Int,
+      mass: Long = 100000000L): DataFrame = {
+    require(rounds >= 1)
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .repartition(col("src")).persist()
+    val nh = e.select("src").distinct().count()
+    require(nh > 0, "hits needs a non-empty edge set")
+    var hubs = e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(mass / nh)).localCheckpoint()
+    var auths: DataFrame = hubs.limit(0).select(col("node"), col("h").as("a"))
+    for (_ <- 1 to rounds) {
+      val ar = e.join(hubs, e("src") === hubs("node"))
+        .select(col("dst"), (col("w") * col("h")).as("x"))
+        .groupBy("dst").agg(sum("x").as("raw")).localCheckpoint()
+      val asum = ar.agg(sum("raw")).head().getLong(0)
+      auths = ar.select(col("dst").as("node"),
+        expr(s"(raw * 10000) div (${asum}L div 10000)").as("a")).localCheckpoint()
+      val hr = e.join(auths, e("dst") === auths("node"))
+        .select(col("src"), (col("w") * col("a")).as("x"))
+        .groupBy("src").agg(sum("x").as("raw")).localCheckpoint()
+      val hsum = hr.agg(sum("raw")).head().getLong(0)
+      hubs = hr.select(col("src").as("node"),
+        expr(s"(raw * 10000) div (${hsum}L div 10000)").as("h")).localCheckpoint()
+    }
+    e.unpersist()
+    hubs.select(lit("hub").as("side"), col("node"), col("h").as("score_u"))
+      .unionByName(auths.select(lit("auth").as("side"), col("node"),
+        col("a").as("score_u")))
+  }
+
   // --- triangle census (cohesion) -----------------------------------------
 
   /** Undirected degree relation over `edges(u, v)` — one row per edge, each

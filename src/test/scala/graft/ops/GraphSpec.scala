@@ -424,4 +424,75 @@ class GraphSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Plain-Scala replay of Graph.hits' integer recurrence (init mass div
+    * |srcs|, renorm (raw·10000)/(Σraw/10000) each half-round). */
+  private def refHits(edges: Seq[(String, String, Long)], rounds: Int,
+      mass: Long = 100000000L): (Map[String, Long], Map[String, Long]) = {
+    val srcs = edges.map(_._1).distinct
+    var h = srcs.map(_ -> mass / srcs.size).toMap
+    var a = Map.empty[String, Long]
+    for (_ <- 1 to rounds) {
+      val ar = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((u, v, w) <- edges) ar(v) += w * h(u)
+      val asum = ar.values.sum
+      a = ar.map { case (k, r) => k -> r * 10000L / (asum / 10000L) }.toMap
+      val hr = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((u, v, w) <- edges) hr(u) += w * a(v)
+      val hsum = hr.values.sum
+      h = hr.map { case (k, r) => k -> r * 10000L / (hsum / 10000L) }.toMap
+    }
+    (h, a)
+  }
+
+  private def runHits(edges: Seq[(String, String, Long)], rounds: Int)
+      : (Map[String, Long], Map[String, Long]) = {
+    val rows = Graph.hits(edges.toDF("src", "dst", "w"), rounds)
+      .as[(String, String, Long)].collect()
+    (rows.filter(_._1 == "hub").map(r => r._2 -> r._3).toMap,
+      rows.filter(_._1 == "auth").map(r => r._2 -> r._3).toMap)
+  }
+
+  test("hits: the universally-bought supplier is top authority; the broad buyer top hub") {
+    // c1,c2,c3 all buy s1; only c1 also buys s2 — s1 must out-score s2,
+    // and c1 (endorsing both authorities) must out-score c2/c3
+    val edges = Seq(("c1", "s1", 1L), ("c2", "s1", 1L), ("c3", "s1", 1L),
+      ("c1", "s2", 1L))
+    val (hubs, auths) = runHits(edges, 4)
+    val (hRef, aRef) = refHits(edges, 4)
+    assert(hubs == hRef && auths == aRef)
+    assert(auths("s1") > auths("s2"))
+    assert(hubs("c1") > hubs("c2") && hubs("c2") == hubs("c3"))
+    // renorm keeps each vector within one truncation step of the mass scale
+    assert(auths.values.sum <= 100000000L + 10000L)
+    assert(hubs.values.sum <= 100000000L + 10000L)
+  }
+
+  test("hits: edge weight shifts authority toward the heavy endorsement") {
+    val edges = Seq(("c1", "s1", 5L), ("c1", "s2", 1L), ("c2", "s2", 1L))
+    val (hubs, auths) = runHits(edges, 3)
+    val (hRef, aRef) = refHits(edges, 3)
+    assert(hubs == hRef && auths == aRef)
+    assert(auths("s1") > auths("s2"))
+  }
+
+  test("hits property: 25 random bipartite graphs match the plain-Scala reference") {
+    val rnd = new scala.util.Random(20260820L)
+    for (case_ <- 1 to 25) {
+      val nc = 2 + rnd.nextInt(6)
+      val ns = 2 + rnd.nextInt(6)
+      // every customer gets ≥1 edge (hits' non-dangling-src precondition)
+      val base = (0 until nc).map(c => (s"c$c", s"s${rnd.nextInt(ns)}"))
+      val extra = Seq.fill(rnd.nextInt(3 * nc))(
+        (s"c${rnd.nextInt(nc)}", s"s${rnd.nextInt(ns)}"))
+      val edges = (base ++ extra).distinct
+        .map { case (u, v) => (u, v, 1L + rnd.nextInt(5).toLong) }
+      val rounds = 1 + rnd.nextInt(4)
+      val (hubs, auths) = runHits(edges, rounds)
+      val (hRef, aRef) = refHits(edges, rounds)
+      assert(hubs == hRef && auths == aRef,
+        s"case $case_ rounds=$rounds edges=$edges")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
