@@ -1034,9 +1034,31 @@ object NorthStarQueries {
     hubs.unionByName(auths).orderBy(col("side"), col("score_u").desc, col("node"))
   }
 
+  /** q151 — trade-graph degree profile: [[graft.ops.Concentration]]'s Gini
+    * + top-1%-share over each side's degree distribution (customer degree =
+    * distinct suppliers traded with; supplier degree = distinct customers) —
+    * the graph-SHAPE verb the algorithm family presumes: before q136's
+    * basket cap or q145's star cap you measure how hub-heavy the graph
+    * actually is, as auditable integer basis points. The distinct pair
+    * relation collapses lineitem⋈orders once; each side is one key-count
+    * aggregate; all windows run over the degree-value histogram. */
+  def tradeDegreeProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val ps = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+      .persist()
+    val deg = ps.groupBy("c").agg(count(lit(1)).as("deg"))
+      .select(lit("customer").as("side"), col("deg"))
+      .unionByName(ps.groupBy("s").agg(count(lit(1)).as("deg"))
+        .select(lit("supplier").as("side"), col("deg")))
+    graft.ops.Concentration.profile(deg, Seq("side"), "deg").orderBy("side")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q128_pagerank" -> (tradePageRank _),
     "q148_hits" -> (tradeHits _),
+    "q151_degree_profile" -> (tradeDegreeProfile _),
     "q133_trustrank" -> (tradeTrustRank _),
     "q134_seed_distance" -> (tradeSeedDistances _),
     "q135_communities" -> (tradeCommunities _),
@@ -1437,6 +1459,30 @@ object NorthStarQueries {
   val oracles: Map[String, String] = Map(
     "q128_pagerank" -> q128OracleSql,
     "q148_hits" -> q148OracleSql,
+    // q151: the Concentration CTE replay over both degree sides
+    "q151_degree_profile" ->
+      """WITH ps AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (SELECT 'customer' AS side, count(*)::BIGINT AS w FROM ps GROUP BY c
+        |  UNION ALL SELECT 'supplier', count(*)::BIGINT FROM ps GROUP BY s),
+        |h AS (SELECT side, w, count(*)::BIGINT AS cnt FROM deg GROUP BY 1, 2),
+        |c AS (SELECT side, w, cnt,
+        |    coalesce(SUM(cnt) OVER (PARTITION BY side ORDER BY w ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_asc,
+        |    coalesce(SUM(cnt) OVER (PARTITION BY side ORDER BY w DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_desc
+        |  FROM h),
+        |a AS (SELECT side, SUM(cnt)::BIGINT AS n_units, SUM(w * cnt)::BIGINT AS total_w,
+        |    MAX(w)::BIGINT AS max_w,
+        |    SUM(w * (cnt * cum_asc + (cnt * (cnt + 1)) // 2))::BIGINT AS s
+        |  FROM c GROUP BY 1),
+        |tp AS (SELECT c.side,
+        |    SUM(w * GREATEST(0, LEAST(cnt, (SELECT (n_units + 99) // 100 FROM a WHERE a.side = c.side) - cum_desc)))::BIGINT AS topw
+        |  FROM c GROUP BY 1)
+        |SELECT a.side, n_units, total_w, max_w,
+        |  (((2 * s - (n_units + 1) * total_w) * 10000) // (n_units * total_w))::BIGINT AS gini_bp,
+        |  ((topw * 10000) // total_w)::BIGINT AS top1pct_bp
+        |FROM a JOIN tp ON a.side = tp.side ORDER BY a.side""".stripMargin,
     "q133_trustrank" -> q133OracleSql,
     "q135_communities" -> q135OracleSql,
     // q136: the oracle replays the UNCAPPED projection — sound because the

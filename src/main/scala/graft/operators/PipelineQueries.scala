@@ -277,6 +277,60 @@ object PipelineQueries {
       .orderBy("event_type", "dow")
   }
 
+  /** q150 — RFM customer segmentation: every customer scored on Recency
+    * (days since last order vs the corpus anchor), Frequency (order count),
+    * Monetary (total quantity — the integer-exact stand-in for revenue),
+    * split hi/lo at each metric's corpus MEAN (integer div — the portable,
+    * data-dependent threshold; quantile splits would drag in cross-engine
+    * discrete-quantile semantics for no analytics gain), rolled up to the 8
+    * R×F×M segments — the customer-base segmentation verb behind retention
+    * (q129) and funnel (q116) views. Scale: two aggregates (orders by
+    * customer; lineitem⋈orders by customer) + one customer-keyed join; the
+    * thresholds are ONE 5-scalar driver row (bounded-model exception), with
+    * rbar derived as (anchor·n − Σlast) div n so anchor and means share the
+    * pass. Customers who never ordered are out of scope by construction
+    * (inner semantics, documented). */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val ord = table(spark, dir, "orders")
+      .select(col("o_custkey").as("cust"), col("o_orderkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"))
+    val oc = ord.groupBy("cust")
+      .agg(count(lit(1)).as("freq"), max("day").as("last_day"))
+    val mon = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+      .join(ord.select("o_orderkey", "cust"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("cust").agg(sum("qty").as("mon"))
+    val j = oc.join(mon, "cust").persist()
+    val t = j.agg(max("last_day"), count(lit(1)), sum("last_day"),
+      sum("freq"), sum("mon")).head()
+    val (anchor, n) = (t.getLong(0), t.getLong(1))
+    val (rbar, fbar, mbar) =
+      ((anchor * n - t.getLong(2)) / n, t.getLong(3) / n, t.getLong(4) / n)
+    j.select(
+        concat(lit("R"), when(lit(anchor) - col("last_day") <= rbar, lit("1")).otherwise(lit("0")),
+          lit("F"), when(col("freq") > fbar, lit("1")).otherwise(lit("0")),
+          lit("M"), when(col("mon") > mbar, lit("1")).otherwise(lit("0"))).as("segment"),
+        col("freq"), col("mon"))
+      .groupBy("segment").agg(count(lit(1)).as("n_customers"),
+        sum("freq").as("tot_orders"), sum("mon").as("tot_qty"))
+      .orderBy("segment")
+  }
+
+  /** q152 — token-frequency concentration: [[graft.ops.Concentration]]'s
+    * Gini + top-1%-share profile per language over the corpus vocabulary —
+    * the Zipf/heavy-tail measurement behind every skew decision this engine
+    * makes (hot-gram caps q80/q97, salting q60, banding caps q24): how
+    * unequal IS the token distribution, per slice, as one auditable number.
+    * All integer basis points (single trailing div per metric); every
+    * window runs over the (lang, tf-value) histogram, never over tokens. */
+  def tokenConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(coalesce(col("lang"), lit("??")).as("lang"),
+        explode(filter(split(col("text"), "\\s+"), t => t =!= lit(""))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+    graft.ops.Concentration.profile(tf, Seq("lang"), "tf").orderBy("lang")
+  }
+
   /** q141 — session path mining: the first 5 event types of every q55-style
     * session (30-min gap), as a `>`-joined path string, counted across
     * sessions — top-20 common journeys (the sequence-mining verb over the
@@ -1192,6 +1246,8 @@ object PipelineQueries {
     "q140_event_transitions" -> (eventTransitions _),
     "q147_transition_latency" -> (transitionLatency _),
     "q149_weekday_seasonality" -> (weekdaySeasonality _),
+    "q150_rfm_segments" -> (rfmSegments _),
+    "q152_token_concentration" -> (tokenConcentration _),
     "q141_session_paths" -> (sessionPaths _),
     "q117_bpe_merges" -> (bpeInduct _),
     "q118_bpe_encode" -> (bpeEncodeReport _)
@@ -1498,6 +1554,50 @@ object PipelineQueries {
         "ROUND(quantile_cont(delta_us, 0.5) / 1e6, 4) AS p50_s, " +
         "ROUND(quantile_cont(delta_us, 0.9) / 1e6, 4) AS p90_s, TRUE AS approx_ok " +
         "FROM p WHERE dst_type IS NOT NULL GROUP BY 1, 2 ORDER BY src_type, dst_type"),
+    // q150: mean thresholds replayed exactly (anchor·n − Σlast) // n;
+    // l_quantity is integral DOUBLE so the BIGINT cast agrees cross-engine
+    "q150_rfm_segments" ->
+      """WITH oc AS (SELECT o_custkey AS cust, count(*)::BIGINT AS freq,
+        |    max(epoch_us(o_orderdate) // 86400000000)::BIGINT AS last_day
+        |  FROM orders GROUP BY 1),
+        |mc AS (SELECT o_custkey AS cust, SUM(CAST(l_quantity AS BIGINT))::BIGINT AS mon
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
+        |j AS (SELECT cust, freq, last_day, mon FROM oc JOIN mc USING (cust)),
+        |m AS (SELECT max(last_day) AS anchor,
+        |    (max(last_day) * count(*) - SUM(last_day)) // count(*) AS rbar,
+        |    SUM(freq) // count(*) AS fbar, SUM(mon) // count(*) AS mbar FROM j)
+        |SELECT concat(
+        |    'R', CASE WHEN (SELECT anchor FROM m) - last_day <= (SELECT rbar FROM m) THEN '1' ELSE '0' END,
+        |    'F', CASE WHEN freq > (SELECT fbar FROM m) THEN '1' ELSE '0' END,
+        |    'M', CASE WHEN mon > (SELECT mbar FROM m) THEN '1' ELSE '0' END) AS segment,
+        |  count(*)::BIGINT AS n_customers, SUM(freq)::BIGINT AS tot_orders,
+        |  SUM(mon)::BIGINT AS tot_qty
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q152: the Concentration CTE replay — grouped-weight Gini and the
+    // tie-pro-rata top-1% share, one trailing // per metric
+    "q152_token_concentration" ->
+      """WITH tok AS (SELECT coalesce(lang, '??') AS lang,
+        |    UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT lang, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+        |h AS (SELECT lang, tf AS w, count(*)::BIGINT AS cnt FROM tf GROUP BY 1, 2),
+        |c AS (SELECT lang, w, cnt,
+        |    coalesce(SUM(cnt) OVER (PARTITION BY lang ORDER BY w ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_asc,
+        |    coalesce(SUM(cnt) OVER (PARTITION BY lang ORDER BY w DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_desc
+        |  FROM h),
+        |a AS (SELECT lang, SUM(cnt)::BIGINT AS n_units, SUM(w * cnt)::BIGINT AS total_w,
+        |    MAX(w)::BIGINT AS max_w,
+        |    SUM(w * (cnt * cum_asc + (cnt * (cnt + 1)) // 2))::BIGINT AS s
+        |  FROM c GROUP BY 1),
+        |tp AS (SELECT c.lang,
+        |    SUM(w * GREATEST(0, LEAST(cnt, (SELECT (n_units + 99) // 100 FROM a WHERE a.lang = c.lang) - cum_desc)))::BIGINT AS topw
+        |  FROM c GROUP BY 1)
+        |SELECT a.lang, n_units, total_w, max_w,
+        |  (((2 * s - (n_units + 1) * total_w) * 10000) // (n_units * total_w))::BIGINT AS gini_bp,
+        |  ((topw * 10000) // total_w)::BIGINT AS top1pct_bp
+        |FROM a JOIN tp ON a.lang = tp.lang ORDER BY a.lang""".stripMargin,
     // q149: pure integer day-of-week — (epoch_day + 3) % 7, 0 = Monday
     "q149_weekday_seasonality" ->
       ("WITH o AS (SELECT event_type, (epoch_us(ts) // 86400000000 + 3) % 7 AS dow FROM events), " +

@@ -124,7 +124,14 @@ object ProfGraph {
       // q140: one user-keyed window over 10x users (~10x); q141: sessionize
       // + per-session rollup on the same key (~10x)
       "q140_transitions" -> (d => operators.PipelineQueries.eventTransitions(spark, d)),
-      "q141_paths" -> (d => operators.PipelineQueries.sessionPaths(spark, d)))
+      "q141_paths" -> (d => operators.PipelineQueries.sessionPaths(spark, d)),
+      // q147: q140's window + a ≤|types|² percentile rollup (~10x);
+      // q148: the HITS loop runs on the distinct trading-pair relation —
+      // pairs grow ∝ customers (supplier side fixed), expect ~10x against
+      // the 8-half-round loop floor; q149: one tiny rollup (expect flat)
+      "q147_dwell" -> (d => operators.PipelineQueries.transitionLatency(spark, d)),
+      "q148_hits" -> (d => operators.NorthStarQueries.tradeHits(spark, d)),
+      "q149_weekday" -> (d => operators.PipelineQueries.weekdaySeasonality(spark, d)))
     for (round <- 1 to 3; (name, q) <- queries; (label, d) <- Seq("1x" -> d1, s"${blowup}x" -> dN)) {
       val t0 = System.nanoTime()
       q(d).write.format("noop").mode("overwrite").save()

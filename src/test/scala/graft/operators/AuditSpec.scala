@@ -583,6 +583,30 @@ class AuditSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q150: RFM splits at integer means; recency measures from the corpus anchor") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rfm").toString
+    def day(d: Long) =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(d * 86400))
+    // c1: 2 orders (last day 10), qty 100; c2: 1 order day 10, qty 10;
+    // c3: 1 order day 0, qty 10. anchor=10, n=3 → rbar=(30−20)div 3=3,
+    // fbar=4 div 3=1, mbar=120 div 3=40.
+    Seq((101L, 1L, day(10)), (102L, 1L, day(5)), (103L, 2L, day(10)),
+        (104L, 3L, day(0)))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((101L, 30.0), (101L, 30.0), (102L, 40.0), (103L, 10.0), (104L, 10.0))
+      .toDF("l_orderkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = PipelineQueries.rfmSegments(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("R0F0M0", 1L, 1L, 10L),   // c3: r_days 10 > 3
+      ("R1F0M0", 1L, 1L, 10L),   // c2: recent but single small order
+      ("R1F1M1", 1L, 2L, 100L))) // c1: 2 > fbar, 100 > mbar
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q141: paths cut at 5 events, split at the 30-min gap, tie-break by event_id") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("paths-ev").toString
