@@ -1055,10 +1055,35 @@ object NorthStarQueries {
     graft.ops.Concentration.profile(deg, Seq("side"), "deg").orderBy("side")
   }
 
+  /** q153 — trade-cost proximity: bounded weighted shortest path (≤4 edges)
+    * from the trusted seed suppliers over the symmetrized trade graph with
+    * edge LENGTH = max(1, 1e6 div w) — strong trading pairs are NEAR, so
+    * this is q134's hop distance upgraded to cost semantics (a customer two
+    * heavy hops away outranks one light hop away). Per side: nodes, reached
+    * count, total and max cost. [[graft.ops.Graph.weightedDistances]] is
+    * the min-plus Pregel with SPFA frontier relaxation; the oracle replays
+    * FULL relaxation (provably equal, see the operator doc). */
+  def tradeCostDistances(spark: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(spark, dir)
+      .select(col("src"), col("dst"),
+        greatest(lit(1L), expr("1000000 div w")).as("w"))
+    val dist = graft.ops.Graph.weightedDistances(
+      edges, seedSuppliers(spark, dir), rounds = 4)
+    edges.select(col("src").as("node")).distinct()
+      .join(dist, Seq("node"), "left")
+      .select(when(col("node") % 2 === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("side"), col("dist"))
+      .groupBy("side")
+      .agg(count(lit(1)).as("n_nodes"), count(col("dist")).as("n_reached"),
+        sum("dist").as("sum_dist"), max("dist").as("max_dist"))
+      .orderBy("side")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q128_pagerank" -> (tradePageRank _),
     "q148_hits" -> (tradeHits _),
     "q151_degree_profile" -> (tradeDegreeProfile _),
+    "q153_cost_distance" -> (tradeCostDistances _),
     "q133_trustrank" -> (tradeTrustRank _),
     "q134_seed_distance" -> (tradeSeedDistances _),
     "q135_communities" -> (tradeCommunities _),
@@ -1459,6 +1484,28 @@ object NorthStarQueries {
   val oracles: Map[String, String] = Map(
     "q128_pagerank" -> q128OracleSql,
     "q148_hits" -> q148OracleSql,
+    // q153: 4 unrolled FULL Bellman-Ford relaxation rounds (== the engine's
+    // frontier relaxation, see Graph.weightedDistances); MATERIALIZED —
+    // each d_i feeds both legs of d_{i+1}
+    "q153_cost_distance" -> {
+      val steps = (1 to 4).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, min(d)::BIGINT AS dist FROM (
+           |  SELECT node, dist AS d FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT el.dst, d${i - 1}.dist + el.w
+           |  FROM el JOIN d${i - 1} ON d${i - 1}.node = el.src) GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $tradeGraphCtes,
+         |el AS MATERIALIZED (SELECT src, dst, GREATEST(1, 1000000 // w)::BIGINT AS w FROM edges),
+         |d0 AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node, 0::BIGINT AS dist
+         |  FROM supplier WHERE s_suppkey % 10 = 0),
+         |$steps,
+         |nodes AS (SELECT DISTINCT src AS node FROM edges)
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+         |  count(*)::BIGINT AS n_nodes, count(dist)::BIGINT AS n_reached,
+         |  SUM(dist)::BIGINT AS sum_dist, MAX(dist)::BIGINT AS max_dist
+         |FROM nodes LEFT JOIN d4 USING (node) GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // q151: the Concentration CTE replay over both degree sides
     "q151_degree_profile" ->
       """WITH ps AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s

@@ -174,6 +174,52 @@ object Graph {
     dist
   }
 
+  /** Bounded weighted shortest path — Bellman-Ford relaxation rounds from a
+    * seed set over positive integer edge lengths: the COST-distance verb
+    * next to [[bfsDistances]]' hop distance (how cheap is the path, not how
+    * many steps). The min-plus Pregel shape with the frontier optimization
+    * (SPFA): each round relaxes only edges out of nodes whose distance
+    * IMPROVED last round — provably equal to full relaxation (a node
+    * unimproved in round i−1 already contributed its final offers in the
+    * round it last improved), so work ∝ Σ improved-incident edges and a
+    * converged graph stops early instead of burning rounds×|edges|.
+    * `rounds` bounds path LENGTH (edges), so dist after r rounds = cheapest
+    * ≤r-edge path — a fixed-round definition the oracle replays exactly
+    * (full relaxation in SQL, equal by the argument above). Long min-merge
+    * is order-independent: integer-exact anywhere. Unreached nodes are
+    * simply absent (the caller left-joins, the [[bfsDistances]] contract).
+    * Precondition: w ≥ 1 (positive lengths — with them, dist values only
+    * ever decrease and the merge needs no tie rule beyond min). */
+  def weightedDistances(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0)
+    val en = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .repartition(col("src")).persist()
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var r = 1
+    var done = rounds == 0
+    while (!done) {
+      val cand = en.join(frontier, en("src") === frontier("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("_d"))
+        .groupBy("node").agg(min("_d").as("_d"))
+      val merged = dist.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("dist"), lit(Long.MaxValue)),
+            coalesce(col("_d"), lit(Long.MaxValue))).as("dist"),
+          (col("_d").isNotNull && (col("dist").isNull || col("_d") < col("dist")))
+            .as("_improved"))
+        .localCheckpoint()
+      frontier = merged.where(col("_improved")).select("node", "dist")
+      dist = merged.select("node", "dist")
+      if (frontier.isEmpty) done = true
+      else { r += 1; if (r > rounds) done = true }
+    }
+    en.unpersist()
+    dist
+  }
+
   /** Synchronous weighted label propagation (community detection): every
     * node starts labeled with itself; each round it adopts the label with
     * the greatest total incident edge weight, ties to the SMALLEST label —

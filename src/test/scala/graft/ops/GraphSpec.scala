@@ -425,6 +425,72 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  /** Plain-Scala FULL Bellman-Ford relaxation (== the engine's frontier
+    * relaxation — the equivalence weightedDistances documents). */
+  private def refWsp(edges: Seq[(String, String, Long)], seeds: Set[String],
+      rounds: Int): Map[String, Long] = {
+    var d = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val upd = scala.collection.mutable.Map.empty[String, Long] ++ d
+      for ((u, v, w) <- edges; du <- d.get(u)) {
+        val nd = du + w
+        if (upd.get(v).forall(_ > nd)) upd(v) = nd
+      }
+      d = upd.toMap
+    }
+    d
+  }
+
+  private def runWsp(edges: Seq[(String, String, Long)], seeds: Seq[String],
+      rounds: Int): Map[String, Long] =
+    Graph.weightedDistances(edges.toDF("src", "dst", "w"),
+        seeds.toDF("node"), rounds)
+      .as[(String, Long)].collect().toMap
+
+  test("weightedDistances: cheap multi-hop beats the heavy direct edge") {
+    // a→b→c costs 1+1=2; the direct a→c edge costs 10
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 10L))
+    val got = runWsp(edges, Seq("a"), 4)
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    // at 1 round only the direct offers exist
+    assert(runWsp(edges, Seq("a"), 1) == Map("a" -> 0L, "b" -> 1L, "c" -> 10L))
+  }
+
+  test("weightedDistances: the round bound cuts paths longer than r edges") {
+    val chain = Seq(("a", "b", 2L), ("b", "c", 2L), ("c", "d", 2L),
+      ("d", "e", 2L), ("e", "f", 2L))
+    val got = runWsp(chain, Seq("a"), 4)
+    assert(got == Map("a" -> 0L, "b" -> 2L, "c" -> 4L, "d" -> 6L, "e" -> 8L))
+    assert(!got.contains("f"), "f is 5 edges out — beyond the bound")
+  }
+
+  test("weightedDistances: absent seeds are inert; early convergence stops the loop") {
+    val edges = Seq(("a", "b", 3L), ("b", "a", 3L))
+    // "z" has no edges; graph converges after round 1 of 4
+    val got = runWsp(edges, Seq("a", "z"), 4)
+    assert(got == Map("a" -> 0L, "b" -> 3L, "z" -> 0L))
+  }
+
+  test("weightedDistances property: 25 random digraphs match full relaxation") {
+    val rnd = new scala.util.Random(20260822L)
+    for (case_ <- 1 to 25) {
+      val n = 3 + rnd.nextInt(8)
+      val nodes = (0 until n).map(i => s"n$i")
+      val edges = Seq.fill(2 * n)(
+          (nodes(rnd.nextInt(n)), nodes(rnd.nextInt(n)), 1L + rnd.nextInt(9)))
+        .filter(e => e._1 != e._2)
+        .groupBy(e => (e._1, e._2)).map(_._2.minBy(_._3)).toSeq
+      val seeds = nodes.filter(_ => rnd.nextBoolean()) match {
+        case s if s.nonEmpty => s
+        case _ => Seq(nodes.head)
+      }
+      val rounds = 1 + rnd.nextInt(4)
+      assert(runWsp(edges, seeds, rounds) == refWsp(edges, seeds.toSet, rounds),
+        s"case $case_ rounds=$rounds seeds=$seeds edges=$edges")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   /** Plain-Scala replay of Graph.hits' integer recurrence (init mass div
     * |srcs|, renorm (raw·10000)/(Σraw/10000) each half-round). */
   private def refHits(edges: Seq[(String, String, Long)], rounds: Int,
