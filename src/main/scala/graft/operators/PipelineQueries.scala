@@ -277,6 +277,44 @@ object PipelineQueries {
       .orderBy("event_type", "dow")
   }
 
+  /** q154 — behavioral pattern screen: every q55 session's FULL ordered
+    * path matched against ordered-containment patterns (SQL LIKE
+    * '%a%b%' — "a then eventually b") — the cohort-filter verb behind
+    * funnels: did the journey convert after a view, recover after an
+    * error, enter via signup, or only browse? Counts + share in basis
+    * points. LIKE is safe as sequence containment here because no event
+    * type is a substring of another (view/click/purchase/signup/error —
+    * asserted nowhere else, documented here). One sessionize shuffle; the
+    * path rollup reuses its key prefix; the four screens fold into ONE
+    * aggregate row unpivoted by stack — no per-pattern pass. Paths are
+    * session-bounded (the 30-min gap rule caps realistic length; no
+    * truncation, unlike q141's first-5 cut, because a tail conversion is
+    * exactly what the screen must see). */
+  def sessionPatternScreen(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val s = Temporal.sessionize(
+      ev.select(col("user_id"), tsMicros(ev).as("tsu"), col("event_id"),
+        col("event_type")),
+      "user_id", "tsu", "event_id", gapU)
+    val paths = s.groupBy("user_id", "session_seq")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("tsu"), col("event_id"),
+          col("event_type")))),
+        e => e.getField("event_type")), ">").as("path"))
+    paths.agg(count(lit(1)).as("total"),
+        sum(when(col("path").like("%view%purchase%"), 1L).otherwise(0L)).as("vtp"),
+        sum(when(col("path").like("%error%purchase%"), 1L).otherwise(0L)).as("er"),
+        sum(when(col("path").like("signup%"), 1L).otherwise(0L)).as("se"),
+        sum(when(!col("path").like("%purchase%")
+          && !col("path").like("%signup%"), 1L).otherwise(0L)).as("bo"))
+      .select(expr("stack(4, 'browse_only', bo, 'error_recovery', er, " +
+        "'signup_entry', se, 'view_to_purchase', vtp) AS (pattern, n_sessions)"),
+        col("total"))
+      .select(col("pattern"), col("n_sessions"),
+        expr("(n_sessions * 10000) div total").as("share_bp"))
+      .orderBy("pattern")
+  }
+
   /** q150 — RFM customer segmentation: every customer scored on Recency
     * (days since last order vs the corpus anchor), Frequency (order count),
     * Monetary (total quantity — the integer-exact stand-in for revenue),
@@ -1248,6 +1286,7 @@ object PipelineQueries {
     "q149_weekday_seasonality" -> (weekdaySeasonality _),
     "q150_rfm_segments" -> (rfmSegments _),
     "q152_token_concentration" -> (tokenConcentration _),
+    "q154_pattern_screen" -> (sessionPatternScreen _),
     "q141_session_paths" -> (sessionPaths _),
     "q117_bpe_merges" -> (bpeInduct _),
     "q118_bpe_encode" -> (bpeEncodeReport _)
@@ -1554,6 +1593,25 @@ object PipelineQueries {
         "ROUND(quantile_cont(delta_us, 0.5) / 1e6, 4) AS p50_s, " +
         "ROUND(quantile_cont(delta_us, 0.9) / 1e6, 4) AS p90_s, TRUE AS approx_ok " +
         "FROM p WHERE dst_type IS NOT NULL GROUP BY 1, 2 ORDER BY src_type, dst_type"),
+    // q154: q141's sessionize CTEs with FULL paths + LIKE containment
+    "q154_pattern_screen" ->
+      ("WITH o AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type FROM events), " +
+        "l AS (SELECT *, LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev FROM o), " +
+        "s AS (SELECT user_id, tsu, event_id, event_type, " +
+        "SUM(CASE WHEN prev IS NULL OR tsu - prev > 1800000000 THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM l), " +
+        "p AS (SELECT user_id, sid, array_to_string(list(event_type ORDER BY tsu, event_id), '>') AS path " +
+        "FROM s GROUP BY 1, 2), " +
+        "f AS (SELECT count(*)::BIGINT AS total, " +
+        "SUM(CASE WHEN path LIKE '%view%purchase%' THEN 1 ELSE 0 END)::BIGINT AS vtp, " +
+        "SUM(CASE WHEN path LIKE '%error%purchase%' THEN 1 ELSE 0 END)::BIGINT AS er, " +
+        "SUM(CASE WHEN path LIKE 'signup%' THEN 1 ELSE 0 END)::BIGINT AS se, " +
+        "SUM(CASE WHEN path NOT LIKE '%purchase%' AND path NOT LIKE '%signup%' THEN 1 ELSE 0 END)::BIGINT AS bo FROM p) " +
+        "SELECT pattern, n_sessions, (n_sessions * 10000 // total)::BIGINT AS share_bp FROM (" +
+        "SELECT 'browse_only' AS pattern, bo AS n_sessions, total FROM f " +
+        "UNION ALL SELECT 'error_recovery', er, total FROM f " +
+        "UNION ALL SELECT 'signup_entry', se, total FROM f " +
+        "UNION ALL SELECT 'view_to_purchase', vtp, total FROM f) ORDER BY pattern"),
     // q150: mean thresholds replayed exactly (anchor·n − Σlast) // n;
     // l_quantity is integral DOUBLE so the BIGINT cast agrees cross-engine
     "q150_rfm_segments" ->

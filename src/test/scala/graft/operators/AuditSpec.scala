@@ -583,6 +583,30 @@ class AuditSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q154: patterns are ordered containment per session; gap splits isolate journeys") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("patt-ev").toString
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    Seq(
+      (1L, 10L, "view", ts(10)), (1L, 11L, "purchase", ts(20)),   // view→purchase
+      (2L, 20L, "error", ts(10)), (2L, 21L, "purchase", ts(20)),  // error recovery
+      (3L, 30L, "signup", ts(10)), (3L, 31L, "click", ts(20)),    // signup entry
+      (4L, 40L, "view", ts(10)), (4L, 41L, "click", ts(20)),      // browse only
+      // u4's SECOND session (past the 30-min gap): a bare purchase — counted
+      // in total, matching no screen (no view precedes it in ITS session)
+      (4L, 42L, "purchase", ts(7000)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = PipelineQueries.sessionPatternScreen(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("browse_only", 1L, 2000L),
+      ("error_recovery", 1L, 2000L),
+      ("signup_entry", 1L, 2000L),
+      ("view_to_purchase", 1L, 2000L)))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q150: RFM splits at integer means; recency measures from the corpus anchor") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("rfm").toString
