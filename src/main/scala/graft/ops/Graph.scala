@@ -303,18 +303,22 @@ object Graph {
       .withColumn("h", lit(mass / nh)).localCheckpoint()
     var auths: DataFrame = hubs.limit(0).select(col("node"), col("h").as("a"))
     for (_ <- 1 to rounds) {
+      // only the RAW vectors checkpoint (they are read twice: the renorm
+      // scalar and the next half-round); the normalized vectors are pure
+      // projections over those LogicalRDDs — lineage stays one deep without
+      // paying two more materialization jobs per round
       val ar = e.join(hubs, e("src") === hubs("node"))
         .select(col("dst"), (col("w") * col("h")).as("x"))
         .groupBy("dst").agg(sum("x").as("raw")).localCheckpoint()
       val asum = ar.agg(sum("raw")).head().getLong(0)
       auths = ar.select(col("dst").as("node"),
-        expr(s"(raw * 10000) div (${asum}L div 10000)").as("a")).localCheckpoint()
+        expr(s"(raw * 10000) div (${asum}L div 10000)").as("a"))
       val hr = e.join(auths, e("dst") === auths("node"))
         .select(col("src"), (col("w") * col("a")).as("x"))
         .groupBy("src").agg(sum("x").as("raw")).localCheckpoint()
       val hsum = hr.agg(sum("raw")).head().getLong(0)
       hubs = hr.select(col("src").as("node"),
-        expr(s"(raw * 10000) div (${hsum}L div 10000)").as("h")).localCheckpoint()
+        expr(s"(raw * 10000) div (${hsum}L div 10000)").as("h"))
     }
     e.unpersist()
     hubs.select(lit("hub").as("side"), col("node"), col("h").as("score_u"))
