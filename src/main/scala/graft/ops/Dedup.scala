@@ -324,14 +324,24 @@ object Dedup {
     graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
     val base = spread(df)
       .select(col(idCol).as("_bid"), col(textCol).as("_t")).persist()
+    // persisted: cappedPairs reads the index four times (hot-bucket agg,
+    // the flag join, and both legs of the small self-join) — unpersisted,
+    // each read re-runs the explode+hash+distinct over the corpus
     val blocked = base.select(col("_bid").as("_id"),
         explode(graft.expr.GraftFunctions.wordNGrams(col("_t"), n)).as("_g"))
       .select(col("_id"), PortableSketch.h60(col("_g")).as("_b"))
       .where(pmod(col("_b"), lit(sampleMod)) === 0)
-      .distinct()
+      .distinct().persist()
     val thr = Option(base.agg(max(length(col("_t")))).head().get(0))
       .map(_.asInstanceOf[Int]).getOrElse(0) * maxDistNum / maxDistDen + 1
     cappedPairs(blocked, maxBucket)
+      // the verify below is COMPUTE-bound, not byte-bound: AQE sees the
+      // few-MB pair-dedup shuffle and coalesces the tail to one partition,
+      // serializing every bounded levenshtein onto one core (profiled: a
+      // 22 s single-task stage inside a 24 s query at sf0.1). An explicit
+      // user repartition is exempt from AQE coalescing and costs one
+      // skinny-row shuffle.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .join(base.select(col("_bid").as("idA"), col("_t").as("_ta")), "idA")
       .join(base.select(col("_bid").as("idB"), col("_t").as("_tb")), "idB")
       .withColumn("_ml",
