@@ -71,8 +71,9 @@ object ProfGraph {
     val d1 = java.nio.file.Files.createTempDirectory("profgraph-1x").toString
     val dN = java.nio.file.Files.createTempDirectory(s"profgraph-${blowup}x").toString
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select("l_orderkey", "l_suppkey", "l_partkey")
-    val or0 = spark.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_custkey")
+      .select("l_orderkey", "l_suppkey", "l_partkey", "l_quantity")
+    val or0 = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
     val ev0 = spark.read.parquet(s"$dir/events.parquet")
       .select("event_id", "user_id", "event_type", "ts")
     li0.write.mode("overwrite").parquet(s"$d1/lineitem.parquet")
@@ -84,11 +85,12 @@ object ProfGraph {
     su0.write.mode("overwrite").parquet(s"$dN/supplier.parquet")
     li0.withColumn("_r", reps)
       .select((col("l_orderkey") * blowup + col("_r")).as("l_orderkey"),
-        col("l_suppkey"), col("l_partkey"))
+        col("l_suppkey"), col("l_partkey"), col("l_quantity"))
       .write.mode("overwrite").parquet(s"$dN/lineitem.parquet")
     or0.withColumn("_r", reps)
       .select((col("o_orderkey") * blowup + col("_r")).as("o_orderkey"),
-        (col("o_custkey") + col("_r") * 1000000L).as("o_custkey"))
+        (col("o_custkey") + col("_r") * 1000000L).as("o_custkey"),
+        col("o_orderdate"))
       .write.mode("overwrite").parquet(s"$dN/orders.parquet")
     ev0.withColumn("_r", reps)
       .select((col("event_id") * blowup + col("_r")).as("event_id"),
@@ -131,8 +133,21 @@ object ProfGraph {
       // the 8-half-round loop floor; q149: one tiny rollup (expect flat)
       "q147_dwell" -> (d => operators.PipelineQueries.transitionLatency(spark, d)),
       "q148_hits" -> (d => operators.NorthStarQueries.tradeHits(spark, d)),
+      // q150: two customer-keyed aggregates (~10x customers); q151: the
+      // distinct pair relation grows ∝ customers, the degree HISTOGRAM the
+      // windows run on stays tiny; q153: the SPFA loop on 10x edges against
+      // a flat round floor (the q134 shape with costs); q154: sessionize
+      // over 10x users (~10x)
+      "q150_rfm" -> (d => operators.PipelineQueries.rfmSegments(spark, d)),
+      "q151_degrees" -> (d => operators.NorthStarQueries.tradeDegreeProfile(spark, d)),
+      "q153_costdist" -> (d => operators.NorthStarQueries.tradeCostDistances(spark, d)),
+      "q154_patterns" -> (d => operators.PipelineQueries.sessionPatternScreen(spark, d)),
       "q149_weekday" -> (d => operators.PipelineQueries.weekdaySeasonality(spark, d)))
-    for (round <- 1 to 3; (name, q) <- queries; (label, d) <- Seq("1x" -> d1, s"${blowup}x" -> dN)) {
+    // SPARK_GRAFT_ONLY: comma-separated name substrings (the Verify/Bench
+    // convention) — sweep just the named queries when iterating
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = queries.filter { case (n, _) => only.forall(_.exists(n.contains)) }
+    for (round <- 1 to 3; (name, q) <- selected; (label, d) <- Seq("1x" -> d1, s"${blowup}x" -> dN)) {
       val t0 = System.nanoTime()
       q(d).write.format("noop").mode("overwrite").save()
       println(f"[scale] r$round $name $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")

@@ -71,6 +71,10 @@ object ProfScale {
     }
 
     val queries: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+      // q146/q152: one tokenize pass each, then vocab-histogram-bounded
+      // work — expect ~10x scan against a flat tail
+      "q146_distinctive" -> (d => operators.PipelineQueries.distinctiveTerms(spark, d)),
+      "q152_concentration" -> (d => operators.PipelineQueries.tokenConcentration(spark, d)),
       "q105_chunk_dedup" -> (d => operators.CurationQueries.chunkDedup(spark, d)),
       "q106_bpe_pairs" -> (d => operators.PipelineQueries.bpePairs(spark, d)),
       "q107_oov_rate" -> (d => operators.PipelineQueries.oovRate(spark, d)),
@@ -102,7 +106,11 @@ object ProfScale {
       "q123_admit" -> (d => operators.NorthStarQueries.phashAdmitBatch(spark, d)),
       "q127_clusters" -> (d => operators.NorthStarQueries.phashDupClusters(spark, d)))
 
-    for (round <- 1 to 3; (name, q) <- queries; (label, d) <- Seq("1x" -> d1, s"${blowup}x" -> dN)) {
+    // SPARK_GRAFT_ONLY: comma-separated name substrings (the Verify/Bench
+    // convention) — sweep just the named queries when iterating
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = queries.filter { case (n, _) => only.forall(_.exists(n.contains)) }
+    for (round <- 1 to 3; (name, q) <- selected; (label, d) <- Seq("1x" -> d1, s"${blowup}x" -> dN)) {
       val t0 = System.nanoTime()
       q(d).write.format("noop").mode("overwrite").save()
       println(f"[scale] r$round $name $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
