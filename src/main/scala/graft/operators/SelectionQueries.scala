@@ -74,6 +74,63 @@ object SelectionQueries {
       "FROM a2 LEFT JOIN pruned p ON a2.vec_id = p.vec_id " +
       "GROUP BY 1 ORDER BY 1"
 
+  /** q155 — cluster-quality audit: the eval verb the embedding-cluster
+    * family (q91 SemDeDup, q119 coreset, q47/q89 IVF) presumes but never
+    * measured — is the clustering actually tight and separated? Per q91
+    * cluster: cohesion (mean cosine to the OWN centroid), nearest-other
+    * (mean cosine to the best FOREIGN centroid), the silhouette-style
+    * margin (mean of own − other), and how many members sit strictly
+    * closer to their own centroid. The per-vector k cosines are computed
+    * ONCE (an array of (sim, ci) structs over the broadcast k×dim model);
+    * own = struct max (tie → higher ci, the q91 rule), other = max of the
+    * rest. Float discipline: the model coordinates are the 6-dp-rounded
+    * k-means means (q91), per-vector cosines are engine-identical
+    * left-to-right sums, and the only cross-engine float boundary is the
+    * cluster AVG rounded to 4 dp (the q56/q81 precedent). */
+  def clusterQuality(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    val cents = SemDedup.kmeansFit(e, "embedding", "vec_id",
+      KmInitEvery, KmInitMax, KmIters)
+    val v = col("embedding").cast("array<double>")
+    val scored = array(cents.map { case (ci, cv) =>
+      struct(graft.ops.Similarity.cosine(v,
+          array(cv.map(x => lit(x)): _*)).as("sim"),
+        lit(ci).as("ci"))
+    }: _*)
+    e.select(col("vec_id"), scored.as("_s"))
+      .withColumn("_own", array_max(col("_s")))
+      .withColumn("_other", array_max(filter(col("_s"),
+        s => s.getField("ci") =!= col("_own").getField("ci"))))
+      .select(col("_own.ci").as("cluster_id"),
+        col("_own.sim").as("_os"), col("_other.sim").as("_ns"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        round(avg("_os"), 4).as("cohesion"),
+        round(avg("_ns"), 4).as("nearest_other"),
+        round(avg(col("_os") - col("_ns")), 4).as("margin"),
+        sum(when(col("_os") > col("_ns"), 1L).otherwise(0L)).as("n_separated"))
+      .orderBy("cluster_id")
+  }
+
+  private def q155OracleSql: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci, v AS cv " +
+      s"FROM e WHERE vec_id % $KmInitEvery = 0 AND vec_id < $KmInitMax), " +
+      assignCte("c0", "a0") + ", " + updateCte("a0", "c1") + ", " +
+      assignCte("c1", "a1") + ", " + updateCte("a1", "c2") + ", " +
+      // all k cosines per vector against the fitted model, then own/other
+      s"sc AS (SELECT e.vec_id, c.ci, ${cosSql("e.v", "c.cv")} AS sim FROM e, c2 c), " +
+      "own AS (SELECT vec_id, ci, sim FROM (SELECT sc.*, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, ci DESC) AS rn FROM sc) WHERE rn = 1), " +
+      "oth AS (SELECT sc.vec_id, MAX(sc.sim) AS sim FROM sc JOIN own ON sc.vec_id = own.vec_id " +
+      "AND sc.ci <> own.ci GROUP BY 1) " +
+      "SELECT own.ci AS cluster_id, count(*)::BIGINT AS n_members, " +
+      "ROUND(AVG(own.sim), 4) AS cohesion, ROUND(AVG(oth.sim), 4) AS nearest_other, " +
+      "ROUND(AVG(own.sim - oth.sim), 4) AS margin, " +
+      "SUM(CASE WHEN own.sim > oth.sim THEN 1 ELSE 0 END)::BIGINT AS n_separated " +
+      "FROM own JOIN oth ON own.vec_id = oth.vec_id " +
+      "GROUP BY 1 ORDER BY 1"
+
   // --- q119: cluster-balanced coreset selection -----------------------------
 
   /** q119 — CLUSTER-BALANCED CORESET: diversity subsampling in embedding
@@ -813,6 +870,7 @@ object SelectionQueries {
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q91_semantic_dedup" -> (semanticDedup _),
+    "q155_cluster_quality" -> (clusterQuality _),
     "q92_mixture_sample" -> (mixtureSample _),
     "q93_pii_scrub" -> (piiScrub _),
     "q94_epoch_order" -> (epochOrder _),
@@ -831,6 +889,7 @@ object SelectionQueries {
     "q113_importance_weights" -> q113OracleSql,
     "q119_coreset_sample" -> q119OracleSql,
     "q91_semantic_dedup" -> q91OracleSql,
+    "q155_cluster_quality" -> q155OracleSql,
     "q92_mixture_sample" -> q92OracleSql,
     "q93_pii_scrub" -> q93OracleSql,
     "q111_rare_scrub" -> q111OracleSql,

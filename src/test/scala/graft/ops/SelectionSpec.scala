@@ -296,6 +296,32 @@ class SelectionSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q155 cluster quality: tight planted clusters score high cohesion and positive margin") {
+    val dir = java.nio.file.Files.createTempDirectory("quality-emb").toString
+    // same init geometry as the q119 fixture: centroids from ids 0 and 50.
+    // cluster 0 = four +x vectors, cluster 1 = two +y vectors — tight and
+    // orthogonal, so every member separates and margins are large.
+    Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.95f, 0.02f), 0),
+      (3L, Array(1.0f, 0.05f), 0),
+      (50L, Array(0.0f, 1.0f), 0),
+      (51L, Array(0.05f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.SelectionQueries.clusterQuality(spark, dir)
+      .as[(Int, Long, Double, Double, Double, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._6)) == Seq((0, 4L, 4L), (1, 2L, 2L)),
+      s"membership/separation: $got")
+    for (r <- got) {
+      assert(r._3 > 0.99, s"cohesion should be near 1 for a tight cluster: $r")
+      assert(r._4 < 0.2, s"nearest-other should be near orthogonal: $r")
+      assert(r._5 > 0.8, s"margin should be wide: $r")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   // --- q113: importance-weighted selection (DSIR) --------------------------
 
   /** Plain-Scala replay of the q113 pipeline (h60-mod-128 buckets, add-one
