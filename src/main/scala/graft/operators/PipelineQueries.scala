@@ -1038,6 +1038,68 @@ object PipelineQueries {
       .orderBy("term", "rnk")
   }
 
+  /** q156 — retrieval-quality eval: MRR@10 / hit@1 / hit@10 of BM25
+    * known-item retrieval — the standard IR-eval harness construction:
+    * each doc carries a planted relevance tag token (`uniqN` — at scale
+    * this column IS your labeled eval set), every 100th doc becomes a
+    * probe whose query is its tag plus its 2 smallest distinct real
+    * tokens, and the metric asks whether the scorer puts the known
+    * relevant doc on top. The eval verb behind the retrieval family
+    * (q67 BM25, q115 RRF) — and a live scorer PIN: the tag's df=1 idf
+    * must dominate two near-zero-idf common terms (this corpus's 31-token
+    * vocabulary makes the common terms maximally confusable), so any
+    * idf/tf/length-normalization bug drops hit@1 below 100%. Pure lexical
+    * self-retrieval would be structurally impossible here (every token df
+    * ≫ 10) — measured 0/50 before the tags went in.
+    * Scale shape: postings are built ONLY for the distinct probe-term
+    * vocabulary (broadcast); the true doc's rank is 1 + count(strictly
+    * better (score, −doc_id)) — ONE aggregate per probe, never a
+    * per-probe sort of its match list. Ranks are float-ordering only (the
+    * q67 precedent); the MRR folds integer-exactly (Σ (10000 div rank)
+    * div n — truncated reciprocal basis points, deterministic). */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val k1 = 1.2; val b = 0.75
+    val tok = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id"),
+        concat(TextOps.tokens(col("text")),
+          array(concat(lit("uniq"), col("doc_id")))).as("_ts"),
+        TextOps.tokens(col("text")).as("_orig")).persist()
+    val stats = tok.agg(count(lit(1)).as("_n"), avg(size(col("_ts"))).as("_avg"))
+    val probes = tok.where(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id").as("pid"),
+        concat(array(concat(lit("uniq"), col("doc_id"))),
+          slice(array_sort(array_distinct(col("_orig"))), 1, 2)).as("_q"))
+    val pterms = probes.select(col("pid"), explode(col("_q")).as("term"))
+    val dterm = pterms.select("term").distinct()
+    val posts = tok
+      .select(col("doc_id"), size(col("_ts")).as("_len"), explode(col("_ts")).as("term"))
+      .join(broadcast(dterm), "term")
+      .groupBy("term", "doc_id", "_len").agg(count(lit(1)).as("tf"))
+    val dfreq = posts.groupBy("term").agg(count(lit(1)).as("_df"))
+    val termScore = posts.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats)) // one row: corpus constants (q67 pattern)
+      .withColumn("_sc",
+        log((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_len") / col("_avg"))))
+    val sc = termScore.join(broadcast(pterms), "term")
+      .groupBy("pid", "doc_id").agg(sum("_sc").as("_s"))
+    val truth = sc.where(col("doc_id") === col("pid"))
+      .select(col("pid"), col("_s").as("_tsc"))
+    val better = sc.join(broadcast(truth), "pid")
+      .where(col("doc_id") =!= col("pid"))
+      .groupBy("pid").agg(sum(when(col("_s") > col("_tsc")
+        || (col("_s") === col("_tsc") && col("doc_id") < col("pid")), 1L)
+        .otherwise(0L)).as("_nb"))
+    truth.join(better, Seq("pid"), "left")
+      .select(col("pid"), (coalesce(col("_nb"), lit(0L)) + 1L).as("rank"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("rank") === 1, 1L).otherwise(0L)).as("hits_at_1"),
+        sum(when(col("rank") <= 10, 1L).otherwise(0L)).as("hits_at_10"),
+        expr("sum(CASE WHEN rank <= 10 THEN 10000 div rank ELSE 0 END) div count(1)")
+          .as("mrr_bp"))
+  }
+
   /** q68 — repetition quality stats (the Gopher/RefinedWeb duplicate-gram
     * rule): per document, the fraction of word bigrams that are repeats
     * (1 − distinct/total); rolled up per language. Determinism note: the
@@ -1287,6 +1349,7 @@ object PipelineQueries {
     "q150_rfm_segments" -> (rfmSegments _),
     "q152_token_concentration" -> (tokenConcentration _),
     "q154_pattern_screen" -> (sessionPatternScreen _),
+    "q156_retrieval_eval" -> (retrievalEval _),
     "q141_session_paths" -> (sessionPaths _),
     "q117_bpe_merges" -> (bpeInduct _),
     "q118_bpe_encode" -> (bpeEncodeReport _)
@@ -1593,6 +1656,38 @@ object PipelineQueries {
         "ROUND(quantile_cont(delta_us, 0.5) / 1e6, 4) AS p50_s, " +
         "ROUND(quantile_cont(delta_us, 0.9) / 1e6, 4) AS p90_s, TRUE AS approx_ok " +
         "FROM p WHERE dst_type IS NOT NULL GROUP BY 1, 2 ORDER BY src_type, dst_type"),
+    // q156: full BM25 self-retrieval replay — same tokenize, same
+    // Lucene-style idf, the count-of-strictly-better rank, truncated
+    // reciprocal-rank basis points
+    "q156_retrieval_eval" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_append(list_filter(string_split_regex(text, '\s+'), x -> x <> ''), 'uniq' || doc_id::VARCHAR) AS ts,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS orig
+        |  FROM documents),
+        |st AS (SELECT count(*)::BIGINT AS n, AVG(len(ts)) AS avgl FROM tok),
+        |pn AS (SELECT doc_id AS pid,
+        |    list_prepend('uniq' || doc_id::VARCHAR, (list_sort(list_distinct(orig)))[1:2]) AS q
+        |  FROM tok WHERE doc_id % 100 = 0),
+        |pterms AS (SELECT pid, UNNEST(q) AS term FROM pn),
+        |occ AS (SELECT doc_id, len(ts) AS dlen, UNNEST(ts) AS term FROM tok),
+        |posts AS (SELECT term, doc_id, dlen, count(*)::BIGINT AS tf FROM occ
+        |  WHERE term IN (SELECT DISTINCT term FROM pterms) GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*)::BIGINT AS df FROM posts GROUP BY 1),
+        |tsc AS (SELECT p.term, p.doc_id,
+        |    ln(((SELECT n FROM st) - df + 0.5) / (df + 0.5) + 1.0)
+        |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlen / (SELECT avgl FROM st))) AS s
+        |  FROM posts p JOIN dfq USING (term)),
+        |sc AS (SELECT pid, doc_id, SUM(s) AS s FROM pterms JOIN tsc USING (term) GROUP BY 1, 2),
+        |tr AS (SELECT pid, s AS tscore FROM sc WHERE doc_id = pid),
+        |bt AS (SELECT tr.pid, SUM(CASE WHEN sc.s > tr.tscore
+        |      OR (sc.s = tr.tscore AND sc.doc_id < tr.pid) THEN 1 ELSE 0 END)::BIGINT AS nb
+        |  FROM tr JOIN sc ON sc.pid = tr.pid AND sc.doc_id <> tr.pid GROUP BY 1),
+        |rk AS (SELECT tr.pid, coalesce(bt.nb, 0) + 1 AS rank FROM tr LEFT JOIN bt ON tr.pid = bt.pid)
+        |SELECT count(*)::BIGINT AS n_probes,
+        |  SUM(CASE WHEN rank = 1 THEN 1 ELSE 0 END)::BIGINT AS hits_at_1,
+        |  SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::BIGINT AS hits_at_10,
+        |  (SUM(CASE WHEN rank <= 10 THEN 10000 // rank ELSE 0 END) // count(*))::BIGINT AS mrr_bp
+        |FROM rk""".stripMargin,
     // q154: q141's sessionize CTEs with FULL paths + LIKE containment
     "q154_pattern_screen" ->
       ("WITH o AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type FROM events), " +

@@ -607,6 +607,26 @@ class AuditSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q156: known-item eval ranks by idf dominance, not raw tf — the trap doc loses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mrr-docs").toString
+    // doc 0 is the probe (doc_id % 100 == 0). Its query = [uniq0, 'aaa',
+    // 'bbb'] (the 2 smallest distinct tokens). doc 1 is the TF TRAP: it
+    // spams the common query terms — a scorer that weights term frequency
+    // over idf (or mis-floors idf) ranks the trap first; correct BM25 puts
+    // the tagged doc 0 on top because df=1 idf dwarfs df=3 idf.
+    Seq(
+      (0L, "aaa bbb ccc"),
+      (1L, "aaa aaa aaa aaa bbb bbb bbb bbb"),
+      (2L, "aaa bbb zzz"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = PipelineQueries.retrievalEval(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 1L, 1L, 10000L)), s"trap doc outranked the known item: $r")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q150: RFM splits at integer means; recency measures from the corpus anchor") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("rfm").toString

@@ -268,7 +268,9 @@ class PlanSpec extends AnyFunSuite {
       // q138: the census row is three 1-row aggregate frames (node/wedge,
       // edge, triangle counts) cross-joined — keyless 1-row BNLJ by
       // construction (the q86 one-row-constants pattern)
-      "q138_triangle_census")
+      "q138_triangle_census",
+      // q156: q67's one-row corpus-constants broadcast onto the postings
+      "q156_retrieval_eval")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
