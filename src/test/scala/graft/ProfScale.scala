@@ -51,6 +51,16 @@ object ProfScale {
     base.write.mode("overwrite").parquet(s"$d1/documents.parquet")
     big.write.mode("overwrite").parquet(s"$dN/documents.parquet")
     hot.write.mode("overwrite").parquet(s"$dH/documents.parquet")
+    // embeddings blowup for the cluster-family sweeps (q155): replicas keep
+    // ids OUT of the k-means init range (id + rep·1e6, initMax 800), so the
+    // centroid model is IDENTICAL at both scales and only assignment work
+    // grows — the isolation the "model is bounded, corpus is not" claim needs
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    emb.write.mode("overwrite").parquet(s"$d1/embeddings.parquet")
+    emb.withColumn("_rep", explode(array((0 until blowup).map(lit): _*)))
+      .withColumn("vec_id", col("vec_id") + col("_rep").cast("long") * 1000000L)
+      .drop("_rep")
+      .write.mode("overwrite").parquet(s"$dN/embeddings.parquet")
     println(s"[scale] corpus 1x=${base.count()} ${blowup}x=${big.count()} hot=${hot.count()} docs")
     // the hot corpus doubles as the q97 boilerplate stress: the shared
     // 20-token chunk plants ~18 word-3-grams each present in 90% of docs —
@@ -75,6 +85,13 @@ object ProfScale {
       // work — expect ~10x scan against a flat tail
       "q146_distinctive" -> (d => operators.PipelineQueries.distinctiveTerms(spark, d)),
       "q152_concentration" -> (d => operators.PipelineQueries.tokenConcentration(spark, d)),
+      // q155: the centroid model is scale-fixed (replica ids dodge the init
+      // range), so cost is the assignment map + a k-row agg — expect ~10x
+      // scan-bound; q156: postings only for the probe vocabulary, but the
+      // blowup grows probes 10x AND the tag vocabulary with them — expect
+      // ~10x against the tokenize floor
+      "q155_quality" -> (d => operators.SelectionQueries.clusterQuality(spark, d)),
+      "q156_mrr" -> (d => operators.PipelineQueries.retrievalEval(spark, d)),
       "q105_chunk_dedup" -> (d => operators.CurationQueries.chunkDedup(spark, d)),
       "q106_bpe_pairs" -> (d => operators.PipelineQueries.bpePairs(spark, d)),
       "q107_oov_rate" -> (d => operators.PipelineQueries.oovRate(spark, d)),
