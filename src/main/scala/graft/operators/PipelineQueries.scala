@@ -254,7 +254,13 @@ object PipelineQueries {
         round(expr("percentile(delta_us, 0.9D)") / 1e6, 4).as("p90_s"),
         expr("approx_percentile(delta_us, 0.5D, 10000)").as("_ap50"))
       .select(col("src_type"), col("dst_type"), col("n"), col("p50_s"), col("p90_s"),
-        (abs(col("_ap50") / 1e6 - col("p50_s")) <= col("p50_s") * 0.05 + lit(2.0))
+        // below 100 samples the gap between the sketch's DISCRETE answer
+        // and the interpolated exact p50 is definitional, not sketch error
+        // (a 2-element group's midpoint is a value no element-returning
+        // sketch can produce — caught at sf0.001); the audit targets the
+        // big-group regime a 100 TB run would actually rely on
+        (col("n") < 100 ||
+          abs(col("_ap50") / 1e6 - col("p50_s")) <= col("p50_s") * 0.05 + lit(2.0))
           .as("approx_ok"))
       .orderBy("src_type", "dst_type")
   }
