@@ -67,6 +67,32 @@ class EdgeInputSpec extends AnyFunSuite {
     assert(scored.count() == 0)
   }
 
+  test("round-11 doc analytics (q146/q152/q156) survive edge inputs") {
+    val dir = java.nio.file.Files.createTempDirectory("edge-docs").toString
+    edgeDocs.withColumn("lang", when(col("doc_id") % 2 === 0, lit("en")))
+      .withColumn("source", lit("s0"))
+      // id 100: a probe doc (doc_id % 100 == 0) among the edge rows;
+      // id 200: a NULL-text probe — its tag never tokenizes, so it is out
+      // of eval scope by construction (documented in retrievalEval)
+      .unionByName(Seq((100L, "normal probe doc words", "en", "s0"),
+        (200L, null.asInstanceOf[String], null, "s0"))
+        .toDF("doc_id", "text", "lang", "source"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // q146: null text contributes no tokens; null lang coalesces to '??';
+    // the tf >= 5 floor empties this tiny corpus — no crash, sane frame
+    val q146 = graft.operators.PipelineQueries.distinctiveTerms(spark, dir).collect()
+    assert(q146.forall(_.getLong(4) > 0L))
+    // q152: profiles only languages that produced tokens
+    val q152 = graft.operators.PipelineQueries.tokenConcentration(spark, dir)
+      .collect()
+    assert(q152.nonEmpty && q152.forall(r => r.getLong(1) > 0))
+    // q156: the null-text probe drops from scope; the real probe ranks 1
+    val q156 = graft.operators.PipelineQueries.retrievalEval(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(q156 == ((1L, 1L, 1L, 10000L)), s"got $q156")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("repetition/annotation path survives edge inputs") {
     // same shape as q68's per-doc stage
     val tk = edgeDocs.select(col("doc_id"), TextOps.tokens(col("text")).as("_ts"))
