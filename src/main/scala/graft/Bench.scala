@@ -90,6 +90,14 @@ object Bench {
     // times (drained from Dedup.lastRoundSecs after every run) so a slow
     // sample in the artifact names the round that stalled.
     val roundSecs = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
+    // Loud subset guard (mirrors Verify): a leaked filter must not let a
+    // partial capture pass for a full one — warn on stderr and stamp the
+    // filter into the artifact (`"subset_filter"` key below).
+    val onlyFilter = sys.env.get("SPARK_GRAFT_ONLY")
+    onlyFilter.foreach { f =>
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY=$f — SUBSET run, " +
+        "totals are NOT comparable to full captures")
+    }
     val samples: Seq[(String, Seq[(Double, Long)])] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) =>
@@ -142,8 +150,9 @@ object Bench {
     val rawRounds = roundSecs.map { case (k, objs) =>
       "\"" + k + "\":" + objs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val subset = onlyFilter.map(f => s""","subset_filter":${jstr(f)}""").getOrElse("")
     val detail =
-      s"""{"metric":"total_wall_sec","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":${jstr(sfDir)},"runs_per_query":$runs,"aggregation":"median_after_discarding_run1","raw_runs":$raw,"raw_gc_ms":$rawGc,"raw_cc_round_secs":$rawRounds}"""
+      s"""{"metric":"total_wall_sec","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":${jstr(sfDir)},"runs_per_query":$runs,"aggregation":"median_after_discarding_run1","raw_runs":$raw,"raw_gc_ms":$rawGc,"raw_cc_round_secs":$rawRounds$subset}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }
@@ -155,7 +164,8 @@ object Bench {
     // full per-run detail is already in the artifact file)
     val shortQs = medians.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + v }
       .mkString("{", ",", "}")
+    val subsetFlag = if (onlyFilter.isDefined) ""","subset":true""" else ""
     println(
-      s"""{"metric":"total_wall_sec","value":$total,"unit":"sec","queries":$shortQs,"sf":$sfNum,"runs_per_query":$runs,"detail":"$outPath"}""")
+      s"""{"metric":"total_wall_sec","value":$total,"unit":"sec","queries":$shortQs,"sf":$sfNum,"runs_per_query":$runs,"detail":"$outPath"$subsetFlag}""")
   }
 }

@@ -21,6 +21,14 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.contains)) }
+    // Loud subset guard: if the filter leaks into a driver/CI run, the
+    // output dir must not masquerade as a full verification.
+    only.foreach { f =>
+      System.err.println(s"[verify] WARNING: SPARK_GRAFT_ONLY=${f.mkString(",")} " +
+        s"— running ${selected.size}/${SparkEntry.queries.size} queries (SUBSET run)")
+      Files.writeString(Paths.get(s"$outDir/_SUBSET_FILTER"),
+        s"SPARK_GRAFT_ONLY=${f.mkString(",")} selected=${selected.size}/${SparkEntry.queries.size}\n")
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -12,8 +12,8 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * The comparison is CROSS-MULTIPLIED integer arithmetic
   * (`segSum * L > total * segLen`) so there is no float boundary for the
   * DuckDB oracle to disagree on; empty segments (L < 64) and empty
-  * payloads hash their bits to 0. Intermediates stay in Long: the products
-  * are bounded by 255 * L^2, exact for payloads up to ~180 MB.
+  * payloads hash their bits to 0. The cross products are compared in
+  * 128 bits ([[PHash.mulGt]]), so the rule is exact at ANY payload size.
   *
   * A per-byte histogram hash (the first design tried) is degenerate on
   * shared-vocabulary corpora — every document drew the same byte
@@ -22,6 +22,18 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * corpus while keeping byte-identical replayability in SQL.
   */
 object PHash {
+  /** Exact `a*b > c*d` for NONNEGATIVE longs via 128-bit products —
+    * every cross-multiplied bit rule below goes through here, so none of
+    * the hash kernels has an input-size envelope where the comparison
+    * silently overflows (the old in-Long products broke at ~2^24 audio
+    * samples / ~190 MPixel / ~190 MB payloads). */
+  @inline def mulGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = java.lang.Math.multiplyHigh(a, b)
+    val hi2 = java.lang.Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
+  }
+
   def phash64(bytes: Array[Byte]): Long = {
     if (bytes == null) return 0L
     val len = bytes.length
@@ -37,7 +49,7 @@ object PHash {
       var segSum = 0L
       var k = lo.toInt
       while (k < hi) { segSum += (bytes(k) & 0xFF); k += 1 }
-      if (segSum * len > total * (hi - lo)) out |= (1L << (63 - i))
+      if (mulGt(segSum, len.toLong, total, hi - lo)) out |= (1L << (63 - i))
       i += 1
     }
     out
@@ -75,9 +87,10 @@ object PHashAny {
     * conversion, so every source encoding lands on uniform samples), take
     * the 64-segment hash over per-segment mean ABSOLUTE amplitude vs the
     * global mean — the energy-envelope analogue of the image aHash, still
-    * the cross-multiplied integer rule. Sums are bounded by 2^15·n — exact
-    * to ~7.8e3 hours of 48 kHz mono. Returns the byte-kernel hash when no
-    * reader claims the payload. */
+    * the cross-multiplied integer rule, compared in 128 bits so the rule
+    * is exact for audio of any length (the in-Long products would have
+    * overflowed at ~2^24 samples ≈ 6 min of 48 kHz mono). Returns the
+    * byte-kernel hash when no reader claims the payload. */
   private def audioHash(payload: Array[Byte]): Long = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     val samples =
@@ -114,7 +127,8 @@ object PHashAny {
       var sum = 0L
       var k = lo
       while (k < hi) { sum += abs(k); k += 1 }
-      if (sum * n > total * (hi - lo)) out |= (1L << (63 - seg))
+      if (PHash.mulGt(sum, n.toLong, total, (hi - lo).toLong))
+        out |= (1L << (63 - seg))
       seg += 1
     }
     out
@@ -124,8 +138,8 @@ object PHashAny {
     * images → ImageIO decode → BT.601 integer luma → 8×8 cell-mean
     * average-hash in ONE pixel pass (no luma plane allocated;
     * cross-multiplied bit rule with floor cell boundaries — the 2-D
-    * analogue of [[PHash.phash64]]'s segment rule; exact to ~190 MPixel
-    * before 255·(wh)² leaves Long); audio containers → [[audioHash]]'s
+    * analogue of [[PHash.phash64]]'s segment rule, 128-bit compared so it
+    * is exact at any pixel count); audio containers → [[audioHash]]'s
     * energy-envelope hash over decoded PCM. Payloads no reader claims
     * take the byte kernel's EXACT arithmetic, so synthetic corpora and
     * their SQL oracles are untouched while re-encodings of the same
@@ -180,7 +194,8 @@ object PHashAny {
     var out = 0L
     var i = 0
     while (i < 64) {
-      if (cellSum(i) * totalPx > total * cellPx(i)) out |= (1L << (63 - i))
+      if (PHash.mulGt(cellSum(i), totalPx, total, cellPx(i)))
+        out |= (1L << (63 - i))
       i += 1
     }
     out

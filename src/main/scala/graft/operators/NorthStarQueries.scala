@@ -951,7 +951,7 @@ object NorthStarQueries {
     * relation (both union legs read it — else the big lineitem⋈orders
     * join runs twice); Verify/Bench clear the cache after each query's
     * action. */
-  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val ord = table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val pair = li.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -963,7 +963,7 @@ object NorthStarQueries {
 
   /** The q133/q134 trusted seed set: every tenth supplier, as graph node
     * ids. */
-  private def seedSuppliers(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def seedSuppliers(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "supplier")
       .where(pmod(col("s_suppkey"), lit(10)) === 0)
       .select(expr("s_suppkey * 2 + 1").as("node"))
@@ -1365,7 +1365,7 @@ object NorthStarQueries {
     * Graph.pageRank: `//` here == `div` there on all-positive operands;
     * hugeint intermediates cast back to BIGINT. */
   /** Shared trade-graph CTE prefix for the q128/q133/q134 oracles. */
-  private val tradeGraphCtes =
+  private[operators] val tradeGraphCtes =
     """pair AS (
       |  SELECT o_custkey AS c, l_suppkey AS s, count(*)::BIGINT AS w
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),

@@ -95,25 +95,48 @@ object PortableQueries {
       .orderBy("doc_id")
   }
 
+  /** Audit sample rate for q98, as an md5-prefix hex threshold over 4 hex
+    * chars: a doc is sampled iff `md5('q98' || text)[0,4) < Q98SampleHex`.
+    * "8000" = 50% — a TEST-SF setting chosen so the tiny corpus still
+    * yields enough true pairs to score; at 100 TB run the audit at ≲1%
+    * ("0290" ≈ 1/100) — the exact-truth gram self-join is quadratic-ish in
+    * the sample, so the rate is THE cost lever, and it is a parameter
+    * threaded through both the Spark query and the oracle SQL (never a
+    * hard-coded literal in one of them). */
+  val Q98SampleHex = "8000"
+
   /** q98 — dedup RECALL audit: how much does the banded-LSH screen (q63
-    * parameters) actually miss? On a deterministic 50% content-hash sample,
-    * compute the TRUE near-dup pairs (exact word-3-gram Jaccard ≥ 0.5 via
-    * a gram-hash inverted index — a true pair must share a gram, so the
-    * index finds every one; shuffles carry 8-byte hashes) and the pairs the
-    * sketch pipeline reports, then score recall. This is the measurement a
+    * parameters) actually miss? On a deterministic content-hash sample
+    * (rate = `sampleHex`, default [[Q98SampleHex]]), compute the TRUE
+    * near-dup pairs (exact word-3-gram Jaccard ≥ 0.5 via a gram-hash
+    * inverted index — a true pair must share a gram, so the index finds
+    * every one; shuffles carry 8-byte hashes) and the pairs the sketch
+    * pipeline reports, then score recall. This is the measurement a
     * production dedup deployment runs continuously: banding is the lossy
     * stage, and its miss rate is a number you audit on a bounded sample,
     * not a hope. The oracle replays sample membership, the exact truth set,
-    * the full sketch pipeline, and the recall arithmetic. */
-  def dedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    * the full sketch pipeline, and the recall arithmetic.
+    *
+    * Cost shape (round-12 attribution): ONE tokenize pass over the sample
+    * (the persisted gram-array frame feeds both the truth index and the
+    * signatures) and ONE signature pass (feeding both the candidate
+    * pipeline via nearDupsFromSigs and the per-band attribution) — the
+    * previous shape tokenized three times and sketched twice. */
+  def dedupRecall(spark: SparkSession, dir: String,
+      sampleHex: String = Q98SampleHex): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val docs = table(spark, dir, "documents")
-      .where(substring(md5(encode(concat(lit("q98"), col("text")), "UTF-8")), 1, 4) < "8000")
+      .where(substring(md5(encode(concat(lit("q98"), col("text")), "UTF-8")), 1, 4) < sampleHex)
+    // ONE tokenize+shingle pass: the persisted gram-array frame is read by
+    // the exact-truth explode AND the signature projection below
+    val gramsArr = graft.ops.Partitioning.spread(docs)
+      .select(col("doc_id"),
+        graft.expr.GraftFunctions.wordNGrams(col("text"), 3).as("_grams"))
+      .persist()
     // exact truth: per-doc DISTINCT gram hashes (the fused kernel emits
     // distinct grams; persist — read by sizes, both join sides)
-    val grams = graft.ops.Partitioning.spread(docs)
-      .select(col("doc_id"),
-        explode(graft.expr.GraftFunctions.wordNGrams(col("text"), 3)).as("_g"))
+    val grams = gramsArr
+      .select(col("doc_id"), explode(col("_grams")).as("_g"))
       .select(col("doc_id"), PortableSketch.h60(col("_g")).as("_h"))
       .persist()
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("_sz"))
@@ -124,14 +147,30 @@ object PortableQueries {
     // sizes is one row per SAMPLED doc — bounded by the audit sample size
     // by design, so both denominator attachments broadcast instead of
     // shuffling the pair relation twice
+    // persist: the truth relation is consumed THREE times (n_true_pairs,
+    // the n_caught semi-join, and the attribution broadcast) and its
+    // inverted-index self-join is the audit's single most expensive stage
+    // (~1.5 s/recompute at sf0.1, attributed by ProfRecall) — without the
+    // persist it re-executes per consumer. Audit-sample-bounded rows.
     val truth = inter
       .join(broadcast(sizes.select(col("doc_id").as("idA"), col("_sz").as("_sa"))), Seq("idA"))
       .join(broadcast(sizes.select(col("doc_id").as("idB"), col("_sz").as("_sb"))), Seq("idB"))
       .where(col("_ns").cast("double") / (col("_sa") + col("_sb") - col("_ns")) >= 0.5)
       .select("idA", "idB")
-    val caught = PortableSketch.minhashNearDups(docs, "text", "doc_id",
-      k = 16, bands = 4, n = 3, threshold = 0.5).select("idA", "idB")
-    val nSample = docs.agg(count(lit(1)).as("n_sample"))
+      .persist()
+    // ONE signature pass over the persisted gram arrays, consumed by BOTH
+    // the candidate pipeline (nearDupsFromSigs — no second tokenize+sketch
+    // sweep inside minhashNearDups) and the per-band attribution joins
+    val sigs = gramsArr
+      .select(col("doc_id"),
+        PortableSketch.minhashSigFromGramsFast(col("_grams"), 16).as("_sig"))
+      .persist()
+    val caught = PortableSketch.nearDupsFromSigs(
+      sigs.select(col("doc_id").as("_id"), col("_sig")),
+      k = 16, bands = 4, threshold = 0.5).select("idA", "idB")
+    // gramsArr is one row per sampled doc, already persisted — counting it
+    // spares a second parquet scan + md5 sample filter pass
+    val nSample = gramsArr.agg(count(lit(1)).as("n_sample"))
     val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))
     val nCaught = truth.join(caught, Seq("idA", "idB"), "left_semi")
       .agg(count(lit(1)).as("n_caught"))
@@ -141,18 +180,10 @@ object PortableQueries {
     // itself can never surface, the audit's actionable number (a high
     // n_missed_banding says add bands / shrink rows, not tune the verify).
     // The true-pair relation is audit-sample-bounded, so signatures attach
-    // to it by broadcast rather than shuffling the doc-sized sketch frame.
-    // ONE corpus signature pass (persisted — the previous shape recomputed
-    // it for each pair side), consumed by two BROADCAST joins in which the
-    // cached sigs frame is always the streamed probe side and the
-    // truth-bounded relation is the build side: no shuffle of the
-    // doc-sized sketch frame at any scale, and the broadcasts stay
-    // audit-sample-bounded. Verify/Bench clear caches after the query.
-    val sigs = graft.ops.Partitioning.spread(docs)
-      .select(col("doc_id"),
-        PortableSketch.minhashSigFromGramsFast(
-          graft.expr.GraftFunctions.wordNGrams(col("text"), 3), 16).as("_sig"))
-      .persist()
+    // to it by broadcast rather than shuffling the doc-sized sketch frame:
+    // the cached sigs frame is always the streamed probe side and the
+    // truth-bounded relation is the build side. Verify/Bench clear caches
+    // after the query.
     val attachA = sigs.select(col("doc_id").as("idA"), col("_sig").as("_sigA"))
       .join(broadcast(truth), Seq("idA"))
     val withSigs = sigs.select(col("doc_id").as("idB"), col("_sig").as("_sigB"))
@@ -229,7 +260,7 @@ object PortableQueries {
     "q65_portable_winnow_buckets" -> (portableWinnowBuckets _),
     "q66_dedup_keep_best" -> (dedupKeepBest _),
     "q76_incremental_dedup" -> (incrementalDedup _),
-    "q98_dedup_recall" -> (dedupRecall _),
+    "q98_dedup_recall" -> ((s: SparkSession, d: String) => dedupRecall(s, d)),
     "q102_split_leakage" -> (splitLeakage _)
   )
 
@@ -345,7 +376,7 @@ object PortableQueries {
         |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
     "q98_dedup_recall" ->
       ("WITH d AS (SELECT doc_id, text FROM documents " +
-        "WHERE substr(md5('q98' || text), 1, 4) < '8000'),\n" +
+        s"WHERE substr(md5('q98' || text), 1, 4) < '$Q98SampleHex'),\n" +
         s"${minhashPipelineCtes("d")},\n" +
         """gr AS (SELECT doc_id, ('0x'||substr(md5(gg),1,15))::BIGINT AS h
           |       FROM (SELECT doc_id, unnest(grams) AS gg FROM g)),

@@ -174,6 +174,75 @@ object Graph {
     dist
   }
 
+  /** PER-SEED bounded BFS hop distances: [[bfsDistances]] with seed
+    * identity carried through the frontier, so the result is the full
+    * (seed, node, dist) relation — |S| simultaneous BFSes in one loop —
+    * rather than the min over seeds. The primitive harmonic centrality
+    * needs (Σ 1/d must see EVERY seed's distance; the min-merge collapses
+    * exactly the information it sums).
+    *
+    * Scale shape: state and shuffle rows are (seed, node) pairs — bounded
+    * by |sample| × |reached|, which is why the CALLER passes a seed SAMPLE
+    * (the q157 discipline: deterministic modulo sample, documented rate),
+    * never the full node set; with that, each round is one frontier⋈edges
+    * join + a distinct + an anti-join of 16-byte rows, Σ|frontier-incident
+    * edges| total work, empty-frontier short-circuit. (The sketched
+    * alternative — HyperBall's HyperLogLog counters, Boldi & Vigna 2013 —
+    * trades this exactness for O(|V|) state; the exact per-seed-sample
+    * relation is what the integer oracle can replay.) Seeds sit at
+    * distance 0 from themselves; unreached (seed, node) pairs are absent. */
+  def seedDistances(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val en = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    var dist = seeds.select(col("node")).distinct()
+      .select(col("node").as("seed"), col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    var h = 1
+    var done = maxHops == 0
+    while (!done) {
+      val cand = en.join(frontier, en("src") === frontier("node"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+      val fresh = cand.join(dist, Seq("seed", "node"), "left_anti")
+        .withColumn("dist", lit(h.toLong)).localCheckpoint()
+      if (fresh.isEmpty) done = true
+      else {
+        dist = dist.unionByName(fresh).localCheckpoint()
+        frontier = fresh
+        h += 1
+        if (h > maxHops) done = true
+      }
+    }
+    en.unpersist()
+    dist
+  }
+
+  /** Bounded harmonic centrality from a deterministic seed sample — the
+    * statistic this file's header cites for Common Crawl's host ranking
+    * (which publishes HARMONIC centrality, not PageRank: Boldi & Vigna,
+    * "Axioms for centrality", 2014 — harmonic is the one that handles
+    * disconnected graphs without a reachability fudge). For each node v:
+    * `Σ_{s∈S, 1≤d(s,v)≤maxHops} (1_000_000 div d(s,v))` plus the reaching
+    * seed count — INTEGER micro-units end to end, so the vector hash-matches
+    * an unrolled/recursive SQL replay exactly.
+    *
+    * The hop bound is principled, not a shortcut: each >maxHops
+    * contribution is < 1e6/(maxHops+1), and at crawl scale ~everything
+    * sits within a small diameter of a large seed sample (the same
+    * observation HyperBall exploits). Estimator shape: sampled-source
+    * exact BFS (Eppstein–Wang 2004) — centrality ∝ sample mean, so the
+    * caller scales by |V|/|S| when an absolute number is needed; ranking
+    * needs no rescale. */
+  def harmonicCentrality(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame =
+    seedDistances(edges, seeds, maxHops)
+      .where(col("dist") >= 1L)
+      .groupBy("node")
+      .agg(sum(expr("1000000 div dist")).as("harmonic_u"),
+        count(lit(1)).as("n_seeds_reached"))
+
   /** Bounded weighted shortest path — Bellman-Ford relaxation rounds from a
     * seed set over positive integer edge lengths: the COST-distance verb
     * next to [[bfsDistances]]' hop distance (how cheap is the path, not how
@@ -311,12 +380,16 @@ object Graph {
         .select(col("dst"), (col("w") * col("h")).as("x"))
         .groupBy("dst").agg(sum("x").as("raw")).localCheckpoint()
       val asum = ar.agg(sum("raw")).head().getLong(0)
+      require(asum >= 10000L,
+        s"hits: authority mass $asum < 10000 — raise `mass` (renorm divisor would be 0)")
       auths = ar.select(col("dst").as("node"),
         expr(s"(raw * 10000) div (${asum}L div 10000)").as("a"))
       val hr = e.join(auths, e("dst") === auths("node"))
         .select(col("src"), (col("w") * col("a")).as("x"))
         .groupBy("src").agg(sum("x").as("raw")).localCheckpoint()
       val hsum = hr.agg(sum("raw")).head().getLong(0)
+      require(hsum >= 10000L,
+        s"hits: hub mass $hsum < 10000 — raise `mass` (renorm divisor would be 0)")
       hubs = hr.select(col("src").as("node"),
         expr(s"(raw * 10000) div (${hsum}L div 10000)").as("h"))
     }

@@ -112,6 +112,62 @@ object Layout {
       .drop("_pid"), counts.values.sum, ranged)
   }
 
+  /** [[globalSequence]] plus the EXCLUSIVE global running total of
+    * `valueCol` in the same key order — `cumName` on each row is the sum of
+    * `valueCol` over all STRICTLY EARLIER rows. The same two-pass
+    * distributed ranking, carrying a second per-partition aggregate (the
+    * value sum) through the driver-side offset fold, so there is still no
+    * single-partition window: each task prefix-sums only its own range and
+    * adds the ranges-before-it offset. Caller must make `keys` total. */
+  def globalSequenceWithRunningTotal(df: DataFrame, keys: Seq[Column],
+      valueCol: Column, posName: String = "pos", cumName: String = "cum_before",
+      partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df.withColumn("_v", valueCol.cast("long"))
+      .repartitionByRange(n, keys: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    val stats = ranged.groupBy("_pid")
+      .agg(count(lit(1)).as("_n"), sum("_v").as("_s")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cntOffsets = (0 until n).scanLeft(0L) { (acc, pid) =>
+      acc + stats.get(pid).map(_._1).getOrElse(0L) }
+    val sumOffsets = (0 until n).scanLeft(0L) { (acc, pid) =>
+      acc + stats.get(pid).map(_._2).getOrElse(0L) }
+    def offsetExpr(offs: IndexedSeq[Long]) =
+      (0 until n).foldLeft(lit(0L)) { (acc, pid) =>
+        when(col("_pid") === pid, lit(offs(pid))).otherwise(acc) }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(keys: _*)
+    ranged
+      .withColumn(posName,
+        row_number().over(w).cast("long") + offsetExpr(cntOffsets))
+      .withColumn(cumName,
+        coalesce(sum("_v").over(w.rowsBetween(Long.MinValue, -1)), lit(0L)) +
+          offsetExpr(sumOffsets))
+      .drop("_pid", "_v")
+  }
+
+  /** Deterministic size-balanced training-shard assignment: rows in `keys`
+    * order are packed SEQUENTIALLY against a token `budget` — row r lands
+    * in shard `cum_before(r) div budget` (the exclusive running total of
+    * `valueCol`). This is in-order NEXT-FIT packing, the rule that keeps
+    * the shard sequence equal to the epoch order (a training reader
+    * streaming shard 0,1,2,… replays exactly the q94 global order) — the
+    * property greedy first-fit bin packing would break by reaching back to
+    * earlier bins, besides being inherently driver-sequential. Each shard
+    * holds ≥ budget tokens only by its LAST document's overhang, so
+    * per-shard size ∈ [budget, budget + maxDocTokens) except the final
+    * shard — the standard concat-and-cut shard rule. Pure integer
+    * arithmetic over the distributed prefix sum: hash-exact anywhere. */
+  def shardAssign(df: DataFrame, keys: Seq[Column], valueCol: Column,
+      budget: Long, shardName: String = "shard"): DataFrame = {
+    require(budget >= 1L, s"budget must be >= 1: $budget")
+    globalSequenceWithRunningTotal(df, keys, valueCol)
+      .withColumn(shardName, expr(s"cum_before div ${budget}L"))
+  }
+
   // --- resumable sequence: continuation across shards / restarts -----------
 
   /** Durable sequence state: the highest position handed out so far, one

@@ -114,8 +114,6 @@ object PortableSketch {
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
       k: Int = 16, bands: Int = 4, n: Int = 3, threshold: Double = 0.5,
       maxBucket: Int = 1024): DataFrame = {
-    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
-    val rows = k / bands
     // two projections on purpose: "_grams" materializes the tokenize+shingle
     // work once per row before the k-permutation loop reads it k times
     // (CollapseProject leaves multi-referenced non-trivial aliases alone)
@@ -125,22 +123,44 @@ object PortableSketch {
         graft.expr.GraftFunctions.wordNGrams(col(textCol), n).as("_grams"))
       .select(col("_id"), minhashSigFromGramsFast(col("_grams"), k).as("_sig"))
       .persist() // compact sketch frame; band explode re-derives per branch
-    // The PORTABLE key definition is the comma-joined decimal string (what
-    // the SQL oracle replays), but the shuffled relation carries only its
-    // xxhash64 — 8 bytes instead of ~70 (the narrow-intermediate rule).
-    // Bucket equality groups are identical on both representations; a
-    // 64-bit key collision could only MERGE two buckets, adding candidates
-    // the estimate screen then filters, so the output is unchanged.
-    val banded = sigs.select(col("_id"), explode(array((0 until bands).map { b =>
-      struct(lit(b).as("band"), xxhash64(bandKey(col("_sig"), b, rows)).as("key"))
-    }: _*)).as("_b"))
-    Dedup.cappedPairs(banded, maxBucket)
+    nearDupsFromSigs(sigs, k, bands, threshold, maxBucket)
+  }
+
+  /** The banding + estimate stages of [[minhashNearDups]] over an ALREADY
+    * COMPUTED `(_id, _sig)` signature frame — callers that need the
+    * signatures for their own purposes (the q98 recall audit attaches them
+    * to true pairs for per-band attribution) compute + persist ONE sketch
+    * pass and feed it here instead of paying a second tokenize+hash sweep
+    * inside this function. Persist lifecycle belongs to the caller. */
+  def nearDupsFromSigs(sigs: DataFrame, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, maxBucket: Int = 1024): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    candidatePairsFromSigs(sigs, k, bands, maxBucket)
       .join(sigs.select(col("_id").as("idA"), col("_sig").as("sigA")), "idA")
       .join(sigs.select(col("_id").as("idB"), col("_sig").as("sigB")), "idB")
       .withColumn("est_jaccard",
         round(Dedup.minhashEstimate(col("sigA"), col("sigB"), k), 6))
       .where(col("est_jaccard") >= threshold)
       .select("idA", "idB", "est_jaccard")
+  }
+
+  /** The banding CANDIDATE stage alone — distinct (idA, idB) pairs sharing
+    * at least one band key, BEFORE the estimate screen: what the S-curve
+    * audit (q161) measures, since `1 − (1 − s^r)^b` models exactly this
+    * stage. The PORTABLE key definition is the comma-joined decimal string
+    * (what the SQL oracle replays), but the shuffled relation carries only
+    * its xxhash64 — 8 bytes instead of ~70 (the narrow-intermediate rule).
+    * Bucket equality groups are identical on both representations; a
+    * 64-bit key collision could only MERGE two buckets, adding candidates
+    * downstream screens filter, so outputs are unchanged. */
+  def candidatePairsFromSigs(sigs: DataFrame, k: Int = 16, bands: Int = 4,
+      maxBucket: Int = 1024): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rows = k / bands
+    val banded = sigs.select(col("_id"), explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"), xxhash64(bandKey(col("_sig"), b, rows)).as("key"))
+    }: _*)).as("_b"))
+    Dedup.cappedPairs(banded, maxBucket)
   }
 
   // --- portable simhash ----------------------------------------------------

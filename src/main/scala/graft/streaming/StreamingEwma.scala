@@ -46,7 +46,13 @@ object StreamingEwma {
     else {
       val prev = packed / 64L
       val spike = if (n * 1000000L > 2L * prev) 1L else 0L
-      ((3L * n * 1000000L + 7L * prev) / 10L) * 64L + packed % 64L + spike
+      // the counter SATURATES at 63: this monitor is always-on (unlike the
+      // batch q132 whose corpus span pins spikes < 64), and a 64th spike
+      // must not carry into the EWMA field and corrupt the chain. Batch
+      // divergence past 63 spikes is the documented price; the EWMA field
+      // itself stays bit-equal to the batch fold.
+      ((3L * n * 1000000L + 7L * prev) / 10L) * 64L +
+        math.min(packed % 64L + spike, 63L)
     }
 
   def trends(events: DataFrame, typeCol: String, tsCol: String,

@@ -44,6 +44,25 @@ class PHashExprSpec extends AnyFunSuite {
     }
   }
 
+  test("mulGt compares exactly where the in-Long cross products overflow") {
+    def refGt(a: Long, b: Long, c: Long, d: Long): Boolean =
+      (BigInt(a) * BigInt(b)) > (BigInt(c) * BigInt(d))
+    // the old audio envelope: sums near 2^15·n with n ~ 2^27 samples
+    val hot = Seq(
+      (1L << 40, 1L << 30, (1L << 40) - 1, (1L << 30) + 3),
+      ((1L << 40) - 1, (1L << 30) + 3, 1L << 40, 1L << 30),
+      (Long.MaxValue / 3, 7L, Long.MaxValue / 7, 3L),
+      (255L * (1L << 31), 1L << 31, 255L * (1L << 31), 1L << 31))
+    hot.foreach { case (a, b, c, d) =>
+      assert(PHash.mulGt(a, b, c, d) == refGt(a, b, c, d), s"($a,$b,$c,$d)")
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val Seq(a, b, c, d) = Seq.fill(4)(rnd.nextLong() >>> 1) // nonnegative
+      assert(PHash.mulGt(a, b, c, d) == refGt(a, b, c, d), s"($a,$b,$c,$d)")
+    }
+  }
+
   test("codegen, interpreted, and SQL paths agree; null propagates") {
     GraftFunctions.ensureRegistered(spark)
     val rnd = new scala.util.Random(13)

@@ -270,7 +270,11 @@ class PlanSpec extends AnyFunSuite {
       // construction (the q86 one-row-constants pattern)
       "q138_triangle_census",
       // q156: q67's one-row corpus-constants broadcast onto the postings
-      "q156_retrieval_eval")
+      "q156_retrieval_eval",
+      // q158: NB scoring fans every doc-gram row out to |langs| scored rows
+      // via a keyless broadcast of the |langs|-row model-stats frame (5
+      // rows) — bounded-model BNLJ by construction (the q86 pattern)
+      "q158_language_id")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

@@ -157,6 +157,83 @@ class GraphSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("seedDistances: per-seed layers (no min-merge), bound, self at 0") {
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("p", "q"))
+    val edges = chain.flatMap { case (u, v) => Seq((u, v, 1L), (v, u, 1L)) }
+      .toDF("src", "dst", "w")
+    val got = Graph.seedDistances(edges, Seq("a", "c", "p").toDF("node"), 2)
+      .as[(String, String, Long)].collect().toSet
+    // bfsDistances would collapse b to min(1,1)=1 once; per-seed keeps BOTH
+    assert(got == Set(
+      ("a", "a", 0L), ("a", "b", 1L), ("a", "c", 2L),
+      ("c", "c", 0L), ("c", "b", 1L), ("c", "d", 1L), ("c", "a", 2L),
+      ("p", "p", 0L), ("p", "q", 1L)))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  /** Plain-Scala per-seed BFS + harmonic sum (the oracle's semantics). */
+  private def refHarmonic(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      maxHops: Int): Map[Long, (Long, Long)] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val contrib = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    for (s <- seeds.distinct) {
+      var dist = Map(s -> 0L)
+      var frontier = Set(s)
+      for (h <- 1 to maxHops if frontier.nonEmpty) {
+        val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+          .filterNot(dist.contains)
+        next.foreach(n => dist += n -> h.toLong)
+        frontier = next
+      }
+      for ((n, d) <- dist if d >= 1) {
+        val (hu, c) = contrib(n)
+        contrib(n) = (hu + 1000000L / d, c + 1L)
+      }
+    }
+    contrib.toMap
+  }
+
+  test("harmonicCentrality: hand star — center sums 1e6 per seed, " +
+      "leaves split by hop") {
+    // star: center 0 joined to leaves 1..4; seeds 1 and 2
+    val edges = (1L to 4L).flatMap(l => Seq((0L, l, 1L), (l, 0L, 1L)))
+      .toDF("src", "dst", "w")
+    val got = Graph.harmonicCentrality(edges, Seq(1L, 2L).toDF("node"), 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // center: dist 1 from both seeds → 2e6; each leaf (incl. the seeds,
+    // from the OTHER seed): dist 2 → 500000 each
+    assert(got == Set((0L, 2000000L, 2L), (1L, 500000L, 1L),
+      (2L, 500000L, 1L), (3L, 1000000L, 2L), (4L, 1000000L, 2L)))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("harmonicCentrality property: 25 random graphs + seed samples " +
+      "match the plain-Scala reference") {
+    val rnd = new scala.util.Random(157)
+    for (trial <- 1 to 25) {
+      val n = 4 + rnd.nextInt(8)
+      val edges = (for {
+        u <- 0L until n.toLong; v <- 0L until n.toLong
+        if u != v && rnd.nextInt(4) == 0
+      } yield (u, v)).toSeq
+      if (edges.nonEmpty) {
+        val seeds = (0L until n.toLong).filter(_ => rnd.nextInt(3) == 0) match {
+          case s if s.nonEmpty => s
+          case _ => Seq(edges.head._1)
+        }
+        val hops = 1 + rnd.nextInt(4)
+        val got = Graph.harmonicCentrality(
+            edges.map { case (u, v) => (u, v, 1L) }.toDF("src", "dst", "w"),
+            seeds.toDF("node"), hops)
+          .as[(Long, Long, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        assert(got == refHarmonic(edges, seeds, hops), s"trial $trial")
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
+  }
+
   /** Plain-Scala replay of labelPropagation (same argmax encode). */
   private def refLpa(edges: Seq[(Long, Long, Long)], rounds: Int): Map[Long, Long] = {
     var lab = edges.map(_._1).distinct.map(n => n -> n).toMap

@@ -130,4 +130,50 @@ class LayoutSpec extends AnyFunSuite {
     assert(retry == (11L to 20L).toSet,
       "state advances at call time, so a retry gets a later, disjoint block")
   }
+
+  test("globalSequenceWithRunningTotal equals the single-window reference " +
+      "and plans no single-partition exchange") {
+    val rnd = new scala.util.Random(160)
+    val rows = (1 to 500).map(i => (rnd.nextLong(), i.toLong, 1L + rnd.nextInt(50)))
+    val df = rows.toDF("k", "id", "v")
+    val got = Layout.globalSequenceWithRunningTotal(
+        df, Seq(col("k"), col("id")), col("v"))
+      .select("id", "pos", "cum_before").as[(Long, Long, Long)]
+      .collect().sortBy(_._2)
+    var cum = 0L
+    val expect = rows.sortBy(r => (r._1, r._2)).zipWithIndex.map {
+      case ((_, id, v), i) => val row = (id, (i + 1).toLong, cum); cum += v; row
+    }
+    assert(got.toSeq == expect)
+    val plan = Layout.globalSequenceWithRunningTotal(
+      df, Seq(col("k"), col("id")), col("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"running total must stay range-partitioned\n$plan")
+  }
+
+  test("shardAssign: in-order next-fit — shards are contiguous position " +
+      "ranges, each full shard reaches its budget before the last doc") {
+    val rnd = new scala.util.Random(161)
+    val rows = (1 to 400).map(i => (rnd.nextLong(), i.toLong, 1L + rnd.nextInt(80)))
+    val budget = 300L
+    val got = Layout.shardAssign(rows.toDF("k", "id", "v"),
+        Seq(col("k"), col("id")), col("v"), budget)
+      .select("pos", "shard", "v").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    // shard ids are non-decreasing in position order (order-preserving)
+    assert(got.sliding(2).forall { case Array(a, b) => a._2 <= b._2; case _ => true })
+    // replay the sequential next-fit rule exactly
+    var cum = 0L
+    got.foreach { case (pos, shard, v) =>
+      assert(shard == cum / budget, s"pos $pos")
+      cum += v
+    }
+    // determinism: a second run hash-identical
+    val again = Layout.shardAssign(rows.toDF("k", "id", "v"),
+        Seq(col("k"), col("id")), col("v"), budget)
+      .select("pos", "shard", "v").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == again.toSeq)
+  }
 }

@@ -106,4 +106,31 @@ class StreamingEwmaSpec extends AnyFunSuite {
         s"quiet day must fold on timeout, got $got")
     } finally query.stop()
   }
+
+  test("stepPacked: the spike counter saturates at 63 and never carries " +
+      "into the EWMA field") {
+    // alternating heavy/quiet days: at the steady state e ≈ 0.41·B, so
+    // every heavy day satisfies B·1e6 > 2·e and spikes — >63 spikes over
+    // 160 folds. Without saturation the 64th spike would carry into the
+    // EWMA field; the packed EWMA must track the independently-computed
+    // unpacked recurrence bit-for-bit the whole way.
+    var packed = -1L
+    var refE = -1L
+    var refSpikes = 0L
+    for (day <- 1 to 160) {
+      val n = if (day % 2 == 1) 1000L else 1L
+      packed = StreamingEwma.stepPacked(packed, n)
+      if (refE < 0L) refE = n * 1000000L
+      else {
+        if (n * 1000000L > 2L * refE) refSpikes += 1L
+        refE = (3L * n * 1000000L + 7L * refE) / 10L
+      }
+      assert(packed / 64L == refE,
+        s"day $day: EWMA field diverged from the unpacked recurrence")
+      assert(packed % 64L == math.min(refSpikes, 63L),
+        s"day $day: spike field must saturate at 63")
+    }
+    assert(refSpikes > 63L, "the drive pattern must actually exceed 63 spikes")
+    assert(packed % 64L == 63L)
+  }
 }

