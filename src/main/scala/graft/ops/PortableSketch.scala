@@ -94,6 +94,14 @@ object PortableSketch {
   /** Big-endian long from 8 digest bytes at `off`; >>> 4 of the first/second
     * half equals parsing md5 hex chars 1-15 / 17-31 — the cross-engine
     * definition (h60/h60b) without the hex round-trip. */
+  /** JVM-side [[h60]] of a string — identical value to the Column form on
+    * the same text (big-endian first 8 digest bytes >>> 4 ≡ parsing the top
+    * 15 hex chars), for imperative kernels that must hash batch-identically
+    * (the streaming language-ID scorer). */
+  def h60String(s: String): Long =
+    beLong(java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)), 0) >>> 4
+
   private def beLong(d: Array[Byte], off: Int): Long =
     ((d(off) & 0xFFL) << 56) | ((d(off + 1) & 0xFFL) << 48) |
       ((d(off + 2) & 0xFFL) << 40) | ((d(off + 3) & 0xFFL) << 32) |

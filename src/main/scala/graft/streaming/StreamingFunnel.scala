@@ -41,11 +41,21 @@ object StreamingFunnel {
       minShared: Int = 2,
       n: Int = 3,
       watermarkDelay: String = "10 minutes",
-      importanceModel: Option[Array[Double]] = None): DataFrame = {
+      importanceModel: Option[Array[Double]] = None,
+      langModel: Option[StreamingLangId.Model] = None): DataFrame = {
     // repair FIRST: decomposed-vs-composed forms of the same text must not
     // carry different digests into the dedup state (q110's rationale)
     val repaired = StreamingRepair.repair(docs, textCol)
-    val masked = StreamingScrub.scrub(repaired, textCol)
+    // optional language annotation (q158's batch-fitted model): runs on the
+    // REPAIRED text, before any per-language gate downstream would read
+    // `lang_pred` — and before masking, since PII spans carry language
+    // signal the classifier is allowed to see (the annotation is a label,
+    // never retained text). Stateless projection.
+    val labeled = langModel match {
+      case Some(m) => StreamingLangId.annotate(repaired, m, textCol)
+      case None => repaired
+    }
+    val masked = StreamingScrub.scrub(labeled, textCol)
     val gated = StreamingScrub.classifierGate(masked, textCol)
     // optional DSIR stage (q113's batch-fitted model): importance-gates on
     // the MASKED text — like the classifier, the target-likeness decision

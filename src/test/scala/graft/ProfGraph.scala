@@ -142,7 +142,12 @@ object ProfGraph {
       "q151_degrees" -> (d => operators.NorthStarQueries.tradeDegreeProfile(spark, d)),
       "q153_costdist" -> (d => operators.NorthStarQueries.tradeCostDistances(spark, d)),
       "q154_patterns" -> (d => operators.PipelineQueries.sessionPatternScreen(spark, d)),
-      "q149_weekday" -> (d => operators.PipelineQueries.weekdaySeasonality(spark, d)))
+      "q149_weekday" -> (d => operators.PipelineQueries.weekdaySeasonality(spark, d)),
+      // q157: per-seed BFS state is (seed, node) pairs — seeds fixed (the
+      // supplier side is shared by the blowup), reached nodes grow ~10x,
+      // diameter unchanged — expect ~10x frontier work against the 3-round
+      // floor (the q134 shape multiplied by the seed sample)
+      "q157_harmonic" -> (d => operators.Round12Queries.harmonicCentrality(spark, d)))
     // SPARK_GRAFT_ONLY: comma-separated name substrings (the Verify/Bench
     // convention) — sweep just the named queries when iterating
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)

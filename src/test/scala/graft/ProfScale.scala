@@ -121,7 +121,18 @@ object ProfScale {
       // rounds on top of the q122 relations (expect ~10x + a flat round
       // floor — replica chains stay 2-node, so the round count is stable)
       "q123_admit" -> (d => operators.NorthStarQueries.phashAdmitBatch(spark, d)),
-      "q127_clusters" -> (d => operators.NorthStarQueries.phashDupClusters(spark, d)))
+      "q127_clusters" -> (d => operators.NorthStarQueries.phashDupClusters(spark, d)),
+      // round 12: q158 is two gram passes + a |langs|-bounded model (expect
+      // ~10x scan); q159 collapses to the VOCABULARY first — the blowup
+      // adds 10 one-token words, so EM rounds stay vocab-bounded (expect
+      // far under 10x); q160 is the two-pass prefix sum (~10x); q161 is the
+      // q98 family (truth self-join over the sample — ~10x-ish with the
+      // pair tail); q162 is a pure scan projection + host rollup (~10x)
+      "q158_langid" -> (d => operators.Round12Queries.languageId(spark, d)),
+      "q159_unigram" -> (d => operators.Round12Queries.unigramTokenizer(spark, d)),
+      "q160_shards" -> (d => operators.Round12Queries.shardPacking(spark, d)),
+      "q161_scurve" -> (d => operators.Round12Queries.bandingSCurve(spark, d)),
+      "q162_urls" -> (d => operators.Round12Queries.urlCanonicalize(spark, d)))
 
     // SPARK_GRAFT_ONLY: comma-separated name substrings (the Verify/Bench
     // convention) — sweep just the named queries when iterating
