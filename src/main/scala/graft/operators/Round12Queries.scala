@@ -57,6 +57,77 @@ object Round12Queries {
         |  ELSE 's:' || (node // 2) END AS node, harmonic_u, n_seeds_reached
         |FROM top""".stripMargin)
 
+  /** q163 — ANF / neighborhood function over the trade graph: for each hop
+    * h ≤ 3, every node's in-ball size estimated by
+    * [[graft.ops.Graph.anfSketches]]' deterministic 16-register HLL, rolled
+    * up to the ANF curve N(h) = Σ_v |ball_h(v)| — the HyperBall answer to
+    * q157's exact-per-seed-sample trade (sketches cover EVERY node in
+    * O(|V|·16) state; the seed sample calibrates them). Estimation stays
+    * deterministic end to end: the register fold is an integer sum of
+    * `1 << (57 − r)` (order-free), the raw estimate one double division,
+    * the small-range branch `16·ln(16/V)` with V ∈ 1..16 (the only libm
+    * touch — 16 possible arguments, the TrainedGate exposure), each
+    * node's estimate rounded to micro-units BEFORE the corpus sum. */
+  def anfCurve(spark: SparkSession, dir: String): DataFrame = {
+    val hops = graft.ops.Graph.anfSketches(
+      NorthStarQueries.tradeEdges(spark, dir), maxHops = 3)
+    val su = (0 until 16).map(i =>
+      expr(s"shiftleft(CAST(1 AS BIGINT), 57 - r$i)")).reduce(_ + _)
+    val vZeros = (0 until 16).map(i =>
+      when(col(s"r$i") === 0, 1).otherwise(0)).reduce(_ + _)
+    val estRaw = lit(0.673) * lit(256.0) * lit(144115188075855872.0) /
+      col("_su").cast("double")
+    val est = when(col("_est_raw") <= 40.0 && col("_v") > 0,
+      lit(16.0) * log(lit(16.0) / col("_v").cast("double")))
+      .otherwise(col("_est_raw"))
+    hops.map { case (h, sk) =>
+      sk.withColumn("_su", su).withColumn("_v", vZeros)
+        .withColumn("_est_raw", estRaw)
+        .withColumn("_est_u", round(lit(1e6) * est).cast("long"))
+        .agg(count(lit(1)).as("n_nodes"), sum("_est_u").as("sum_est_u"))
+        .select(lit(h.toLong).as("hop"), col("n_nodes"), col("sum_est_u"),
+          round((col("sum_est_u").cast("double") / col("n_nodes")) / 1e6, 6)
+            .as("avg_ball_est"))
+    }.reduce(_ unionByName _).orderBy("hop")
+  }
+
+  private def q163OracleSql: String =
+    (s"WITH RECURSIVE ${NorthStarQueries.tradeGraphCtes},\n" +
+      """nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |r(node, reach, d) AS (
+        |  SELECT node, node, 0 FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.reach, r.d + 1 FROM r JOIN edges e ON e.src = r.node
+        |  WHERE r.d < 3),
+        |dmin AS (SELECT node, reach, min(d) AS d FROM r GROUP BY 1, 2),
+        |hops(hop) AS (SELECT unnest([1, 2, 3])),
+        |balls AS (SELECT hops.hop, dmin.node, dmin.reach
+        |  FROM dmin JOIN hops ON dmin.d <= hops.hop),
+        |hh AS (SELECT hop, node, reach,
+        |    ('0x' || substr(md5('anf:' || reach), 1, 15))::BIGINT AS h
+        |  FROM balls),
+        |rk AS (SELECT hop, node, h % 16 AS bucket,
+        |    length(bin((h // 16) & (-(h // 16)))) AS rank
+        |  FROM hh),
+        |regs AS (SELECT hop, node, bucket, max(rank)::BIGINT AS r
+        |  FROM rk GROUP BY 1, 2, 3),
+        |su AS (SELECT hop, node,
+        |    sum(1::BIGINT << (57 - r))::BIGINT
+        |      + (16 - count(*)) * (1::BIGINT << 57) AS s_u,
+        |    (16 - count(*))::BIGINT AS v
+        |  FROM regs GROUP BY 1, 2),
+        |est AS (SELECT hop, node,
+        |    0.673 * 256.0 * 144115188075855872.0 / s_u::DOUBLE AS est_raw, v
+        |  FROM su),
+        |eu AS (SELECT hop, node,
+        |    round(1000000.0 * (CASE WHEN est_raw <= 40.0 AND v > 0
+        |      THEN 16.0 * ln(16.0 / v::DOUBLE) ELSE est_raw END))::BIGINT AS est_u
+        |  FROM est)
+        |SELECT hop::BIGINT AS hop, count(*)::BIGINT AS n_nodes,
+        |  sum(est_u)::BIGINT AS sum_est_u,
+        |  round((sum(est_u)::DOUBLE / count(*)) / 1000000.0, 6) AS avg_ball_est
+        |FROM eu GROUP BY 1 ORDER BY 1""".stripMargin)
+
   // --- q158: language identification ----------------------------------------
 
   /** q158 — language-ID confusion matrix: fit [[graft.ops.LangId]]'s
@@ -487,7 +558,8 @@ object Round12Queries {
     "q159_unigram_tokenizer" -> (unigramTokenizer _),
     "q160_shard_packing" -> (shardPacking _),
     "q161_banding_scurve" -> (bandingSCurve _),
-    "q162_url_canonicalize" -> (urlCanonicalize _)
+    "q162_url_canonicalize" -> (urlCanonicalize _),
+    "q163_anf_curve" -> (anfCurve _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -496,6 +568,7 @@ object Round12Queries {
     "q159_unigram_tokenizer" -> q159OracleSql,
     "q160_shard_packing" -> q160OracleSql,
     "q161_banding_scurve" -> q161OracleSql,
-    "q162_url_canonicalize" -> q162OracleSql
+    "q162_url_canonicalize" -> q162OracleSql,
+    "q163_anf_curve" -> q163OracleSql
   )
 }

@@ -243,6 +243,63 @@ object Graph {
       .agg(sum(expr("1000000 div dist")).as("harmonic_u"),
         count(lit(1)).as("n_seeds_reached"))
 
+  /** ANF / neighborhood-function sketches (Palmer et al. 2002; the
+    * HyperBall mechanism, Boldi & Vigna 2013): for EVERY node, a
+    * 16-register HyperLogLog sketch of its in-ball — the set of nodes that
+    * reach it within h hops (self included) — for each h ≤ maxHops. This
+    * is the O(|V|·m) -state complement to [[seedDistances]]' exact
+    * per-seed-sample relation: where q157 trades coverage for exactness,
+    * ANF covers every node at once and trades exactness for a ~26%
+    * standard-error estimate — the pair a 100 TB host-graph analysis
+    * actually runs (exact on a seed sample to calibrate, sketches for the
+    * full curve).
+    *
+    * Everything is DETERMINISTIC and engine-portable: element hash =
+    * h60('anf:' || node), bucket = h mod 16, rank = position of the
+    * lowest set bit of (h div 16) via `length(bin(lsb))` — string length
+    * of the binary rendering, exact in any engine, no float log. Each
+    * register is its own INT column, so the per-round merge is a plain
+    * 16-max aggregate: codegen'd, map-side-combining, no UDAF, no
+    * collect_list (a hub's merge state is 16 ints regardless of degree).
+    * Union-associativity of elementwise max makes h rounds of neighbor
+    * merges EQUAL the sketch of the exact ≤h-hop ball — the property the
+    * oracle replays from recursive-CTE reach sets.
+    *
+    * Returns one frame per hop 1..maxHops: (node, r0..r15). Estimation is
+    * the caller's (q163 folds registers into the HLL estimate in integer
+    * units). Scale shape: each round is one join + one 16-max aggregate
+    * over (node, 16×int) rows; lineage localCheckpoints per round. */
+  def anfSketches(edges: DataFrame, maxHops: Int): Seq[(Int, DataFrame)] = {
+    require(maxHops >= 1)
+    val M = 16
+    val en = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    val h = PortableSketch.h60(concat(lit("anf:"), col("node").cast("string")))
+    val rs = (0 until M).map(i => s"r$i")
+    val init = en.select(col("src").as("node"))
+      .union(en.select(col("dst").as("node"))).distinct()
+      .withColumn("_h", h)
+      .withColumn("_b", pmod(col("_h"), lit(M.toLong)))
+      .withColumn("_v", expr(s"_h div $M"))
+      .withColumn("_rank",
+        length(bin(expr("_v & -_v"))).cast("int"))
+      .select(col("node") +: (0 until M).map(i =>
+        when(col("_b") === i, col("_rank")).otherwise(lit(0)).as(s"r$i")): _*)
+    var sk = init.localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, DataFrame)]
+    for (hh <- 1 to maxHops) {
+      val contrib = en.join(sk, en("src") === sk("node"))
+        .select(col("dst").as("node") +: rs.map(col): _*)
+      sk = sk.unionByName(contrib)
+        .groupBy("node")
+        .agg(max(rs.head).as(rs.head), rs.tail.map(r => max(r).as(r)): _*)
+        .localCheckpoint()
+      out += ((hh, sk))
+    }
+    en.unpersist()
+    out.toSeq
+  }
+
   /** Bounded weighted shortest path — Bellman-Ford relaxation rounds from a
     * seed set over positive integer edge lengths: the COST-distance verb
     * next to [[bfsDistances]]' hop distance (how cheap is the path, not how

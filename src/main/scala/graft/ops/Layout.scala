@@ -168,6 +168,21 @@ object Layout {
       .withColumn(shardName, expr(s"cum_before div ${budget}L"))
   }
 
+  /** MATERIALIZE the [[shardAssign]] result as one parquet directory per
+    * shard (`shard=K/`), rows inside each shard sorted by position — the
+    * actual training-shard write. One exchange hash-partitions on the
+    * shard id (shards are contiguous position ranges, so this is also a
+    * range partitioning of the epoch order) and the in-partition sort
+    * orders each shard's rows; `partitionBy` then splits by directory
+    * without another shuffle. A training reader walking shard=0,1,2,…
+    * files in pos order replays the epoch order exactly. */
+  def writeShards(df: DataFrame, keys: Seq[Column], valueCol: Column,
+      budget: Long, outDir: String): Unit =
+    shardAssign(df, keys, valueCol, budget)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
   // --- resumable sequence: continuation across shards / restarts -----------
 
   /** Durable sequence state: the highest position handed out so far, one

@@ -145,4 +145,22 @@ object UnigramLM {
     val seg = vocab.select(col("w"), col("c"), segUdfF(col("w")).as("pieces"))
     (m, seg)
   }
+
+  /** Persist a fitted piece model as (piece, cost_u) parquet — the
+    * batch-fit → streaming-encode hand-off (the TrainedGate.saveModel
+    * pattern: a model is a tiny bounded frame, not JVM state). */
+  def saveModel(spark: SparkSession, m: Map[String, Long], path: String): Unit = {
+    import spark.implicits._
+    m.toSeq.sortBy(_._1).toDF("piece", "cost_u")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model written by [[saveModel]]. */
+  def loadModel(spark: SparkSession, path: String): Map[String, Long] =
+    spark.read.parquet(path).select("piece", "cost_u")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Tokenize a word under a fitted model — the encode-time entry point
+    * (what a trainer's data loader runs); exactly the fit-time Viterbi. */
+  def encode(w: String, m: Map[String, Long]): Seq[String] = viterbi(w, m)
 }

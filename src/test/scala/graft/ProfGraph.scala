@@ -147,7 +147,11 @@ object ProfGraph {
       // supplier side is shared by the blowup), reached nodes grow ~10x,
       // diameter unchanged — expect ~10x frontier work against the 3-round
       // floor (the q134 shape multiplied by the seed sample)
-      "q157_harmonic" -> (d => operators.Round12Queries.harmonicCentrality(spark, d)))
+      "q157_harmonic" -> (d => operators.Round12Queries.harmonicCentrality(spark, d)),
+      // q163: each round is one edges⋈sketches join + a 16-max aggregate
+      // over (node, 16×int) rows — expect ~10x at 10x edges against the
+      // 3-round floor; state per node is 16 ints at ANY degree
+      "q163_anf" -> (d => operators.Round12Queries.anfCurve(spark, d)))
     // SPARK_GRAFT_ONLY: comma-separated name substrings (the Verify/Bench
     // convention) — sweep just the named queries when iterating
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)

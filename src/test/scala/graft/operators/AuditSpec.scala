@@ -700,4 +700,18 @@ class AuditSpec extends AnyFunSuite {
       ("c", 1L, 0L, 0L, 2L, 4L)))
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q98: the audit sample rate is a live parameter — a smaller hex " +
+      "threshold audits a strict subset") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    def sampleOf(hex: String): Long =
+      PortableQueries.dedupRecall(spark, sf, sampleHex = hex)
+        .select("n_sample").as[Long].head()
+    val half = sampleOf(PortableQueries.Q98SampleHex) // "8000" = 50%
+    val quarter = sampleOf("4000")
+    assert(quarter < half && quarter > 0L,
+      s"the 25% sample ($quarter) must be a strict nonempty subset of the 50% ($half)")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

@@ -284,6 +284,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q158: the wide likelihood table joins broadcast onto the gram " +
+      "rows (no model-side shuffle of the corpus)") {
+    val p = plan(Round12Queries.languageId(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"scoring must never sort-merge the gram relation\n$p")
+  }
+
+  test("q160: shard packing never plans a single-partition exchange") {
+    val p = plan(Round12Queries.shardPacking(spark, sf))
+    assert(!p.contains("SinglePartition"),
+      s"the prefix sum must stay range-partitioned\n$p")
+  }
+
+  test("q161: truth denominators and the candidate attachment broadcast") {
+    val p = plan(Round12Queries.bandingSCurve(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins\n$p")
+  }
+
   test("q92: the per-doc keep decision joins the tiny rates frame broadcast") {
     val p = plan(SelectionQueries.mixtureSample(spark, sf))
     assert(p.contains("BroadcastHashJoin"),

@@ -234,6 +234,67 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  /** Plain-Scala ANF register replay: exact ≤h in-balls, then the same
+    * h60/bucket/lsb-rank register rule — equality proves the distributed
+    * neighbor-merge equals the sketch of the exact ball (union
+    * associativity of elementwise max). */
+  private def refAnfRegs(edges: Seq[(Long, Long)], maxHops: Int)
+      : Map[(Int, Long), Vector[Int]] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    def rank(reach: Long): (Int, Int) = {
+      val h = PortableSketch.h60String(s"anf:$reach")
+      val v = h / 16
+      val lsb = v & -v
+      ((h % 16).toInt, java.lang.Long.toBinaryString(lsb).length)
+    }
+    val out = scala.collection.mutable.Map.empty[(Int, Long), Vector[Int]]
+    for (n <- nodes) {
+      var ball = Set(n)
+      var frontier = Set(n)
+      for (h <- 1 to maxHops) {
+        // in-ball: who reaches n — walk REVERSE edges from n
+        frontier = frontier.flatMap(x =>
+          edges.collect { case (u, v) if v == x => u }).diff(ball)
+        ball ++= frontier
+        val regs = Array.fill(16)(0)
+        ball.foreach { m =>
+          val (b, r) = rank(m)
+          regs(b) = math.max(regs(b), r)
+        }
+        out((h, n)) = regs.toVector
+      }
+    }
+    out.toMap
+  }
+
+  test("anfSketches property: 20 random digraphs — registers equal the " +
+      "exact-ball replay at every hop") {
+    val rnd = new scala.util.Random(163)
+    for (trial <- 1 to 20) {
+      val n = 4 + rnd.nextInt(7)
+      val edges = (for {
+        u <- 0L until n.toLong; v <- 0L until n.toLong
+        if u != v && rnd.nextInt(4) == 0
+      } yield (u, v)).toSeq
+      if (edges.nonEmpty) {
+        val hops = 1 + rnd.nextInt(3)
+        val ref = refAnfRegs(edges, hops)
+        Graph.anfSketches(
+            edges.map { case (u, v) => (u, v, 1L) }.toDF("src", "dst", "w"),
+            hops)
+          .foreach { case (h, sk) =>
+            val got = sk.collect().map { r =>
+              (h, r.getLong(0)) -> (1 to 16).map(r.getInt).toVector
+            }.toMap
+            val want = ref.collect { case ((`h`, node), regs) => (h, node) -> regs }
+            assert(got == want, s"trial $trial hop $h")
+          }
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
+  }
+
   /** Plain-Scala replay of labelPropagation (same argmax encode). */
   private def refLpa(edges: Seq[(Long, Long, Long)], rounds: Int): Map[Long, Long] = {
     var lab = edges.map(_._1).distinct.map(n => n -> n).toMap

@@ -176,4 +176,28 @@ class LayoutSpec extends AnyFunSuite {
       .collect().sortBy(_._1)
     assert(got.toSeq == again.toSeq)
   }
+
+  test("writeShards: one directory per shard, in-shard rows in position " +
+      "order, concatenation replays the epoch order") {
+    val rnd = new scala.util.Random(162)
+    val rows = (1 to 200).map(i => (rnd.nextLong(), i.toLong, 1L + rnd.nextInt(40)))
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    Layout.writeShards(rows.toDF("k", "id", "v"),
+      Seq(col("k"), col("id")), col("v"), budget = 250L, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sortBy(_.drop(6).toInt)
+    assert(dirs.nonEmpty && dirs.head == "shard=0")
+    val back = spark.read.parquet(out)
+      .select("shard", "pos", "id").as[(Long, Long, Long)].collect()
+    // shards partition the position space into contiguous ranges
+    val byShard = back.groupBy(_._1).toSeq.sortBy(_._1)
+    val spans = byShard.map { case (s, rs) =>
+      (s, rs.map(_._2).min, rs.map(_._2).max) }
+    spans.sliding(2).foreach {
+      case Seq((_, _, hi), (_, lo2, _)) => assert(lo2 == hi + 1,
+        "shard position ranges must be contiguous in shard order")
+      case _ =>
+    }
+    assert(back.map(_._2).toSet == (1L to 200L).toSet)
+  }
 }
