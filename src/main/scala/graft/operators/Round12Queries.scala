@@ -91,6 +91,12 @@ object Round12Queries {
     }.reduce(_ unionByName _).orderBy("hop")
   }
 
+  /** The q163 oracle replays the registers from EXACT all-pairs bounded
+    * reach sets — quadratic in nodes by construction, which is fine at
+    * oracle scale (sf0.01: 1.6k nodes → ~2.6M CTE rows; the driver runs
+    * oracles at sf0.01 only) and exactly the cost the sketches exist to
+    * avoid at corpus scale (the Spark side stays O(|V|·16) state and is
+    * swept at 10× by ProfGraph). */
   private def q163OracleSql: String =
     (s"WITH RECURSIVE ${NorthStarQueries.tradeGraphCtes},\n" +
       """nodes AS (SELECT DISTINCT src AS node FROM edges),
