@@ -134,6 +134,126 @@ object Round12Queries {
         |  round((sum(est_u)::DOUBLE / count(*)) / 1000000.0, 6) AS avg_ball_est
         |FROM eu GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** q164 — CCNet-style perplexity bucketing (Wenzek et al. 2020): fit a
+    * per-LANGUAGE bigram LM (the q84 add-k model, lang-partitioned), score
+    * every document's mean negative log-probability in integer micro-units,
+    * and cut each language's documents into head/middle/tail TERCILES by
+    * that score — the quality-partitioning step the CCNet pipeline runs
+    * between language-ID and selection (train on head+middle, audit tail).
+    *
+    * Determinism: per-bigram nlp is micro-unit-rounded BEFORE the per-doc
+    * weighted sum (exact longs; the per-doc mean is an integer div), so
+    * ranking never compares raw floats; the per-language rank is the q94
+    * two-pass global sequence over (lang, score, doc_id) minus a
+    * |langs|-bounded driver-side offset fold (NO per-language
+    * single-partition window — the same discipline at any scale), and
+    * `bucket = 3·(rank−1) div n_lang` is pure integer arithmetic. langs
+    * are ISO codes (ASCII), so Scala/Spark/DuckDB string orders agree.
+    * Documents with fewer than two tokens have no bigrams and report as
+    * an `unscored` row — excluded from terciles, never silently dropped.
+    * Scale: count tables are vocab²-bounded per language (the q84
+    * argument); the rank pass shuffles (lang, long, long) rows once. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val docs = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val grouped = docs
+      .select(col("doc_id"), col("lang"),
+        explode(graft.expr.GraftFunctions.wordBigrams(col("text"))).as("_bg"))
+      .select(col("doc_id"), col("lang"),
+        substring_index(col("_bg"), " ", 1).as("w1"),
+        substring_index(col("_bg"), " ", -1).as("w2"))
+      .groupBy("doc_id", "lang", "w1", "w2").agg(count(lit(1)).as("n"))
+      .persist()
+    val c2 = grouped.groupBy("lang", "w1", "w2").agg(sum("n").as("c2"))
+    val c1 = grouped.groupBy("lang", "w1").agg(sum("n").as("c1"))
+    val v = docs.select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("lang").agg(countDistinct("w").as("_v"))
+    val scored = grouped
+      .join(c2, Seq("lang", "w1", "w2"))
+      .join(c1, Seq("lang", "w1"))
+      .join(broadcast(v), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n"),
+        round(lit(1e6) * -log((col("c2") + lit(0.5)) /
+          (col("c1") + lit(0.5) * col("_v")))).cast("long").as("_nlp_u"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("n").as("_nb"), sum(col("n") * col("_nlp_u")).as("_sum_u"))
+      .withColumn("avg_u", expr("_sum_u div _nb"))
+      .select("doc_id", "lang", "avg_u")
+    val seq = Layout.globalSequence(scored,
+      Seq(col("lang"), col("avg_u"), col("doc_id")), "pos")
+    // |langs| rows — the bounded-model driver fold the rank offsets need
+    val counts = scored.groupBy("lang").agg(count(lit(1)).as("nl"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    val offExpr = counts.foldLeft(lit(0L)) { case (acc, (l, _)) =>
+      when(col("lang") === l, lit(offsets(l))).otherwise(acc) }
+    val nlExpr = counts.foldLeft(lit(1L)) { case (acc, (l, n)) =>
+      when(col("lang") === l, lit(n)).otherwise(acc) }
+    // integer tercile: 3·(rank−1) < n ⇒ head, < 2n ⇒ middle, else tail
+    // (≡ (3(rank−1)) div n = 0/1/2, written as comparisons so nlExpr stays
+    // a column)
+    val scoredOut = seq
+      .withColumn("_r", col("pos") - offExpr)
+      .withColumn("_t", lit(3L) * (col("_r") - lit(1L)))
+      .withColumn("bucket",
+        when(col("_t") < nlExpr, lit("head"))
+          .when(col("_t") < lit(2L) * nlExpr, lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round((sum("avg_u").cast("double") / count(lit(1))) / lit(1e6), 6)
+          .as("mean_nlp"),
+        round(max("avg_u").cast("double") / lit(1e6), 6).as("max_nlp"))
+    val unscored = docs.join(scored, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), lit("unscored").as("bucket"), col("n_docs"),
+        lit(null).cast("double").as("mean_nlp"),
+        lit(null).cast("double").as("max_nlp"))
+    scoredOut.unionByName(unscored).orderBy("lang", "bucket")
+  }
+
+  private def q164OracleSql: String =
+    """WITH tk AS (SELECT doc_id, lang,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+      |  FROM documents),
+      |toks AS (SELECT doc_id, lang, unnest(ts) AS w,
+      |    unnest(generate_series(1, len(ts))) AS pos FROM tk),
+      |big AS (SELECT doc_id, lang, w AS w1,
+      |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks),
+      |bg AS (SELECT doc_id, lang, w1, w2, count(*)::BIGINT AS n FROM big
+      |  WHERE w2 IS NOT NULL GROUP BY 1, 2, 3, 4),
+      |c2 AS (SELECT lang, w1, w2, sum(n)::BIGINT AS c2 FROM bg GROUP BY 1, 2, 3),
+      |c1 AS (SELECT lang, w1, sum(n)::BIGINT AS c1 FROM bg GROUP BY 1, 2),
+      |v AS (SELECT lang, count(DISTINCT w)::BIGINT AS v FROM toks GROUP BY 1),
+      |sc AS (SELECT bg.doc_id, bg.lang,
+      |    sum(bg.n * round(1000000.0 * -ln((c2.c2 + 0.5) /
+      |      (c1.c1 + 0.5 * v.v)))::BIGINT)::BIGINT AS sum_u,
+      |    sum(bg.n)::BIGINT AS nb
+      |  FROM bg JOIN c2 USING (lang, w1, w2) JOIN c1 USING (lang, w1)
+      |    JOIN v USING (lang)
+      |  GROUP BY 1, 2),
+      |avgs AS (SELECT doc_id, lang, sum_u // nb AS avg_u FROM sc),
+      |rk AS (SELECT lang, avg_u,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_u, doc_id) AS r,
+      |    count(*) OVER (PARTITION BY lang) AS nl FROM avgs),
+      |bk AS (SELECT lang, avg_u,
+      |    CASE WHEN 3 * (r - 1) < nl THEN 'head'
+      |         WHEN 3 * (r - 1) < 2 * nl THEN 'middle'
+      |         ELSE 'tail' END AS bucket FROM rk),
+      |so AS (SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+      |    round((sum(avg_u)::DOUBLE / count(*)) / 1000000.0, 6) AS mean_nlp,
+      |    round(max(avg_u)::DOUBLE / 1000000.0, 6) AS max_nlp
+      |  FROM bk GROUP BY 1, 2),
+      |uns AS (SELECT d.lang, 'unscored' AS bucket, count(*)::BIGINT AS n_docs,
+      |    NULL::DOUBLE AS mean_nlp, NULL::DOUBLE AS max_nlp
+      |  FROM documents d
+      |  WHERE NOT EXISTS (SELECT 1 FROM avgs a WHERE a.doc_id = d.doc_id)
+      |  GROUP BY 1)
+      |SELECT * FROM so UNION ALL SELECT * FROM uns ORDER BY lang, bucket""".stripMargin
+
   // --- q158: language identification ----------------------------------------
 
   /** q158 — language-ID confusion matrix: fit [[graft.ops.LangId]]'s
@@ -565,7 +685,8 @@ object Round12Queries {
     "q160_shard_packing" -> (shardPacking _),
     "q161_banding_scurve" -> (bandingSCurve _),
     "q162_url_canonicalize" -> (urlCanonicalize _),
-    "q163_anf_curve" -> (anfCurve _)
+    "q163_anf_curve" -> (anfCurve _),
+    "q164_perplexity_buckets" -> (perplexityBuckets _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -575,6 +696,7 @@ object Round12Queries {
     "q160_shard_packing" -> q160OracleSql,
     "q161_banding_scurve" -> q161OracleSql,
     "q162_url_canonicalize" -> q162OracleSql,
-    "q163_anf_curve" -> q163OracleSql
+    "q163_anf_curve" -> q163OracleSql,
+    "q164_perplexity_buckets" -> q164OracleSql
   )
 }

@@ -132,7 +132,12 @@ object ProfScale {
       "q159_unigram" -> (d => operators.Round12Queries.unigramTokenizer(spark, d)),
       "q160_shards" -> (d => operators.Round12Queries.shardPacking(spark, d)),
       "q161_scurve" -> (d => operators.Round12Queries.bandingSCurve(spark, d)),
-      "q162_urls" -> (d => operators.Round12Queries.urlCanonicalize(spark, d)))
+      "q162_urls" -> (d => operators.Round12Queries.urlCanonicalize(spark, d)),
+      // q164: per-lang bigram tables grow with the blowup's distinct
+      // prefixes (each replica adds new (r_i, first-word) bigrams) but stay
+      // vocab²-bounded; the rank pass shuffles one narrow row per doc —
+      // expect ≲10x
+      "q164_ppl_buckets" -> (d => operators.Round12Queries.perplexityBuckets(spark, d)))
 
     // SPARK_GRAFT_ONLY: comma-separated name substrings (the Verify/Bench
     // convention) — sweep just the named queries when iterating

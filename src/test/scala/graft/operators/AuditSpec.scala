@@ -701,6 +701,39 @@ class AuditSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q164 mechanism: common-bigram docs land in head, rare-bigram docs " +
+      "in tail; terciles are balanced and deterministic") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q164").toString
+    // lang A: 6 docs — 4 made of one dominating bigram, one mixed, one of
+    // bigrams that occur nowhere else (highest surprise → tail)
+    val docs = Seq(
+      (1L, "aa bb aa bb aa bb", "A"), (2L, "aa bb aa bb", "A"),
+      (3L, "aa bb aa bb aa", "A"), (4L, "aa bb", "A"),
+      (5L, "aa bb zz qq", "A"), (6L, "rare1 rare2 rare3", "A")
+    ).toDF("doc_id", "text", "lang")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Round12Queries.perplexityBuckets(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val byBucket = out.map(r => r._2 -> r._3).toMap
+    assert(byBucket == Map("head" -> 2L, "middle" -> 2L, "tail" -> 2L),
+      s"6 docs must cut into 2/2/2 terciles, got $out")
+    // the all-rare doc must be in the tail tercile: its mean nlp is the
+    // language maximum, so max_nlp(tail) > max_nlp(head)
+    val maxByBucket = Round12Queries.perplexityBuckets(spark, dir)
+      .collect().map(r => r.getString(1) -> r.getDouble(4)).toMap
+    assert(maxByBucket("tail") > maxByBucket("head"),
+      s"surprise must increase head→tail: $maxByBucket")
+    // determinism
+    val again = Round12Queries.perplexityBuckets(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == again)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q98: the audit sample rate is a live parameter — a smaller hex " +
       "threshold audits a strict subset") {
     import spark.implicits._
