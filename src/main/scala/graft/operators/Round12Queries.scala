@@ -384,6 +384,10 @@ object Round12Queries {
     // expression tree ~L^N — each DP position is therefore its own
     // MATERIALIZED CTE (linear size, and the binder never recurses past
     // one position).
+    // Overlong words (len > MaxWordLen) bypass the DP: both engines segment
+    // them CHAR-WISE (UnigramLM.viterbi's documented fallback), so the DP
+    // chain only ever sees words its N unrolled positions cover, and the
+    // oracle replays the fallback as the UNION ALL length-gated branch.
     def segCtes(tag: String, mr: String): String = {
       val dpSteps = (1 to N).map { i =>
         val cands = (1 to math.min(L, i)).map { k =>
@@ -409,7 +413,8 @@ object Round12Queries {
       s"""cand$tag AS (
          |  SELECT s.w, s.i AS st, s.k, m.cost
          |  FROM (SELECT w, i, unnest(generate_series(1, least($L, len(w) - i + 1))) AS k
-         |        FROM (SELECT w, unnest(generate_series(1, len(w))) AS i FROM tf)) s
+         |        FROM (SELECT w, unnest(generate_series(1, len(w))) AS i FROM tf
+         |              WHERE len(w) <= $N)) s
          |  JOIN $mr m ON m.p = substr(s.w, s.i, s.k)),
          |cm1$tag AS (SELECT w, st, $caseCols FROM cand$tag GROUP BY 1, 2),
          |cm$tag AS (SELECT w, list($cList ORDER BY st) AS cm
@@ -419,7 +424,10 @@ object Round12Queries {
          |$dpSteps,
          |bk${tag}0 AS (SELECT w, c, $kkList AS kk, n AS q0 FROM dp$tag$N),
          |$backSteps,
-         |seg$tag AS (SELECT w, c, $pieceList AS pieces FROM bk$tag$N)""".stripMargin
+         |seg$tag AS (SELECT w, c, $pieceList AS pieces FROM bk$tag$N
+         |  UNION ALL
+         |  SELECT w, c, [substr(w, i, 1) for i in range(1, len(w) + 1)] AS pieces
+         |  FROM tf WHERE len(w) > $N)""".stripMargin
     }
 
     def countCtes(r: Int, segSrc: String): String =
@@ -589,7 +597,7 @@ object Round12Queries {
     * canonicalization rule gets exercised, and the oracle rebuilds the
     * exact same strings from the same table (the q142-style pinned-input
     * discipline: inputs derive from corpus columns, never invented data). */
-  private def messyUrl = {
+  private[operators] def messyUrl = {
     val scheme = when(col("doc_id") % 3 === 0, lit("HTTP://"))
       .when(col("doc_id") % 3 === 1, lit("https://")).otherwise(lit("http://"))
     val host = concat(when(col("doc_id") % 2 === 0, upper(col("source")))

@@ -116,6 +116,16 @@ object LangId {
     val stats = langStats.select("lang", "lang_idx", "prior_u", "oov_llu")
       .collect().sortBy(_.getLong(1))
     require(stats.nonEmpty, "langId.predict: empty model")
+    // the `score·8 − langIdx` key is a total order consistent with scores
+    // ONLY while langIdx < 8 — at 9+ languages a 1-micro-unit score edge
+    // can be cancelled by the index term and the argmax silently flips.
+    // Enforced loudly here (and in StreamingLangId.fitModel) rather than
+    // assumed; widening the multiplier must happen in BOTH engines and the
+    // oracle SQL at once, so it is a deliberate change, not a default.
+    require(stats.length <= 8,
+      s"langId tie-free argmax supports at most 8 languages, got " +
+        s"${stats.length}: widen the ·8 multiplier in predict AND the " +
+        "oracle together")
     val langs = stats.map(_.getString(0))
     val wide = model.groupBy("_h")
       .pivot("lang", langs.toSeq).agg(first("llu"))

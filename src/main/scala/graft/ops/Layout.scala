@@ -121,7 +121,23 @@ object Layout {
     * adds the ranges-before-it offset. Caller must make `keys` total. */
   def globalSequenceWithRunningTotal(df: DataFrame, keys: Seq[Column],
       valueCol: Column, posName: String = "pos", cumName: String = "cum_before",
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0): DataFrame =
+    globalSequenceWithRunningTotalHandle(df, keys, valueCol, posName,
+      cumName, partitions)._1
+
+  /** [[globalSequenceWithRunningTotal]] plus the persisted range-partitioned
+    * frame BACKING the result — the same leak-plugging handle as
+    * [[globalSequenceHandle]]: the persist is load-bearing (offsets were
+    * folded from THIS materialization's boundaries; a recompute could
+    * re-sample different ranges), so the caller must unpersist only AFTER
+    * fully consuming the sequence. [[writeShards]] does; a long-lived
+    * driver calling [[shardAssign]] repeatedly should take this handle
+    * instead (Verify/Bench clear caches per query, so one-shot batch
+    * callers may ignore it). */
+  private[graft] def globalSequenceWithRunningTotalHandle(df: DataFrame,
+      keys: Seq[Column], valueCol: Column, posName: String = "pos",
+      cumName: String = "cum_before",
+      partitions: Int = 0): (DataFrame, DataFrame) = {
     val n = if (partitions > 0) partitions
       else df.sparkSession.sparkContext.defaultParallelism
     val ranged = df.withColumn("_v", valueCol.cast("long"))
@@ -140,13 +156,13 @@ object Layout {
         when(col("_pid") === pid, lit(offs(pid))).otherwise(acc) }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_pid").orderBy(keys: _*)
-    ranged
+    (ranged
       .withColumn(posName,
         row_number().over(w).cast("long") + offsetExpr(cntOffsets))
       .withColumn(cumName,
         coalesce(sum("_v").over(w.rowsBetween(Long.MinValue, -1)), lit(0L)) +
           offsetExpr(sumOffsets))
-      .drop("_pid", "_v")
+      .drop("_pid", "_v"), ranged)
   }
 
   /** Deterministic size-balanced training-shard assignment: rows in `keys`
@@ -162,10 +178,17 @@ object Layout {
     * shard — the standard concat-and-cut shard rule. Pure integer
     * arithmetic over the distributed prefix sum: hash-exact anywhere. */
   def shardAssign(df: DataFrame, keys: Seq[Column], valueCol: Column,
-      budget: Long, shardName: String = "shard"): DataFrame = {
+      budget: Long, shardName: String = "shard"): DataFrame =
+    shardAssignHandle(df, keys, valueCol, budget, shardName)._1
+
+  /** [[shardAssign]] plus the backing persisted frame (see
+    * [[globalSequenceWithRunningTotalHandle]] for the unpersist contract). */
+  private[graft] def shardAssignHandle(df: DataFrame, keys: Seq[Column],
+      valueCol: Column, budget: Long,
+      shardName: String = "shard"): (DataFrame, DataFrame) = {
     require(budget >= 1L, s"budget must be >= 1: $budget")
-    globalSequenceWithRunningTotal(df, keys, valueCol)
-      .withColumn(shardName, expr(s"cum_before div ${budget}L"))
+    val (seq, ranged) = globalSequenceWithRunningTotalHandle(df, keys, valueCol)
+    (seq.withColumn(shardName, expr(s"cum_before div ${budget}L")), ranged)
   }
 
   /** MATERIALIZE the [[shardAssign]] result as one parquet directory per
@@ -177,11 +200,17 @@ object Layout {
     * without another shuffle. A training reader walking shard=0,1,2,…
     * files in pos order replays the epoch order exactly. */
   def writeShards(df: DataFrame, keys: Seq[Column], valueCol: Column,
-      budget: Long, outDir: String): Unit =
-    shardAssign(df, keys, valueCol, budget)
+      budget: Long, outDir: String): Unit = {
+    val (assigned, ranged) = shardAssignHandle(df, keys, valueCol, budget)
+    try assigned
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "pos")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    // the write consumed the sequence exactly once; without this a
+    // long-lived driver calling writeShards per epoch accumulates one
+    // cached range-partitioned copy of the corpus per call
+    finally ranged.unpersist()
+  }
 
   // --- resumable sequence: continuation across shards / restarts -----------
 

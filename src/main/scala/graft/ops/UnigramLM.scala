@@ -44,21 +44,43 @@ object UnigramLM {
   /** EM rounds. */
   val Rounds = 3
 
-  /** The SQL oracle unrolls the DP to this many positions; fitting REQUIRES
-    * every vocabulary word at most this long (checked loudly). 12 sits
+  /** The SQL oracle unrolls the DP to this many positions. 12 sits
     * comfortably over the corpus's longest token (8) while keeping the
     * oracle's lateral-alias chain under DuckDB's 128-deep binder recursion
-    * limit (the chain binds ~3 aliases/position; 16 positions exceed it). */
+    * limit (the chain binds ~3 aliases/position; 16 positions exceed it).
+    * Words PAST this length do not crash the fit: they segment CHAR-WISE
+    * (see [[viterbi]]) — the degrade-not-crash posture a real crawl
+    * vocabulary needs (URLs, German compounds, unsegmented CJK runs are
+    * routinely >12 chars), with the fallback exactly replayable by a
+    * length-gated branch in the oracle. */
   val MaxWordLen = 12
 
   /** One Viterbi segmentation under integer piece costs. `pieces` maps
     * piece → cost_u; every single char of `w` must be present (the Laplace
     * floor guarantees it). Returns the argmin-cost segmentation, ties by
     * the combined `cost·16 + (MaxPieceLen − k)` encoding (longer piece
-    * wins), then by smaller start implicitly via the left-to-right DP. */
+    * wins), then by smaller start implicitly via the left-to-right DP.
+    *
+    * Words longer than [[MaxWordLen]] code points take the DOCUMENTED
+    * fallback: a char-wise segmentation (cost = Σ single costs — exact
+    * integer arithmetic, no model lookup needed to know the pieces). The
+    * bound exists for the oracle's position-unrolled DP; the fallback
+    * keeps fit/encode total on any vocabulary while staying bit-exact
+    * with the oracle's `len(w) > MaxWordLen` branch. Split is by CODE
+    * POINT (Spark/DuckDB substr semantics), not UTF-16 unit. */
   private[ops] def viterbi(w: String, pieces: collection.Map[String, Long]): Seq[String] = {
     val n = w.length
     if (n == 0) return Seq.empty
+    if (w.codePointCount(0, n) > MaxWordLen) {
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < n) {
+        val j = w.offsetByCodePoints(i, 1)
+        out += w.substring(i, j)
+        i = j
+      }
+      return out.result()
+    }
     val Inf = Long.MaxValue / 32
     val best = new Array[Long](n + 1)
     val backK = new Array[Int](n + 1)
@@ -108,20 +130,29 @@ object UnigramLM {
   def fit(tf: DataFrame): (Map[String, Long], DataFrame) = {
     val spark = tf.sparkSession
     val vocab = tf.select(col("w"), col("c").cast("long").as("c")).persist()
-    val tooLong = vocab.where(length(col("w")) > MaxWordLen).limit(1).collect()
-    require(tooLong.isEmpty,
-      s"unigram-LM oracle unrolls $MaxWordLen positions; word too long: " +
-        tooLong.headOption.map(_.getString(0)).getOrElse(""))
-    // round-0 counts: frequency-weighted substring occurrences, len 1..Lmax
-    val init = vocab.select(col("c"), col("w"),
+    // round-0 counts: frequency-weighted substring occurrences, len 1..Lmax.
+    // The top-K prune runs DISTRIBUTED (TakeOrdered on the total order
+    // (cnt desc, p asc) — the exact rule model() applies), so the driver
+    // collects only (K + alphabet) rows, never the raw distinct-substring
+    // relation: on an ASCII test corpus that relation is small, but on a
+    // multilingual crawl vocabulary it is alphabet⁴-ish — tens of millions
+    // of rows, the one collect in this file that was NOT model-bounded.
+    val sub = vocab.select(col("c"), col("w"),
         explode(sequence(lit(1), length(col("w")))).as("_i"))
       .select(col("c"), col("w"), col("_i"),
         explode(sequence(lit(1),
           least(lit(MaxPieceLen), length(col("w")) - col("_i") + 1))).as("_k"))
       .select(col("w").substr(col("_i"), col("_k")).as("p"), col("c"))
       .groupBy("p").agg(sum("c").as("cnt"))
+      .persist() // feeds the singles AND the top-K collects
+    val singlesInit = sub.where(length(col("p")) === 1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-    val alphabet = init.collect { case (p, _) if p.length == 1 => p }
+    val multiInit = sub.where(length(col("p")) > 1 && col("cnt") > 0)
+      .orderBy(col("cnt").desc, col("p").asc).limit(TopK)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    sub.unpersist()
+    val init = singlesInit ++ multiInit
+    val alphabet = singlesInit.map(_._1)
     var m = model(init)
     // each round: segment under the CURRENT model, recount from the chosen
     // segmentations, re-estimate + prune — then ONE final segmentation under

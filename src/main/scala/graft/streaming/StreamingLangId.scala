@@ -33,12 +33,50 @@ object StreamingLangId {
   }
 
   /** Fit on a labeled static frame and collect the vocabulary-bounded
-    * model (one driver collect of |grams|×|langs| + |langs| rows). */
+    * model (one driver collect of |grams|×|langs| + |langs| rows).
+    *
+    * `maxGramsPerLang` bounds that collect: when > 0, each language keeps
+    * only its top-N gram rows by (llu desc, gram-hash asc) — llu is
+    * monotone in the training count, so this is top-N-by-count with a
+    * deterministic tie-break — and every pruned gram falls to that
+    * language's OOV floor at scoring time (the left-miss path that
+    * already exists; a DOCUMENTED divergence from the uncapped batch
+    * model, pinned by StreamingLangIdSpec against batch predict on the
+    * SAME capped table). On multilingual data the uncapped table is
+    * alphabet³×|langs| — the largest "bounded" model in the repo — while
+    * the capped collect is ≤ maxGramsPerLang×|langs| rows ≈ 16 bytes +
+    * 8·|langs| each, a hard byte budget the caller picks. 0 = uncapped
+    * (exact batch parity, test-scale default). */
   def fitModel(train: DataFrame, textCol: String, langCol: String,
-      n: Int): Model = {
-    val (modelDf, statsDf) = LangId.fit(train, textCol, langCol, n)
+      n: Int, maxGramsPerLang: Int = 0): Model = {
+    val (modelDf0, statsDf) = LangId.fit(train, textCol, langCol, n)
+    val modelDf = cappedModel(modelDf0, maxGramsPerLang)
+    fitFrom(modelDf, statsDf)
+  }
+
+  /** Prune a (_h, lang, llu) model table to its top-N grams per language —
+    * distributed, BEFORE any collect. The per-lang window partitions on
+    * |langs| keys over a vocabulary-bounded table (model rows, never
+    * corpus rows), so the sort is model-sized; exposed so the batch side
+    * can score against the IDENTICAL capped table in the parity spec. */
+  def cappedModel(modelDf: DataFrame, maxGramsPerLang: Int): DataFrame =
+    if (maxGramsPerLang <= 0) modelDf
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("llu").desc, col("_h"))
+      modelDf.withColumn("_rk", row_number().over(w))
+        .where(col("_rk") <= maxGramsPerLang).drop("_rk")
+    }
+
+  /** Collect an (already capped or uncapped) model table + stats into the
+    * broadcastable [[Model]]. */
+  private def fitFrom(modelDf: DataFrame, statsDf: DataFrame): Model = {
     val stats = statsDf.select("lang", "lang_idx", "prior_u", "oov_llu")
       .collect().sortBy(_.getLong(1))
+    require(stats.length <= 8,
+      s"langId tie-free argmax supports at most 8 languages, got " +
+        s"${stats.length} (the ·8 key order breaks past 8 — see " +
+        "LangId.predict)")
     val langs = stats.map(_.getString(0))
     val idx = langs.zipWithIndex.toMap
     val table = modelDf.select("_h", "lang", "llu").collect()

@@ -42,8 +42,30 @@ class UnigramLMSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
-  test("fit: rejects a vocabulary word longer than the oracle's DP unroll") {
-    val tf = Seq(("a" * (UnigramLM.MaxWordLen + 1), 1L)).toDF("w", "c")
-    intercept[IllegalArgumentException] { UnigramLM.fit(tf) }
+  test("viterbi: a word past MaxWordLen segments char-wise (the documented " +
+      "degrade-not-crash fallback), even when longer pieces exist") {
+    val pieces = Map("a" -> 1L, "aaaa" -> 1L)
+    val long = "a" * (UnigramLM.MaxWordLen + 1)
+    assert(UnigramLM.viterbi(long, pieces) == long.map(_.toString),
+      "overlong words must take the char-wise branch the oracle replays")
+    // at exactly MaxWordLen the DP still runs and picks the cheap long piece
+    val exact = "a" * UnigramLM.MaxWordLen
+    assert(UnigramLM.viterbi(exact, pieces).contains("aaaa"))
+  }
+
+  test("fit: a planted 40-char word degrades char-wise instead of crashing, " +
+      "and the rest of the vocabulary still fits normally") {
+    val long = "ab" * 20 // 40 chars, well past MaxWordLen
+    val tf = Seq(("tok", 500L), ("tax", 3L), (long, 7L)).toDF("w", "c")
+    val (model, seg) = UnigramLM.fit(tf)
+    val rows = seg.select("w", "pieces").as[(String, Seq[String])].collect().toMap
+    assert(rows(long) == long.map(_.toString),
+      "the overlong word must segment char-wise")
+    assert(rows("tok") == Seq("tok"),
+      s"the dominant short word must still collapse to one piece; model=$model")
+    // the fallback's single chars flow into the recounts: 'a'/'b' counts
+    // include the overlong word's contribution, so they stay in the model
+    assert(model.contains("a") && model.contains("b"))
+    spark.sharedState.cacheManager.clearCache()
   }
 }

@@ -57,6 +57,35 @@ class StreamingLangIdSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("capped model: top-N-grams-per-lang prune matches batch predict on " +
+      "the SAME capped table, and really bounds the collect") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa aab baa"), (2L, "zzz yzz"), (3L, "mno opq"),
+      (4L, "qqq rrr"), (5L, "aaa zzz mno"))
+    val cap = 3
+    val (model, stats) = LangId.fit(trainDf, "text", "lang", n = 3)
+    val capped = StreamingLangId.cappedModel(model, cap)
+    // the prune really bit: the uncapped table is larger than langs×cap
+    assert(model.count() > capped.count())
+    assert(capped.groupBy("lang").count().agg(max("count")).head.getLong(0)
+      <= cap)
+    // batch scoring against the capped table == streaming Model from the
+    // same cap (pruned grams fall to the OOV floor on BOTH sides)
+    val batch = LangId.predict(docs.toDF("doc_id", "text"), "text", "doc_id",
+        n = 3, capped, stats)
+      .as[(Long, String)].collect().toMap
+    val m = StreamingLangId.fitModel(trainDf, "text", "lang", n = 3,
+      maxGramsPerLang = cap)
+    assert(m.llu.size <= cap * m.langs.length,
+      "collected map must be cap-bounded")
+    val streamed = StreamingLangId.annotate(
+        docs.toDF("doc_id", "text"), m)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(streamed == batch,
+      s"capped stream/batch divergence: $streamed vs $batch")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("annotate is stateless: a static frame scores identically and keeps " +
       "its other columns") {
     import spark.implicits._

@@ -15,10 +15,14 @@ A query FAILS when it is slower than factor x anchor AND more than
 from flapping on +/- noise).
 
 Flags are then triaged against git: at rebaseline time the HEAD commit
-is recorded, and a flagged query whose mentioning source files (grep
-over src/main) are UNCHANGED since that commit is reported as DRIFT
-(host noise by construction — the code cannot have regressed) and does
-not fail the gate; only flags touching changed code are actionable.
+is recorded, and a flagged query is reported as DRIFT (host noise, not
+gate-failing) only when the triage can POSITIVELY rule out a code
+cause: no src/main file changed at all since the baseline commit, or
+every changed src/main file both names some other query id and does
+not name this one. A changed src/main file that names NO query id is
+shared hot-path code (Partitioning, Sampling, expression kernels, ...)
+that any query may ride through — such a change makes EVERY flag
+actionable, because the grep-level code-to-query map cannot clear it.
 Queries with no recorded baseline are reported as new, never failed —
 record them with --rebaseline once their first quiet-box capture lands.
 
@@ -106,6 +110,28 @@ def query_files(qname):
         return set()
 
 
+def global_main_changes(changed):
+    """Changed src/main files the code↔query map cannot attribute: a file
+    that names no query id at all is shared hot-path code (Partitioning,
+    Sampling, Quality, expression kernels, ...) whose regression could
+    surface under ANY query — its presence makes every flag actionable."""
+    import re
+    out = set()
+    for rel in changed:
+        if not rel.startswith("src/main/"):
+            continue
+        full = os.path.join(REPO, rel)
+        try:
+            with open(full) as f:
+                txt = f.read()
+        except OSError:
+            out.add(rel)  # deleted/renamed → cannot clear it, stay loud
+            continue
+        if not re.search(r"\bq\d{2,3}\b", txt):
+            out.add(rel)
+    return out
+
+
 def check(path, factor, slack):
     with open(BASELINES) as f:
         base_doc = json.load(f)
@@ -120,19 +146,25 @@ def check(path, factor, slack):
         elif sec > factor * b and sec - b > slack:
             flagged.append((q, sec, b, sec / b))
     changed = changed_files_since(commit) if (flagged and commit) else None
+    glob = global_main_changes(changed) if changed is not None else set()
     actionable, drift = [], []
     for item in flagged:
-        if changed is not None and not (query_files(item[0]) & changed):
+        if changed is not None and not glob \
+                and not (query_files(item[0]) & changed):
             drift.append(item)
         else:
             actionable.append(item)
     for q, sec, b, ratio in actionable:
+        why = ("shared hot-path code changed: " + ", ".join(sorted(glob)[:3])
+               if glob and changed is not None
+               and not (query_files(q) & changed)
+               else "code changed since baseline")
         print(f"FAIL {q}: {sec:.3f}s vs anchor {b:.3f}s = {ratio:.2f}x "
-              f"(gate {factor:.1f}x; code changed since baseline)")
+              f"(gate {factor:.1f}x; {why})")
     for q, sec, b, ratio in drift:
         print(f"drift {q}: {sec:.3f}s vs anchor {b:.3f}s = {ratio:.2f}x "
-              f"(code UNCHANGED since baseline commit — host noise, not a "
-              f"regression)")
+              f"(no attributable src/main change since baseline commit — "
+              f"host noise, not a regression)")
     for q in new:
         print(f"  new {q}: {cur[q]:.3f}s (no baseline; --rebaseline to record)")
     ok = len(cur) - len(flagged) - len(new)
