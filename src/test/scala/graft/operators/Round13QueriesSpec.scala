@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.pipeline.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-fixture pins for the round-13 queries: byte-level BPE (q165),
+  * the ANF calibration audit (q166), host-reputation composition (q167)
+  * and the phash banding recall audit (q168). The DuckDB oracles certify
+  * each at sf scale; these fix the intended math on inputs small enough
+  * to verify by hand. */
+class Round13QueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r13docs").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q165: hand-sized corpus — byte merges collapse 'ab' to one token, " +
+      "bytes_per_token is exact") {
+    import spark.implicits._
+    // vocab: 'ab' (x3, source A), 'abc' (x1, source B). seg0 over hex byte
+    // pairs: [61 62] / [61 62 63]. merge 1 = (61,62) cnt 4; merge 2 =
+    // (6162,63) cnt 1; then no pairs remain -> early stop.
+    val dir = docsDir(Seq(
+      (1L, "ab ab ab", "en", "A"), (2L, "abc", "en", "B")))
+    val r = Round13Queries.byteBpe(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq(("A", 3L, 6L, 3L, 2.0), ("B", 1L, 3L, 1L, 3.0)),
+      s"got $r")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q165: multi-byte UTF-8 words count BYTES, not chars") {
+    import spark.implicits._
+    // 'é' is 2 UTF-8 bytes (C3 A9): one word of 2 chars = 4 bytes
+    val dir = docsDir(Seq((1L, "éé", "fr", "A")))
+    val r = Round13Queries.byteBpe(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(r.head._1 == "A" && r.head._2 == 1L && r.head._3 == 4L,
+      s"expected 4 UTF-8 bytes for 'éé', got $r")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q166: one planted seed — exact ball sizes are the hand count, " +
+      "single-seed mean==max, error non-negative") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r13trade").toString
+    // trade graph: customer 1 <-> supplier 100 (the only %100 seed)
+    Seq((100L)).toDF("s_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1L, 1L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 100L)).toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Round13Queries.anfCalibration(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(r.map(_._1) == Seq(1L, 2L, 3L), s"hops: $r")
+    // ball of the seed = {self, customer} at every hop
+    assert(r.forall(t => t._2 == 1L && t._3 == 2L), s"exact balls: $r")
+    assert(r.forall(t => t._4 == t._5),
+      s"single seed: mean must equal max: $r")
+    assert(r.forall(t => t._4 >= 0.0), s"relative error is absolute: $r")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q167: quality gate is the q82 rule set per host — a passing host " +
+      "keeps iff it is also centrally reachable; failing quality zeroes " +
+      "the weight") {
+    import spark.implicits._
+    // host A: docs with 25 distinct 4-char words -> all four Gopher rules
+    // pass. host B: 5-word docs -> wc rule fails every doc.
+    // 25 distinct 4-char words: wc 25 in [20,90], mean len exactly 4.0,
+    // no stopwords, max single-token count 1
+    val good = (1 to 25).map(i => f"w$i%03d").mkString(" ")
+    val bad = "one two three four five"
+    val dir = docsDir(
+      (0 until 4).map(i => (i * 20L, good, "en", "srcA")) ++
+        (0 until 4).map(i => (i * 20L + 1, bad, "en", "srcB")))
+    val r = Round13Queries.hostReputation(spark, dir)
+      .select("host", "n_docs", "n_keep", "qual_rate_u", "qual_ok", "keep",
+        "weight_u")
+      .as[(String, Long, Long, Long, Boolean, Boolean, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    val a = r("srca.example.com")
+    val b = r("srcb.example.com")
+    assert(a._2 == 4L && a._3 == 4L && a._4 == 1000000L && a._5,
+      s"host A must pass quality: $a")
+    assert(b._2 == 4L && b._3 == 0L && b._4 == 0L && !b._5 && !b._6 &&
+      b._7 == 0L, s"host B must fail quality and carry weight 0: $b")
+    // keep == qual_ok AND cent_ok, so keep implies qual_ok
+    assert(!a._6 || a._5)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q168: identical same-modality payloads land a guaranteed hd-0 row; " +
+      "every guaranteed (hd<=3) bucket has catch_rate exactly 1.0 — the " +
+      "pigeonhole floor the audit exists to measure") {
+    import spark.implicits._
+    // doc_ids 0 and 3 share modality (mod 3) and text -> exact dup pair.
+    // Texts must survive the 50% md5 sample: brute-force a salt char.
+    val base = "the quick brown fox jumps over the lazy dog " * 3
+    def sampled(t: String): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(("q168" + t).getBytes("UTF-8"))
+      (md(0) & 0xF0) < 0x80
+    }
+    val t1 = (0 until 16).map(i => base + ('a' + i).toChar).find(sampled).get
+    val t2 = (0 until 16).map(i => base + "zz" + ('a' + i).toChar)
+      .find(sampled).get
+    val dir = docsDir(Seq(
+      (0L, t1, "en", "srcA"), (3L, t1, "en", "srcA"),
+      (6L, t2, "en", "srcA")))
+    val r = Round13Queries.phashRecallAudit(spark, dir)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    val hd0 = r.find(_._1 == 0L)
+    assert(hd0.isDefined && hd0.get._2 >= 1L && hd0.get._4 == 1.0 &&
+      hd0.get._5, s"identical payloads must be a caught hd-0 pair: $r")
+    assert(r.filter(_._5).forall(_._4 == 1.0),
+      s"pigeonhole: every hd<=3 bucket must catch 1.0: $r")
+    spark.sharedState.cacheManager.clearCache()
+  }
+}
