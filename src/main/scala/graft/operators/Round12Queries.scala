@@ -154,8 +154,16 @@ object Round12Queries {
     * Scale: count tables are vocab²-bounded per language (the q84
     * argument); the rank pass shuffles (lang, long, long) rows once. */
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
-    graft.expr.GraftFunctions.ensureRegistered(spark)
     val docs = graft.ops.Partitioning.spread(table(spark, dir, "documents"))
+    perplexityBucketsOver(spark, docs)
+  }
+
+  /** The q164 machinery over an arbitrary (doc_id, lang, text) frame — the
+    * `lang` column is whatever the caller derived (the label for q164, the
+    * q158 CLASSIFIER's prediction for q169's CCNet composition). */
+  private[operators] def perplexityBucketsOver(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
     // Ownership: Verify/Bench clear the cache after each query's action.
     val grouped = docs
       .select(col("doc_id"), col("lang"),

@@ -508,17 +508,128 @@ object Round13Queries {
        |  hd <= 3 AS guaranteed
        |FROM per GROUP BY hd ORDER BY hd""".stripMargin
 
+  // --- q169: CCNet composition — classifier-driven perplexity buckets --------
+
+  /** q169 — the CCNet composition END TO END (Wenzek et al. 2020): q158's
+    * integer NB language classifier (fit on the deterministic content-hash
+    * HALF) predicts a language for EVERY document, and q164's per-language
+    * bigram-LM perplexity terciles then run keyed on the PREDICTED
+    * language — the honest pipeline shape (a real crawl has no labels; the
+    * LM a document is scored under is whatever the classifier routed it
+    * to, misroutes and all). Per (pred_lang, bucket): doc counts and
+    * mean/max nlp. Each stage is individually green (q158, q164); this
+    * query certifies the COMPOSITION, the q99 discipline. Scale shapes
+    * compose unchanged: NB model broadcast + one doc-keyed agg for
+    * prediction, vocab²-per-lang count tables + the two-pass rank for the
+    * terciles. */
+  def ccnetComposition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val isTrain =
+      substring(md5(encode(concat(lit("q169"), col("text")), "UTF-8")), 1, 1) < "8"
+    val (model, langStats) =
+      graft.ops.LangId.fit(docs.where(isTrain), "text", "lang", n = 3)
+    val pred = graft.ops.LangId.predict(docs, "text", "doc_id", n = 3,
+      model, langStats)
+    val routed = Partitioning.spread(docs.select(col("doc_id"), col("text"))
+      .join(pred, Seq("doc_id"))
+      .select(col("doc_id"), col("pred").as("lang"), col("text")))
+    Round12Queries.perplexityBucketsOver(spark, routed)
+      .withColumnRenamed("lang", "pred_lang")
+  }
+
+  /** q169 oracle: the q158 fit/score chain (salt 'q169', scoring ALL
+    * documents) feeding the q164 LM/tercile chain keyed on the predicted
+    * language. */
+  private def q169OracleSql: String =
+    """WITH sp AS (SELECT doc_id, lang, text, lower(text) AS t,
+      |    substr(md5('q169' || text), 1, 1) < '8' AS is_train FROM documents),
+      |trg AS (SELECT lang, unnest(CASE WHEN length(t) < 3 THEN [t]
+      |    ELSE [substr(t, i, 3) for i in range(1, length(t) - 1)] END) AS g
+      |  FROM sp WHERE is_train),
+      |lg AS (SELECT lang, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h,
+      |    count(*)::BIGINT AS c FROM trg GROUP BY 1, 2),
+      |tot AS (SELECT lang, sum(c)::BIGINT AS tot FROM lg GROUP BY 1),
+      |vv AS (SELECT count(DISTINCT h)::BIGINT AS v FROM lg),
+      |nd AS (SELECT lang, count(*)::BIGINT AS nl FROM sp WHERE is_train GROUP BY 1),
+      |nn AS (SELECT count(*)::BIGINT AS n FROM sp WHERE is_train),
+      |ls AS (SELECT t.lang,
+      |    (ROW_NUMBER() OVER (ORDER BY t.lang) - 1)::BIGINT AS lang_idx,
+      |    round(1000000.0 * ln(nd.nl::DOUBLE / (SELECT n FROM nn)))::BIGINT AS prior_u,
+      |    round(1000000.0 * ln(1.0 / (t.tot + (SELECT v FROM vv))))::BIGINT AS oov_llu,
+      |    (t.tot + (SELECT v FROM vv)) AS denom
+      |  FROM tot t JOIN nd ON nd.lang = t.lang),
+      |model AS (SELECT lg.h, lg.lang,
+      |    round(1000000.0 * ln((lg.c + 1)::DOUBLE / ls.denom))::BIGINT AS llu
+      |  FROM lg JOIN ls USING (lang)),
+      |teg AS (SELECT doc_id, unnest(CASE WHEN length(t) < 3 THEN [t]
+      |    ELSE [substr(t, i, 3) for i in range(1, length(t) - 1)] END) AS g
+      |  FROM sp),
+      |dgc AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h,
+      |    count(*)::BIGINT AS cnt FROM teg GROUP BY 1, 2),
+      |contrib AS (SELECT d.doc_id, ls.lang, ls.lang_idx, ls.prior_u,
+      |    d.cnt * coalesce(m.llu, ls.oov_llu) AS x
+      |  FROM dgc d CROSS JOIN ls
+      |  LEFT JOIN model m ON m.h = d.h AND m.lang = ls.lang),
+      |scr AS (SELECT doc_id, lang,
+      |    ((prior_u + sum(x)) * 8 - lang_idx)::BIGINT AS key
+      |  FROM contrib GROUP BY doc_id, lang, lang_idx, prior_u),
+      |pr AS (SELECT doc_id, max_by(lang, key) AS pred FROM scr GROUP BY 1),
+      |rdocs AS (SELECT sp.doc_id, pr.pred AS lang, sp.text
+      |  FROM sp JOIN pr USING (doc_id)),
+      |tk AS (SELECT doc_id, lang,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+      |  FROM rdocs),
+      |toks AS (SELECT doc_id, lang, unnest(ts) AS w,
+      |    unnest(generate_series(1, len(ts))) AS pos FROM tk),
+      |big AS (SELECT doc_id, lang, w AS w1,
+      |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks),
+      |bg AS (SELECT doc_id, lang, w1, w2, count(*)::BIGINT AS n FROM big
+      |  WHERE w2 IS NOT NULL GROUP BY 1, 2, 3, 4),
+      |c2 AS (SELECT lang, w1, w2, sum(n)::BIGINT AS c2 FROM bg GROUP BY 1, 2, 3),
+      |c1 AS (SELECT lang, w1, sum(n)::BIGINT AS c1 FROM bg GROUP BY 1, 2),
+      |v AS (SELECT lang, count(DISTINCT w)::BIGINT AS v FROM toks GROUP BY 1),
+      |sc AS (SELECT bg.doc_id, bg.lang,
+      |    sum(bg.n * round(1000000.0 * -ln((c2.c2 + 0.5) /
+      |      (c1.c1 + 0.5 * v.v)))::BIGINT)::BIGINT AS sum_u,
+      |    sum(bg.n)::BIGINT AS nb
+      |  FROM bg JOIN c2 USING (lang, w1, w2) JOIN c1 USING (lang, w1)
+      |    JOIN v USING (lang)
+      |  GROUP BY 1, 2),
+      |avgs AS (SELECT doc_id, lang, sum_u // nb AS avg_u FROM sc),
+      |rk AS (SELECT lang, avg_u,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_u, doc_id) AS r,
+      |    count(*) OVER (PARTITION BY lang) AS nl FROM avgs),
+      |bk AS (SELECT lang, avg_u,
+      |    CASE WHEN 3 * (r - 1) < nl THEN 'head'
+      |         WHEN 3 * (r - 1) < 2 * nl THEN 'middle'
+      |         ELSE 'tail' END AS bucket FROM rk),
+      |so AS (SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+      |    round((sum(avg_u)::DOUBLE / count(*)) / 1000000.0, 6) AS mean_nlp,
+      |    round(max(avg_u)::DOUBLE / 1000000.0, 6) AS max_nlp
+      |  FROM bk GROUP BY 1, 2),
+      |uns AS (SELECT d.lang, 'unscored' AS bucket, count(*)::BIGINT AS n_docs,
+      |    NULL::DOUBLE AS mean_nlp, NULL::DOUBLE AS max_nlp
+      |  FROM rdocs d
+      |  WHERE NOT EXISTS (SELECT 1 FROM avgs a WHERE a.doc_id = d.doc_id)
+      |  GROUP BY 1)
+      |SELECT lang AS pred_lang, bucket, n_docs, mean_nlp, max_nlp FROM so
+      |UNION ALL
+      |SELECT lang AS pred_lang, bucket, n_docs, mean_nlp, max_nlp FROM uns
+      |ORDER BY pred_lang, bucket""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q165_byte_bpe" -> (byteBpe _),
     "q166_anf_calibration" -> (anfCalibration _),
     "q167_host_reputation" -> (hostReputation _),
-    "q168_phash_recall" -> (phashRecallAudit _)
+    "q168_phash_recall" -> (phashRecallAudit _),
+    "q169_ccnet_composition" -> (ccnetComposition _)
   )
 
   val oracles: Map[String, String] = Map(
     "q165_byte_bpe" -> q165OracleSql,
     "q166_anf_calibration" -> q166OracleSql,
     "q167_host_reputation" -> q167OracleSql,
-    "q168_phash_recall" -> q168OracleSql
+    "q168_phash_recall" -> q168OracleSql,
+    "q169_ccnet_composition" -> q169OracleSql
   )
 }
