@@ -617,12 +617,77 @@ object Round13Queries {
       |SELECT lang AS pred_lang, bucket, n_docs, mean_nlp, max_nlp FROM uns
       |ORDER BY pred_lang, bucket""".stripMargin
 
+  // --- q170: reputation-weighted selection ------------------------------------
+
+  /** q170 — APPLY the q167 host gate: reject documents of non-keep hosts
+    * outright, then sample the keepers at rates PROPORTIONAL to their
+    * host's reputation weight, targeting half the kept corpus — the
+    * mixing step a CC-style pipeline runs off its domain table (q167
+    * decides, q170 selects; the q99 composition discipline). Rates are
+    * pure integer: per host, a 16-bit threshold `t = min(65536,
+    * (weight_u · 32768 · n_kept_total) div Σ_keep(weight_u · n_docs))` and
+    * a document survives iff its content-hash 16-bit value falls under
+    * its host's threshold (the q99/q92 content-hash Bernoulli — re-runs
+    * and engines agree row-for-row). Per host: docs, weight, threshold,
+    * sampled count. Scale: the reputation table is |hosts| rows and
+    * broadcasts; selection is one scan-side hash compare. */
+  def reputationSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val hr = hostReputation(spark, dir)
+      .select("host", "n_docs", "keep", "weight_u")
+      .persist() // |hosts| rows, read for the weight total AND the join
+    val tot = hr.where(col("keep"))
+      .agg(sum(col("weight_u") * col("n_docs")).as("_wsum"),
+        sum("n_docs").as("_nkept"))
+    val rates = hr.crossJoin(broadcast(tot))
+      .select(col("host"), col("n_docs"), col("keep"), col("weight_u"),
+        when(!col("keep") || coalesce(col("_wsum"), lit(0L)) <= 0L, lit(0L))
+          .otherwise(least(lit(65536L),
+            expr("(weight_u * 32768 * _nkept) div _wsum"))).as("t_u"))
+    val sampled = docs
+      .select(graft.ops.Urls.host(Round12Queries.messyUrl).as("host"),
+        conv(substring(md5(encode(concat(lit("q170"), col("text")), "UTF-8")),
+          1, 4), 16, 10).cast("long").as("_hv"))
+      .join(broadcast(rates.select("host", "t_u")), Seq("host"))
+      .where(col("_hv") < col("t_u"))
+      .groupBy("host").agg(count(lit(1)).as("n_sampled"))
+    rates.join(sampled, Seq("host"), "left")
+      .select(col("host"), col("n_docs"), col("keep"), col("weight_u"),
+        col("t_u"), coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy("host")
+  }
+
+  /** q170 oracle: the q167 composition CTEs + the content-hash Bernoulli. */
+  private def q170OracleSql: String = {
+    val q167Body = q167OracleSql
+      .replace("SELECT host, n_docs, n_keep, qual_rate_u,",
+        ",rep AS (SELECT host, n_docs, n_keep, qual_rate_u,")
+      .replace("FROM comp ORDER BY host", "FROM comp)")
+    s"""$q167Body,
+       |tot AS (SELECT sum(weight_u * n_docs)::BIGINT AS wsum,
+       |    sum(n_docs)::BIGINT AS nkept FROM rep WHERE keep),
+       |rates AS (SELECT host, n_docs, keep, weight_u,
+       |    CASE WHEN NOT keep OR coalesce((SELECT wsum FROM tot), 0) <= 0 THEN 0
+       |      ELSE least(65536, (weight_u * 32768 * (SELECT nkept FROM tot))
+       |        // (SELECT wsum FROM tot)) END::BIGINT AS t_u
+       |  FROM rep),
+       |dh AS (SELECT source || '.example.com' AS host,
+       |    ('0x' || substr(md5('q170' || text), 1, 4))::BIGINT AS hv
+       |  FROM documents),
+       |smp AS (SELECT dh.host, count(*)::BIGINT AS n_sampled
+       |  FROM dh JOIN rates USING (host) WHERE dh.hv < rates.t_u GROUP BY 1)
+       |SELECT r.host, r.n_docs, r.keep, r.weight_u, r.t_u,
+       |  coalesce(s.n_sampled, 0)::BIGINT AS n_sampled
+       |FROM rates r LEFT JOIN smp s USING (host) ORDER BY r.host""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q165_byte_bpe" -> (byteBpe _),
     "q166_anf_calibration" -> (anfCalibration _),
     "q167_host_reputation" -> (hostReputation _),
     "q168_phash_recall" -> (phashRecallAudit _),
-    "q169_ccnet_composition" -> (ccnetComposition _)
+    "q169_ccnet_composition" -> (ccnetComposition _),
+    "q170_reputation_select" -> (reputationSelect _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -630,6 +695,7 @@ object Round13Queries {
     "q166_anf_calibration" -> q166OracleSql,
     "q167_host_reputation" -> q167OracleSql,
     "q168_phash_recall" -> q168OracleSql,
-    "q169_ccnet_composition" -> q169OracleSql
+    "q169_ccnet_composition" -> q169OracleSql,
+    "q170_reputation_select" -> q170OracleSql
   )
 }

@@ -96,6 +96,29 @@ class Round13QueriesSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q170: rejected hosts sample nothing (threshold 0); kept thresholds " +
+      "are 16-bit bounded and sampling never exceeds the host's docs") {
+    import spark.implicits._
+    val good = (1 to 25).map(i => f"w$i%03d").mkString(" ")
+    val bad = "one two three four five"
+    val dir = docsDir(
+      (0 until 6).map(i => (i * 20L, good + s" x$i", "en", "srcA")) ++
+        (0 until 6).map(i => (i * 20L + 1, bad + s" y$i", "en", "srcB")))
+    val r = Round13Queries.reputationSelect(spark, dir)
+      .select("host", "n_docs", "keep", "t_u", "n_sampled")
+      .as[(String, Long, Boolean, Long, Long)].collect().toSeq
+    assert(r.nonEmpty)
+    r.foreach { case (h, nd, keep, t, ns) =>
+      if (!keep) assert(t == 0L && ns == 0L, s"rejected $h must sample 0")
+      assert(t >= 0L && t <= 65536L, s"$h threshold out of 16-bit range: $t")
+      assert(ns <= nd, s"$h sampled more than its docs")
+    }
+    // srcB fails the quality gate outright (5-word docs) -> never kept
+    val b = r.find(_._1 == "srcb.example.com").get
+    assert(!b._3 && b._5 == 0L)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q168: identical same-modality payloads land a guaranteed hd-0 row; " +
       "every guaranteed (hd<=3) bucket has catch_rate exactly 1.0 — the " +
       "pigeonhole floor the audit exists to measure") {
