@@ -5,9 +5,10 @@ import org.apache.spark.sql.DataFrame
 
 /** The streaming INGEST FUNNEL — the always-on counterpart of the batch q99
   * composition, EXTENDED with a repair front stage the batch funnel does
-  * not run: text repair (q110's NFC/control/whitespace pass) → PII scrub →
-  * classifier quality gate → benchmark decontamination screen → exact
-  * content dedup, as ONE append-mode query. (q99's oracle pins the 5-stage
+  * not run: text repair (q110's NFC/control/whitespace pass) → language ID
+  * → CCNet perplexity gate → PII scrub → classifier quality gate →
+  * benchmark decontamination screen → exact content dedup, as ONE
+  * append-mode query. (q99's oracle pins the 5-stage
   * batch composition as-is; a decomposed-vs-composed duplicate therefore
   * dedups here but would survive batch q99 — by design, since ingest sees
   * raw crawl text while q99's corpus is already normalized. The parity
@@ -42,7 +43,9 @@ object StreamingFunnel {
       n: Int = 3,
       watermarkDelay: String = "10 minutes",
       importanceModel: Option[Array[Double]] = None,
-      langModel: Option[StreamingLangId.Model] = None): DataFrame = {
+      langModel: Option[StreamingLangId.Model] = None,
+      perplexityModel: Option[StreamingPerplexity.Model] = None,
+      perplexityCutoffsU: Map[String, Long] = Map.empty): DataFrame = {
     // repair FIRST: decomposed-vs-composed forms of the same text must not
     // carry different digests into the dedup state (q110's rationale)
     val repaired = StreamingRepair.repair(docs, textCol)
@@ -55,7 +58,22 @@ object StreamingFunnel {
       case Some(m) => StreamingLangId.annotate(repaired, m, textCol)
       case None => repaired
     }
-    val masked = StreamingScrub.scrub(labeled, textCol)
+    // optional CCNet perplexity gate (q164/q169's batch-fitted per-lang LM
+    // against frozen batch cutoffs): requires the lang annotation above —
+    // the LM a document is scored under is whatever the classifier routed
+    // it to (the q169 composition). Scores the REPAIRED pre-mask text,
+    // exactly what the batch LM was fit on; documents in languages the
+    // model never saw are rejected (StreamingPerplexity.gate's documented
+    // conservative default). Stateless filter.
+    val qualified = perplexityModel match {
+      case Some(m) =>
+        require(langModel.isDefined,
+          "perplexity gate needs lang_pred: pass langModel too")
+        StreamingPerplexity.gate(labeled, m, perplexityCutoffsU,
+          textCol, "lang_pred")
+      case None => labeled
+    }
+    val masked = StreamingScrub.scrub(qualified, textCol)
     val gated = StreamingScrub.classifierGate(masked, textCol)
     // optional DSIR stage (q113's batch-fitted model): importance-gates on
     // the MASKED text — like the classifier, the target-likeness decision

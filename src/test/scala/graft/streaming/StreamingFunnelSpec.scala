@@ -85,6 +85,54 @@ class StreamingFunnelSpec extends AnyFunSuite {
     assert(streamed.map(_._1) == Set(1L, 2L, 3L))
   }
 
+  test("perplexity stage gates inside the funnel on the PREDICTED lang; " +
+      "the drop attributes to it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = StreamingDecontam.probeIndex(Seq(probeText).toDF("text"))
+    // both arrival texts use positive-weight classifier tokens ('clean'
+    // +46, 'quality' +14) so the classifier gate keeps them; the LM is fit
+    // on 'clean quality' chains, so doc A's bigrams are all in-model while
+    // doc B rides the unseen-bigram floor -> only the perplexity stage
+    // separates them
+    val fit = Seq(("xx", "clean quality clean quality clean")).toDF("lang", "text")
+    val lm = StreamingLangId.fitModel(fit, "text", "lang", n = 3)
+    val pm = StreamingPerplexity.fitModel(fit, "text", "lang")
+    val static = Seq((10L, "clean quality clean"), (11L, "quality quality quality"))
+      .toDF("doc_id", "text")
+    val scored = StreamingPerplexity.annotate(
+        StreamingLangId.annotate(static, lm), pm, "text", "lang_pred")
+      .select("doc_id", "nlp_u").as[(Long, Long)].collect().toMap
+    assert(scored(10L) < scored(11L), s"fixture must separate: $scored")
+    val cutoffs = Map("xx" -> scored(10L))
+
+    val t0 = java.sql.Timestamp.valueOf("2025-08-11 00:00:00")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val query = StreamingFunnel.ingest(
+        input.toDS().toDF("doc_id", "text", "ts"), idx,
+        langModel = Some(lm),
+        perplexityModel = Some(pm), perplexityCutoffsU = cutoffs)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("funnel_ppl")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, "clean quality clean", t0),
+        (11L, "quality quality quality",
+          new java.sql.Timestamp(t0.getTime + 1000)))
+      query.processAllAvailable()
+      val survivors = spark.sql("SELECT * FROM funnel_ppl").as[Long].collect().toSet
+      assert(survivors == Set(10L), s"got $survivors")
+      // attribution: both docs survive every non-perplexity stage
+      val gated = StreamingScrub.classifierGate(
+        StreamingScrub.scrub(StreamingRepair.repair(
+          static.withColumn("ts", lit(t0)))))
+      val screened = StreamingDecontam.screen(gated, idx)
+        .select("doc_id").as[Long].collect().toSet
+      assert(screened == Set(10L, 11L),
+        "both arrivals must survive every non-perplexity stage")
+    } finally query.stop()
+  }
+
   test("importance stage gates inside the funnel; the drop attributes to it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
