@@ -530,9 +530,15 @@ object Round13Queries {
       graft.ops.LangId.fit(docs.where(isTrain), "text", "lang", n = 3)
     val pred = graft.ops.LangId.predict(docs, "text", "doc_id", n = 3,
       model, langStats)
+    // persist: the routed frame embeds the whole classifier-scoring plan,
+    // and the tercile machinery reads its docs THREE times (bigram counts,
+    // per-lang vocab, the unscored anti-join) — unpersisted, each read
+    // re-runs the broadcast-score pass (measured 24 s vs 13 s at sf0.1).
+    // Ownership: Verify/Bench clear caches per query.
     val routed = Partitioning.spread(docs.select(col("doc_id"), col("text"))
       .join(pred, Seq("doc_id"))
       .select(col("doc_id"), col("pred").as("lang"), col("text")))
+      .persist()
     Round12Queries.perplexityBucketsOver(spark, routed)
       .withColumnRenamed("lang", "pred_lang")
   }
