@@ -274,7 +274,13 @@ class PlanSpec extends AnyFunSuite {
       // q158: NB scoring fans every doc-gram row out to |langs| scored rows
       // via a keyless broadcast of the |langs|-row model-stats frame (5
       // rows) — bounded-model BNLJ by construction (the q86 pattern)
-      "q158_language_id")
+      "q158_language_id",
+      // q167/q170: the 1-row host-count / kept-weight-total frames attach
+      // via keyless broadcasts onto the |hosts|-row reputation table (the
+      // q86 one-row-constants pattern; both sides host-bounded)
+      "q167_host_reputation", "q170_reputation_select",
+      // q169 embeds q158's |langs|-row model-stats broadcast fan-out
+      "q169_ccnet_composition")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
