@@ -687,13 +687,94 @@ object Round13Queries {
        |FROM rates r LEFT JOIN smp s USING (host) ORDER BY r.host""".stripMargin
   }
 
+  // --- q171: content-defined chunk dedup --------------------------------------
+
+  /** q171 — CONTENT-DEFINED chunk dedup ([[graft.ops.TextOps.cdcChunks]]):
+    * the insertion-robust member of the dedup family. q105's fixed
+    * 20-token tiles miss every duplicate downstream of an insertion (one
+    * added token shifts every tile boundary); CDC boundaries are a
+    * function of content, so chunks RE-SYNCHRONIZE at the next surviving
+    * boundary and everything after an edit dedups exactly. The corpus
+    * plants a prefix-shift replica stream (src18/src19 docs with a
+    * 16-char prefix — the offset-shifting edit fixed tiles are blind to)
+    * so the property is a measured number, not a claim: those sources'
+    * dup rates jump while the others stay at the corpus's natural rate.
+    * Per source: docs, chunks, globally-duplicated chunks, dup rate, mean
+    * chunk length. Scale: candidate scan is codegen'd per-row arithmetic;
+    * only (source, 8-byte digest, len) rows shuffle; the dup join keys on
+    * the digest. */
+  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Partitioning.spread(table(spark, dir, "documents"))
+    val replicas = docs
+      .where(col("source").isin("src18", "src19") && length(col("text")) > 0)
+      .withColumn("doc_id", col("doc_id") + 999999L)
+      .withColumn("text", concat(lit("PFX0123456789XX "), col("text")))
+    val chunks = graft.ops.TextOps.cdcChunks(docs.unionByName(replicas),
+        "text", Seq("doc_id", "source"))
+      .persist() // feeds the global hash counts AND the per-source rollup
+    val counts = chunks.groupBy("_h").agg(count(lit(1)).as("_n"))
+    chunks.join(counts, Seq("_h"))
+      .groupBy("source")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("_n") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        round(sum(when(col("_n") >= 2, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("dup_rate"),
+        round(sum("chunk_len").cast("double") / count(lit(1)), 6)
+          .as("mean_chunk_len"))
+      .orderBy("source")
+  }
+
+  /** q171 oracle: the CDC boundary rule replayed per position (candidate
+    * windows → greedy min-length fold via the chr-joined-string
+    * list_reduce accumulator, the q117 trick — DuckDB's fold accumulator
+    * must share the element type) and the same global-dup rollup. */
+  private def q171OracleSql: String = {
+    val (w, mask, minLen) = (graft.ops.TextOps.CdcW,
+      graft.ops.TextOps.CdcMask, graft.ops.TextOps.CdcMinLen)
+    s"""WITH src AS (SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 999999, source, 'PFX0123456789XX ' || text
+       |  FROM documents WHERE source IN ('src18','src19') AND length(text) > 0),
+       |c AS (SELECT doc_id, source, text AS t, length(text) AS L FROM src),
+       |cd AS (SELECT doc_id, source, t, L,
+       |    CASE WHEN L >= $w THEN list_filter(list_transform(range($w, L + 1),
+       |        i -> CASE WHEN ('0x' || substr(md5(substr(t, i - ${w - 1}, $w)), 1, 15))::BIGINT % $mask = 0 THEN i END),
+       |      x -> x IS NOT NULL) ELSE CAST([] AS BIGINT[]) END AS cands
+       |  FROM c),
+       |bsr AS (SELECT *, string_split(list_reduce(list_prepend('0',
+       |      list_transform(cands, x -> x::VARCHAR)),
+       |      (acc, x) -> CASE WHEN x::INT - (string_split(acc, '|')[-1])::INT >= $minLen
+       |        THEN acc || '|' || x ELSE acc END), '|') AS bsl
+       |  FROM cd),
+       |en AS (SELECT doc_id, source, t,
+       |    CASE WHEN L > (bsl[-1])::INT
+       |      THEN list_append(list_transform(bsl[2:], x -> x::INT), L::INT)
+       |      ELSE list_transform(bsl[2:], x -> x::INT) END AS ends
+       |  FROM bsr),
+       |ch AS (SELECT doc_id, source,
+       |    CASE WHEN u.i = 1 THEN 0 ELSE ends[u.i - 1] END AS s0, ends[u.i] AS e0, t
+       |  FROM en, unnest(generate_series(1, len(ends))) AS u(i)),
+       |hk AS (SELECT doc_id, source, e0 - s0 AS clen,
+       |    ('0x' || substr(md5(substr(t, s0 + 1, e0 - s0)), 1, 15))::BIGINT AS h
+       |  FROM ch),
+       |cnt AS (SELECT h, count(*) AS n FROM hk GROUP BY 1)
+       |SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |  count(*)::BIGINT AS n_chunks,
+       |  sum(CASE WHEN cnt.n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+       |  round(sum(CASE WHEN cnt.n >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_rate,
+       |  round(sum(clen)::DOUBLE / count(*), 6) AS mean_chunk_len
+       |FROM hk JOIN cnt USING (h) GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q165_byte_bpe" -> (byteBpe _),
     "q166_anf_calibration" -> (anfCalibration _),
     "q167_host_reputation" -> (hostReputation _),
     "q168_phash_recall" -> (phashRecallAudit _),
     "q169_ccnet_composition" -> (ccnetComposition _),
-    "q170_reputation_select" -> (reputationSelect _)
+    "q170_reputation_select" -> (reputationSelect _),
+    "q171_cdc_chunk_dedup" -> (cdcChunkDedup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -702,6 +783,7 @@ object Round13Queries {
     "q167_host_reputation" -> q167OracleSql,
     "q168_phash_recall" -> q168OracleSql,
     "q169_ccnet_composition" -> q169OracleSql,
-    "q170_reputation_select" -> q170OracleSql
+    "q170_reputation_select" -> q170OracleSql,
+    "q171_cdc_chunk_dedup" -> q171OracleSql
   )
 }

@@ -333,6 +333,69 @@ object TextOps {
       .where(col("shared_ngrams") >= minShared)
   }
 
+  // --- content-defined chunking (CDC) ---------------------------------------
+
+  /** CDC parameters, shared verbatim with the SQL oracle: boundary-test
+    * window width (chars), boundary modulus (expected gap ≈ mask), and the
+    * greedy minimum chunk length. Expected chunk length ≈ minLen + mask. */
+  val CdcW = 8
+  val CdcMask = 32
+  val CdcMinLen = 16
+
+  /** Content-defined chunking: split each row's text at positions where the
+    * rolling window's content hash satisfies `h60(window) % CdcMask == 0`,
+    * greedily skipping boundaries closer than [[CdcMinLen]] to the previous
+    * accepted one — the Rabin/FastCDC boundary rule reduced to its
+    * deterministic, engine-portable core. Because boundaries are a function
+    * of CONTENT, an insertion near the head re-synchronizes at the next
+    * surviving boundary and every downstream chunk hashes identically —
+    * the robustness property fixed tiles ([[chunkTiles]], q105) lack by
+    * construction (one inserted token shifts every tile).
+    *
+    * Returns (carry…, chunk_idx, chunk_len, _h) with `_h` the chunk's h60
+    * digest. No max-length rule: a boundary-free run yields one chunk per
+    * document — the honest degenerate case, documented rather than patched
+    * with a positional cut that would break the re-sync property.
+    *
+    * Shape: pure per-row generator — candidate scan is O(len·W) codegen'd
+    * arithmetic over a projected attribute (one h60 per position), the
+    * greedy fold is a bounded list aggregate, and only (carry, 8-byte
+    * digest, len) rows leave the scan. Streaming-safe: no state, no
+    * shuffle. */
+  def cdcChunks(df: DataFrame, textCol: String, carry: Seq[String]): DataFrame = {
+    val t = col("_t")
+    // candidate boundary positions: window END positions i in [W, len]
+    // (guarded: sequence(W, len) with len < W would run DESCENDING)
+    val cands = when(length(t) >= CdcW,
+      filter(
+        transform(sequence(lit(CdcW), length(t)),
+          i => when(pmod(PortableSketch.h60(
+            t.substr(i - lit(CdcW - 1), lit(CdcW))), lit(CdcMask)) === 0, i)),
+        x => x.isNotNull))
+      .otherwise(array().cast("array<int>"))
+    // greedy min-length fold; acc carries accepted boundaries, seeded [0]
+    val bs = aggregate(col("_cands"), array(lit(0)),
+      (acc, x) => when(x - element_at(acc, -1) >= CdcMinLen,
+        concat(acc, array(x))).otherwise(acc))
+    val tail = when(length(t) > element_at(col("_bs"), -1),
+      concat(slice(col("_bs"), lit(2), size(col("_bs")) - 1), array(length(t))))
+      .otherwise(slice(col("_bs"), lit(2), size(col("_bs")) - 1))
+    df.select(carry.map(col) :+ col(textCol).as("_t"): _*)
+      .withColumn("_cands", cands)
+      .withColumn("_bs", bs)
+      .withColumn("_ends", tail)
+      .where(size(col("_ends")) >= 1)
+      .withColumn("_j", explode(sequence(lit(1), size(col("_ends")))))
+      .withColumn("_s",
+        when(col("_j") === 1, lit(0)).otherwise(element_at(col("_ends"), col("_j") - 1)))
+      .withColumn("_e", element_at(col("_ends"), col("_j")))
+      .select(carry.map(col) ++ Seq(
+        (col("_j") - 1).cast("long").as("chunk_idx"),
+        (col("_e") - col("_s")).cast("long").as("chunk_len"),
+        PortableSketch.h60(col("_t").substr(col("_s") + 1, col("_e") - col("_s")))
+          .as("_h")): _*)
+  }
+
   // --- convenience: full annotation pass -----------------------------------
 
   /** One projection adding all text-analysis columns — a single scan, no

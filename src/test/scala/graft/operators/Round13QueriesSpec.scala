@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.functions.{col, md5}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Planted-fixture pins for the round-13 queries: byte-level BPE (q165),
@@ -116,6 +117,42 @@ class Round13QueriesSpec extends AnyFunSuite {
     // srcB fails the quality gate outright (5-word docs) -> never kept
     val b = r.find(_._1 == "srcb.example.com").get
     assert(!b._3 && b._5 == 0L)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q171/cdcChunks: a prefix insertion re-synchronizes — nearly all " +
+      "chunk hashes survive the shift (the property fixed tiles lack), and " +
+      "chunks tile the text exactly") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val rnd = new scala.util.Random(7)
+    val t = (1 to 120).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(3))).mkString(" ")
+    val df = Seq((1L, t), (2L, "XYZprefix " + t)).toDF("doc_id", "text")
+    val ch = TextOps.cdcChunks(df, "text", Seq("doc_id"))
+      .select("doc_id", "chunk_idx", "chunk_len", "_h")
+      .as[(Long, Long, Long, Long)].collect()
+    val Seq(h1, h2) = Seq(1L, 2L).map(id =>
+      ch.filter(_._1 == id).sortBy(_._2).map(_._4).toSeq)
+    assert(h1.size >= 4, s"fixture must chunk: ${h1.size} chunks")
+    // re-sync: doc2's trailing chunks equal doc1's (suffix match), with at
+    // most a couple of leading chunks differing around the insertion
+    val common = (1 to math.min(h1.size, h2.size))
+      .takeWhile(k => h1.takeRight(k) == h2.takeRight(k)).lastOption.getOrElse(0)
+    assert(common >= h1.size - 2,
+      s"CDC must re-sync after the prefix: only $common of ${h1.size} " +
+        "trailing chunks shared")
+    // chunks tile the text: lengths sum to the doc length
+    assert(ch.filter(_._1 == 1).map(_._3).sum == t.length)
+    // contrast: fixed tiles share NO chunk digests after the same shift
+    // (the tokens all shift by one position within the 20-token tiles)
+    val tiles = TextOps.chunkTiles(df, "text", Seq("doc_id"))
+      .select(col("doc_id"), md5(col("_chunk")).as("h"))
+      .as[(Long, String)].collect()
+    val Seq(t1, t2) = Seq(1L, 2L).map(id =>
+      tiles.filter(_._1 == id).map(_._2).toSet)
+    assert((t1 intersect t2).isEmpty,
+      "fixture self-check: fixed tiles must be blind to the prefix shift")
     spark.sharedState.cacheManager.clearCache()
   }
 
