@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Streaming perplexity scoring — the ingest-time counterpart of the batch
@@ -23,13 +23,13 @@ import org.apache.spark.sql.functions._
   * ln(V)`; a language absent from the model (or a <2-token text) scores
   * NULL — the q164 `unscored` lane, never silently dropped.
   *
-  * Model size: the bigram table is vocab²-bounded per language — the
-  * StreamingLangId concern squared — so `maxBigramsPerLang` bounds the
-  * collect: each language keeps its top-N bigrams by (count desc, w1, w2)
-  * and every pruned bigram falls to its w1's unseen-bigram floor — a
-  * DOCUMENTED divergence from the uncapped batch model, parity-pinned on
-  * the capped table. 0 = uncapped (exact batch parity, test-scale
-  * default).
+  * Model size: the bigram table is vocab²-bounded per language (the
+  * StreamingLangId concern squared) and the w1-floor table vocab-bounded,
+  * so `maxBigramsPerLang` bounds BOTH collects to top-N per language by
+  * count: a pruned bigram falls to its w1's floor, a pruned w1 to the
+  * `ln(V)` floor — a DOCUMENTED divergence from the uncapped batch model,
+  * parity-pinned on the capped table. 0 = uncapped (exact batch parity,
+  * test-scale default).
   */
 object StreamingPerplexity {
 
@@ -45,10 +45,24 @@ object StreamingPerplexity {
 
   /** Fit on a (textCol, langCol) static frame; collect the (optionally
     * capped) model. The count tables aggregate distributed first — the
-    * collect ships (lang, w1, w2, c2) rows, never documents. */
+    * collects ship (lang, w1, w2, c2) and (lang, w1, c1) rows, never
+    * documents — and the cap bounds BOTH: the bigram table (vocab² per
+    * lang uncapped) to its top-N by count, and the w1-floor table (vocab
+    * per lang uncapped) likewise, with pruned w1 falling to the unseen-w1
+    * `ln(V)` floor. Kept bigrams carry their EXACT c1 (joined distributed
+    * before the collect), so capping c1 never changes a kept bigram's
+    * score — only which floors stay addressable. */
   def fitModel(train: DataFrame, textCol: String, langCol: String,
       maxBigramsPerLang: Int = 0): Model = {
     graft.expr.GraftFunctions.ensureRegistered(train.sparkSession)
+    def capPerLang(df: DataFrame, orderCols: Seq[Column]): DataFrame =
+      if (maxBigramsPerLang <= 0) df
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(orderCols: _*)
+        df.withColumn("_rk", row_number().over(w))
+          .where(col("_rk") <= maxBigramsPerLang).drop("_rk")
+      }
     val bg = graft.ops.Partitioning.spread(train)
       .select(col(langCol).as("lang"),
         explode(graft.expr.GraftFunctions.wordBigrams(col(textCol))).as("_bg"))
@@ -56,29 +70,25 @@ object StreamingPerplexity {
         substring_index(col("_bg"), " ", 1).as("w1"),
         substring_index(col("_bg"), " ", -1).as("w2"))
       .groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c2"))
-      .persist() // feeds c1, the capped collect, and (uncapped) the table
-    val c1Rows = bg.groupBy("lang", "w1").agg(sum("c2").as("c1")).collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      .persist() // feeds the c1 aggregate and the capped table join
+    val c1df = bg.groupBy("lang", "w1").agg(sum("c2").as("c1"))
+      .persist() // read for the table join AND the floor collect
     val vRows = graft.ops.Partitioning.spread(train)
       .select(col(langCol).as("lang"),
         explode(graft.ops.TextOps.tokens(col(textCol))).as("w"))
       .groupBy("lang").agg(countDistinct("w").as("v")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val capped =
-      if (maxBigramsPerLang <= 0) bg
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("lang")
-          .orderBy(col("c2").desc, col("w1"), col("w2"))
-        bg.withColumn("_rk", row_number().over(w))
-          .where(col("_rk") <= maxBigramsPerLang).drop("_rk")
-      }
-    val table = capped.collect().map { r =>
-      val (lang, w1) = (r.getString(0), r.getString(1))
-      (lang, w1, r.getString(2)) ->
-        nlpU(r.getLong(3), c1Rows((lang, w1)), vRows(lang))
-    }.toMap
-    bg.unpersist()
+    val table = capPerLang(bg, Seq(col("c2").desc, col("w1"), col("w2")))
+      .join(c1df, Seq("lang", "w1"))
+      .select("lang", "w1", "w2", "c2", "c1")
+      .collect().map { r =>
+        (r.getString(0), r.getString(1), r.getString(2)) ->
+          nlpU(r.getLong(3), r.getLong(4), vRows(r.getString(0)))
+      }.toMap
+    val c1Rows = capPerLang(c1df, Seq(col("c1").desc, col("w1")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    bg.unpersist(); c1df.unpersist()
     Model(table, c1Rows, vRows)
   }
 

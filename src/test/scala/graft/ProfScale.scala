@@ -137,7 +137,21 @@ object ProfScale {
       // prefixes (each replica adds new (r_i, first-word) bigrams) but stay
       // vocab²-bounded; the rank pass shuffles one narrow row per doc —
       // expect ≲10x
-      "q164_ppl_buckets" -> (d => operators.Round12Queries.perplexityBuckets(spark, d)))
+      "q164_ppl_buckets" -> (d => operators.Round12Queries.perplexityBuckets(spark, d)),
+      // round 13: q165 is the q117/q118 shape over the byte alphabet
+      // (vocab-bounded rounds — expect far under 10x); q167/q170 are the
+      // q82 rollup + a |hosts|-bounded graph/composition (~10x tokenize
+      // floor); q168's truth term is sample² (the blowup grows the sample
+      // 10x -> pair tail up to ~100x of a small base; the rate is THE
+      // lever — watch it, don't hide it); q169 composes q158 + q164
+      // (expect the sum of their shapes); q171 is a per-row candidate scan
+      // + digest-keyed dup join (~10x)
+      "q165_byte_bpe" -> (d => operators.Round13Queries.byteBpe(spark, d)),
+      "q167_host_rep" -> (d => operators.Round13Queries.hostReputation(spark, d)),
+      "q168_phash_recall" -> (d => operators.Round13Queries.phashRecallAudit(spark, d)),
+      "q169_ccnet" -> (d => operators.Round13Queries.ccnetComposition(spark, d)),
+      "q170_rep_select" -> (d => operators.Round13Queries.reputationSelect(spark, d)),
+      "q171_cdc" -> (d => operators.Round13Queries.cdcChunkDedup(spark, d)))
 
     // SPARK_GRAFT_ONLY: comma-separated name substrings (the Verify/Bench
     // convention) — sweep just the named queries when iterating

@@ -89,23 +89,25 @@ class StreamingPerplexitySpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
-  test("capped model: per-lang top-N prune really bounds the table and " +
-      "pruned bigrams fall to their w1 floor") {
+  test("capped model: per-lang top-N prune bounds BOTH tables; pruned " +
+      "bigrams fall to their w1 floor, pruned w1 to ln(V)") {
     import spark.implicits._
     val full = StreamingPerplexity.fitModel(corpus, "text", "lang")
     val m = StreamingPerplexity.fitModel(corpus, "text", "lang",
       maxBigramsPerLang = 1)
-    assert(full.nlpU.size > m.nlpU.size)
+    assert(full.nlpU.size > m.nlpU.size && full.c1.size > m.c1.size)
     assert(m.nlpU.keys.groupBy(_._1).values.forall(_.size <= 1))
-    // (en) keeps only the most frequent bigram (aa,bb) c2=3; (bb,aa) is
-    // pruned and must now score as unseen-under-bb
-    assert(m.nlpU.contains(("en", "aa", "bb")))
+    assert(m.c1.keys.groupBy(_._1).values.forall(_.size <= 1))
+    // (en) keeps only the most frequent bigram (aa,bb) c2=3, scored with
+    // its EXACT c1 — capping never changes a kept bigram's score
+    assert(m.nlpU(("en", "aa", "bb")) == full.nlpU(("en", "aa", "bb")))
+    // w1 'bb' is pruned from the floor table (c1 ties 3=3, 'aa' wins the
+    // (c1 desc, w1) order) -> 'bb ?' now scores the unseen-w1 ln(V) floor
+    assert(m.c1.contains(("en", "aa")) && !m.c1.contains(("en", "bb")))
     val got = StreamingPerplexity.annotate(
-        Seq((20L, "en", "bb aa")).toDF("doc_id", "lang", "text"), m)
+        Seq((20L, "en", "bb zz")).toDF("doc_id", "lang", "text"), m)
       .select("nlp_u").as[Option[Long]].head()
-    val floor = math.round(1e6 *
-      -math.log(0.5 / (m.c1(("en", "bb")) + 0.5 * m.vocab("en"))))
-    assert(got.contains(floor))
+    assert(got.contains(math.round(1e6 * math.log(m.vocab("en").toDouble))))
     spark.sharedState.cacheManager.clearCache()
   }
 
