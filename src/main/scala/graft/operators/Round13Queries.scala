@@ -5,14 +5,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-13 queries: the capability-headroom items from the round-12
-  * verdict — byte-level BPE (the production tokenizer alphabet: 256
-  * symbols, no OOV by construction), the ANF calibration audit (measured
-  * sketch error against the exact seed balls — the stated reason the
-  * q157/q163 pair ships), host-reputation composition (canonical host ×
-  * quality × centrality → the per-domain keep/weight gate a CC-style
-  * pipeline runs), and the perceptual-hash banding recall audit (measured
-  * catch rate per Hamming distance against exact truth — the q161
-  * construction for the asset family).
+  * verdict — byte-level BPE (q165: the production tokenizer alphabet, 256
+  * symbols, no OOV by construction), the ANF calibration audit (q166:
+  * measured sketch error against the exact seed balls — the stated reason
+  * the q157/q163 pair ships), host-reputation composition (q167:
+  * canonical host × quality × centrality → the per-domain keep/weight
+  * gate a CC-style pipeline runs), the perceptual-hash banding recall
+  * audit (q168: measured catch rate per Hamming distance against exact
+  * truth — the q161 construction for the asset family) — plus the round's
+  * own compositions: the CCNet pipeline end to end on PREDICTED languages
+  * (q169), reputation-weighted document selection applying the q167 table
+  * (q170), and content-defined chunk dedup, the insertion-robust dedup
+  * family member (q171).
   */
 object Round13Queries {
   import ContractQueries.table
