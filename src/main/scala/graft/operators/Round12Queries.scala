@@ -162,6 +162,20 @@ object Round12Queries {
     * `lang` column is whatever the caller derived (the label for q164, the
     * q158 CLASSIFIER's prediction for q169's CCNet composition). */
   private[operators] def perplexityBucketsOver(spark: SparkSession,
+      docs: DataFrame): DataFrame =
+    perplexityDocBuckets(spark, docs)
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round((sum("avg_u").cast("double") / count(lit(1))) / lit(1e6), 6)
+          .as("mean_nlp"),
+        round(max("avg_u").cast("double") / lit(1e6), 6).as("max_nlp"))
+      .orderBy("lang", "bucket")
+
+  /** The per-DOCUMENT grain under q164/q169: (doc_id, lang, avg_u, bucket)
+    * with `unscored` rows carrying a null avg_u — exposed so compositions
+    * (q172's curriculum packing) can order documents by their bucket
+    * without re-deriving the tercile machinery. */
+  private[operators] def perplexityDocBuckets(spark: SparkSession,
       docs: DataFrame): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(spark)
     // Ownership: Verify/Bench clear the cache after each query's action.
@@ -202,25 +216,18 @@ object Round12Queries {
     // integer tercile: 3·(rank−1) < n ⇒ head, < 2n ⇒ middle, else tail
     // (≡ (3(rank−1)) div n = 0/1/2, written as comparisons so nlExpr stays
     // a column)
-    val scoredOut = seq
+    val bucketed = seq
       .withColumn("_r", col("pos") - offExpr)
       .withColumn("_t", lit(3L) * (col("_r") - lit(1L)))
       .withColumn("bucket",
         when(col("_t") < nlExpr, lit("head"))
           .when(col("_t") < lit(2L) * nlExpr, lit("middle"))
           .otherwise(lit("tail")))
-      .groupBy("lang", "bucket")
-      .agg(count(lit(1)).as("n_docs"),
-        round((sum("avg_u").cast("double") / count(lit(1))) / lit(1e6), 6)
-          .as("mean_nlp"),
-        round(max("avg_u").cast("double") / lit(1e6), 6).as("max_nlp"))
+      .select("doc_id", "lang", "avg_u", "bucket")
     val unscored = docs.join(scored, Seq("doc_id"), "left_anti")
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"))
-      .select(col("lang"), lit("unscored").as("bucket"), col("n_docs"),
-        lit(null).cast("double").as("mean_nlp"),
-        lit(null).cast("double").as("max_nlp"))
-    scoredOut.unionByName(unscored).orderBy("lang", "bucket")
+      .select(col("doc_id"), col("lang"),
+        lit(null).cast("long").as("avg_u"), lit("unscored").as("bucket"))
+    bucketed.unionByName(unscored)
   }
 
   private def q164OracleSql: String =

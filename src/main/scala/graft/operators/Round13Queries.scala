@@ -771,6 +771,96 @@ object Round13Queries {
        |FROM hk JOIN cnt USING (h) GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // --- q172: curriculum shard packing -----------------------------------------
+
+  /** Shared q172 constant (Spark + oracle): tokens per shard. */
+  private val CurriculumBudget = 2000L
+
+  /** q172 — CURRICULUM shard packing: the q160 prefix-sum next-fit writer
+    * with the epoch order keyed by q164's quality terciles — head documents
+    * pack into the earliest shards, then middle, tail, and finally the
+    * unscored lane, with the content-hash order inside each bucket (the
+    * q94/q160 key). This is curriculum learning's data-prep step: a
+    * training reader walking shard 0,1,2,… sees quality-descending data
+    * with exact, replayable boundaries. Per shard: docs, tokens, the
+    * bucket MIX (how many head/middle/tail/unscored — the transition
+    * shards show the split), and the position span. Composition of two
+    * green ops (q164 grain + q160 packing — the q99 discipline); all
+    * integer arithmetic end to end. */
+  def curriculumPacking(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Partitioning.spread(table(spark, dir, "documents"))
+    val db = Round12Queries.perplexityDocBuckets(spark, docs)
+    val keyed = db.join(
+        docs.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("tokens"),
+          graft.ops.PortableSketch.h60(concat(lit("ord:"), col("text")))
+            .as("_ord")),
+        Seq("doc_id"))
+      .withColumn("_b",
+        when(col("bucket") === "head", 0L)
+          .when(col("bucket") === "middle", 1L)
+          .when(col("bucket") === "tail", 2L).otherwise(3L))
+    graft.ops.Layout.shardAssign(keyed,
+        Seq(col("_b"), col("_ord"), col("doc_id")), col("tokens"),
+        budget = CurriculumBudget)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("sum_tokens"),
+        sum(when(col("_b") === 0L, 1L).otherwise(0L)).as("n_head"),
+        sum(when(col("_b") === 1L, 1L).otherwise(0L)).as("n_middle"),
+        sum(when(col("_b") === 2L, 1L).otherwise(0L)).as("n_tail"),
+        sum(when(col("_b") === 3L, 1L).otherwise(0L)).as("n_unscored"),
+        min("pos").as("first_pos"), max("pos").as("last_pos"))
+      .orderBy("shard")
+  }
+
+  /** q172 oracle: the q164 per-doc bucket CTEs feeding the q160 prefix-sum
+    * next-fit rule, with the bucket index leading the order key. */
+  private def q172OracleSql: String =
+    s"""WITH tk AS (SELECT doc_id, lang,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+       |  FROM documents),
+       |toks AS (SELECT doc_id, lang, unnest(ts) AS w,
+       |    unnest(generate_series(1, len(ts))) AS pos FROM tk),
+       |big AS (SELECT doc_id, lang, w AS w1,
+       |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks),
+       |bg AS (SELECT doc_id, lang, w1, w2, count(*)::BIGINT AS n FROM big
+       |  WHERE w2 IS NOT NULL GROUP BY 1, 2, 3, 4),
+       |c2 AS (SELECT lang, w1, w2, sum(n)::BIGINT AS c2 FROM bg GROUP BY 1, 2, 3),
+       |c1 AS (SELECT lang, w1, sum(n)::BIGINT AS c1 FROM bg GROUP BY 1, 2),
+       |v AS (SELECT lang, count(DISTINCT w)::BIGINT AS v FROM toks GROUP BY 1),
+       |sc AS (SELECT bg.doc_id, bg.lang,
+       |    sum(bg.n * round(1000000.0 * -ln((c2.c2 + 0.5) /
+       |      (c1.c1 + 0.5 * v.v)))::BIGINT)::BIGINT AS sum_u,
+       |    sum(bg.n)::BIGINT AS nb
+       |  FROM bg JOIN c2 USING (lang, w1, w2) JOIN c1 USING (lang, w1)
+       |    JOIN v USING (lang)
+       |  GROUP BY 1, 2),
+       |avgs AS (SELECT doc_id, lang, sum_u // nb AS avg_u FROM sc),
+       |rk AS (SELECT doc_id, lang, avg_u,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_u, doc_id) AS r,
+       |    count(*) OVER (PARTITION BY lang) AS nl FROM avgs),
+       |bk AS (SELECT doc_id,
+       |    CASE WHEN 3 * (r - 1) < nl THEN 0
+       |         WHEN 3 * (r - 1) < 2 * nl THEN 1
+       |         ELSE 2 END AS b FROM rk),
+       |db AS (SELECT d.doc_id, coalesce(bk.b, 3) AS b,
+       |    len(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> ''))::BIGINT AS tokens,
+       |    ('0x' || substr(md5('ord:' || d.text), 1, 15))::BIGINT AS ord
+       |  FROM documents d LEFT JOIN bk USING (doc_id)),
+       |p AS (SELECT b, tokens,
+       |    ROW_NUMBER() OVER (ORDER BY b, ord, doc_id) AS pos,
+       |    (sum(tokens) OVER (ORDER BY b, ord, doc_id ROWS UNBOUNDED PRECEDING)
+       |      - tokens)::BIGINT AS cumb
+       |  FROM db)
+       |SELECT (cumb // $CurriculumBudget)::BIGINT AS shard,
+       |  count(*)::BIGINT AS n_docs, sum(tokens)::BIGINT AS sum_tokens,
+       |  sum(CASE WHEN b = 0 THEN 1 ELSE 0 END)::BIGINT AS n_head,
+       |  sum(CASE WHEN b = 1 THEN 1 ELSE 0 END)::BIGINT AS n_middle,
+       |  sum(CASE WHEN b = 2 THEN 1 ELSE 0 END)::BIGINT AS n_tail,
+       |  sum(CASE WHEN b = 3 THEN 1 ELSE 0 END)::BIGINT AS n_unscored,
+       |  min(pos)::BIGINT AS first_pos, max(pos)::BIGINT AS last_pos
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q165_byte_bpe" -> (byteBpe _),
     "q166_anf_calibration" -> (anfCalibration _),
@@ -778,7 +868,8 @@ object Round13Queries {
     "q168_phash_recall" -> (phashRecallAudit _),
     "q169_ccnet_composition" -> (ccnetComposition _),
     "q170_reputation_select" -> (reputationSelect _),
-    "q171_cdc_chunk_dedup" -> (cdcChunkDedup _)
+    "q171_cdc_chunk_dedup" -> (cdcChunkDedup _),
+    "q172_curriculum_packing" -> (curriculumPacking _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -788,6 +879,7 @@ object Round13Queries {
     "q168_phash_recall" -> q168OracleSql,
     "q169_ccnet_composition" -> q169OracleSql,
     "q170_reputation_select" -> q170OracleSql,
-    "q171_cdc_chunk_dedup" -> q171OracleSql
+    "q171_cdc_chunk_dedup" -> q171OracleSql,
+    "q172_curriculum_packing" -> q172OracleSql
   )
 }

@@ -120,6 +120,41 @@ class Round13QueriesSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q172: curriculum shards are position-contiguous and bucket-monotone " +
+      "(head shards strictly precede middle, middle precede tail)") {
+    import spark.implicits._
+    val r = Round13Queries.curriculumPacking(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(r.nonEmpty)
+    // contiguous epoch positions across shards
+    r.sliding(2).foreach {
+      case Array(a, b) => assert(b._8 == a._9 + 1,
+        s"shard ${b._1} first_pos ${b._8} must follow shard ${a._1} " +
+          s"last_pos ${a._9}")
+      case _ =>
+    }
+    // bucket monotonicity: a later shard never reintroduces an earlier
+    // bucket after the curriculum has moved past it
+    val stages = r.map { row =>
+      val Seq(h, m, t2, u) = Seq(row._4, row._5, row._6, row._7)
+      (h > 0, m > 0, t2 > 0, u > 0)
+    }
+    def lastIdx(p: ((Boolean, Boolean, Boolean, Boolean)) => Boolean) = {
+      val idxs = stages.zipWithIndex.filter { case (s, _) => p(s) }.map(_._2)
+      if (idxs.isEmpty) -1 else idxs.max
+    }
+    def firstIdx(p: ((Boolean, Boolean, Boolean, Boolean)) => Boolean) = {
+      val idxs = stages.zipWithIndex.filter { case (s, _) => p(s) }.map(_._2)
+      if (idxs.isEmpty) Int.MaxValue else idxs.min
+    }
+    assert(lastIdx(_._1) <= firstIdx(_._3),
+      "a head shard must never follow a tail shard")
+    assert(lastIdx(_._2) <= firstIdx(_._4),
+      "a middle shard must never follow an unscored shard")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q171/cdcChunks: a prefix insertion re-synchronizes — nearly all " +
       "chunk hashes survive the shift (the property fixed tiles lack), and " +
       "chunks tile the text exactly") {
