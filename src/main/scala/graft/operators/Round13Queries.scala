@@ -707,13 +707,19 @@ object Round13Queries {
     * chunk length. Scale: candidate scan is codegen'd per-row arithmetic;
     * only (source, 8-byte digest, len) rows shuffle; the dup join keys on
     * the digest. */
-  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared q171/q173 corpus: documents + the prefix-shift replica
+    * stream (the offset-shifting edit fixed tiles are blind to). */
+  private def cdcCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Partitioning.spread(table(spark, dir, "documents"))
     val replicas = docs
       .where(col("source").isin("src18", "src19") && length(col("text")) > 0)
       .withColumn("doc_id", col("doc_id") + 999999L)
       .withColumn("text", concat(lit("PFX0123456789XX "), col("text")))
-    val chunks = graft.ops.TextOps.cdcChunks(docs.unionByName(replicas),
+    docs.unionByName(replicas)
+  }
+
+  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.ops.TextOps.cdcChunks(cdcCorpus(spark, dir),
         "text", Seq("doc_id", "source"))
       .persist() // feeds the global hash counts AND the per-source rollup
     val counts = chunks.groupBy("_h").agg(count(lit(1)).as("_n"))
@@ -733,10 +739,23 @@ object Round13Queries {
     * windows → greedy min-length fold via the chr-joined-string
     * list_reduce accumulator, the q117 trick — DuckDB's fold accumulator
     * must share the element type) and the same global-dup rollup. */
-  private def q171OracleSql: String = {
+  private def q171OracleSql: String =
+    s"""WITH $cdcOracleCtes,
+       |cnt AS (SELECT h, count(*) AS n FROM hk GROUP BY 1)
+       |SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |  count(*)::BIGINT AS n_chunks,
+       |  sum(CASE WHEN cnt.n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+       |  round(sum(CASE WHEN cnt.n >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_rate,
+       |  round(sum(clen)::DOUBLE / count(*), 6) AS mean_chunk_len
+       |FROM hk JOIN cnt USING (h) GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The shared CDC oracle chain (q171/q173): the replica-extended corpus,
+    * per-position candidates, the greedy fold, chunk spans and digests —
+    * ends at `hk(doc_id, source, clen, h)`. */
+  private def cdcOracleCtes: String = {
     val (w, mask, minLen) = (graft.ops.TextOps.CdcW,
       graft.ops.TextOps.CdcMask, graft.ops.TextOps.CdcMinLen)
-    s"""WITH src AS (SELECT doc_id, source, text FROM documents
+    s"""src AS (SELECT doc_id, source, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 999999, source, 'PFX0123456789XX ' || text
        |  FROM documents WHERE source IN ('src18','src19') AND length(text) > 0),
@@ -761,14 +780,7 @@ object Round13Queries {
        |  FROM en, unnest(generate_series(1, len(ends))) AS u(i)),
        |hk AS (SELECT doc_id, source, e0 - s0 AS clen,
        |    ('0x' || substr(md5(substr(t, s0 + 1, e0 - s0)), 1, 15))::BIGINT AS h
-       |  FROM ch),
-       |cnt AS (SELECT h, count(*) AS n FROM hk GROUP BY 1)
-       |SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
-       |  count(*)::BIGINT AS n_chunks,
-       |  sum(CASE WHEN cnt.n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
-       |  round(sum(CASE WHEN cnt.n >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_rate,
-       |  round(sum(clen)::DOUBLE / count(*), 6) AS mean_chunk_len
-       |FROM hk JOIN cnt USING (h) GROUP BY 1 ORDER BY 1""".stripMargin
+       |  FROM ch)""".stripMargin
   }
 
   // --- q172: curriculum shard packing -----------------------------------------
@@ -861,6 +873,69 @@ object Round13Queries {
        |  min(pos)::BIGINT AS first_pos, max(pos)::BIGINT AS last_pos
        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q173: chunk-containment near-dups ---------------------------------------
+
+  /** Shared q173 constants (Spark + oracle): a chunk hash held by more than
+    * `MaxChunkDocs` documents is boilerplate and never forms pairs (the
+    * hot-bucket discipline — here part of the SEMANTICS, replayed by the
+    * oracle, because a crawl's template chunks would otherwise pair every
+    * page of a site with every other); pairs need at least `MinShared`
+    * shared chunks and containment ≥ 0.5. */
+  private val MaxChunkDocs = 16
+  private val MinShared = 2
+
+  /** q173 — chunk-CONTAINMENT near-dups: the document-pair relation over
+    * q171's content-defined chunks — `containment = |shared chunks| /
+    * min(|A|, |B|)`, the asymmetric-duplicate measure n-gram Jaccard
+    * (q24/q63) underestimates by construction (a document embedded whole
+    * in a longer one has low Jaccard but containment ≈ 1), and exactly
+    * the relation the prefix-shift replicas light up (each replica
+    * contains its original). Candidates come from an inverted index on
+    * chunk digests with the boilerplate cap above — no all-pairs stage
+    * anywhere. Scale: the index rows are (8-byte digest, id); pair
+    * formation is digest-keyed; per-chunk fan-out is capped at
+    * MaxChunkDocs² pairs. */
+  def cdcContainment(spark: SparkSession, dir: String): DataFrame = {
+    val chunkSets = graft.ops.TextOps.cdcChunks(cdcCorpus(spark, dir),
+        "text", Seq("doc_id"))
+      .select("doc_id", "_h").distinct()
+      .persist() // feeds sizes, the rarity filter, and both pair sides
+    val sizes = chunkSets.groupBy("doc_id").agg(count(lit(1)).as("_sz"))
+    val rare = chunkSets.groupBy("_h").agg(count(lit(1)).as("_d"))
+      .where(col("_d").between(2, MaxChunkDocs))
+      .select("_h")
+    val indexed = chunkSets.join(rare, Seq("_h"))
+    val pairs = indexed.select(col("_h"), col("doc_id").as("idA"))
+      .join(indexed.select(col("_h"), col("doc_id").as("idB")), Seq("_h"))
+      .where(col("idA") < col("idB"))
+      .groupBy("idA", "idB").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= MinShared)
+    pairs
+      .join(sizes.select(col("doc_id").as("idA"), col("_sz").as("_sa")), Seq("idA"))
+      .join(sizes.select(col("doc_id").as("idB"), col("_sz").as("_sb")), Seq("idB"))
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / least(col("_sa"), col("_sb")), 6))
+      .where(col("containment") >= 0.5)
+      .select("idA", "idB", "n_shared", "containment")
+      .orderBy("idA", "idB")
+  }
+
+  private def q173OracleSql: String =
+    s"""WITH $cdcOracleCtes,
+       |cs AS (SELECT DISTINCT doc_id, h FROM hk),
+       |sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM cs GROUP BY 1),
+       |rare AS (SELECT h FROM (SELECT h, count(*) AS d FROM cs GROUP BY 1)
+       |  WHERE d BETWEEN 2 AND $MaxChunkDocs),
+       |ix AS (SELECT cs.doc_id, cs.h FROM cs JOIN rare USING (h)),
+       |pr AS (SELECT a.doc_id AS idA, b.doc_id AS idB, count(*)::BIGINT AS n_shared
+       |  FROM ix a JOIN ix b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $MinShared)
+       |SELECT idA, idB, n_shared,
+       |  round(n_shared::DOUBLE / least(sa.sz, sb.sz), 6) AS containment
+       |FROM pr JOIN sz sa ON sa.doc_id = pr.idA JOIN sz sb ON sb.doc_id = pr.idB
+       |WHERE round(n_shared::DOUBLE / least(sa.sz, sb.sz), 6) >= 0.5
+       |ORDER BY idA, idB""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q165_byte_bpe" -> (byteBpe _),
     "q166_anf_calibration" -> (anfCalibration _),
@@ -869,7 +944,8 @@ object Round13Queries {
     "q169_ccnet_composition" -> (ccnetComposition _),
     "q170_reputation_select" -> (reputationSelect _),
     "q171_cdc_chunk_dedup" -> (cdcChunkDedup _),
-    "q172_curriculum_packing" -> (curriculumPacking _)
+    "q172_curriculum_packing" -> (curriculumPacking _),
+    "q173_cdc_containment" -> (cdcContainment _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -880,6 +956,7 @@ object Round13Queries {
     "q169_ccnet_composition" -> q169OracleSql,
     "q170_reputation_select" -> q170OracleSql,
     "q171_cdc_chunk_dedup" -> q171OracleSql,
-    "q172_curriculum_packing" -> q172OracleSql
+    "q172_curriculum_packing" -> q172OracleSql,
+    "q173_cdc_containment" -> q173OracleSql
   )
 }

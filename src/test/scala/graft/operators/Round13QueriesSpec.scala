@@ -155,6 +155,29 @@ class Round13QueriesSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q173: a document embedded whole in a longer one scores containment " +
+      "1.0 — the asymmetric dup Jaccard underestimates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def txt(n: Int) = (1 to n).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(3))).mkString(" ")
+    val short = txt(80)
+    val long = short + " " + txt(200) // short embedded whole at the head
+    val dir = docsDir(Seq(
+      (1L, short, "en", "srcA"), (2L, long, "en", "srcA"),
+      (3L, txt(150), "en", "srcB")))
+    val r = Round13Queries.cdcContainment(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val pair = r.find(p => p._1 == 1L && p._2 == 2L)
+    assert(pair.isDefined, s"the embedded pair must surface: $r")
+    assert(pair.get._4 >= 0.8,
+      s"containment of an embedded doc must be ~1: ${pair.get}")
+    r.foreach { case (a, b, ns, c) =>
+      assert(a < b && ns >= 2 && c >= 0.5 && c <= 1.0, s"invariants: $r")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q171/cdcChunks: a prefix insertion re-synchronizes — nearly all " +
       "chunk hashes survive the shift (the property fixed tiles lack), and " +
       "chunks tile the text exactly") {
