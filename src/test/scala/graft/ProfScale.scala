@@ -151,7 +151,12 @@ object ProfScale {
       "q168_phash_recall" -> (d => operators.Round13Queries.phashRecallAudit(spark, d)),
       "q169_ccnet" -> (d => operators.Round13Queries.ccnetComposition(spark, d)),
       "q170_rep_select" -> (d => operators.Round13Queries.reputationSelect(spark, d)),
-      "q171_cdc" -> (d => operators.Round13Queries.cdcChunkDedup(spark, d)))
+      "q171_cdc" -> (d => operators.Round13Queries.cdcChunkDedup(spark, d)),
+      // q172 composes q164's grain with the q160 prefix sum (expect the
+      // q164 shape); q173's pair stage is capped per chunk (16 docs max ->
+      // <=120 pairs/chunk) — expect ~linear in chunks against the scan
+      "q172_curriculum" -> (d => operators.Round13Queries.curriculumPacking(spark, d)),
+      "q173_containment" -> (d => operators.Round13Queries.cdcContainment(spark, d)))
 
     // SPARK_GRAFT_ONLY: comma-separated name substrings (the Verify/Bench
     // convention) — sweep just the named queries when iterating

@@ -213,4 +213,28 @@ class EdgeInputSpec extends AnyFunSuite {
     // report — and the trio forms 3 exact-dup pairs
     assert(r == Seq(("image", 3L, 1L, 3L, 3L, 3L)))
   }
+
+  test("cdcChunks survives edge inputs: null/empty drop, short texts chunk " +
+      "whole, every chunk has positive length") {
+    val ch = TextOps.cdcChunks(edgeDocs, "text", Seq("doc_id"))
+      .select("doc_id", "chunk_len").as[(Long, Long)].collect()
+    assert(!ch.exists(c => c._1 == 1L || c._1 == 2L),
+      "null/empty texts have no chunks")
+    // sub-window texts ('   ', 'x') chunk as one whole-text chunk
+    assert(ch.count(_._1 == 3L) == 1 && ch.count(_._1 == 4L) == 1)
+    assert(ch.forall(_._2 >= 1L), "no zero-length chunks")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("byte BPE vocabulary path survives whitespace-only and 1-char docs") {
+    val dir = java.nio.file.Files.createTempDirectory("edgebpe").toString
+    edgeDocs
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Round13Queries.byteBpe(spark, dir)
+      .select("source", "n_words").as[(String, Long)].collect()
+    // null/empty/whitespace docs contribute no words; 'x' and the dup pair do
+    assert(r.nonEmpty && r.head._2 >= 1L)
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
