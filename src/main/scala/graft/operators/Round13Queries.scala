@@ -904,7 +904,9 @@ object Round13Queries {
     val rare = chunkSets.groupBy("_h").agg(count(lit(1)).as("_d"))
       .where(col("_d").between(2, MaxChunkDocs))
       .select("_h")
-    val indexed = chunkSets.join(rare, Seq("_h"))
+    // persist: BOTH pair sides read this frame (the rare-filter join would
+    // otherwise run twice). Ownership: Verify/Bench clear per query.
+    val indexed = chunkSets.join(rare, Seq("_h")).persist()
     val pairs = indexed.select(col("_h"), col("doc_id").as("idA"))
       .join(indexed.select(col("_h"), col("doc_id").as("idB")), Seq("_h"))
       .where(col("idA") < col("idB"))
