@@ -749,16 +749,20 @@ object Round13Queries {
        |  round(sum(clen)::DOUBLE / count(*), 6) AS mean_chunk_len
        |FROM hk JOIN cnt USING (h) GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** The shared CDC oracle chain (q171/q173): the replica-extended corpus,
-    * per-position candidates, the greedy fold, chunk spans and digests —
-    * ends at `hk(doc_id, source, clen, h)`. */
-  private def cdcOracleCtes: String = {
+  /** The shared CDC oracle chain (q171/q173 over the replica-extended
+    * corpus, q174 over plain documents): per-position candidates, the
+    * greedy fold, chunk spans and digests — ends at
+    * `hk(doc_id, source, clen, h)`. */
+  private def cdcOracleCtes: String = cdcOracleCtesFor(
+    """SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 999999, source, 'PFX0123456789XX ' || text
+      |  FROM documents WHERE source IN ('src18','src19') AND length(text) > 0""".stripMargin)
+
+  private def cdcOracleCtesFor(srcSql: String): String = {
     val (w, mask, minLen) = (graft.ops.TextOps.CdcW,
       graft.ops.TextOps.CdcMask, graft.ops.TextOps.CdcMinLen)
-    s"""src AS (SELECT doc_id, source, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 999999, source, 'PFX0123456789XX ' || text
-       |  FROM documents WHERE source IN ('src18','src19') AND length(text) > 0),
+    s"""src AS ($srcSql),
        |c AS (SELECT doc_id, source, text AS t, length(text) AS L FROM src),
        |cd AS (SELECT doc_id, source, t, L,
        |    CASE WHEN L >= $w THEN list_filter(list_transform(range($w, L + 1),
@@ -938,6 +942,56 @@ object Round13Queries {
        |WHERE round(n_shared::DOUBLE / least(sa.sz, sb.sz), 6) >= 0.5
        |ORDER BY idA, idB""".stripMargin
 
+  // --- q174: CDC-novelty incremental admission ---------------------------------
+
+  /** q174 — chunk-NOVELTY admission: the q76/q123 incremental-ingest shape
+    * at the content-defined chunk grain. The daily batch (src18/src19, the
+    * house convention) is screened against the standing corpus's distinct
+    * chunk-digest index: per batch document, how many of its chunks the
+    * corpus has already seen, `novelty_u = (n − n_seen)·1e6 div n`, admit
+    * iff at least half its chunks are new (`2·(n − n_seen) ≥ n`, pure
+    * integer) — RefinedWeb's duplicated-content fraction as an admission
+    * gate, robust to the offset-shifting edits that defeat tile- and
+    * whole-hash admission. Scale: corpus×corpus is NEVER formed — the
+    * corpus contributes one distinct digest index (the standing state a
+    * real ingest keeps materialized) and the screen is one batch-side
+    * left-semi join; steady-state cost ∝ batch. */
+  def cdcAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Partitioning.spread(table(spark, dir, "documents"))
+    val isBatch = col("source").isin("src18", "src19")
+    val corpusIdx = graft.ops.TextOps.cdcChunks(docs.where(!isBatch),
+        "text", Seq("doc_id"))
+      .select("_h").distinct()
+    // persist: per-doc chunk sets feed the totals AND the seen counts
+    val batchChunks = graft.ops.TextOps.cdcChunks(docs.where(isBatch),
+        "text", Seq("doc_id"))
+      .select("doc_id", "_h").distinct()
+      .persist()
+    val totals = batchChunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val seen = batchChunks.join(corpusIdx, Seq("_h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_seen"))
+    totals.join(seen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+      .withColumn("novelty_u",
+        expr("(n_chunks - n_seen) * 1000000 div n_chunks"))
+      .withColumn("admit", expr("2 * (n_chunks - n_seen) >= n_chunks"))
+      .orderBy("doc_id")
+  }
+
+  private def q174OracleSql: String =
+    s"""WITH ${cdcOracleCtesFor("SELECT doc_id, source, text FROM documents")},
+       |cidx AS (SELECT DISTINCT h FROM hk WHERE source NOT IN ('src18','src19')),
+       |bch AS (SELECT DISTINCT doc_id, h FROM hk WHERE source IN ('src18','src19')),
+       |tot AS (SELECT doc_id, count(*)::BIGINT AS n_chunks FROM bch GROUP BY 1),
+       |sn AS (SELECT doc_id, count(*)::BIGINT AS n_seen FROM bch
+       |  WHERE h IN (SELECT h FROM cidx) GROUP BY 1)
+       |SELECT t.doc_id, t.n_chunks, coalesce(sn.n_seen, 0)::BIGINT AS n_seen,
+       |  ((t.n_chunks - coalesce(sn.n_seen, 0)) * 1000000 // t.n_chunks)::BIGINT
+       |    AS novelty_u,
+       |  2 * (t.n_chunks - coalesce(sn.n_seen, 0)) >= t.n_chunks AS admit
+       |FROM tot t LEFT JOIN sn USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q165_byte_bpe" -> (byteBpe _),
     "q166_anf_calibration" -> (anfCalibration _),
@@ -947,7 +1001,8 @@ object Round13Queries {
     "q170_reputation_select" -> (reputationSelect _),
     "q171_cdc_chunk_dedup" -> (cdcChunkDedup _),
     "q172_curriculum_packing" -> (curriculumPacking _),
-    "q173_cdc_containment" -> (cdcContainment _)
+    "q173_cdc_containment" -> (cdcContainment _),
+    "q174_cdc_admit" -> (cdcAdmit _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -959,6 +1014,7 @@ object Round13Queries {
     "q170_reputation_select" -> q170OracleSql,
     "q171_cdc_chunk_dedup" -> q171OracleSql,
     "q172_curriculum_packing" -> q172OracleSql,
-    "q173_cdc_containment" -> q173OracleSql
+    "q173_cdc_containment" -> q173OracleSql,
+    "q174_cdc_admit" -> q174OracleSql
   )
 }

@@ -178,6 +178,30 @@ class Round13QueriesSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q174: a batch doc already in the corpus scores novelty 0 and is " +
+      "rejected; a fully novel one scores 1.0 and admits; a shifted copy " +
+      "is still rejected (the CDC point)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def txt(n: Int) = (1 to n).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(3))).mkString(" ")
+    val known = txt(150)
+    val dir = docsDir(Seq(
+      (1L, known, "en", "src0"),            // corpus
+      (2L, txt(150), "en", "src1"),         // corpus
+      (18L, known, "en", "src18"),          // batch: exact dup
+      (19L, "PREFIX edit " + known, "en", "src18"), // batch: shifted dup
+      (20L, txt(150), "en", "src19")))      // batch: novel
+    val r = Round13Queries.cdcAdmit(spark, dir)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(18L)._4 == 0L && !r(18L)._5, s"exact dup must reject: ${r(18L)}")
+    assert(r(19L)._4 < 500000L && !r(19L)._5,
+      s"shifted dup must still reject — chunks re-sync: ${r(19L)}")
+    assert(r(20L)._4 == 1000000L && r(20L)._5, s"novel doc admits: ${r(20L)}")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q171/cdcChunks: a prefix insertion re-synchronizes — nearly all " +
       "chunk hashes survive the shift (the property fixed tiles lack), and " +
       "chunks tile the text exactly") {
