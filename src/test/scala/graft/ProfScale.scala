@@ -156,7 +156,9 @@ object ProfScale {
       // q164 shape); q173's pair stage is capped per chunk (16 docs max ->
       // <=120 pairs/chunk) — expect ~linear in chunks against the scan
       "q172_curriculum" -> (d => operators.Round13Queries.curriculumPacking(spark, d)),
-      "q173_containment" -> (d => operators.Round13Queries.cdcContainment(spark, d)))
+      "q173_containment" -> (d => operators.Round13Queries.cdcContainment(spark, d)),
+      // q174 is batch-side work against the corpus chunk index (~10x both)
+      "q174_cdc_admit" -> (d => operators.Round13Queries.cdcAdmit(spark, d)))
 
     // SPARK_GRAFT_ONLY: comma-separated name substrings (the Verify/Bench
     // convention) — sweep just the named queries when iterating
