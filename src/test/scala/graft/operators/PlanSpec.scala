@@ -304,6 +304,13 @@ class PlanSpec extends AnyFunSuite {
       s"the prefix sum must stay range-partitioned\n$p")
   }
 
+  test("q172: curriculum packing chains TWO global sequences (tercile rank " +
+      "+ shard prefix sum) with no single-partition exchange in either") {
+    val p = plan(Round13Queries.curriculumPacking(spark, sf))
+    assert(!p.contains("SinglePartition"),
+      s"both rank passes must stay range-partitioned\n$p")
+  }
+
   test("q161: truth denominators and the candidate attachment broadcast") {
     val p = plan(Round12Queries.bandingSCurve(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins\n$p")
