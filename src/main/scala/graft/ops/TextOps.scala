@@ -347,10 +347,15 @@ object TextOps {
     * greedily skipping boundaries closer than [[CdcMinLen]] to the previous
     * accepted one — the Rabin/FastCDC boundary rule reduced to its
     * deterministic, engine-portable core. Because boundaries are a function
-    * of CONTENT, an insertion near the head re-synchronizes at the next
-    * surviving boundary and every downstream chunk hashes identically —
-    * the robustness property fixed tiles ([[chunkTiles]], q105) lack by
-    * construction (one inserted token shifts every tile).
+    * of CONTENT, an edited copy re-synchronizes at the first boundary BOTH
+    * greedy folds accept, after which every chunk hashes identically
+    * (CdcPropertySpec pins this as a conditional theorem: the fold's whole
+    * state is "last accepted boundary", so a shared acceptance makes the
+    * remainders the same computation; min-length gating can in principle
+    * keep two folds out of phase, but in practice they re-sync within
+    * ~minLen+mask chars — the q171 replicas measure dup rate 1.0). Fixed
+    * tiles ([[chunkTiles]], q105) lack the property by construction (one
+    * inserted token shifts every tile).
     *
     * Returns (carry…, chunk_idx, chunk_len, _h) with `_h` the chunk's h60
     * digest. No max-length rule: a boundary-free run yields one chunk per
