@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ContractQueries, CurationQueries, ExtendedQueries, NorthStarQueries, PipelineQueries, PortableQueries, Round12Queries, Round13Queries, SelectionQueries}
+import graft.operators.{ContractQueries, CurationQueries, ExtendedQueries, NorthStarQueries, PipelineQueries, PortableQueries, Round12Queries, Round13Queries, SelectionQueries, TrainPrepQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -16,7 +16,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (ContractQueries.all ++ NorthStarQueries.all ++ ExtendedQueries.all ++
       PipelineQueries.all ++ PortableQueries.all ++ CurationQueries.all ++
-      SelectionQueries.all ++ Round12Queries.all ++ Round13Queries.all).toMap
+      SelectionQueries.all ++ Round12Queries.all ++ Round13Queries.all ++
+      TrainPrepQueries.all).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -24,5 +25,6 @@ object SparkEntry {
     ContractQueries.oracles ++ NorthStarQueries.oracles ++
       ExtendedQueries.oracles ++ PipelineQueries.oracles ++
       PortableQueries.oracles ++ CurationQueries.oracles ++
-      SelectionQueries.oracles ++ Round12Queries.oracles ++ Round13Queries.oracles
+      SelectionQueries.oracles ++ Round12Queries.oracles ++
+      Round13Queries.oracles ++ TrainPrepQueries.oracles
 }

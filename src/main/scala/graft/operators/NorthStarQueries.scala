@@ -1131,7 +1131,7 @@ object NorthStarQueries {
   )
 
   /** Shared DuckDB fragments for the word-3-gram pair oracles (q24, q48). */
-  private val gramsCte =
+  private[operators] val gramsCte =
     "toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t FROM documents), " +
       "grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
       "ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' ')) END) AS g FROM toks)"
@@ -1179,7 +1179,7 @@ object NorthStarQueries {
     sb.toString
   }
 
-  private val jaccardGe05 =
+  private[operators] val jaccardGe05 =
     "len(list_intersect(a.g, b.g))::DOUBLE / GREATEST(len(list_distinct(a.g || b.g)), 1) >= 0.5"
 
   /** Unrounded cosine (the IVF assignment compares raw similarities). */

@@ -1,0 +1,342 @@
+package graft.operators
+
+import graft.ops.{Dedup, Layout, Partitioning, PortableSketch, Sampling, TextOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-set ASSEMBLY queries (round 13, second wave): the steps between
+  * a curated corpus and a training run that the rest of the engine presumes
+  * — leakage-safe split assignment at the dup-CLUSTER grain (q175: the
+  * eval-hygiene rule per-document splitting like q50 structurally violates,
+  * with the violation MEASURED), the padding-waste audit behind length
+  * bucketing (q176: what dynamic batching saves, as a number), data-
+  * constrained epoch allocation (q177: uniform-target water-filling under a
+  * per-source repetition cap — the Muennighoff et al. 2022 mixing question),
+  * and the exact rank-based sequence-length percentiles every data card
+  * reports (q178: engine-portable because rank-defined — never an engine's
+  * interpolating `quantile`).
+  */
+object TrainPrepQueries {
+  import ContractQueries.table
+
+  // --- q175: dup-cluster-aware split + leakage audit ---------------------------
+
+  /** q175 — LEAK-SAFE train/val/test split: q50 assigns splits per DOCUMENT
+    * (content-hash Bernoulli), so a near-duplicate pair can straddle train
+    * and test — the classic eval-contamination bug (a test doc whose
+    * near-copy was trained on). The fix is to assign at the dup-CLUSTER
+    * grain: every document inherits the split of its connected-component
+    * representative (q48's clusters over the exact-Jaccard pair relation),
+    * keyed by the REP's content hash — same q50 mechanism, one grain up.
+    * Per split: docs, tokens, clusters, and the audit pair — `leak_pairs`
+    * (near-dup pairs straddling splits under the cluster assignment;
+    * structurally 0 because a pair shares a component, but MEASURED, the
+    * q98/q161/q166 discipline) vs `naive_leak_pairs` (the same count under
+    * q50's per-doc assignment — the number this operator exists to remove;
+    * each crossing pair is attributed to its idA side's split under the
+    * scheme being audited). Scale: the pair relation and CC are the q48
+    * shapes (banded candidates, pointer-jumping CC); the rep-split join
+    * shuffles by rep — a giant cluster is one hot key, which AQE skew-split
+    * handles because the join is a plain equi-join. */
+  def leakSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Partitioning.spread(table(spark, dir, "documents"))
+    // persist: feeds CC AND both leak audits (three consumers).
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val pairs = NorthStarQueries.ngramNearDups(spark, dir)
+      .select("idA", "idB").persist()
+    val cc = Dedup.dupClusters(pairs).withColumnRenamed("id", "doc_id")
+    val perDoc = docs
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("doc_id")).as("cluster_rep"),
+        TextOps.tokenCount(col("text")).cast("long").as("tokens"),
+        Sampling.hashSplit(col("text"), NorthStarQueries.splitWeights, "v1")
+          .as("naive_split"))
+    val repSplits = docs.select(col("doc_id").as("cluster_rep"),
+      Sampling.hashSplit(col("text"), NorthStarQueries.splitWeights, "v1")
+        .as("split"))
+    // persist: the per-split rollup and both audits all read the assigned
+    // frame. Ownership: Verify/Bench clear per query.
+    val assigned = perDoc.join(repSplits, Seq("cluster_rep")).persist()
+    val base = assigned.groupBy("split").agg(
+      count(lit(1)).as("n_docs"), sum("tokens").as("n_tokens"),
+      countDistinct("cluster_rep").as("n_clusters"))
+    def leakOf(splitCol: String, outName: String): DataFrame =
+      pairs
+        .join(assigned.select(col("doc_id").as("idA"),
+          col(splitCol).as("_sa")), Seq("idA"))
+        .join(assigned.select(col("doc_id").as("idB"),
+          col(splitCol).as("_sb")), Seq("idB"))
+        .groupBy(col("_sa"))
+        .agg(sum(when(col("_sa") =!= col("_sb"), 1L).otherwise(0L)).as(outName))
+        .withColumnRenamed("_sa", "split")
+    base
+      .join(leakOf("split", "leak_pairs"), Seq("split"), "left")
+      .join(leakOf("naive_split", "naive_leak_pairs"), Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_tokens"), col("n_clusters"),
+        coalesce(col("leak_pairs"), lit(0L)).as("leak_pairs"),
+        coalesce(col("naive_leak_pairs"), lit(0L)).as("naive_leak_pairs"))
+      .orderBy("split")
+  }
+
+  /** q175 oracle: the q48 recursive-CTE components over the exact pair
+    * relation, the q50 split CASE applied once per doc (naive) and once to
+    * each cluster rep's text (cluster split), then the same three-way
+    * report. LEFT JOINs mirror the Spark side exactly (a split label with
+    * no docs under the cluster scheme would drop that audit row in BOTH
+    * engines). */
+  private def q175OracleSql: String = {
+    val sc = NorthStarQueries.splitCaseSql
+    s"""WITH RECURSIVE ${NorthStarQueries.gramsCte},
+       |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM grams a JOIN grams b
+       |  ON a.doc_id < b.doc_id WHERE ${NorthStarQueries.jaccardGe05}),
+       |edges AS (SELECT ia AS s, ib AS d FROM p UNION ALL SELECT ib, ia FROM p),
+       |reach(id, r) AS (SELECT s, s FROM edges
+       |  UNION SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+       |cl AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+       |d AS (SELECT doc_id, coalesce(cl.rep, doc_id) AS rep,
+       |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS tokens,
+       |    $sc AS nsplit
+       |  FROM documents LEFT JOIN cl ON cl.id = doc_id),
+       |rs AS (SELECT doc_id AS rep, $sc AS csplit FROM documents),
+       |asg AS (SELECT d.doc_id, d.rep, d.tokens, d.nsplit, rs.csplit
+       |  FROM d JOIN rs USING (rep)),
+       |base AS (SELECT csplit AS split, count(*)::BIGINT AS n_docs,
+       |    sum(tokens)::BIGINT AS n_tokens,
+       |    count(DISTINCT rep)::BIGINT AS n_clusters
+       |  FROM asg GROUP BY 1),
+       |lc AS (SELECT a.csplit AS split,
+       |    sum(CASE WHEN a.csplit <> b.csplit THEN 1 ELSE 0 END)::BIGINT AS leak_pairs
+       |  FROM p JOIN asg a ON a.doc_id = p.ia JOIN asg b ON b.doc_id = p.ib
+       |  GROUP BY 1),
+       |ln2 AS (SELECT a.nsplit AS split,
+       |    sum(CASE WHEN a.nsplit <> b.nsplit THEN 1 ELSE 0 END)::BIGINT AS naive_leak_pairs
+       |  FROM p JOIN asg a ON a.doc_id = p.ia JOIN asg b ON b.doc_id = p.ib
+       |  GROUP BY 1)
+       |SELECT base.split, n_docs, n_tokens, n_clusters,
+       |  coalesce(lc.leak_pairs, 0)::BIGINT AS leak_pairs,
+       |  coalesce(ln2.naive_leak_pairs, 0)::BIGINT AS naive_leak_pairs
+       |FROM base LEFT JOIN lc USING (split) LEFT JOIN ln2 USING (split)
+       |ORDER BY split""".stripMargin
+  }
+
+  // --- q176: padding-waste batching audit --------------------------------------
+
+  /** Shared q176 constant (Spark + oracle): sequences per batch. */
+  private val BatchSize = 8L
+
+  /** q176 — PADDING-waste audit: inference/SFT batching pads every sequence
+    * in a batch to the batch max, so batch composition decides how many
+    * slot-tokens are padding. Two deterministic strategies over the same
+    * corpus, batch size 8: `hash_order` (content-hash arrival order — the
+    * naive shuffle) vs `length_sorted` (global length-descending order —
+    * the bucketing every serving stack ships). Per strategy: batches, real
+    * tokens, slot tokens (Σ n·max per batch), padding, and waste in basis
+    * points — the measured gap IS the case for length bucketing. Batch
+    * formation uses the q94/q160 two-pass global sequence (no
+    * single-partition window, plan-asserted pattern); everything after it
+    * is one narrow groupBy. The length-sorted order key is made total by
+    * (tokens desc, content-hash, doc_id). */
+  def paddingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Partitioning.spread(table(spark, dir, "documents"))
+    // persist: both strategy sequences scan the same 3-column frame.
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val lens = docs.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("tokens"),
+        PortableSketch.h60(concat(lit("ord:"), col("text"))).as("_ord"))
+      .persist()
+    def report(name: String, keys: Seq[Column]): DataFrame =
+      Layout.globalSequence(lens, keys, "pos")
+        .withColumn("_batch", expr(s"(pos - 1) div $BatchSize"))
+        .groupBy("_batch")
+        .agg(count(lit(1)).as("_n"), max("tokens").as("_m"),
+          sum("tokens").as("_s"))
+        .agg(count(lit(1)).as("n_batches"), sum("_s").as("real_tokens"),
+          sum(col("_n") * col("_m")).as("slot_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"), col("real_tokens"),
+          col("slot_tokens"),
+          (col("slot_tokens") - col("real_tokens")).as("pad_tokens"),
+          expr("(slot_tokens - real_tokens) * 10000 div slot_tokens")
+            .as("waste_bp"))
+    report("hash_order", Seq(col("_ord"), col("doc_id")))
+      .unionByName(report("length_sorted",
+        Seq(col("tokens").desc, col("_ord"), col("doc_id"))))
+      .orderBy("strategy")
+  }
+
+  /** q176 oracle: plain ROW_NUMBER over each order key (the window form the
+    * two-pass sequence provably equals), then the same batch rollups. */
+  private def q176OracleSql: String = {
+    def side(name: String, order: String): String =
+      s"""${name}r AS (SELECT tokens,
+         |    ROW_NUMBER() OVER (ORDER BY $order) AS rn FROM d),
+         |${name}b AS (SELECT (rn - 1) // $BatchSize AS b, count(*)::BIGINT AS n,
+         |    max(tokens) AS m, sum(tokens)::BIGINT AS s FROM ${name}r GROUP BY 1),
+         |${name}a AS (SELECT count(*)::BIGINT AS n_batches,
+         |    sum(s)::BIGINT AS real_tokens, sum(n * m)::BIGINT AS slot_tokens
+         |  FROM ${name}b)""".stripMargin
+    s"""WITH d AS (SELECT doc_id,
+       |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS tokens,
+       |    ('0x' || substr(md5('ord:' || text), 1, 15))::BIGINT AS ord
+       |  FROM documents),
+       |${side("h", "ord, doc_id")},
+       |${side("l", "tokens DESC, ord, doc_id")}
+       |SELECT strategy, n_batches, real_tokens, slot_tokens,
+       |  slot_tokens - real_tokens AS pad_tokens,
+       |  (slot_tokens - real_tokens) * 10000 // slot_tokens AS waste_bp
+       |FROM (SELECT 'hash_order' AS strategy, * FROM ha
+       |      UNION ALL SELECT 'length_sorted', * FROM la)
+       |ORDER BY strategy""".stripMargin
+  }
+
+  // --- q177: data-constrained epoch allocation ---------------------------------
+
+  /** Shared q177 constants (Spark + oracle): token budget = 5/2 × corpus
+    * tokens, per-source repetition cap = 5/2 epochs, 3 water-fill rounds. */
+  private val EpochRounds = 3
+
+  /** q177 — EPOCH water-filling: the data-constrained mixing question
+    * (Muennighoff et al. 2022 — when the budget exceeds the corpus, how
+    * many epochs of each source?). Target mix is UNIFORM across sources
+    * (the upsample-small-sources posture), budget 2.5× corpus tokens, but
+    * no source may repeat past 2.5 epochs (`cap = 5·tokens div 2`) — so
+    * below-average sources hit the cap and their leftover re-distributes
+    * to the still-uncapped pool, round by round (proportional-with-cap
+    * water-filling, 3 fixed rounds, the house unrolled-loop discipline;
+    * leftovers a 4th round would place stay unallocated — documented, and
+    * visible as epochs_u below the cap on the last uncapped sources). All
+    * integer: per-round alloc = leftover div |uncapped|. Scale: the state
+    * is one row per SOURCE (a mixing decision is |sources|-bounded by
+    * nature); the round scalars are one-row aggregates attached by the q86
+    * one-row-constants broadcast, so the corpus is scanned exactly once. */
+  def epochMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Partitioning.spread(table(spark, dir, "documents"))
+    // persist: the |sources|-row state is re-read by every round's scalar
+    // aggregate. Ownership: Verify/Bench clear per query.
+    val src = docs.groupBy("source")
+      .agg(sum(TextOps.tokenCount(col("text")).cast("long")).as("tokens"))
+      .withColumn("cap_tokens", expr("tokens * 5 div 2"))
+      .persist()
+    val totals = src.agg(sum("tokens").as("_tt"), count(lit(1)).as("_ns"))
+    var st = src.crossJoin(broadcast(totals))
+      .withColumn("budget", expr("_tt * 5 div 2"))
+      .withColumn("alloc", expr("(_tt * 5 div 2) div _ns"))
+      .withColumn("capped", col("alloc") > col("cap_tokens"))
+      .select("source", "tokens", "cap_tokens", "budget", "alloc", "capped")
+    for (_ <- 2 to EpochRounds) {
+      val scalars = st.agg(
+        sum(when(col("capped"), col("cap_tokens")).otherwise(0L)).as("_cw"),
+        sum(when(col("capped"), 0L).otherwise(1L)).as("_nu"))
+      st = st.crossJoin(broadcast(scalars))
+        .withColumn("alloc", when(col("capped"), col("cap_tokens"))
+          .otherwise(expr("(budget - _cw) div greatest(_nu, 1)")))
+        .withColumn("capped",
+          col("capped") || col("alloc") > col("cap_tokens"))
+        .select("source", "tokens", "cap_tokens", "budget", "alloc", "capped")
+    }
+    st.withColumn("alloc_tokens",
+        when(col("capped"), col("cap_tokens")).otherwise(col("alloc")))
+      .withColumn("epochs_u", expr("alloc_tokens * 1000000 div tokens"))
+      .select("source", "tokens", "alloc_tokens", "epochs_u", "capped")
+      .orderBy("source")
+  }
+
+  /** q177 oracle: the 3 water-fill rounds unrolled as CTE levels — each
+    * round's scalar row (capped mass, uncapped count) joins back on, then
+    * the final clamp. */
+  private def q177OracleSql: String = {
+    val sb = new StringBuilder(
+      """WITH s AS (SELECT source,
+        |    sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')))::BIGINT AS tokens
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT source, tokens, tokens * 5 // 2 AS cap_tokens FROM s),
+        |g AS (SELECT sum(tokens)::BIGINT AS tt, count(*)::BIGINT AS ns FROM c),
+        |s1 AS (SELECT c.source, c.tokens, c.cap_tokens,
+        |    (g.tt * 5 // 2)::BIGINT AS budget,
+        |    ((g.tt * 5 // 2) // g.ns)::BIGINT AS alloc,
+        |    ((g.tt * 5 // 2) // g.ns) > c.cap_tokens AS capped
+        |  FROM c, g),
+        |""".stripMargin)
+    for (r <- 2 to EpochRounds) {
+      sb ++= s"""g$r AS (SELECT sum(CASE WHEN capped THEN cap_tokens ELSE 0 END)::BIGINT AS cw,
+                |    sum(CASE WHEN capped THEN 0 ELSE 1 END)::BIGINT AS nu FROM s${r - 1}),
+                |s$r AS (SELECT source, tokens, cap_tokens, budget,
+                |    CASE WHEN capped THEN cap_tokens
+                |      ELSE (budget - g$r.cw) // greatest(g$r.nu, 1) END AS alloc,
+                |    capped OR (CASE WHEN capped THEN cap_tokens
+                |      ELSE (budget - g$r.cw) // greatest(g$r.nu, 1) END) > cap_tokens AS capped
+                |  FROM s${r - 1}, g$r),
+                |""".stripMargin
+    }
+    sb ++= s"""fin AS (SELECT source, tokens,
+              |    CASE WHEN capped THEN cap_tokens ELSE alloc END AS alloc_tokens,
+              |    capped
+              |  FROM s$EpochRounds)
+              |SELECT source, tokens, alloc_tokens,
+              |  (alloc_tokens * 1000000 // tokens)::BIGINT AS epochs_u, capped
+              |FROM fin ORDER BY source""".stripMargin
+    sb.toString
+  }
+
+  // --- q178: exact sequence-length percentiles ---------------------------------
+
+  /** q178 — sequence-LENGTH percentiles per source, the data-card numbers a
+    * context-length decision reads (P50/P90/P99/max token lengths): defined
+    * by RANK, not interpolation — P_q = the smallest length whose cumulative
+    * count reaches ⌈q·n⌉ — because engines disagree on interpolating
+    * `quantile`/`percentile` semantics while rank arithmetic is exact
+    * integer everywhere (cum ≥ ⌈q·n⌉ ⇔ den·cum ≥ num·n). Computed over the
+    * per-source length HISTOGRAM: one groupBy collapses the corpus to
+    * (source, length, count) — the windows then run over histogram rows
+    * (bounded by distinct lengths per source, NEVER documents, the q152
+    * histogram-window discipline) — so the cumulative scan costs nothing at
+    * any corpus size. */
+  def lengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Partitioning.spread(table(spark, dir, "documents"))
+    val hist = docs
+      .select(col("source"), TextOps.tokenCount(col("text")).cast("long").as("tokens"))
+      .groupBy("source", "tokens").agg(count(lit(1)).as("_c"))
+    val cum = hist
+      .withColumn("_cum",
+        sum("_c").over(Window.partitionBy("source").orderBy("tokens")))
+      .withColumn("_n", sum("_c").over(Window.partitionBy("source")))
+    cum.groupBy("source").agg(
+        max("_n").as("n_docs"),
+        min(when(expr("_cum * 2 >= _n"), col("tokens"))).as("p50_tokens"),
+        min(when(expr("_cum * 10 >= _n * 9"), col("tokens"))).as("p90_tokens"),
+        min(when(expr("_cum * 100 >= _n * 99"), col("tokens"))).as("p99_tokens"),
+        max("tokens").as("max_tokens"))
+      .orderBy("source")
+  }
+
+  private def q178OracleSql: String =
+    """WITH h AS (SELECT source,
+      |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS tokens,
+      |    count(*)::BIGINT AS c
+      |  FROM documents GROUP BY 1, 2),
+      |cm AS (SELECT source, tokens, c,
+      |    sum(c) OVER (PARTITION BY source ORDER BY tokens
+      |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+      |    sum(c) OVER (PARTITION BY source)::BIGINT AS n FROM h)
+      |SELECT source, max(n)::BIGINT AS n_docs,
+      |  min(CASE WHEN cum * 2 >= n THEN tokens END)::BIGINT AS p50_tokens,
+      |  min(CASE WHEN cum * 10 >= n * 9 THEN tokens END)::BIGINT AS p90_tokens,
+      |  min(CASE WHEN cum * 100 >= n * 99 THEN tokens END)::BIGINT AS p99_tokens,
+      |  max(tokens)::BIGINT AS max_tokens
+      |FROM cm GROUP BY source ORDER BY source""".stripMargin
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q175_leak_safe_split" -> (leakSafeSplit _),
+    "q176_padding_audit" -> (paddingAudit _),
+    "q177_epoch_mix" -> (epochMix _),
+    "q178_length_percentiles" -> (lengthPercentiles _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q175_leak_safe_split" -> q175OracleSql,
+    "q176_padding_audit" -> q176OracleSql,
+    "q177_epoch_mix" -> q177OracleSql,
+    "q178_length_percentiles" -> q178OracleSql
+  )
+}

@@ -158,7 +158,16 @@ object ProfScale {
       "q172_curriculum" -> (d => operators.Round13Queries.curriculumPacking(spark, d)),
       "q173_containment" -> (d => operators.Round13Queries.cdcContainment(spark, d)),
       // q174 is batch-side work against the corpus chunk index (~10x both)
-      "q174_cdc_admit" -> (d => operators.Round13Queries.cdcAdmit(spark, d)))
+      "q174_cdc_admit" -> (d => operators.Round13Queries.cdcAdmit(spark, d)),
+      // round 13 second wave: q175 rides the q24/q48 pair+CC shapes (expect
+      // their profile — candidate-bounded pairs, CC round floor); q176 is
+      // two two-pass sequences + narrow rollups (~10x); q177's state is
+      // |sources|-bounded after one scan (~10x scan floor); q178 collapses
+      // to the per-source length histogram in one scan (~10x)
+      "q175_split" -> (d => operators.TrainPrepQueries.leakSafeSplit(spark, d)),
+      "q176_padding" -> (d => operators.TrainPrepQueries.paddingAudit(spark, d)),
+      "q177_epochs" -> (d => operators.TrainPrepQueries.epochMix(spark, d)),
+      "q178_lenpct" -> (d => operators.TrainPrepQueries.lengthPercentiles(spark, d)))
 
     // SPARK_GRAFT_ONLY: comma-separated name substrings (the Verify/Bench
     // convention) — sweep just the named queries when iterating

@@ -280,7 +280,11 @@ class PlanSpec extends AnyFunSuite {
       // q86 one-row-constants pattern; both sides host-bounded)
       "q167_host_reputation", "q170_reputation_select",
       // q169 embeds q158's |langs|-row model-stats broadcast fan-out
-      "q169_ccnet_composition")
+      "q169_ccnet_composition",
+      // q177: the per-round water-fill scalars are one-row aggregates
+      // attached by keyless broadcast onto the |sources|-row state (the
+      // q86 one-row-constants pattern)
+      "q177_epoch_mix")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
