@@ -326,17 +326,259 @@ object TrainPrepQueries {
       |  max(tokens)::BIGINT AS max_tokens
       |FROM cm GROUP BY source ORDER BY source""".stripMargin
 
+  // --- q179: eval-split decontamination ----------------------------------------
+
+  /** Shared q179 constant (Spark + oracle): distinct shared word-3-grams
+    * that flag a train doc. */
+  private val DecontamMinShared = 4
+
+  /** q179 — SPLIT decontamination: the partial-overlap complement to q175.
+    * Cluster-grain splitting stops near-DUPLICATES from straddling splits;
+    * a train doc can still share a verbatim passage with an eval doc
+    * without being its near-dup — the GPT-3/Pile n-gram decontamination
+    * step exists for exactly that. Here: every train-split document
+    * sharing ≥ 4 distinct word-3-grams with ANY val/test document is
+    * flagged, reported per source as a removal share in basis points.
+    * Split labels use the q50 content-hash rule (the same labels q175
+    * assigns every non-clustered doc; production feeds q175's table).
+    * Scale: gram hashes, never strings, cross the join (the q51 kernel);
+    * the probe side is the EVAL split — fixed-size in production, which is
+    * what makes its gram index broadcastable (here it is corpus-
+    * proportional by construction; a proportional split would swap the
+    * broadcast for a plain equi-join, same semantics). */
+  def splitDecontam(spark: SparkSession, dir: String): DataFrame = {
+    // persist: train and probe sides both read the split-labelled frame.
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val docs = Partitioning.spread(table(spark, dir, "documents"))
+      .withColumn("split",
+        Sampling.hashSplit(col("text"), NorthStarQueries.splitWeights, "v1"))
+      .persist()
+    val train = docs.where(col("split") === "train")
+    val probes = docs.where(col("split") =!= "train")
+    val flagged = TextOps.contamination(train, "text", "doc_id",
+        probes, "text", "doc_id", n = 3, minShared = DecontamMinShared)
+      .select("doc_id").distinct().withColumn("_f", lit(1L))
+    train.join(flagged, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train"),
+        sum(coalesce(col("_f"), lit(0L))).as("n_flagged"))
+      .withColumn("flagged_bp", expr("n_flagged * 10000 div n_train"))
+      .orderBy("source")
+  }
+
+  /** q179 oracle: the q51 gram-intersection replay (string grams — the
+    * hash join's documented equivalence) over the q50 split CASE. */
+  private def q179OracleSql: String = {
+    val sc = NorthStarQueries.splitCaseSql
+    s"""WITH ${NorthStarQueries.gramsCte},
+       |ds AS (SELECT doc_id, source, $sc AS split FROM documents),
+       |tr AS (SELECT g.doc_id, g.g FROM grams g JOIN ds USING (doc_id)
+       |  WHERE ds.split = 'train'),
+       |pr AS (SELECT g.doc_id AS pid, g.g AS pg FROM grams g
+       |  JOIN ds USING (doc_id) WHERE ds.split <> 'train'),
+       |fl AS (SELECT DISTINCT tr.doc_id FROM tr JOIN pr
+       |  ON len(list_intersect(tr.g, pr.pg)) >= $DecontamMinShared),
+       |agg AS (SELECT ds.source, count(*)::BIGINT AS n_train,
+       |    sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_flagged
+       |  FROM ds LEFT JOIN fl USING (doc_id)
+       |  WHERE ds.split = 'train' GROUP BY 1)
+       |SELECT source, n_train, n_flagged,
+       |  (n_flagged * 10000 // n_train)::BIGINT AS flagged_bp
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
+  // --- q180: vocabulary growth curve ---------------------------------------------
+
+  /** Shared q180 constant (Spark + oracle): largest prefix exponent. */
+  private val VocabCurveMaxK = 20
+
+  /** q180 — VOCABULARY growth curve (the Heaps-law audit): distinct tokens
+    * seen within the first 2^k corpus tokens, k = 4..20, in the
+    * deterministic content-hash document order — the number a tokenizer
+    * budget decision reads (is the vocabulary saturating, or still growing
+    * at the corpus edge?). Mechanism: the q160 running total gives every
+    * document its exclusive token offset (two-pass, no single-partition
+    * window), `pos = offset + in-doc index` numbers every token globally,
+    * and each distinct token keeps its FIRST position. The curve then
+    * needs only the ⌈log2⌉ histogram of first positions — `kmin =
+    * len(bin(pos−1))`, the ANF register trick, no float log — so the
+    * per-k rollup runs over ≤ 64 histogram rows joined to 17 k-rows
+    * (bounded-model nested loop). Thresholds past the corpus saturate
+    * (prefix = total) and report the full vocabulary. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Partitioning.spread(table(spark, dir, "documents"))
+    // persist: the sequence pass and the token-total scalar both read it.
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val keyed = docs.select(col("doc_id"),
+        TextOps.tokens(col("text")).as("_ts"),
+        PortableSketch.h60(concat(lit("ord:"), col("text"))).as("_ord"))
+      .withColumn("_nt", size(col("_ts")).cast("long"))
+      .persist()
+    val seq = Layout.globalSequenceWithRunningTotal(keyed,
+      Seq(col("_ord"), col("doc_id")), col("_nt"), "pos", "cum_before")
+    val firstPos = seq
+      .select(col("cum_before"), posexplode(col("_ts")).as(Seq("_i", "w")))
+      .select(col("w"), (col("cum_before") + col("_i") + 1).as("_p"))
+      .groupBy("w").agg(min("_p").as("_fpos"))
+    val hist = firstPos
+      .withColumn("_kmin", when(col("_fpos") === 1L, lit(0))
+        .otherwise(length(bin(col("_fpos") - 1))))
+      .groupBy("_kmin").agg(count(lit(1)).as("_c"))
+    val total = keyed.agg(sum("_nt").as("_tt"))
+    val ks = (4 to VocabCurveMaxK).map(k => (k.toLong, 1L << k))
+      .toDF("k", "threshold")
+    ks.join(hist, col("_kmin") <= col("k"), "left")
+      .groupBy("k", "threshold").agg(sum("_c").as("_d"))
+      .crossJoin(broadcast(total))
+      .select(col("k"),
+        least(col("threshold"), col("_tt")).as("prefix_tokens"),
+        coalesce(col("_d"), lit(0L)).as("distinct_tokens"))
+      .orderBy("k")
+  }
+
+  private def q180OracleSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts,
+       |    ('0x' || substr(md5('ord:' || text), 1, 15))::BIGINT AS ord
+       |  FROM documents),
+       |sq AS (SELECT doc_id, ts,
+       |    (sum(len(ts)) OVER (ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING)
+       |      - len(ts))::BIGINT AS cumb FROM d),
+       |tp AS (SELECT unnest(ts) AS w,
+       |    cumb + unnest(generate_series(1, len(ts))) AS p FROM sq),
+       |fp AS (SELECT w, min(p)::BIGINT AS fpos FROM tp GROUP BY w),
+       |km AS (SELECT CASE WHEN fpos = 1 THEN 0
+       |      ELSE length(bin(fpos - 1)) END AS kmin, count(*)::BIGINT AS c
+       |  FROM fp GROUP BY 1),
+       |tt AS (SELECT sum(len(ts))::BIGINT AS t FROM d),
+       |ks AS (SELECT unnest(generate_series(4, $VocabCurveMaxK)) AS k)
+       |SELECT k::BIGINT AS k,
+       |  least(1::BIGINT << k, tt.t)::BIGINT AS prefix_tokens,
+       |  coalesce((SELECT sum(c) FROM km WHERE km.kmin <= ks.k), 0)::BIGINT
+       |    AS distinct_tokens
+       |FROM ks, tt ORDER BY k""".stripMargin
+
+  // --- q181: quality-signal agreement --------------------------------------------
+
+  /** q181 — quality-SIGNAL agreement: does the rule-based quality gate
+    * (q82's Gopher rules) agree with the model-based one (q164's
+    * perplexity terciles)? Cross-tab of per-doc (tercile bucket ×
+    * all-four-rules keep) with the observed/expected LIFT in basis points
+    * — lift ≈ 10000 everywhere means the signals are independent (each
+    * catches what the other misses and a pipeline should run BOTH; CCNet
+    * and Gopher ship together for exactly this reason), lift far above
+    * 10000 on (head, keep) means they're redundant. Integer: `lift_bp =
+    * ((n·10000 div bucket_total) · N) div keep_total`, truncation defined
+    * identically in both engines and documented (the inner div keeps every
+    * intermediate under N·10⁴ — no overflow to N < 9·10¹⁴ docs). Scale:
+    * both inputs are proven per-doc grains (q164, q82); the cross-tab is
+    * ≤ 8 cells; totals join back by key, the grand total by the q86
+    * one-row broadcast. */
+  def signalAgreement(spark: SparkSession, dir: String): DataFrame = {
+    // persist: the token stats feed the per-doc rules once, but docs is
+    // read by BOTH the bucket grain and the gopher grain.
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val docs = Partitioning.spread(table(spark, dir, "documents")).persist()
+    val buckets = Round12Queries.perplexityDocBuckets(spark, docs)
+      .select("doc_id", "bucket")
+    val byTok = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("c"), sum(length(col("w"))).as("lensum"))
+    val keep = byTok.groupBy("doc_id").agg(
+        sum("c").as("n"), sum("lensum").as("sumlen"),
+        sum(when(col("w").isin("the", "a"), col("c")).otherwise(0L)).as("nstop"),
+        max("c").as("mx"))
+      .select(col("doc_id"),
+        (col("n").between(20, 90) &&
+          col("sumlen") * 10 >= col("n") * 40 &&
+          col("sumlen") * 10 <= col("n") * 50 &&
+          col("nstop") * 10 <= col("n") &&
+          col("mx") * 20 <= col("n") * 3).as("gopher_keep"))
+    // persist: the cell relation feeds both marginals and the grand total
+    val cells = buckets.join(keep, Seq("doc_id"))
+      .groupBy("bucket", "gopher_keep").agg(count(lit(1)).as("n_docs"))
+      .persist()
+    val bt = cells.groupBy("bucket").agg(sum("n_docs").as("_bt"))
+    val kt = cells.groupBy("gopher_keep").agg(sum("n_docs").as("_kt"))
+    val tot = cells.agg(sum("n_docs").as("_n"))
+    cells.join(bt, Seq("bucket")).join(kt, Seq("gopher_keep"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("gopher_keep"), col("n_docs"),
+        expr("((n_docs * 10000 div _bt) * _n) div _kt").as("lift_bp"))
+      .orderBy("bucket", "gopher_keep")
+  }
+
+  /** q181 oracle: the q172 per-doc bucket CTEs (rank → tercile, unscored
+    * lane) joined to the q82 per-doc rule replay, then the same cross-tab
+    * and truncated-lift arithmetic. */
+  private def q181OracleSql: String =
+    """WITH tk AS (SELECT doc_id, lang,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+      |  FROM documents),
+      |toks AS (SELECT doc_id, lang, unnest(ts) AS w,
+      |    unnest(generate_series(1, len(ts))) AS pos FROM tk),
+      |big AS (SELECT doc_id, lang, w AS w1,
+      |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks),
+      |bg AS (SELECT doc_id, lang, w1, w2, count(*)::BIGINT AS n FROM big
+      |  WHERE w2 IS NOT NULL GROUP BY 1, 2, 3, 4),
+      |c2 AS (SELECT lang, w1, w2, sum(n)::BIGINT AS c2 FROM bg GROUP BY 1, 2, 3),
+      |c1 AS (SELECT lang, w1, sum(n)::BIGINT AS c1 FROM bg GROUP BY 1, 2),
+      |v AS (SELECT lang, count(DISTINCT w)::BIGINT AS v FROM toks GROUP BY 1),
+      |sc AS (SELECT bg.doc_id, bg.lang,
+      |    sum(bg.n * round(1000000.0 * -ln((c2.c2 + 0.5) /
+      |      (c1.c1 + 0.5 * v.v)))::BIGINT)::BIGINT AS sum_u,
+      |    sum(bg.n)::BIGINT AS nb
+      |  FROM bg JOIN c2 USING (lang, w1, w2) JOIN c1 USING (lang, w1)
+      |    JOIN v USING (lang)
+      |  GROUP BY 1, 2),
+      |avgs AS (SELECT doc_id, lang, sum_u // nb AS avg_u FROM sc),
+      |rk AS (SELECT doc_id, avg_u,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_u, doc_id) AS r,
+      |    count(*) OVER (PARTITION BY lang) AS nl FROM avgs),
+      |bkd AS (SELECT doc_id,
+      |    CASE WHEN 3 * (r - 1) < nl THEN 'head'
+      |         WHEN 3 * (r - 1) < 2 * nl THEN 'middle'
+      |         ELSE 'tail' END AS b FROM rk),
+      |db AS (SELECT d.doc_id, coalesce(bkd.b, 'unscored') AS bucket
+      |  FROM documents d LEFT JOIN bkd USING (doc_id)),
+      |gc AS (SELECT doc_id, w, count(*) AS c, sum(len(w)) AS lensum
+      |  FROM toks GROUP BY 1, 2),
+      |gd AS (SELECT doc_id, sum(c) AS n, sum(lensum) AS sumlen,
+      |    sum(CASE WHEN w IN ('the','a') THEN c ELSE 0 END) AS nstop,
+      |    max(c) AS mx
+      |  FROM gc GROUP BY 1),
+      |gk AS (SELECT doc_id,
+      |    (n BETWEEN 20 AND 90 AND sumlen*10 >= n*40 AND sumlen*10 <= n*50
+      |      AND nstop*10 <= n AND mx*20 <= n*3) AS gopher_keep FROM gd),
+      |cells AS (SELECT db.bucket, gk.gopher_keep, count(*)::BIGINT AS n_docs
+      |  FROM db JOIN gk USING (doc_id) GROUP BY 1, 2),
+      |bt AS (SELECT bucket, sum(n_docs)::BIGINT AS bt FROM cells GROUP BY 1),
+      |kt AS (SELECT gopher_keep, sum(n_docs)::BIGINT AS kt FROM cells GROUP BY 1),
+      |tot AS (SELECT sum(n_docs)::BIGINT AS n FROM cells)
+      |SELECT cells.bucket, cells.gopher_keep, cells.n_docs,
+      |  (((cells.n_docs * 10000 // bt.bt) * tot.n) // kt.kt)::BIGINT AS lift_bp
+      |FROM cells JOIN bt USING (bucket) JOIN kt USING (gopher_keep), tot
+      |ORDER BY bucket, gopher_keep""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q175_leak_safe_split" -> (leakSafeSplit _),
     "q176_padding_audit" -> (paddingAudit _),
     "q177_epoch_mix" -> (epochMix _),
-    "q178_length_percentiles" -> (lengthPercentiles _)
+    "q178_length_percentiles" -> (lengthPercentiles _),
+    "q179_split_decontam" -> (splitDecontam _),
+    "q180_vocab_growth" -> (vocabGrowth _),
+    "q181_signal_agreement" -> (signalAgreement _)
   )
 
   val oracles: Map[String, String] = Map(
     "q175_leak_safe_split" -> q175OracleSql,
     "q176_padding_audit" -> q176OracleSql,
     "q177_epoch_mix" -> q177OracleSql,
-    "q178_length_percentiles" -> q178OracleSql
+    "q178_length_percentiles" -> q178OracleSql,
+    "q179_split_decontam" -> q179OracleSql,
+    "q180_vocab_growth" -> q180OracleSql,
+    "q181_signal_agreement" -> q181OracleSql
   )
 }

@@ -167,7 +167,15 @@ object ProfScale {
       "q175_split" -> (d => operators.TrainPrepQueries.leakSafeSplit(spark, d)),
       "q176_padding" -> (d => operators.TrainPrepQueries.paddingAudit(spark, d)),
       "q177_epochs" -> (d => operators.TrainPrepQueries.epochMix(spark, d)),
-      "q178_lenpct" -> (d => operators.TrainPrepQueries.lengthPercentiles(spark, d)))
+      "q178_lenpct" -> (d => operators.TrainPrepQueries.lengthPercentiles(spark, d)),
+      // q179 is the q51 gram-hash join with the eval split as probes (the
+      // probe side grows with the blowup here — watch the broadcast, the
+      // documented production shape keeps it eval-sized); q180 is one
+      // sequence pass + a token-grain groupBy (~10x); q181 composes the
+      // q164 grain with one more token rollup (expect the q164 shape)
+      "q179_decontam" -> (d => operators.TrainPrepQueries.splitDecontam(spark, d)),
+      "q180_vocab" -> (d => operators.TrainPrepQueries.vocabGrowth(spark, d)),
+      "q181_agreement" -> (d => operators.TrainPrepQueries.signalAgreement(spark, d)))
 
     // SPARK_GRAFT_ONLY: comma-separated name substrings (the Verify/Bench
     // convention) — sweep just the named queries when iterating

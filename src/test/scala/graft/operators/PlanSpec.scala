@@ -284,7 +284,13 @@ class PlanSpec extends AnyFunSuite {
       // q177: the per-round water-fill scalars are one-row aggregates
       // attached by keyless broadcast onto the |sources|-row state (the
       // q86 one-row-constants pattern)
-      "q177_epoch_mix")
+      "q177_epoch_mix",
+      // q180: the ≤64-row ⌈log2⌉ histogram joins the 17 k-rows on an
+      // inequality — a bounded-model nested loop by construction; plus the
+      // one-row token-total broadcast
+      "q180_vocab_growth",
+      // q181: the one-row grand-total broadcast onto the ≤8-cell cross-tab
+      "q181_signal_agreement")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

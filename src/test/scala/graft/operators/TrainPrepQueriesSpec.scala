@@ -93,6 +93,84 @@ class TrainPrepQueriesSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q179: a shared passage flags the train copy; a fully-distinct " +
+      "corpus flags nothing") {
+    import spark.implicits._
+    // every doc carries the same 12-word passage plus a unique tail: any
+    // train doc shares ≥ 4 word-3-grams with any probe doc, so n_flagged
+    // must equal n_train wherever a probe exists (hash-split-agnostic pin)
+    val passage = "one two three four five six seven eight nine ten eleven twelve"
+    val dirShared = docsDir((1L to 30L).map(i =>
+      (i, s"$passage unique$i", "en", s"S${i % 2}")))
+    val shared = TrainPrepQueries.splitDecontam(spark, dirShared)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val nTrain = shared.map(_._2).sum
+    assert(nTrain < 30L, "fixture self-check: some docs must be probes")
+    assert(shared.map(_._3).sum == nTrain,
+      s"every train doc shares the passage with every probe, got $shared")
+    spark.sharedState.cacheManager.clearCache()
+    // fully-distinct corpus: no two docs share any gram
+    val dirDistinct = docsDir((1L to 30L).map(i =>
+      (i, (1 to 8).map(j => s"w${i}x$j").mkString(" "), "en", "S0")))
+    val distinct = TrainPrepQueries.splitDecontam(spark, dirDistinct)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(distinct.map(_._3).sum == 0L, s"nothing shared, got $distinct")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q180: single-doc corpus — first positions are exact, thresholds " +
+      "past the corpus saturate to the full vocabulary") {
+    import spark.implicits._
+    // "a a a b": a first at pos 1 (kmin 0), b at pos 4 (kmin 2) — both
+    // inside 2^4, so every k row reports 2 distinct over 4 prefix tokens
+    val dir = docsDir(Seq((1L, "a a a b", "en", "A")))
+    val r = TrainPrepQueries.vocabGrowth(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == (4 to 20).map(k => (k.toLong, 4L, 2L)), s"got $r")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q180: the curve is monotone and ends at the exact full vocabulary " +
+      "whatever the hash order draws") {
+    import spark.implicits._
+    val dir = docsDir((1L to 12L).map(i =>
+      (i, (1 to 6).map(j => s"tok${(i * 7 + j) % 30}").mkString(" "), "en", "A")))
+    val r = TrainPrepQueries.vocabGrowth(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.sliding(2).forall(p => p(0)._3 <= p(1)._3), s"non-monotone: ${r.toSeq}")
+    val vocab = (1L to 12L).flatMap(i => (1 to 6).map(j => s"tok${(i * 7 + j) % 30}"))
+      .distinct.size.toLong
+    assert(r.last._3 == vocab && r.last._2 == 72L,
+      s"must end at |vocab|=$vocab over 72 tokens, got ${r.last}")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q181: a single-keep-class corpus makes every lift exactly 10000 — " +
+      "the integer identity when one marginal is the whole corpus") {
+    import spark.implicits._
+    // all docs fail Gopher (3 tokens < 20): kt == N, n == bt per bucket
+    val dirFail = docsDir((1L to 6L).map(i =>
+      (i, s"aa bb cc$i", "en", "A")))
+    val rf = TrainPrepQueries.signalAgreement(spark, dirFail)
+      .as[(String, Boolean, Long, Long)].collect().toSeq
+    assert(rf.nonEmpty && rf.forall(c => !c._2 && c._4 == 10000L), s"got $rf")
+    assert(rf.map(_._3).sum == 6L, s"cells must partition the corpus: $rf")
+    spark.sharedState.cacheManager.clearCache()
+    // all docs pass Gopher (24 distinct words, mean word length 4.5): same
+    // identity from the other side, terciles balanced 3/3/3
+    // 12 four-char + 12 five-char distinct words: n=24 ∈ [20,90], mean
+    // word length 4.5 ∈ [4,5], no stopwords, max count 1 — all rules pass
+    def keeperText(i: Long): String =
+      ((1 to 12).map(j => f"a$i%01d$j%02d") ++
+        (1 to 12).map(j => f"b$i%01dx$j%02d")).mkString(" ")
+    val dirKeep = docsDir((1L to 9L).map(i => (i, keeperText(i), "en", "A")))
+    val rk = TrainPrepQueries.signalAgreement(spark, dirKeep)
+      .as[(String, Boolean, Long, Long)].collect().toSeq
+    assert(rk.forall(c => c._2 && c._4 == 10000L), s"got $rk")
+    assert(rk.map(_._3).sum == 9L, s"cells must partition the corpus: $rk")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q176 plan: every ranking window is partitioned by the range id — " +
       "no single-partition window (the final 2-row rollup's exchange is " +
       "the only global stage)") {
