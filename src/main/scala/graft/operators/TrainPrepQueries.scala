@@ -39,10 +39,14 @@ object TrainPrepQueries {
     * shapes (banded candidates, pointer-jumping CC); the rep-split join
     * shuffles by rep — a giant cluster is one hot key, which AQE skew-split
     * handles because the join is a plain equi-join. */
-  def leakSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+  /** The q175 core, shared with the q184 funnel: per-doc cluster rep,
+    * tokens, the per-doc (naive) and per-cluster split labels. Returns
+    * (docs, pairs, assigned); `pairs` and `assigned` come back persisted
+    * (callers read them repeatedly; Verify/Bench clear caches per query). */
+  private def clusterAssignment(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val docs = Partitioning.spread(table(spark, dir, "documents"))
-    // persist: feeds CC AND both leak audits (three consumers).
-    // Ownership: Verify/Bench clear the cache after each query's action.
+    // persist: feeds CC AND the callers' leak audits.
     val pairs = NorthStarQueries.ngramNearDups(spark, dir)
       .select("idA", "idB").persist()
     val cc = Dedup.dupClusters(pairs).withColumnRenamed("id", "doc_id")
@@ -56,9 +60,11 @@ object TrainPrepQueries {
     val repSplits = docs.select(col("doc_id").as("cluster_rep"),
       Sampling.hashSplit(col("text"), NorthStarQueries.splitWeights, "v1")
         .as("split"))
-    // persist: the per-split rollup and both audits all read the assigned
-    // frame. Ownership: Verify/Bench clear per query.
-    val assigned = perDoc.join(repSplits, Seq("cluster_rep")).persist()
+    (docs, pairs, perDoc.join(repSplits, Seq("cluster_rep")).persist())
+  }
+
+  def leakSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val (_, pairs, assigned) = clusterAssignment(spark, dir)
     val base = assigned.groupBy("split").agg(
       count(lit(1)).as("n_docs"), sum("tokens").as("n_tokens"),
       countDistinct("cluster_rep").as("n_clusters"))
@@ -562,6 +568,224 @@ object TrainPrepQueries {
       |FROM cells JOIN bt USING (bucket) JOIN kt USING (gopher_keep), tot
       |ORDER BY bucket, gopher_keep""".stripMargin
 
+  // --- q182: epoch-order mixing audit -------------------------------------------
+
+  /** q182 — ORDER-mixing audit: is the content-hash epoch order (q94 — the
+    * order every packer here replays) actually well mixed, or does some
+    * source clump? Per source: adjacent-pair same-source rate vs the
+    * uniform-permutation expectation — `same_bp = |pos,pos+1 both s|·10⁴
+    * div |pairs starting at s|` against `expected_bp = (n_s−1)·10⁴ div
+    * (N−1)` (the without-replacement next-is-same probability). A source
+    * far above its expectation clumps — exactly what a curriculum reader
+    * would see as a source-correlated gradient batch. Mechanism: the
+    * two-pass global sequence numbers docs, adjacency is ONE equi-join on
+    * pos+1 (never a global window over documents), the rates are integer
+    * bp. */
+  def mixingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Partitioning.spread(table(spark, dir, "documents"))
+    val keyed = docs.select(col("doc_id"), col("source"),
+      PortableSketch.h60(concat(lit("ord:"), col("text"))).as("_ord"))
+    // persist: both sides of the adjacency join read the sequence.
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val seq = Layout.globalSequence(keyed,
+      Seq(col("_ord"), col("doc_id")), "pos").persist()
+    val adj = seq.select(col("pos"), col("source").as("_sa"))
+      .join(seq.select((col("pos") - 1).as("pos"), col("source").as("_sb")),
+        Seq("pos"))
+    val pairs = adj.groupBy(col("_sa").as("source"))
+      .agg(count(lit(1)).as("n_adj"),
+        sum(when(col("_sa") === col("_sb"), 1L).otherwise(0L)).as("n_same"))
+    val sizes = seq.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val total = seq.agg(count(lit(1)).as("_n"))
+    sizes.join(pairs, Seq("source"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_adj"), lit(0L)).as("n_adj"),
+        coalesce(col("n_same"), lit(0L)).as("n_same"),
+        expr("coalesce(n_same, 0) * 10000 div greatest(coalesce(n_adj, 0), 1)")
+          .as("same_bp"),
+        expr("(n_docs - 1) * 10000 div greatest(_n - 1, 1)").as("expected_bp"))
+      .orderBy("source")
+  }
+
+  private def q182OracleSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    ('0x' || substr(md5('ord:' || text), 1, 15))::BIGINT AS ord
+      |  FROM documents),
+      |sq AS (SELECT source, ROW_NUMBER() OVER (ORDER BY ord, doc_id) AS pos
+      |  FROM d),
+      |adj AS (SELECT a.source AS sa, b.source AS sb FROM sq a
+      |  JOIN sq b ON b.pos = a.pos + 1),
+      |p AS (SELECT sa AS source, count(*)::BIGINT AS n_adj,
+      |    sum(CASE WHEN sa = sb THEN 1 ELSE 0 END)::BIGINT AS n_same
+      |  FROM adj GROUP BY 1),
+      |sz AS (SELECT source, count(*)::BIGINT AS n_docs FROM d GROUP BY 1),
+      |tt AS (SELECT count(*)::BIGINT AS n FROM d)
+      |SELECT sz.source, sz.n_docs,
+      |  coalesce(p.n_adj, 0)::BIGINT AS n_adj,
+      |  coalesce(p.n_same, 0)::BIGINT AS n_same,
+      |  (coalesce(p.n_same, 0) * 10000 //
+      |    greatest(coalesce(p.n_adj, 0), 1))::BIGINT AS same_bp,
+      |  ((sz.n_docs - 1) * 10000 // greatest(tt.n - 1, 1))::BIGINT AS expected_bp
+      |FROM sz LEFT JOIN p USING (source), tt ORDER BY source""".stripMargin
+
+  // --- q183: fixed-window packing boundary audit ---------------------------------
+
+  /** Shared q183 constant (Spark + oracle): tokens per training window. */
+  private val PackWindow = 64L
+
+  /** q183 — WINDOW-boundary accounting: GPT-style pretraining packs the
+    * epoch-ordered token stream into fixed windows (here 64 tokens,
+    * concat-and-cut), so a document either fits inside one window or is
+    * SPLIT across a boundary — and the split share is the number the
+    * "sample packing" literature trades against padding (q176 measures
+    * padding's cost; this measures packing's). Per source: docs, tokens,
+    * boundary-crossing docs and their share in bp, mean windows spanned in
+    * micro-units. Pure arithmetic on the q160 running total: first window
+    * = cum div W, last = (cum+tokens−1) div W — no per-window relation is
+    * ever materialized (windows exist only as integer ids). Zero-token
+    * docs are excluded by rule (they occupy no window) — both engines. */
+  def windowBoundaryAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Partitioning.spread(table(spark, dir, "documents"))
+    val keyed = docs.select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("tokens"),
+        PortableSketch.h60(concat(lit("ord:"), col("text"))).as("_ord"))
+      .where(col("tokens") >= 1L)
+    Layout.globalSequenceWithRunningTotal(keyed,
+        Seq(col("_ord"), col("doc_id")), col("tokens"), "pos", "cum_before")
+      .withColumn("_w0", expr(s"cum_before div $PackWindow"))
+      .withColumn("_w1", expr(s"(cum_before + tokens - 1) div $PackWindow"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("n_tokens"),
+        sum(when(col("_w1") > col("_w0"), 1L).otherwise(0L)).as("n_crossing"),
+        sum(col("_w1") - col("_w0") + 1).as("_spans"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_crossing"),
+        expr("n_crossing * 10000 div n_docs").as("crossing_bp"),
+        expr("_spans * 1000000 div n_docs").as("mean_windows_u"))
+      .orderBy("source")
+  }
+
+  private def q183OracleSql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS tokens,
+       |    ('0x' || substr(md5('ord:' || text), 1, 15))::BIGINT AS ord
+       |  FROM documents),
+       |f AS (SELECT * FROM d WHERE tokens >= 1),
+       |sq AS (SELECT source, tokens,
+       |    (sum(tokens) OVER (ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING)
+       |      - tokens)::BIGINT AS cumb FROM f),
+       |w AS (SELECT source, tokens, cumb // $PackWindow AS w0,
+       |    (cumb + tokens - 1) // $PackWindow AS w1 FROM sq),
+       |a AS (SELECT source, count(*)::BIGINT AS n_docs,
+       |    sum(tokens)::BIGINT AS n_tokens,
+       |    sum(CASE WHEN w1 > w0 THEN 1 ELSE 0 END)::BIGINT AS n_crossing,
+       |    sum(w1 - w0 + 1)::BIGINT AS spans
+       |  FROM w GROUP BY 1)
+       |SELECT source, n_docs, n_tokens, n_crossing,
+       |  (n_crossing * 10000 // n_docs)::BIGINT AS crossing_bp,
+       |  (spans * 1000000 // n_docs)::BIGINT AS mean_windows_u
+       |FROM a ORDER BY source""".stripMargin
+
+  // --- q184: train-set assembly, end to end ---------------------------------------
+
+  /** Shared q184 constant (Spark + oracle): tokens per shard. */
+  private val AssemblyBudget = 2000L
+
+  /** q184 — the TRAIN-SET ASSEMBLY funnel, end to end (the q99/q169
+    * composition discipline: each stage is individually green; this
+    * certifies them CHAINED, because production runs the chain): corpus →
+    * cluster-grain train split (the q175 assignment — near-dups never
+    * straddle) → n-gram decontamination against the val/test docs OF THAT
+    * SPLIT (the q179 rule, here keyed consistently on the cluster labels)
+    * → next-fit shard packing of the survivors (the q160 rule, epoch
+    * order). One row per stage with docs/tokens and the final shard
+    * count — the per-stage accounting a pipeline owner actually watches
+    * (where did my tokens go?). Scale: composes the three proven shapes
+    * unchanged; nothing new shuffles. */
+  def assemblyFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val (docs, _, assigned) = clusterAssignment(spark, dir)
+    val trainIds = assigned.where(col("split") === "train").select("doc_id")
+    val probeIds = assigned.where(col("split") =!= "train").select("doc_id")
+    val trainDocs = docs.join(trainIds, Seq("doc_id"), "left_semi")
+    val probeDocs = docs.join(probeIds, Seq("doc_id"), "left_semi")
+    val flagged = TextOps.contamination(trainDocs, "text", "doc_id",
+        probeDocs, "text", "doc_id", n = 3, minShared = DecontamMinShared)
+      .select("doc_id").distinct()
+    // persist: the clean stage is counted AND packed.
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val clean = trainDocs.join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("tokens"),
+        PortableSketch.h60(concat(lit("ord:"), col("text"))).as("_ord"))
+      .persist()
+    val packed = Layout.shardAssign(clean,
+        Seq(col("_ord"), col("doc_id")), col("tokens"),
+        budget = AssemblyBudget)
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("n_tokens"),
+        countDistinct("shard").as("n_shards"))
+    def stage(name: String, df: DataFrame): DataFrame = df
+      .select(lit(name).as("stage"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("n_shards"))
+    stage("1_corpus", docs
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .withColumn("n_shards", lit(0L)))
+      .unionByName(stage("2_train_split", assigned
+        .where(col("split") === "train")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("n_tokens"))
+        .withColumn("n_shards", lit(0L))))
+      .unionByName(stage("3_decontaminated", clean
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("n_tokens"))
+        .withColumn("n_shards", lit(0L))))
+      .unionByName(stage("4_packed", packed))
+      .orderBy("stage")
+  }
+
+  /** q184 oracle: the q175 cluster CTEs → the q179 gram screen keyed on
+    * the CLUSTER split → the q160 prefix-sum next-fit count. */
+  private def q184OracleSql: String = {
+    val sc = NorthStarQueries.splitCaseSql
+    s"""WITH RECURSIVE ${NorthStarQueries.gramsCte},
+       |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM grams a JOIN grams b
+       |  ON a.doc_id < b.doc_id WHERE ${NorthStarQueries.jaccardGe05}),
+       |edges AS (SELECT ia AS s, ib AS d FROM p UNION ALL SELECT ib, ia FROM p),
+       |reach(id, r) AS (SELECT s, s FROM edges
+       |  UNION SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+       |cl AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+       |dd AS (SELECT doc_id, coalesce(cl.rep, doc_id) AS rep,
+       |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS tokens,
+       |    ('0x' || substr(md5('ord:' || text), 1, 15))::BIGINT AS ord
+       |  FROM documents LEFT JOIN cl ON cl.id = doc_id),
+       |rs AS (SELECT doc_id AS rep, $sc AS csplit FROM documents),
+       |asg AS (SELECT dd.*, rs.csplit FROM dd JOIN rs USING (rep)),
+       |tr AS (SELECT g.doc_id, g.g FROM grams g JOIN asg USING (doc_id)
+       |  WHERE asg.csplit = 'train'),
+       |pb AS (SELECT g.g AS pg FROM grams g JOIN asg USING (doc_id)
+       |  WHERE asg.csplit <> 'train'),
+       |fl AS (SELECT DISTINCT tr.doc_id FROM tr JOIN pb
+       |  ON len(list_intersect(tr.g, pb.pg)) >= $DecontamMinShared),
+       |cln AS (SELECT asg.doc_id, asg.tokens, asg.ord FROM asg
+       |  WHERE asg.csplit = 'train'
+       |    AND asg.doc_id NOT IN (SELECT doc_id FROM fl)),
+       |sq AS (SELECT tokens,
+       |    (sum(tokens) OVER (ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING)
+       |      - tokens)::BIGINT AS cumb FROM cln),
+       |pk AS (SELECT count(*)::BIGINT AS n_docs,
+       |    coalesce(sum(tokens), 0)::BIGINT AS n_tokens,
+       |    count(DISTINCT cumb // $AssemblyBudget)::BIGINT AS n_shards FROM sq)
+       |SELECT '1_corpus' AS stage, count(*)::BIGINT AS n_docs,
+       |    coalesce(sum(tokens), 0)::BIGINT AS n_tokens, 0::BIGINT AS n_shards
+       |  FROM dd
+       |UNION ALL SELECT '2_train_split', count(*)::BIGINT,
+       |    coalesce(sum(tokens), 0)::BIGINT, 0::BIGINT
+       |  FROM asg WHERE csplit = 'train'
+       |UNION ALL SELECT '3_decontaminated', count(*)::BIGINT,
+       |    coalesce(sum(tokens), 0)::BIGINT, 0::BIGINT FROM cln
+       |UNION ALL SELECT '4_packed', n_docs, n_tokens, n_shards FROM pk
+       |ORDER BY stage""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q175_leak_safe_split" -> (leakSafeSplit _),
     "q176_padding_audit" -> (paddingAudit _),
@@ -569,7 +793,10 @@ object TrainPrepQueries {
     "q178_length_percentiles" -> (lengthPercentiles _),
     "q179_split_decontam" -> (splitDecontam _),
     "q180_vocab_growth" -> (vocabGrowth _),
-    "q181_signal_agreement" -> (signalAgreement _)
+    "q181_signal_agreement" -> (signalAgreement _),
+    "q182_mixing_audit" -> (mixingAudit _),
+    "q183_window_boundaries" -> (windowBoundaryAudit _),
+    "q184_assembly_funnel" -> (assemblyFunnel _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -579,6 +806,9 @@ object TrainPrepQueries {
     "q178_length_percentiles" -> q178OracleSql,
     "q179_split_decontam" -> q179OracleSql,
     "q180_vocab_growth" -> q180OracleSql,
-    "q181_signal_agreement" -> q181OracleSql
+    "q181_signal_agreement" -> q181OracleSql,
+    "q182_mixing_audit" -> q182OracleSql,
+    "q183_window_boundaries" -> q183OracleSql,
+    "q184_assembly_funnel" -> q184OracleSql
   )
 }

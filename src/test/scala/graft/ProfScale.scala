@@ -175,7 +175,12 @@ object ProfScale {
       // q164 grain with one more token rollup (expect the q164 shape)
       "q179_decontam" -> (d => operators.TrainPrepQueries.splitDecontam(spark, d)),
       "q180_vocab" -> (d => operators.TrainPrepQueries.vocabGrowth(spark, d)),
-      "q181_agreement" -> (d => operators.TrainPrepQueries.signalAgreement(spark, d)))
+      "q181_agreement" -> (d => operators.TrainPrepQueries.signalAgreement(spark, d)),
+      // q182/q183 are one sequence pass + narrow rollups (~10x floor);
+      // q184 composes the q175 + q179 + q160 shapes (expect their sum)
+      "q182_mixing" -> (d => operators.TrainPrepQueries.mixingAudit(spark, d)),
+      "q183_windows" -> (d => operators.TrainPrepQueries.windowBoundaryAudit(spark, d)),
+      "q184_funnel" -> (d => operators.TrainPrepQueries.assemblyFunnel(spark, d)))
 
     // SPARK_GRAFT_ONLY: comma-separated name substrings (the Verify/Bench
     // convention) — sweep just the named queries when iterating

@@ -290,7 +290,9 @@ class PlanSpec extends AnyFunSuite {
       // one-row token-total broadcast
       "q180_vocab_growth",
       // q181: the one-row grand-total broadcast onto the ≤8-cell cross-tab
-      "q181_signal_agreement")
+      "q181_signal_agreement",
+      // q182: the one-row corpus-count broadcast onto the |sources| rows
+      "q182_mixing_audit")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

@@ -171,6 +171,63 @@ class TrainPrepQueriesSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q182: a single-source corpus is perfectly 'clumped' — observed and " +
+      "expected rates are both exactly 10000; a singleton source expects 0") {
+    import spark.implicits._
+    val dirOne = docsDir((1L to 10L).map(i => (i, s"text number $i", "en", "A")))
+    val r1 = TrainPrepQueries.mixingAudit(spark, dirOne)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r1 == Seq(("A", 10L, 9L, 9L, 10000L, 10000L)), s"got $r1")
+    spark.sharedState.cacheManager.clearCache()
+    val dirTwo = docsDir((1L to 9L).map(i => (i, s"text number $i", "en", "A")) :+
+      ((10L, "the lone wolf document", "en", "B")))
+    val r2 = TrainPrepQueries.mixingAudit(spark, dirTwo)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r2("B")._6 == 0L, s"a singleton source expects 0 bp, got ${r2("B")}")
+    assert(r2("A")._2 + r2("B")._2 == 10L &&
+      r2("A")._3 + r2("B")._3 == 9L, s"adjacency pairs must total N-1: $r2")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q183: a 64-token doc fits one window; a 65-token doc crosses — " +
+      "exact rows either way") {
+    import spark.implicits._
+    val dirFit = docsDir(Seq((1L, (1 to 64).map(i => s"w$i").mkString(" "), "en", "A")))
+    val rf = TrainPrepQueries.windowBoundaryAudit(spark, dirFit)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rf == Seq(("A", 1L, 64L, 0L, 0L, 1000000L)), s"got $rf")
+    spark.sharedState.cacheManager.clearCache()
+    val dirCross = docsDir(Seq((1L, (1 to 65).map(i => s"w$i").mkString(" "), "en", "A")))
+    val rc = TrainPrepQueries.windowBoundaryAudit(spark, dirCross)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rc == Seq(("A", 1L, 65L, 1L, 10000L, 2000000L)), s"got $rc")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q184: stage accounting is monotone, packing conserves the " +
+      "decontaminated stage, and a shared passage empties the train side") {
+    import spark.implicits._
+    val passage = "one two three four five six seven eight nine ten eleven twelve"
+    val dir = docsDir((1L to 20L).map(i =>
+      (i, s"$passage unique$i", "en", s"S${i % 2}")))
+    val r = TrainPrepQueries.assemblyFunnel(spark, dir)
+      .as[(String, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(r("1_corpus")._2 == 20L)
+    assert(r("2_train_split")._2 <= r("1_corpus")._2)
+    assert(r("3_decontaminated")._2 <= r("2_train_split")._2)
+    // packing conserves docs and tokens of the decontaminated stage
+    assert(r("4_packed")._2 == r("3_decontaminated")._2 &&
+      r("4_packed")._3 == r("3_decontaminated")._3, s"got $r")
+    // every doc shares the passage: if any probe exists, every train doc
+    // is flagged and the decontaminated stage is empty
+    if (r("2_train_split")._2 < r("1_corpus")._2)
+      assert(r("3_decontaminated")._2 == 0L, s"got $r")
+    assert(r("4_packed")._4 == (if (r("4_packed")._2 == 0L) 0L else 1L) ||
+      r("4_packed")._4 >= 1L)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q176 plan: every ranking window is partitioned by the range id — " +
       "no single-partition window (the final 2-row rollup's exchange is " +
       "the only global stage)") {
