@@ -786,6 +786,159 @@ object TrainPrepQueries {
        |ORDER BY stage""".stripMargin
   }
 
+  // --- q185: suffix-blocklist URL filtering ---------------------------------------
+
+  /** q185 — domain-BLOCKLIST filtering, the UT1-style gate every crawl
+    * pipeline runs before anything else: a blocklist entry at any grain
+    * ("example.com", "ads.example.com") blocks every host UNDER it, so the
+    * membership test is a join of each host's DOT-SUFFIXES (≥ 2 labels)
+    * against the entry set — never a per-entry regex scan, which is what
+    * makes a million-entry blocklist usable (the entry set broadcasts; the
+    * suffix fan-out is the label count, ≤ ~6). Pinned inputs (the q142
+    * discipline): hosts derive from corpus columns with half the docs on a
+    * lang SUBDOMAIN (`lang.srcN.example.com`), so a source-grain entry
+    * blocks its subdomained docs only through the suffix walk — the
+    * mechanism under test, measured. Entries: source domains with
+    * h60('blk:'‖entry) % 4 == 0 plus subdomain hosts with % 7 == 0 →
+    * mixed per-source shares. Report per source: docs, blocked, bp. */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Partitioning.spread(table(spark, dir, "documents"))
+    val hostCol = when(col("doc_id") % 2 === 0,
+        concat(col("lang"), lit("."), col("source"), lit(".example.com")))
+      .otherwise(concat(col("source"), lit(".example.com")))
+    // persist: feeds both blocklist derivations AND the suffix walk.
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val hosts = docs.select(col("doc_id"), col("source"), hostCol.as("host"))
+      .persist()
+    def hashed(c: Column): Column =
+      pmod(PortableSketch.h60(concat(lit("blk:"), c)), lit(1000))
+    val domainEntries = hosts
+      .select(concat(col("source"), lit(".example.com")).as("entry")).distinct()
+      .where(hashed(col("entry")) % 4 === 0)
+    val subEntries = hosts.select(col("host").as("entry"))
+      .where(size(split(col("host"), "\\.")) === 4).distinct()
+      .where(hashed(col("entry")) % 7 === 0)
+    val blocklist = domainEntries.unionByName(subEntries).distinct()
+    val suffixes = hosts
+      .withColumn("_labels", split(col("host"), "\\."))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(_labels) - 1), " +
+          "i -> array_join(slice(_labels, i, size(_labels) - i + 1), '.'))"))
+        .as("_sfx"))
+    val blocked = suffixes
+      .join(broadcast(blocklist), col("_sfx") === col("entry"), "left_semi")
+      .select("doc_id").distinct().withColumn("_b", lit(1L))
+    hosts.join(blocked, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("_b"), lit(0L))).as("n_blocked"))
+      .withColumn("blocked_bp", expr("n_blocked * 10000 div n_docs"))
+      .orderBy("source")
+  }
+
+  private def q185OracleSql: String =
+    """WITH h AS (SELECT doc_id, source,
+      |    CASE WHEN doc_id % 2 = 0 THEN lang || '.' || source || '.example.com'
+      |         ELSE source || '.example.com' END AS host
+      |  FROM documents),
+      |de AS (SELECT DISTINCT source || '.example.com' AS entry FROM h),
+      |deb AS (SELECT entry FROM de
+      |  WHERE (('0x' || substr(md5('blk:' || entry), 1, 15))::BIGINT % 1000) % 4 = 0),
+      |se AS (SELECT DISTINCT host AS entry FROM h
+      |  WHERE len(string_split(host, '.')) = 4),
+      |seb AS (SELECT entry FROM se
+      |  WHERE (('0x' || substr(md5('blk:' || entry), 1, 15))::BIGINT % 1000) % 7 = 0),
+      |bl AS (SELECT DISTINCT entry FROM (SELECT * FROM deb UNION ALL SELECT * FROM seb)),
+      |sfx AS (SELECT doc_id, unnest(list_transform(
+      |      range(1, len(string_split(host, '.'))),
+      |      i -> array_to_string(string_split(host, '.')[i:], '.'))) AS s
+      |  FROM h),
+      |bk AS (SELECT DISTINCT doc_id FROM sfx WHERE s IN (SELECT entry FROM bl))
+      |SELECT h.source, count(*)::BIGINT AS n_docs,
+      |  sum(CASE WHEN bk.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_blocked,
+      |  (sum(CASE WHEN bk.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 10000
+      |    // count(*))::BIGINT AS blocked_bp
+      |FROM h LEFT JOIN bk USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q186: boilerplate template inventory ----------------------------------------
+
+  /** Shared q186 constants (Spark + oracle): a chunk is a TEMPLATE when at
+    * least this many distinct docs carry it; the planted per-source
+    * boilerplate prefix. */
+  private val TemplateMinDocs = 5
+  private val TemplateBoiler =
+    "terms and conditions copyright holder reserves every right contact the site administrator for"
+
+  /** q186 — TEMPLATE inventory: the boilerplate chunks q173's hot cap
+    * excludes from pairing, surfaced as their own report — the site-
+    * template census a crawl pipeline uses to build its boilerplate
+    * stripper (which exact chunks repeat across ≥ 5 docs, how long, how
+    * many sources). Runs on q171's content-defined chunks, so a template
+    * is found wherever it sits in the page (the insertion-robustness
+    * argument). The natural corpus is template-free (measured: no chunk
+    * reaches 4 docs), so docs with doc_id % 3 == 0 PREPEND a per-source
+    * boilerplate header (the q127/q168 planted-stream discipline — an
+    * inventory over a template-free corpus proves nothing); chunks fully
+    * inside the header re-sync across its carriers and surface per
+    * source, while junction chunks stay doc-specific. Only (digest, len)
+    * rows leave the scan; the rollup is digest-keyed. */
+  def templateInventory(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(TemplateBoiler), lit(" "), col("source"),
+            lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+    TextOps.cdcChunks(docs, "text", Seq("doc_id", "source"))
+      .groupBy("_h")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        countDistinct("source").as("n_sources"),
+        max("chunk_len").as("chunk_len"))
+      .where(col("n_docs") >= TemplateMinDocs)
+      .select(col("_h").as("chunk_hash"), col("chunk_len"),
+        col("n_docs"), col("n_sources"))
+      .orderBy(col("n_docs").desc, col("chunk_hash"))
+  }
+
+  private def q186OracleSql: String = {
+    val (w, mask, minLen) = (graft.ops.TextOps.CdcW,
+      graft.ops.TextOps.CdcMask, graft.ops.TextOps.CdcMinLen)
+    s"""WITH src AS (SELECT doc_id, source,
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN '$TemplateBoiler' || ' ' || source || ' ' || text
+       |      ELSE text END AS text
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, text AS t, length(text) AS L FROM src),
+       |cd AS (SELECT doc_id, source, t, L,
+       |    CASE WHEN L >= $w THEN list_filter(list_transform(range($w, L + 1),
+       |        i -> CASE WHEN ('0x' || substr(md5(substr(t, i - ${w - 1}, $w)), 1, 15))::BIGINT % $mask = 0 THEN i END),
+       |      x -> x IS NOT NULL) ELSE CAST([] AS BIGINT[]) END AS cands
+       |  FROM c),
+       |bsr AS (SELECT *, string_split(list_reduce(list_prepend('0',
+       |      list_transform(cands, x -> x::VARCHAR)),
+       |      (acc, x) -> CASE WHEN x::INT - (string_split(acc, '|')[-1])::INT >= $minLen
+       |        THEN acc || '|' || x ELSE acc END), '|') AS bsl
+       |  FROM cd),
+       |en AS (SELECT doc_id, source, t,
+       |    CASE WHEN L > (bsl[-1])::INT
+       |      THEN list_append(list_transform(bsl[2:], x -> x::INT), L::INT)
+       |      ELSE list_transform(bsl[2:], x -> x::INT) END AS ends
+       |  FROM bsr),
+       |ch AS (SELECT doc_id, source,
+       |    CASE WHEN u.i = 1 THEN 0 ELSE ends[u.i - 1] END AS s0, ends[u.i] AS e0, t
+       |  FROM en, unnest(generate_series(1, len(ends))) AS u(i)),
+       |hk AS (SELECT doc_id, source, e0 - s0 AS clen,
+       |    ('0x' || substr(md5(substr(t, s0 + 1, e0 - s0)), 1, 15))::BIGINT AS h
+       |  FROM ch),
+       |g AS (SELECT h AS chunk_hash, max(clen)::BIGINT AS chunk_len,
+       |    count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |    count(DISTINCT source)::BIGINT AS n_sources
+       |  FROM hk GROUP BY 1)
+       |SELECT chunk_hash, chunk_len, n_docs, n_sources FROM g
+       |WHERE n_docs >= $TemplateMinDocs
+       |ORDER BY n_docs DESC, chunk_hash""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q175_leak_safe_split" -> (leakSafeSplit _),
     "q176_padding_audit" -> (paddingAudit _),
@@ -796,7 +949,9 @@ object TrainPrepQueries {
     "q181_signal_agreement" -> (signalAgreement _),
     "q182_mixing_audit" -> (mixingAudit _),
     "q183_window_boundaries" -> (windowBoundaryAudit _),
-    "q184_assembly_funnel" -> (assemblyFunnel _)
+    "q184_assembly_funnel" -> (assemblyFunnel _),
+    "q185_blocklist_filter" -> (blocklistFilter _),
+    "q186_template_inventory" -> (templateInventory _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -809,6 +964,8 @@ object TrainPrepQueries {
     "q181_signal_agreement" -> q181OracleSql,
     "q182_mixing_audit" -> q182OracleSql,
     "q183_window_boundaries" -> q183OracleSql,
-    "q184_assembly_funnel" -> q184OracleSql
+    "q184_assembly_funnel" -> q184OracleSql,
+    "q185_blocklist_filter" -> q185OracleSql,
+    "q186_template_inventory" -> q186OracleSql
   )
 }

@@ -180,7 +180,12 @@ object ProfScale {
       // q184 composes the q175 + q179 + q160 shapes (expect their sum)
       "q182_mixing" -> (d => operators.TrainPrepQueries.mixingAudit(spark, d)),
       "q183_windows" -> (d => operators.TrainPrepQueries.windowBoundaryAudit(spark, d)),
-      "q184_funnel" -> (d => operators.TrainPrepQueries.assemblyFunnel(spark, d)))
+      "q184_funnel" -> (d => operators.TrainPrepQueries.assemblyFunnel(spark, d)),
+      // q185 is a scan-side suffix fan-out (≤ 4 labels) against a
+      // broadcast entry set (~10x scan); q186 is the q171 chunk scan +
+      // one digest-keyed rollup (~q171's linear profile)
+      "q185_blocklist" -> (d => operators.TrainPrepQueries.blocklistFilter(spark, d)),
+      "q186_templates" -> (d => operators.TrainPrepQueries.templateInventory(spark, d)))
 
     // SPARK_GRAFT_ONLY: comma-separated name substrings (the Verify/Bench
     // convention) — sweep just the named queries when iterating

@@ -228,6 +228,46 @@ class TrainPrepQueriesSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q185: a source-grain entry blocks its lang-SUBDOMAIN docs through " +
+      "the suffix walk; unblocked sources report zero") {
+    import spark.implicits._
+    // single source: either its domain entry hashes into the blocklist
+    // (everything blocked, subdomained or not) or it doesn't (only its
+    // subdomain hosts can independently hash in). Either way the suffix
+    // walk must treat even/odd docs of one blocked source identically.
+    val dir = docsDir((1L to 40L).map(i =>
+      (i, s"document number $i", Seq("en", "fr")(i.toInt % 2), s"src${i % 4}")))
+    val r = TrainPrepQueries.blocklistFilter(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r.map(_._2).sum == 40L)
+    // per-source share is 0, 10000, or strictly between (subdomain-only
+    // blocks hit only even doc_ids): all values must be consistent with
+    // n_blocked/n_docs exactly
+    r.foreach { case (s, n, b, bp) =>
+      assert(bp == b * 10000 / n, s"bp must be exact integer share: $s $n $b $bp") }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q186: the planted boilerplate surfaces as shared template chunks; " +
+      "a template-free corpus reports none") {
+    import spark.implicits._
+    // 12 docs, all doc_id % 3 == 0 carriers get the header: with one
+    // source every header chunk is shared by exactly the carriers
+    val dir = docsDir((1L to 12L).map(i =>
+      (i * 3, s"utterly distinct body text number ${i * 97} with words w${i}a w${i}b w${i}c w${i}d", "en", "A")))
+    val r = TrainPrepQueries.templateInventory(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r.nonEmpty, "the planted header must produce template chunks")
+    r.foreach { case (_, len, nd, ns) =>
+      assert(nd >= 5L && ns == 1L && len >= 16L, s"got ($len, $nd, $ns)") }
+    spark.sharedState.cacheManager.clearCache()
+    // no carriers (no doc_id divisible by 3): template-free
+    val dir2 = docsDir(Seq((1L, "plain short text", "en", "A"),
+      (2L, "another plain body", "en", "A")))
+    assert(TrainPrepQueries.templateInventory(spark, dir2).count() == 0L)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q176 plan: every ranking window is partitioned by the range id — " +
       "no single-partition window (the final 2-row rollup's exchange is " +
       "the only global stage)") {
