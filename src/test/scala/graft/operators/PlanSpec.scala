@@ -300,6 +300,12 @@ class PlanSpec extends AnyFunSuite {
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join")
     }
+    // building 186 query plans registers every query's persist() in the
+    // cache manager; a lingering cached docs subtree would substitute an
+    // InMemoryTableScan into LATER tests' plans (q83's exchange count
+    // caught exactly this once q181's persisted spread-docs frame matched
+    // its scan subtree)
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("q158: the wide likelihood table joins broadcast onto the gram " +
@@ -391,6 +397,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q83: chunking is map-only — the only exchanges are spread and the output sort") {
+    // exchange counting must see the bare scan, not a cached substitute
+    spark.sharedState.cacheManager.clearCache()
     val p = plan(CurationQueries.docChunks(spark, sf))
     val exchangeCount = p.linesIterator.count(l => l.trim.matches("\\(\\d+\\) Exchange.*"))
     assert(exchangeCount == 2, s"spread + orderBy only, got $exchangeCount\n$p")
