@@ -116,14 +116,17 @@ object Round13Queries {
     * symbols (DuckDB `hex(encode(w))` matches Spark's uppercase hex) and
     * byte totals from octet_length. LEFT JOIN per merge keeps early-stop
     * semantics identical to the Spark loop. */
-  private def q165OracleSql: String = {
+  /** The shared q165/q187 oracle chain: per-`key` word counts, hex-pair
+    * seg0, and the unrolled merge rounds (identical merges whatever the
+    * rollup key — the model is corpus-level by construction). */
+  private def byteBpeOracleChain(key: String): String = {
     def lastSym(acc: String) = s"list_extract(string_split($acc, chr(1)), -1)"
     val head =
-      """tk AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w FROM documents),
-        |swc AS (SELECT source, w, count(*) AS c FROM tk GROUP BY 1, 2),
-        |tf AS (SELECT w, sum(c)::BIGINT AS c FROM swc GROUP BY w),
-        |hx AS (SELECT w, c, hex(encode(w)) AS h, octet_length(encode(w)) AS nb FROM tf),
-        |seg0 AS (SELECT w, c, [substr(h, 2*i - 1, 2) for i in range(1, nb + 1)] AS s FROM hx)""".stripMargin
+      s"""tk AS (SELECT $key, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w FROM documents),
+         |swc AS (SELECT $key, w, count(*) AS c FROM tk GROUP BY 1, 2),
+         |tf AS (SELECT w, sum(c)::BIGINT AS c FROM swc GROUP BY w),
+         |hx AS (SELECT w, c, hex(encode(w)) AS h, octet_length(encode(w)) AS nb FROM tf),
+         |seg0 AS (SELECT w, c, [substr(h, 2*i - 1, 2) for i in range(1, nb + 1)] AS s FROM hx)""".stripMargin
     val rounds = (1 to ByteBpeRounds).map { r =>
       s"""p$r AS (SELECT t.a, t.b, sum(c)::BIGINT AS cnt FROM (
          |  SELECT c, s[i] AS a, s[i+1] AS b FROM seg${r - 1}, unnest(generate_series(1, len(s)-1)) AS u(i)) t
@@ -136,15 +139,74 @@ object Round13Queries {
          |      ELSE acc || chr(1) || x END), chr(1)) END AS s
          |  FROM seg${r - 1} LEFT JOIN m$r m ON true)""".stripMargin
     }
-    s"""WITH $head,
+    s"""$head,
        |${rounds.mkString(",\n")},
-       |enc AS (SELECT w, len(s) AS ntok FROM seg$ByteBpeRounds)
+       |enc AS (SELECT w, len(s) AS ntok FROM seg$ByteBpeRounds)""".stripMargin
+  }
+
+  private def q165OracleSql: String =
+    s"""WITH ${byteBpeOracleChain("source")}
        |SELECT source, sum(c)::BIGINT AS n_words,
        |  sum(c * octet_length(encode(w)))::BIGINT AS n_bytes,
        |  sum(c * ntok)::BIGINT AS n_tokens,
        |  round(sum(c * octet_length(encode(w)))::DOUBLE / sum(c * ntok), 6) AS bytes_per_token
        |FROM swc JOIN enc USING (w) GROUP BY source ORDER BY source""".stripMargin
+
+  /** q187 — tokenizer FERTILITY by language: the multilingual-fairness
+    * number the tokenizer literature reports (a language whose
+    * bytes-per-token runs far below the corpus mean pays more tokens —
+    * more compute, less context — for the same content under the SAME
+    * shared vocabulary). Same corpus-level byte-BPE model as q165 (the
+    * merges are what they are; fairness is about who they serve), rolled
+    * up per LANGUAGE, with `fertility` = the language's bytes-per-token
+    * relative to the corpus's (round-6 double, the q56/q81 float
+    * boundary: both engines evaluate the identical expression tree).
+    * fertility < 1 = over-tokenized relative to the mix. Scale: q165's
+    * shapes unchanged; the corpus totals are a one-row broadcast. */
+  def byteBpeLangFertility(spark: SparkSession, dir: String): DataFrame = {
+    // persist: feeds the vocabulary build AND the per-lang rollup.
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val lw = Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      .persist()
+    val tf = lw.groupBy("w").agg(sum("c").as("c"))
+    val (seg, _) = byteBpeChain(tf)
+    val enc = seg.select(col("w"), size(col("s")).cast("long").as("ntok"))
+    // persist: the per-lang rollup AND the corpus-total scalar read it
+    val scored = lw.join(broadcast(enc), Seq("w"))
+      .withColumn("_nb", octet_length(encode(col("w"), "UTF-8")).cast("long"))
+      .persist()
+    val perLang = scored.groupBy("lang")
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("_nb")).as("n_bytes"),
+        sum(col("c") * col("ntok")).as("n_tokens"))
+    val corpus = scored.agg(
+      sum(col("c") * col("_nb")).as("_cb"),
+      sum(col("c") * col("ntok")).as("_ct"))
+    perLang.crossJoin(broadcast(corpus))
+      .select(col("lang"), col("n_words"), col("n_bytes"), col("n_tokens"),
+        round(col("n_bytes").cast("double") / col("n_tokens"), 6)
+          .as("bytes_per_token"),
+        round((col("n_bytes").cast("double") / col("n_tokens")) /
+          (col("_cb").cast("double") / col("_ct")), 6).as("fertility"))
+      .orderBy("lang")
   }
+
+  private def q187OracleSql: String =
+    s"""WITH ${byteBpeOracleChain("lang")},
+       |lagg AS (SELECT lang, sum(c)::BIGINT AS n_words,
+       |    sum(c * octet_length(encode(w)))::BIGINT AS n_bytes,
+       |    sum(c * ntok)::BIGINT AS n_tokens
+       |  FROM swc JOIN enc USING (w) GROUP BY lang),
+       |corp AS (SELECT sum(c * octet_length(encode(w)))::BIGINT AS cb,
+       |    sum(c * ntok)::BIGINT AS ct
+       |  FROM swc JOIN enc USING (w))
+       |SELECT lang, n_words, n_bytes, n_tokens,
+       |  round(n_bytes::DOUBLE / n_tokens, 6) AS bytes_per_token,
+       |  round((n_bytes::DOUBLE / n_tokens) / (corp.cb::DOUBLE / corp.ct), 6)
+       |    AS fertility
+       |FROM lagg, corp ORDER BY lang""".stripMargin
 
   // --- q166: ANF calibration audit -------------------------------------------
 
@@ -1002,7 +1064,8 @@ object Round13Queries {
     "q171_cdc_chunk_dedup" -> (cdcChunkDedup _),
     "q172_curriculum_packing" -> (curriculumPacking _),
     "q173_cdc_containment" -> (cdcContainment _),
-    "q174_cdc_admit" -> (cdcAdmit _)
+    "q174_cdc_admit" -> (cdcAdmit _),
+    "q187_lang_fertility" -> (byteBpeLangFertility _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1015,6 +1078,7 @@ object Round13Queries {
     "q171_cdc_chunk_dedup" -> q171OracleSql,
     "q172_curriculum_packing" -> q172OracleSql,
     "q173_cdc_containment" -> q173OracleSql,
-    "q174_cdc_admit" -> q174OracleSql
+    "q174_cdc_admit" -> q174OracleSql,
+    "q187_lang_fertility" -> q187OracleSql
   )
 }

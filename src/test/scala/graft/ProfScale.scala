@@ -185,7 +185,10 @@ object ProfScale {
       // broadcast entry set (~10x scan); q186 is the q171 chunk scan +
       // one digest-keyed rollup (~q171's linear profile)
       "q185_blocklist" -> (d => operators.TrainPrepQueries.blocklistFilter(spark, d)),
-      "q186_templates" -> (d => operators.TrainPrepQueries.templateInventory(spark, d)))
+      "q186_templates" -> (d => operators.TrainPrepQueries.templateInventory(spark, d)),
+      // q187 is the q165 chain + a |langs| rollup (vocab-bounded rounds —
+      // expect q165's far-under-10x profile)
+      "q187_fertility" -> (d => operators.Round13Queries.byteBpeLangFertility(spark, d)))
 
     // SPARK_GRAFT_ONLY: comma-separated name substrings (the Verify/Bench
     // convention) — sweep just the named queries when iterating

@@ -292,7 +292,10 @@ class PlanSpec extends AnyFunSuite {
       // q181: the one-row grand-total broadcast onto the ≤8-cell cross-tab
       "q181_signal_agreement",
       // q182: the one-row corpus-count broadcast onto the |sources| rows
-      "q182_mixing_audit")
+      "q182_mixing_audit",
+      // q187: the one-row corpus byte/token totals broadcast onto the
+      // |langs|-row fertility rollup
+      "q187_lang_fertility")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

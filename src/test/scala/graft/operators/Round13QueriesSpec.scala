@@ -46,6 +46,22 @@ class Round13QueriesSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q187: per-lang fertility under the shared corpus model — exact " +
+      "ratios on the hand-sized merge chain") {
+    import spark.implicits._
+    // same corpus as the q165 pin, split across langs: en gets 3x 'ab'
+    // (one merged token each, 2 bytes), fr gets 'abc' (one token, 3
+    // bytes). corpus bpt = 9/4 = 2.25; fertility = lang bpt / 2.25.
+    val dir = docsDir(Seq(
+      (1L, "ab ab ab", "en", "A"), (2L, "abc", "fr", "B")))
+    val r = Round13Queries.byteBpeLangFertility(spark, dir)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(r == Seq(
+      ("en", 3L, 6L, 3L, 2.0, 0.888889),
+      ("fr", 1L, 3L, 1L, 3.0, 1.333333)), s"got $r")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q166: one planted seed — exact ball sizes are the hand count, " +
       "single-seed mean==max, error non-negative") {
     import spark.implicits._
