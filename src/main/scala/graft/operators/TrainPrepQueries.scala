@@ -216,8 +216,12 @@ object TrainPrepQueries {
     * is one row per SOURCE (a mixing decision is |sources|-bounded by
     * nature); the round scalars are one-row aggregates attached by the q86
     * one-row-constants broadcast, so the corpus is scanned exactly once. */
-  def epochMix(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Partitioning.spread(table(spark, dir, "documents"))
+  def epochMix(spark: SparkSession, dir: String): DataFrame =
+    epochMixOver(Partitioning.spread(table(spark, dir, "documents")))
+
+  /** The q177 core over any (source, text) frame — exposed for the
+    * property spec's plain-Scala water-fill replay. */
+  private[operators] def epochMixOver(docs: DataFrame): DataFrame = {
     // persist: the |sources|-row state is re-read by every round's scalar
     // aggregate. Ownership: Verify/Bench clear per query.
     val src = docs.groupBy("source")
@@ -631,8 +635,9 @@ object TrainPrepQueries {
 
   // --- q183: fixed-window packing boundary audit ---------------------------------
 
-  /** Shared q183 constant (Spark + oracle): tokens per training window. */
-  private val PackWindow = 64L
+  /** Shared q183 constant (Spark + oracle + property replay): tokens per
+    * training window. */
+  private[operators] val PackWindow = 64L
 
   /** q183 — WINDOW-boundary accounting: GPT-style pretraining packs the
     * epoch-ordered token stream into fixed windows (here 64 tokens,
@@ -645,8 +650,13 @@ object TrainPrepQueries {
     * = cum div W, last = (cum+tokens−1) div W — no per-window relation is
     * ever materialized (windows exist only as integer ids). Zero-token
     * docs are excluded by rule (they occupy no window) — both engines. */
-  def windowBoundaryAudit(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Partitioning.spread(table(spark, dir, "documents"))
+  def windowBoundaryAudit(spark: SparkSession, dir: String): DataFrame =
+    windowBoundaryAuditOver(
+      Partitioning.spread(table(spark, dir, "documents")))
+
+  /** The q183 core over any (doc_id, source, text) frame — exposed for
+    * the property spec's plain-Scala running-total replay. */
+  private[operators] def windowBoundaryAuditOver(docs: DataFrame): DataFrame = {
     val keyed = docs.select(col("doc_id"), col("source"),
         TextOps.tokenCount(col("text")).cast("long").as("tokens"),
         PortableSketch.h60(concat(lit("ord:"), col("text"))).as("_ord"))

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.ops.PortableSketch
+import graft.pipeline.SparkTestSession
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
+
+/** Invariants of the training-set assembly arithmetic over random corpora,
+  * each checked against a plain-Scala replay of the exact integer rules —
+  * the water-fill's cap cascade (q177: a source capped in round r must
+  * stay capped, allocations never exceed caps, the total never exceeds the
+  * budget) and the window-boundary accounting (q183: the running total in
+  * (content-hash, doc_id) order decides every crossing). The replays share
+  * none of the Spark plumbing, so a divergence indicts the distributed
+  * mechanics (one-row scalar broadcasts, the two-pass running total), not
+  * the math. */
+class TrainPrepPropertySpec extends Properties("trainPrep") {
+  private lazy val spark = SparkTestSession.get
+
+  // each trial runs small Spark jobs; 25 trials keeps the time budget
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(25)
+
+  private val genWord: Gen[String] = for {
+    len <- Gen.choose(1, 6)
+    cs <- Gen.listOfN(len, Gen.alphaLowerChar)
+  } yield cs.mkString
+
+  private def tokenCount(t: String): Long =
+    t.split("\\s+").count(_.nonEmpty).toLong
+
+  // --- q177: proportional-with-cap water-filling -----------------------------
+
+  private val genSources: Gen[Map[String, Long]] = for {
+    n <- Gen.choose(2, 6)
+    toks <- Gen.listOfN(n, Gen.choose(1L, 400L))
+  } yield toks.zipWithIndex.map { case (t, i) => f"s$i%02d" -> t }.toMap
+
+  /** Plain-Scala replay of the 3-round water-fill (same integer ops). */
+  private def waterFill(tok: Map[String, Long])
+      : Seq[(String, Long, Long, Long, Boolean)] = {
+    val tt = tok.values.sum
+    val ns = tok.size.toLong
+    val budget = tt * 5 / 2
+    val cap = tok.map { case (s, t) => s -> t * 5 / 2 }
+    var alloc = tok.map { case (s, _) => s -> budget / ns }
+    var capped = tok.map { case (s, _) => s -> (alloc(s) > cap(s)) }
+    for (_ <- 2 to 3) {
+      val cw = tok.keys.filter(capped).map(cap).sum
+      val nu = tok.keys.count(s => !capped(s)).toLong
+      alloc = tok.map { case (s, _) =>
+        s -> (if (capped(s)) cap(s) else (budget - cw) / math.max(nu, 1L)) }
+      capped = tok.map { case (s, _) => s -> (capped(s) || alloc(s) > cap(s)) }
+    }
+    tok.keys.toSeq.sorted.map { s =>
+      val a = if (capped(s)) cap(s) else alloc(s)
+      (s, tok(s), a, a * 1000000L / tok(s), capped(s))
+    }
+  }
+
+  property("q177 equals the plain-Scala water-fill; allocations respect " +
+      "caps and the budget") = Prop.forAll(genSources) { tok =>
+    val s = spark
+    import s.implicits._
+    // one doc per source carrying exactly tok(s) one-char words
+    val docs = tok.toSeq.sortBy(_._1).zipWithIndex.map { case ((src, t), i) =>
+      (i.toLong, Seq.fill(t.toInt)("w").mkString(" "), "en", src)
+    }.toDF("doc_id", "text", "lang", "source")
+    val got = TrainPrepQueries.epochMixOver(docs)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    spark.sharedState.cacheManager.clearCache()
+    val want = waterFill(tok)
+    val budget = tok.values.sum * 5 / 2
+    (got == want) :| s"spark $got vs replay $want" &&
+      (got.map(_._3).sum <= budget) :| "total allocation exceeds the budget" &&
+      got.forall(r => r._3 <= r._2 * 5 / 2) :| "an allocation exceeds its cap"
+  }
+
+  // --- q183: window-boundary accounting --------------------------------------
+
+  private val genDocs: Gen[Seq[(Long, String, String)]] = for {
+    n <- Gen.choose(1, 14)
+    rows <- Gen.listOfN(n, for {
+      nw <- Gen.choose(0, 90) // 0 exercises the tokens>=1 exclusion
+      ws <- Gen.listOfN(nw, genWord)
+      src <- Gen.oneOf("A", "B", "C")
+    } yield (ws.mkString(" "), src))
+  } yield rows.zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s) }
+
+  /** Plain-Scala replay: (h60 ord, doc_id) order, exclusive prefix sums,
+    * first/last window ids, per-source rollup. */
+  private def windowReplay(rows: Seq[(Long, String, String)])
+      : Seq[(String, Long, Long, Long, Long, Long)] = {
+    val w = TrainPrepQueries.PackWindow
+    val kept = rows.map { case (id, t, s) => (id, s, tokenCount(t),
+        PortableSketch.h60String("ord:" + t)) }
+      .filter(_._3 >= 1L)
+      .sortBy { case (id, _, _, ord) => (ord, id) }
+    var cum = 0L
+    val spans = kept.map { case (_, s, n, _) =>
+      val w0 = cum / w
+      val w1 = (cum + n - 1) / w
+      cum += n
+      (s, n, w1 > w0, w1 - w0 + 1)
+    }
+    spans.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, g) =>
+      val nd = g.size.toLong
+      val nt = g.map(_._2).sum
+      val nc = g.count(_._3).toLong
+      val sp = g.map(_._4).sum
+      (s, nd, nt, nc, nc * 10000 / nd, sp * 1000000 / nd)
+    }
+  }
+
+  property("q183 equals the plain-Scala running-total replay") =
+    Prop.forAll(genDocs) { rows =>
+      val s = spark
+      import s.implicits._
+      val docs = rows.map { case (id, t, src) => (id, t, "en", src) }
+        .toDF("doc_id", "text", "lang", "source")
+      val got = TrainPrepQueries.windowBoundaryAuditOver(docs)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      spark.sharedState.cacheManager.clearCache()
+      val want = windowReplay(rows)
+      (got == want) :| s"spark $got vs replay $want"
+    }
+}
