@@ -306,6 +306,8 @@ object Round12Queries {
       |v AS (SELECT count(DISTINCT h)::BIGINT AS v FROM lg),
       |nd AS (SELECT lang, count(*)::BIGINT AS nl FROM sp WHERE is_train GROUP BY 1),
       |nn AS (SELECT count(*)::BIGINT AS n FROM sp WHERE is_train),
+      |mult AS (SELECT min(1::BIGINT << g.g) AS m FROM generate_series(0, 30) g(g)
+      |  WHERE (1::BIGINT << g.g) >= (SELECT count(*) FROM nd)),
       |ls AS (SELECT t.lang,
       |    (ROW_NUMBER() OVER (ORDER BY t.lang) - 1)::BIGINT AS lang_idx,
       |    round(1000000.0 * ln(nd.nl::DOUBLE / (SELECT n FROM nn)))::BIGINT AS prior_u,
@@ -325,7 +327,7 @@ object Round12Queries {
       |  FROM dgc d CROSS JOIN ls
       |  LEFT JOIN model m ON m.h = d.h AND m.lang = ls.lang),
       |sc AS (SELECT doc_id, lang,
-      |    ((prior_u + sum(x)) * 8 - lang_idx)::BIGINT AS key
+      |    ((prior_u + sum(x)) * (SELECT m FROM mult) - lang_idx)::BIGINT AS key
       |  FROM contrib GROUP BY doc_id, lang, lang_idx, prior_u),
       |pr AS (SELECT doc_id, max_by(lang, key) AS pred FROM sc GROUP BY 1)
       |SELECT sp.lang, pr.pred, count(*)::BIGINT AS n

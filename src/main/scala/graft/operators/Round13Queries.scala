@@ -592,8 +592,19 @@ object Round13Queries {
     val docs = table(spark, dir, "documents")
     val isTrain =
       substring(md5(encode(concat(lit("q169"), col("text")), "UTF-8")), 1, 1) < "8"
-    val (model, langStats) =
+    val (fitModel, fitStats) =
       graft.ops.LangId.fit(docs.where(isTrain), "text", "lang", n = 3)
+    // stage hand-off: persist the fitted model as parquet and score from
+    // the LOADED copy (LangId.saveModel/loadModel) — the composed pipeline
+    // reuses one fit instead of re-evaluating the fit plan inside the
+    // stats collect AND the likelihood pivot; integer micro-units
+    // round-trip parquet exactly, so results are unchanged. In production
+    // the saved model is the artifact a separate scoring job (or the
+    // streaming mirror via StreamingLangId.modelFromSaved) starts from.
+    val modelDir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q169_langid_model").getAbsolutePath
+    graft.ops.LangId.saveModel(fitModel, fitStats, modelDir)
+    val (model, langStats) = graft.ops.LangId.loadModel(spark, modelDir)
     val pred = graft.ops.LangId.predict(docs, "text", "doc_id", n = 3,
       model, langStats)
     // persist: the routed frame embeds the whole classifier-scoring plan,
@@ -624,6 +635,8 @@ object Round13Queries {
       |vv AS (SELECT count(DISTINCT h)::BIGINT AS v FROM lg),
       |nd AS (SELECT lang, count(*)::BIGINT AS nl FROM sp WHERE is_train GROUP BY 1),
       |nn AS (SELECT count(*)::BIGINT AS n FROM sp WHERE is_train),
+      |mult AS (SELECT min(1::BIGINT << g.g) AS m FROM generate_series(0, 30) g(g)
+      |  WHERE (1::BIGINT << g.g) >= (SELECT count(*) FROM nd)),
       |ls AS (SELECT t.lang,
       |    (ROW_NUMBER() OVER (ORDER BY t.lang) - 1)::BIGINT AS lang_idx,
       |    round(1000000.0 * ln(nd.nl::DOUBLE / (SELECT n FROM nn)))::BIGINT AS prior_u,
@@ -643,7 +656,7 @@ object Round13Queries {
       |  FROM dgc d CROSS JOIN ls
       |  LEFT JOIN model m ON m.h = d.h AND m.lang = ls.lang),
       |scr AS (SELECT doc_id, lang,
-      |    ((prior_u + sum(x)) * 8 - lang_idx)::BIGINT AS key
+      |    ((prior_u + sum(x)) * (SELECT m FROM mult) - lang_idx)::BIGINT AS key
       |  FROM contrib GROUP BY doc_id, lang, lang_idx, prior_u),
       |pr AS (SELECT doc_id, max_by(lang, key) AS pred FROM scr GROUP BY 1),
       |rdocs AS (SELECT sp.doc_id, pr.pred AS lang, sp.text
@@ -821,7 +834,12 @@ object Round13Queries {
       |  SELECT doc_id + 999999, source, 'PFX0123456789XX ' || text
       |  FROM documents WHERE source IN ('src18','src19') AND length(text) > 0""".stripMargin)
 
-  private def cdcOracleCtesFor(srcSql: String): String = {
+  /** private[operators]: q186's template inventory replays the SAME chain
+    * over its planted-header src — one definition of the CDC boundary rule
+    * for every oracle that needs it (a silent constant/rule divergence
+    * between the q171-family and q186 would otherwise only surface as a
+    * hash mismatch). */
+  private[operators] def cdcOracleCtesFor(srcSql: String): String = {
     val (w, mask, minLen) = (graft.ops.TextOps.CdcW,
       graft.ops.TextOps.CdcMask, graft.ops.TextOps.CdcMinLen)
     s"""src AS ($srcSql),

@@ -911,35 +911,16 @@ object TrainPrepQueries {
   }
 
   private def q186OracleSql: String = {
-    val (w, mask, minLen) = (graft.ops.TextOps.CdcW,
-      graft.ops.TextOps.CdcMask, graft.ops.TextOps.CdcMinLen)
-    s"""WITH src AS (SELECT doc_id, source,
-       |    CASE WHEN doc_id % 3 = 0
-       |      THEN '$TemplateBoiler' || ' ' || source || ' ' || text
-       |      ELSE text END AS text
-       |  FROM documents),
-       |c AS (SELECT doc_id, source, text AS t, length(text) AS L FROM src),
-       |cd AS (SELECT doc_id, source, t, L,
-       |    CASE WHEN L >= $w THEN list_filter(list_transform(range($w, L + 1),
-       |        i -> CASE WHEN ('0x' || substr(md5(substr(t, i - ${w - 1}, $w)), 1, 15))::BIGINT % $mask = 0 THEN i END),
-       |      x -> x IS NOT NULL) ELSE CAST([] AS BIGINT[]) END AS cands
-       |  FROM c),
-       |bsr AS (SELECT *, string_split(list_reduce(list_prepend('0',
-       |      list_transform(cands, x -> x::VARCHAR)),
-       |      (acc, x) -> CASE WHEN x::INT - (string_split(acc, '|')[-1])::INT >= $minLen
-       |        THEN acc || '|' || x ELSE acc END), '|') AS bsl
-       |  FROM cd),
-       |en AS (SELECT doc_id, source, t,
-       |    CASE WHEN L > (bsl[-1])::INT
-       |      THEN list_append(list_transform(bsl[2:], x -> x::INT), L::INT)
-       |      ELSE list_transform(bsl[2:], x -> x::INT) END AS ends
-       |  FROM bsr),
-       |ch AS (SELECT doc_id, source,
-       |    CASE WHEN u.i = 1 THEN 0 ELSE ends[u.i - 1] END AS s0, ends[u.i] AS e0, t
-       |  FROM en, unnest(generate_series(1, len(ends))) AS u(i)),
-       |hk AS (SELECT doc_id, source, e0 - s0 AS clen,
-       |    ('0x' || substr(md5(substr(t, s0 + 1, e0 - s0)), 1, 15))::BIGINT AS h
-       |  FROM ch),
+    // the CDC boundary chain is Round13Queries.cdcOracleCtesFor — ONE
+    // definition of the rule/constants shared with the q171-family oracles;
+    // only the planted-header src and the template rollup are q186's own
+    val ctes = Round13Queries.cdcOracleCtesFor(
+      s"""SELECT doc_id, source,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN '$TemplateBoiler' || ' ' || source || ' ' || text
+         |      ELSE text END AS text
+         |  FROM documents""".stripMargin)
+    s"""WITH $ctes,
        |g AS (SELECT h AS chunk_hash, max(clen)::BIGINT AS chunk_len,
        |    count(DISTINCT doc_id)::BIGINT AS n_docs,
        |    count(DISTINCT source)::BIGINT AS n_sources

@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   * is pure BIGINT arithmetic any engine replays exactly; only the ln at
   * FIT time touches libm, rounded with the house 5e-7 margin (the same
   * exposure TrainedGate's 6-dp gradient rounding accepts). Prediction ties
-  * are impossible by construction: the argmax ranks `score·8 − langIdx`
-  * (alphabetical index, < 8 languages), distinct per language.
+  * are impossible by construction: the argmax ranks `score·M − langIdx`
+  * where M = [[argmaxMultiplier]] (the smallest power of two ≥ |langs|,
+  * computed at fit time from the model) and langIdx is the alphabetical
+  * index — M > maxIdx guarantees a 1-micro-unit score edge always beats
+  * the index term, at ANY language count, while equal scores still
+  * resolve to the alphabetically first language.
   *
   * Scale shape: fitting aggregates (lang, gram) counts — alphabet^n ×
   * |langs| bounded, never corpus-bounded; the model broadcasts. Scoring is
@@ -29,6 +33,21 @@ import org.apache.spark.sql.functions._
   * against the saved model with no state store.
   */
 object LangId {
+
+  /** The tie-break multiplier for the `score·M − langIdx` argmax key: the
+    * smallest power of two ≥ `nLangs`. Any M > max(langIdx) keeps the key
+    * order consistent with scores (a 1-micro-unit edge contributes ≥ M to
+    * the key, the index term at most nLangs−1 < M); the power of two makes
+    * the constant stable under small |langs| drift and trivially
+    * replayable in oracle SQL (`min(1::BIGINT << g) ... >= count(*)`).
+    * Scores are ≲ 1e12 micro-units (1e6-scale llu × gram counts), so even
+    * M = 2^20 (a million languages) stays far inside BIGINT. */
+  def argmaxMultiplier(nLangs: Int): Long = {
+    require(nLangs >= 1, s"argmaxMultiplier: need ≥1 language, got $nLangs")
+    var m = 1L
+    while (m < nLangs) m <<= 1
+    m
+  }
 
   /** Overlapping char n-grams of lower(text), WITH multiplicity
     * (multinomial counts need them); text shorter than n collapses to one
@@ -99,6 +118,27 @@ object LangId {
     (model, langStats.drop("_denom"))
   }
 
+  /** Persist a fitted model as parquet (the [[TrainedGate.saveModel]]
+    * pattern: a model is a bounded frame, not JVM state) — the hand-off
+    * that lets a composed pipeline (q169's classifier→LM chain) or a
+    * streaming scorer reuse one fit instead of recomputing it per stage.
+    * Layout: `path/llu` = (_h, lang, llu) and `path/stats` = (lang,
+    * lang_idx, prior_u, oov_llu); both vocabulary-bounded. */
+  def saveModel(model: DataFrame, langStats: DataFrame, path: String): Unit = {
+    model.select("_h", "lang", "llu")
+      .write.mode("overwrite").parquet(s"$path/llu")
+    langStats.select("lang", "lang_idx", "prior_u", "oov_llu")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Load a model written by [[saveModel]] — drop-in for the (model,
+    * langStats) pair [[fit]] returns; integer micro-units round-trip
+    * parquet exactly, so predictions are bit-identical to the fitting
+    * session's. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/llu"), spark.read.parquet(s"$path/stats"))
+
   /** Score a frame: per document, the argmax language under the model.
     * Returns (idCol, pred).
     *
@@ -109,23 +149,17 @@ object LangId {
     * aggregate of |langs| parallel sums that partially aggregates
     * map-side — no |langs|× row fan-out, no (doc, lang) shuffle (the
     * first shape measured 6× slower at 10× corpus). The argmax stays the
-    * tie-free `score·8 − langIdx` total order, folded over scalar
-    * columns; identical integer results, addition order immaterial. */
+    * tie-free `score·M − langIdx` total order (M = [[argmaxMultiplier]]
+    * of the fitted language count, so it survives any |langs|), folded
+    * over scalar columns; identical integer results, addition order
+    * immaterial. Oracle SQL must derive the SAME M — the
+    * `min(1::BIGINT << g) ≥ count(*)` CTE in the q158/q169 oracles. */
   def predict(docs: DataFrame, textCol: String, idCol: String, n: Int,
       model: DataFrame, langStats: DataFrame): DataFrame = {
     val stats = langStats.select("lang", "lang_idx", "prior_u", "oov_llu")
       .collect().sortBy(_.getLong(1))
     require(stats.nonEmpty, "langId.predict: empty model")
-    // the `score·8 − langIdx` key is a total order consistent with scores
-    // ONLY while langIdx < 8 — at 9+ languages a 1-micro-unit score edge
-    // can be cancelled by the index term and the argmax silently flips.
-    // Enforced loudly here (and in StreamingLangId.fitModel) rather than
-    // assumed; widening the multiplier must happen in BOTH engines and the
-    // oracle SQL at once, so it is a deliberate change, not a default.
-    require(stats.length <= 8,
-      s"langId tie-free argmax supports at most 8 languages, got " +
-        s"${stats.length}: widen the ·8 multiplier in predict AND the " +
-        "oracle together")
+    val mult = argmaxMultiplier(stats.length)
     val langs = stats.map(_.getString(0))
     val wide = model.groupBy("_h")
       .pivot("lang", langs.toSeq).agg(first("llu"))
@@ -134,19 +168,26 @@ object LangId {
         .as(s"_s$i")
     }
     val keys = stats.zipWithIndex.map { case (s, i) =>
-      ((col(s"_s$i") + lit(s.getLong(2))) * 8 - lit(i)).as(s"_k$i")
+      ((col(s"_s$i") + lit(s.getLong(2))) * mult - lit(i)).as(s"_k$i")
     }
-    val pred = stats.indices.tail.foldLeft(
-      (col("_k0"), lit(langs(0)))) { case ((bestK, bestL), i) =>
-      val better = col(s"_k$i") > bestK
-      (when(better, col(s"_k$i")).otherwise(bestK),
-        when(better, lit(langs(i))).otherwise(bestL))
-    }._2
+    // linear-size argmax: project the max key once, then map it back to
+    // its language with a flat coalesce-of-whens. (The obvious nested
+    // when-fold embeds the accumulated best-so-far tree inside BOTH the
+    // predicate and the else branch, so the expression TRIPLES per
+    // language — codegen OOM'd at 20 languages; this shape is O(|langs|).)
+    // Keys are pairwise distinct by construction (same score ⇒ different
+    // index term), so exactly one branch fires.
+    val kmax =
+      if (stats.length == 1) col("_k0")
+      else greatest(stats.indices.map(i => col(s"_k$i")): _*)
+    val pred = coalesce(stats.indices.map(i =>
+      when(col(s"_k$i") === col("_km"), lit(langs(i)))): _*)
     docGramCounts(docs, textCol, idCol, n)
       .join(broadcast(wide), Seq("_h"), "left")
       .groupBy(idCol)
       .agg(scores.head, scores.tail: _*)
       .select(col(idCol) +: keys: _*)
+      .withColumn("_km", kmax)
       .select(col(idCol), pred.as("pred"))
   }
 }

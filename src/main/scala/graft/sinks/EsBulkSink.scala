@@ -100,10 +100,11 @@ object EsBulkSink {
     val hosts = conf.hosts
     val (user, pass) = (conf.username, conf.password)
     val timeoutMs = conf.timeoutMs
+    val dbg = conf.debug
     links.select(col("parent"), col("child"), col("callCount"), col("errorCount"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         if (rows.hasNext) {
-          val transport = new EsHttpTransport(user, pass, timeoutMs)
+          val transport = new EsHttpTransport(user, pass, timeoutMs, debug = dbg)
           rows.grouped(batchSize).foreach { batch =>
             val body = batch.map(r => bulkLines(index,
               r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).mkString

@@ -175,13 +175,14 @@ object EsSpanSource {
     val hosts = cfg.conf.hosts
     val (user, pass) = (cfg.conf.username, cfg.conf.password)
     val timeoutMs = cfg.conf.timeoutMs
+    val dbg = cfg.conf.debug
     val cfgB = cfg // stable reference for the closure
     // one slice id per partition, placed at the source (no shuffle; a
     // repartition(n) would hash-bucket ids and leave some tasks 2 slices
     // and others none)
     val raw: Dataset[String] = spark.range(0L, cfg.slices.toLong, 1L, cfg.slices)
       .mapPartitions { ids =>
-        val transport = new EsHttpTransport(user, pass, timeoutMs)
+        val transport = new EsHttpTransport(user, pass, timeoutMs, debug = dbg)
         ids.flatMap(id => scrollSlice(transport, hosts, index, id.toInt, cfgB))
       }(Encoders.STRING)
     LinkJob.fromJsonV2Shape(spark.read.schema(Span.jsonV2Schema).json(raw))

@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   *
   * Arithmetic parity with batch q158 (pinned in StreamingLangIdSpec): the
   * same lowercased char n-grams WITH multiplicity, the same integer
-  * micro-unit scores, and the same tie-free `score·8 − langIdx` argmax —
+  * micro-unit scores, and the same tie-free `score·M − langIdx` argmax
+  * (M = [[LangId.argmaxMultiplier]] of the fitted language count) —
   * a stream and the batch query predict identically on identical text.
   */
 object StreamingLangId {
@@ -54,6 +55,16 @@ object StreamingLangId {
     fitFrom(modelDf, statsDf)
   }
 
+  /** Collect a [[Model]] from a [[LangId.saveModel]] parquet hand-off —
+    * fit once in batch, score every arriving micro-batch without refitting
+    * (the TrainedGate batch-fit → streaming-score shape). Same optional
+    * per-language cap as [[fitModel]]. */
+  def modelFromSaved(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxGramsPerLang: Int = 0): Model = {
+    val (modelDf, statsDf) = LangId.loadModel(spark, path)
+    fitFrom(cappedModel(modelDf, maxGramsPerLang), statsDf)
+  }
+
   /** Prune a (_h, lang, llu) model table to its top-N grams per language —
     * distributed, BEFORE any collect. The per-lang window partitions on
     * |langs| keys over a vocabulary-bounded table (model rows, never
@@ -73,10 +84,7 @@ object StreamingLangId {
   private def fitFrom(modelDf: DataFrame, statsDf: DataFrame): Model = {
     val stats = statsDf.select("lang", "lang_idx", "prior_u", "oov_llu")
       .collect().sortBy(_.getLong(1))
-    require(stats.length <= 8,
-      s"langId tie-free argmax supports at most 8 languages, got " +
-        s"${stats.length} (the ·8 key order breaks past 8 — see " +
-        "LangId.predict)")
+    require(stats.nonEmpty, "StreamingLangId.fitModel: empty model")
     val langs = stats.map(_.getString(0))
     val idx = langs.zipWithIndex.toMap
     val table = modelDf.select("_h", "lang", "llu").collect()
@@ -129,11 +137,12 @@ object StreamingLangId {
         var i = 0
         while (i < nl) { scores(i) += c * arr(i); i += 1 }
       }
+      val mult = LangId.argmaxMultiplier(nl)
       var best = 0
-      var bestKey = scores(0) * 8 - 0
+      var bestKey = scores(0) * mult - 0
       var i = 1
       while (i < nl) {
-        val key = scores(i) * 8 - i
+        val key = scores(i) * mult - i
         if (key > bestKey) { best = i; bestKey = key }
         i += 1
       }

@@ -47,13 +47,35 @@ object StreamingSplit {
     * incrementalAdmit posture); per-batch cost is the batch's band
     * fan-out, the verified-candidate joins, and a CC over the BATCH-only
     * pair graph. Weights/salt must equal the batch q175 run's so the
-    * novel-component rule is the same hash rule. */
+    * novel-component rule is the same hash rule.
+    *
+    * One-shot convenience over [[assignBatchHandle]] — a long-lived
+    * foreachBatch caller MUST use the handle and unpersist per batch, or
+    * two cached frames accumulate per micro-batch for the stream's
+    * lifetime (and a spark-wide clearCache would also evict the standing
+    * corpus band index). */
   def assignBatch(corpus: DataFrame, batch: DataFrame,
       weights: Seq[(String, Double)], salt: String = "v1",
       idCol: String = "doc_id", textCol: String = "text",
       splitCol: String = "split",
       k: Int = 64, bands: Int = 16, n: Int = 3,
-      threshold: Double = 0.5, maxBucket: Int = 1024): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 1024): DataFrame =
+    assignBatchHandle(corpus, batch, weights, salt, idCol, textCol,
+      splitCol, k, bands, n, threshold, maxBucket)._1
+
+  /** [[assignBatch]] plus the persisted intermediates BACKING the result
+    * (the [[graft.ops.Layout.globalSequenceHandle]] contract): consume the
+    * result, then unpersist each returned frame. The persists are
+    * load-bearing while the result is consumed — batch bands probe corpus
+    * and batch sides, and both pair families project out of one verified
+    * relation. */
+  def assignBatchHandle(corpus: DataFrame, batch: DataFrame,
+      weights: Seq[(String, Double)], salt: String = "v1",
+      idCol: String = "doc_id", textCol: String = "text",
+      splitCol: String = "split",
+      k: Int = 64, bands: Int = 16, n: Int = 3,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1024): (DataFrame, Seq[DataFrame]) = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rows = k / bands
     val spark = corpus.sparkSession
@@ -72,29 +94,36 @@ object StreamingSplit {
       }: _*)).as("_b"))
       .select(col("_id"), col("_b.band").as("_band"), col("_b.key").as("_key"))
     // persist: batch bands probe corpus AND batch sides; the union text
-    // frame feeds the exact verify. Ownership: one-shot callers rely on
-    // Verify/Bench-style cache clearing; a long-lived foreachBatch caller
-    // should clear per batch (the globalSequenceHandle discipline).
+    // frame feeds the exact verify. Ownership: returned through the handle
+    // for the caller to unpersist once the result is consumed.
     val batchBands = banded(sigs(batch)).persist()
     val corpusBands = banded(sigs(corpus))
     // Hot-bucket cap on the corpus side only (the incrementalAdmit skew
     // guard): a batch doc needs only SOME same-bucket corpus witness, and
     // at overflow scale a bucket's members are boilerplate-identical — the
-    // smallest ids are kept, deterministically.
+    // smallest ids are kept, deterministically. The cap is PER (bucket,
+    // split): keeping maxBucket witnesses of each distinct split means the
+    // cap can never drop the one conflicting-split witness that turns an
+    // 'inherited' verdict into the correct 'quarantine' — the no-leak
+    // invariant survives capping by construction, at a bounded fan-out of
+    // maxBucket × |splits| per bucket. Only hot-bucket rows pay the split
+    // join (the flagged subset, not the whole index).
     val hotKeys = corpusBands.groupBy("_band", "_key")
       .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucket)
       .select(col("_band").as("_hband"), col("_key").as("_hkey"))
     val flagged = corpusBands.join(broadcast(hotKeys),
       col("_band") === col("_hband") && col("_key") === col("_hkey"),
       "left_outer")
-    val byBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy("_band", "_key").orderBy("_id")
+    val byBucketSplit = org.apache.spark.sql.expressions.Window
+      .partitionBy("_band", "_key", "_csplit").orderBy("_id")
     val cappedCorpus = flagged.where(col("_hband").isNull)
       .drop("_hband", "_hkey")
       .unionByName(flagged.where(col("_hband").isNotNull)
         .drop("_hband", "_hkey")
-        .withColumn("_rk", row_number().over(byBucket))
-        .where(col("_rk") <= maxBucket).drop("_rk"))
+        .join(corpus.select(col(idCol).as("_id"), col(splitCol).as("_csplit")),
+          Seq("_id"))
+        .withColumn("_rk", row_number().over(byBucketSplit))
+        .where(col("_rk") <= maxBucket).drop("_rk", "_csplit"))
     def pairsOf(probe: DataFrame, target: DataFrame,
         withinBatch: Boolean): DataFrame = {
       val joined = probe.as("nw").join(target.as("pr"),
@@ -141,7 +170,7 @@ object StreamingSplit {
     val repSplit = members.where(col("_bid") === col("_rep"))
       .select(col("_rep"),
         Sampling.hashSplit(col("_text"), weights, salt).as("_hsplit"))
-    members
+    val result = members
       .join(anchors, Seq("_rep"), "left")
       .join(repSplit, Seq("_rep"), "left")
       .select(col("_bid").as(idCol),
@@ -151,5 +180,6 @@ object StreamingSplit {
         when(col("_nsplits") >= 2, lit("quarantine"))
           .when(col("_nsplits") === 1, lit("inherited"))
           .otherwise(lit("novel")).as("mode"))
+    (result, Seq(batchBands, verified))
   }
 }

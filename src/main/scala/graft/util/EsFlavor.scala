@@ -53,7 +53,10 @@ object EsFlavor {
   final case class EsConf(
       index: String, hosts: Seq[String],
       username: Option[String], password: Option[String],
-      nodesWanOnly: Boolean, timeoutMs: Long = 10000L)
+      nodesWanOnly: Boolean, timeoutMs: Long = 10000L,
+      // ES_DEBUG=true: per-request transport logging on every
+      // EsHttpTransport this conf constructs (source scroll + bulk sink)
+      debug: Boolean = false)
 
   def esConf(env: Map[String, String]): EsConf = EsConf(
     index = env.getOrElse("ES_INDEX", "zipkin"),
@@ -64,5 +67,6 @@ object EsFlavor {
     // millis, matching zipkin's ES_TIMEOUT convention; a malformed value
     // fails loudly here rather than silently running with the default
     timeoutMs = env.get("ES_TIMEOUT").filter(_.nonEmpty).map(_.toLong)
-      .getOrElse(10000L))
+      .getOrElse(10000L),
+    debug = env.getOrElse("ES_DEBUG", "false") == "true")
 }

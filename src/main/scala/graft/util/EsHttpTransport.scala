@@ -24,7 +24,12 @@ final class EsHttpTransport(
     // transient field revives as null — the JDK default context applies,
     // configured by the standard javax.net.ssl.* system properties. An
     // https:// host in ES_HOSTS needs no code change either way.
-    @transient private val sslContext: Option[javax.net.ssl.SSLContext] = None)
+    @transient private val sslContext: Option[javax.net.ssl.SSLContext] = None,
+    // ES_DEBUG=true (the reference container's troubleshooting knob):
+    // one stderr line per request — method, url, outcome, body size,
+    // elapsed — on the executor that issued it. Never the body itself
+    // (bulk payloads carry span data) and never the Authorization header.
+    val debug: Boolean = false)
     extends Serializable {
 
   private val authHeader: Option[String] = username.map { u =>
@@ -44,39 +49,59 @@ final class EsHttpTransport(
     authHeader.fold(b)(h => b.header("Authorization", h))
   }
 
+  /** One ES_DEBUG stderr line per request: status or exception class, the
+    * response size, and wall time — nanoTime deltas, no body, no creds. */
+  private def traced[A](method: String, url: String)(
+      send: => HttpResponse[String])(ok: HttpResponse[String] => A)(
+      err: Exception => A): A =
+    if (!debug) {
+      try ok(send) catch { case e: Exception => err(e) }
+    } else {
+      val t0 = System.nanoTime()
+      try {
+        val resp = send
+        System.err.println(f"[es-debug] $method $url -> ${resp.statusCode()} " +
+          f"(${resp.body().length} bytes, ${(System.nanoTime() - t0) / 1e6}%.1f ms)")
+        ok(resp)
+      } catch {
+        case e: Exception =>
+          System.err.println(f"[es-debug] $method $url -> " +
+            f"${e.getClass.getSimpleName}: ${e.getMessage} " +
+            f"(${(System.nanoTime() - t0) / 1e6}%.1f ms)")
+          err(e)
+      }
+    }
+
   /** GET a url; Some(body) on 2xx, None otherwise (unreachable host, auth
     * failure, …) — exactly the contract EsFlavor.flavor skips over. */
   def get(url: String): Option[String] =
-    try {
-      val resp = client.send(request(url).GET().build(),
-        HttpResponse.BodyHandlers.ofString())
+    traced("GET", url)(client.send(request(url).GET().build(),
+      HttpResponse.BodyHandlers.ofString())) { resp =>
       if (resp.statusCode() / 100 == 2) Some(resp.body()) else None
-    } catch { case _: Exception => None }
+    }(_ => None)
 
   /** POST a body; Right(responseBody) on 2xx, Left(reason) otherwise. */
   def post(url: String, body: String,
       contentType: String = "application/x-ndjson"): Either[String, String] =
-    try {
-      val resp = client.send(
-        request(url)
-          .header("Content-Type", contentType)
-          .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
-        HttpResponse.BodyHandlers.ofString())
+    traced("POST", url)(client.send(
+      request(url)
+        .header("Content-Type", contentType)
+        .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+      HttpResponse.BodyHandlers.ofString())) { resp =>
       if (resp.statusCode() / 100 == 2) Right(resp.body())
       else Left(s"HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
-    } catch { case e: Exception => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+    }(e => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
 
   /** DELETE with a body (ES clear-scroll shape); outcome-reported, never
     * throws — callers treat cleanup as best-effort. */
   def delete(url: String, body: String,
       contentType: String = "application/json"): Either[String, String] =
-    try {
-      val resp = client.send(
-        request(url)
-          .header("Content-Type", contentType)
-          .method("DELETE", HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
-        HttpResponse.BodyHandlers.ofString())
+    traced("DELETE", url)(client.send(
+      request(url)
+        .header("Content-Type", contentType)
+        .method("DELETE", HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+      HttpResponse.BodyHandlers.ofString())) { resp =>
       if (resp.statusCode() / 100 == 2) Right(resp.body())
       else Left(s"HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
-    } catch { case e: Exception => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+    }(e => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
 }

@@ -96,6 +96,11 @@ class MainSpec extends AnyFunSuite {
     val conf = graft.util.EsFlavor.esConf(merged)
     assert(conf.hosts == Seq("http://clihost:9400") && conf.timeoutMs == 30000L)
     assert(conf.index == "traces")
+    // ES_DEBUG passes through esEnv untouched and lands on the conf —
+    // the transport-logging knob (EsDebugSpec pins the log lines)
+    val dbg = Main.esEnv(Map.empty, env + ("ES_DEBUG" -> "true"))
+    assert(graft.util.EsFlavor.esConf(dbg).debug)
+    assert(!conf.debug)
   }
 
   test("STRICT_TRACE_ID env/CLI precedence (reference default true under a backend profile)") {

@@ -223,8 +223,11 @@ class TrainPrepQueriesSpec extends AnyFunSuite {
     // is flagged and the decontaminated stage is empty
     if (r("2_train_split")._2 < r("1_corpus")._2)
       assert(r("3_decontaminated")._2 == 0L, s"got $r")
-    assert(r("4_packed")._4 == (if (r("4_packed")._2 == 0L) 0L else 1L) ||
-      r("4_packed")._4 >= 1L)
+    // shard count is exact, not merely ≥1: an empty packed stage must
+    // report 0 shards (no phantom shard), and this fixture packs at most
+    // one budget's worth so a non-empty stage is exactly 1 shard
+    assert(r("4_packed")._4 == (if (r("4_packed")._2 == 0L) 0L else 1L),
+      s"got $r")
     spark.sharedState.cacheManager.clearCache()
   }
 

@@ -78,6 +78,47 @@ class StreamingSplitSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("the hot-bucket cap keeps a witness PER SPLIT: a bridge doc is " +
+      "quarantined even when the bucket overflows (capped-witness regression)") {
+    import spark.implicits._
+    // two IDENTICAL corpus docs carrying different splits share every band
+    // bucket; maxBucket=1 forces the cap. The old smallest-ids-only rule
+    // dropped doc 2's 'test' witness from every bucket, so the bridging
+    // batch doc read as single-anchor 'inherited' train — the exact leak
+    // the invariant forbids. Per-split capping keeps one witness of EACH
+    // split, so the conflict is seen and the verdict is quarantine.
+    val words = (1 to 12).map(i => s"word$i").mkString(" ")
+    val corpus = Seq((1L, words, "train"), (2L, words, "test"))
+      .toDF("doc_id", "text", "split")
+    val batch = Seq((101L, words)).toDF("doc_id", "text")
+    val r = StreamingSplit.assignBatch(corpus, batch, weights, maxBucket = 1)
+      .as[(Long, String, String)].collect().toSeq
+    assert(r == Seq((101L, "quarantine", "quarantine")), s"got $r")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("assignBatchHandle: the returned frames are the run's persisted " +
+      "intermediates; unpersisting them leaves the cache as found") {
+    import spark.implicits._
+    spark.sharedState.cacheManager.clearCache()
+    // a standing corpus index a long-lived caller keeps cached must
+    // SURVIVE per-batch cleanup (the clearCache() hazard the handle avoids)
+    val standing = corpusDf.persist()
+    standing.count()
+    val batch = Seq((101L, base + " three")).toDF("doc_id", "text")
+    val (out, cached) = StreamingSplit.assignBatchHandle(standing, batch, weights)
+    assert(out.count() == 1)
+    assert(cached.size == 2)
+    cached.foreach(_.unpersist(blocking = true))
+    assert(cached.forall(_.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE))
+    assert(standing.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE,
+      "per-batch cleanup must not evict the standing corpus cache")
+    standing.unpersist(blocking = true)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("foreachBatch deployment: streamed micro-batches produce exactly " +
       "the static assignment (batch-parity pin)") {
     import spark.implicits._
