@@ -762,11 +762,107 @@ object CurationQueries {
       |  round(sum(c / n), 6) AS effective_docs
       |FROM sd JOIN g USING (d) GROUP BY source ORDER BY source""".stripMargin
 
+  // --- q188: maximal exact duplicated runs (seed-and-extend) ----------------
+
+  /** Planted boilerplate for q188 (the q186/q127 planted-stream discipline:
+    * a maximal-run inventory over a corpus with no long exact duplicates
+    * proves nothing): every doc_id % 37 == 0 document gets this 64-char
+    * block prepended behind a doc-dependent 0–10 char pad, so the copies
+    * sit at DIFFERENT alignments — the extension pass, not seed luck, must
+    * recover the exact boundaries. */
+  private val RunBoiler =
+    "TERMS: redistribution permitted only with attribution and notice"
+
+  /** q188 — MAXIMAL-RUN INVENTORY: [[TextOps.maximalDupRuns]] (seed-and-
+    * extend ExactSubstr — exact boundaries, any length ≥ w + stride − 1 =
+    * 47) over the planted corpus, rolled up per language of the earlier
+    * occurrence: run count, duplicated chars, longest run, how many runs
+    * the extension pass grew past their seeded core (the evidence the
+    * boundaries are NOT stride-quantized), and self-repetition runs.
+    * Scale: the q124 window relation + an output-proportional pair join;
+    * the rollup is run-keyed. The oracle replays seeds, diagonal
+    * clustering, collision verify, and the char-by-char extension. */
+  def maximalRunInventory(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 37 === 0,
+          concat(lit("xxxxxxxxxx").substr(lit(1),
+              (col("doc_id") % 11).cast("int")),
+            lit(RunBoiler), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+    val runs = TextOps.maximalDupRuns(docs, "text", "doc_id",
+      w = 40, stride = 8)
+    runs.join(docs.select(col("doc_id").as("id_a"), col("lang")), Seq("id_a"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_runs"),
+        sum("run_len").as("dup_chars"),
+        max("run_len").as("max_run"),
+        sum((col("run_len") > col("seeded_len")).cast("long")).as("n_extended"),
+        sum((col("id_a") === col("id_b")).cast("long")).as("n_self"))
+      .orderBy("lang")
+  }
+
+  private def q188OracleSql: String =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |    CASE WHEN doc_id % 37 = 0
+       |      THEN substr('xxxxxxxxxx', 1, (doc_id % 11)::INT)
+       |        || '$RunBoiler' || ' ' || text
+       |      ELSE text END AS text
+       |  FROM documents),
+       |base AS (SELECT doc_id, text AS t, length(text)::BIGINT AS len FROM d),
+       |w AS (SELECT doc_id, i AS pos,
+       |    ('0x' || substr(md5(substr(t, i::INT, 40)), 1, 15))::BIGINT AS h
+       |  FROM base, unnest(range(1, len - 38)) AS u(i) WHERE len >= 40),
+       |s AS (SELECT * FROM w WHERE (pos - 1) % 8 = 0),
+       |p AS (SELECT DISTINCT s.doc_id AS ida, w.doc_id AS idb,
+       |    s.pos - w.pos AS diag, s.pos AS apos
+       |  FROM s JOIN w ON s.h = w.h
+       |    AND (s.doc_id < w.doc_id
+       |      OR (s.doc_id = w.doc_id AND s.pos < w.pos))),
+       |c0 AS (SELECT *, CASE WHEN coalesce(apos - lag(apos) OVER
+       |      (PARTITION BY ida, idb, diag ORDER BY apos), 9223372036854775807) > 8
+       |    THEN 1 ELSE 0 END AS brk FROM p),
+       |c1 AS (SELECT *, sum(brk) OVER (PARTITION BY ida, idb, diag
+       |    ORDER BY apos ROWS UNBOUNDED PRECEDING) AS cid FROM c0),
+       |cl AS (SELECT ida, idb, diag, cid, min(apos) AS amin, max(apos) AS amax
+       |  FROM c1 GROUP BY 1, 2, 3, 4),
+       |tx AS (SELECT cl.ida, cl.idb, cl.diag, cl.amin, cl.amax,
+       |    cl.amin - cl.diag AS bmin, cl.amax - cl.diag AS bmax,
+       |    a.t AS ta, a.len AS la, b.t AS tb, b.len AS lb
+       |  FROM cl JOIN base a ON a.doc_id = cl.ida
+       |    JOIN base b ON b.doc_id = cl.idb),
+       |v AS (SELECT * FROM tx
+       |  WHERE substr(ta, amin::INT, (amax - amin + 40)::INT)
+       |      = substr(tb, bmin::INT, (amax - amin + 40)::INT)),
+       |lm AS (SELECT *, least(7, amin - 1, bmin - 1) AS liml,
+       |    least(7, la - (amax + 39), lb - (bmax + 39)) AS limr FROM v),
+       |e AS (SELECT *,
+       |    coalesce((list_filter(range(1, 8), k -> k > liml
+       |      OR substr(ta, (amin - k)::INT, 1)
+       |        <> substr(tb, (bmin - k)::INT, 1)))[1] - 1, 7) AS extl,
+       |    coalesce((list_filter(range(1, 8), k -> k > limr
+       |      OR substr(ta, (amax + 39 + k)::INT, 1)
+       |        <> substr(tb, (bmax + 39 + k)::INT, 1)))[1] - 1, 7) AS extr
+       |  FROM lm),
+       |runs AS (SELECT ida, idb,
+       |    (amax - amin + 40 + extl + extr)::BIGINT AS run_len,
+       |    (amax - amin + 40)::BIGINT AS seeded_len
+       |  FROM e WHERE amax - amin + 40 + extl + extr >= 47)
+       |SELECT d.lang, count(*)::BIGINT AS n_runs,
+       |  sum(run_len)::BIGINT AS dup_chars,
+       |  max(run_len)::BIGINT AS max_run,
+       |  sum(CASE WHEN run_len > seeded_len THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_extended,
+       |  sum(CASE WHEN ida = idb THEN 1 ELSE 0 END)::BIGINT AS n_self
+       |FROM runs JOIN d ON d.doc_id = runs.ida
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q120_soft_dedup" -> (softDedupWeights _),
     "q121_repetition_profile" -> (repetitionProfile _),
     "q124_substring_spans" -> (substringDupSpans _),
     "q125_substring_cut" -> (substringCut _),
+    "q188_maximal_runs" -> (maximalRunInventory _),
     "q126_char_coverage" -> (charCoverage _),
     "q82_gopher_rules" -> (gopherRules _),
     "q83_doc_chunks" -> (docChunks _),
@@ -784,6 +880,7 @@ object CurationQueries {
     "q121_repetition_profile" -> q121OracleSql,
     "q124_substring_spans" -> q124OracleSql,
     "q125_substring_cut" -> q125OracleSql,
+    "q188_maximal_runs" -> q188OracleSql,
     "q126_char_coverage" -> q126OracleSql,
     "q110_normalize_repair" ->
       """WITH c AS (SELECT source, text,

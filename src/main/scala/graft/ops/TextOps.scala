@@ -401,6 +401,130 @@ object TextOps {
           .as("_h")): _*)
   }
 
+  // --- maximal exact duplicated runs (seed-and-extend ExactSubstr) ----------
+
+  /** MAXIMAL exact duplicated runs — the length-free completion of the
+    * stride-1 window family (CurationQueries q124/q125): Lee et al.'s
+    * ExactSubstr removes duplicated runs of any length ≥ a threshold with
+    * EXACT boundaries; this op reports, for every ordered pair of
+    * occurrences, the maximal run itself. One row per (id_a, id_b,
+    * diagonal) maximal run of length ≥ `w + stride − 1`, with exact
+    * 1-based inclusive char spans in both documents.
+    *
+    * Seed-and-extend (the suffix-array result re-expressed as joins):
+    *  1. SEEDS — every stride-aligned w-char window, hashed h60, joined
+    *     against the stride-1 window relation of the whole corpus (the
+    *     q124 relation — built once, hash-partitioned, both sides read the
+    *     same exchange). Any shared run of length ≥ w + stride − 1
+    *     contains a stride-aligned window in each copy, so every such run
+    *     seeds; the detection threshold is exact and alignment-free.
+    *  2. DIAGONAL CLUSTERING — matched seed positions grouped per (id_a,
+    *     id_b, posA − posB); consecutive in-run seeds differ by exactly
+    *     `stride`, and seeds of DISTINCT runs on one diagonal are ≥ w+1
+    *     apart (a run gap implies a failed window between), so clusters
+    *     split exactly at gaps > stride. Cluster [min, max] brackets the
+    *     run to within stride−1 chars on each side.
+    *  3. VERIFY + EXTEND — per cluster, one substring equality over the
+    *     seeded core rejects h60 collisions (both engines hash md5, so an
+    *     oracle replays even the collision behavior), then ≤ stride−1
+    *     char comparisons per side recover the exact maximal boundaries.
+    *
+    * Scale shape: the window relation is the q124 O(corpus chars) honest
+    * cost; seeds are 1/stride of it — `stride` is the knob trading shuffle
+    * volume against the minimum detectable run (w + stride − 1). The pair
+    * join is output-proportional in TRUE matches; a corpus-hot window
+    * (boilerplate shared by m docs) fans out m²/stride pairs — the
+    * documented skew exposure (same as any ExactSubstr all-pairs result,
+    * which genuinely HAS m² runs); AQE skew-split handles the residual.
+    * Cluster rows are run-proportional; the verify/extend joins carry text
+    * only to run rows, never through the shuffle.
+    *
+    * Reference: Lee et al. 2021 §4.1 (ExactSubstr, suffix-array dedup);
+    * MaximalRunSpec pins equality against a plain-Scala diagonal-walk
+    * reference on planted and random corpora. */
+  def maximalDupRuns(docs: DataFrame, textCol: String, idCol: String,
+      w: Int = 40, stride: Int = 8): DataFrame = {
+    require(w >= 2, s"w=$w must be >= 2")
+    require(stride >= 1 && stride < w, s"stride=$stride must be in [1, w)")
+    val minRun = w + stride - 1
+    val base = Partitioning.spread(docs)
+      .select(col(idCol).as("_id"), col(textCol).as("_t"),
+        length(col(textCol)).cast("long").as("_len"))
+    val wins = base.where(col("_len") >= w)
+      .select(col("_id"), explode(transform(
+        sequence(lit(1L), col("_len") - (w - 1)),
+        i => struct(i.as("pos"),
+          PortableSketch.h60(col("_t").substr(i.cast("int"), lit(w)))
+            .as("h")))).as("_w"))
+      .select(col("_id"), col("_w.pos").as("_pos"), col("_w.h").as("_h"))
+      .repartition(col("_h"))
+      .persist() // seeds are a filter of this SAME relation: one exchange
+    val seeds = wins.where(((col("_pos") - 1) % stride) === 0)
+    // orientation: the seed side is the lexicographically smaller
+    // occurrence — each direction of a run seeds symmetrically, so keeping
+    // one costs nothing and dedupes the (A,B)/(B,A) double report
+    val pairs = seeds.as("a").join(wins.as("b"),
+        col("a._h") === col("b._h") &&
+          (col("a._id") < col("b._id") ||
+            (col("a._id") === col("b._id") && col("a._pos") < col("b._pos"))))
+      .select(col("a._id").as("_ida"), col("b._id").as("_idb"),
+        (col("a._pos") - col("b._pos")).as("_diag"),
+        col("a._pos").as("_apos"))
+      .distinct()
+    val byDiag = org.apache.spark.sql.expressions.Window
+      .partitionBy("_ida", "_idb", "_diag").orderBy("_apos")
+    val clusters = pairs
+      .withColumn("_brk",
+        when(coalesce(col("_apos") - lag("_apos", 1).over(byDiag),
+          lit(Long.MaxValue)) > stride, 1L).otherwise(0L))
+      .withColumn("_cid", sum("_brk").over(byDiag))
+      .groupBy("_ida", "_idb", "_diag", "_cid")
+      .agg(min("_apos").as("_amin"), max("_apos").as("_amax"))
+    val withTexts = clusters
+      .join(base.select(col("_id").as("_ida"), col("_t").as("_ta"),
+        col("_len").as("_la")), Seq("_ida"))
+      .join(base.select(col("_id").as("_idb"), col("_t").as("_tb"),
+        col("_len").as("_lb")), Seq("_idb"))
+      .withColumn("_bmin", col("_amin") - col("_diag"))
+      .withColumn("_bmax", col("_amax") - col("_diag"))
+    val coreLen = (col("_amax") - col("_amin") + w).cast("int")
+    val verified = withTexts.where(
+      col("_ta").substr(col("_amin").cast("int"), coreLen) ===
+        col("_tb").substr(col("_bmin").cast("int"), coreLen))
+    // boundary extension: the first failing offset in 1..stride−1 (either
+    // a char mismatch or running off a document edge via lim) caps the
+    // extension; no failure means the full stride−1 (the cluster-bracket
+    // guarantee makes more impossible). `k > lim` dominates its OR, so the
+    // out-of-range substr operand is never load-bearing — engine-portable.
+    def ext(lim: Column, posA: Column, posB: Column, dir: Int): Column =
+      if (stride <= 1) lit(0L)
+      else {
+        val fails = filter(sequence(lit(1L), lit((stride - 1).toLong)), k =>
+          (k > lim) ||
+            col("_ta").substr((posA + k * dir).cast("int"), lit(1)) =!=
+              col("_tb").substr((posB + k * dir).cast("int"), lit(1)))
+        coalesce(get(fails, lit(0)) - 1, lit((stride - 1).toLong))
+      }
+    val limL = least(lit((stride - 1).toLong),
+      col("_amin") - 1, col("_bmin") - 1)
+    val limR = least(lit((stride - 1).toLong),
+      col("_la") - (col("_amax") + (w - 1)),
+      col("_lb") - (col("_bmax") + (w - 1)))
+    verified
+      .withColumn("_extl", ext(limL, col("_amin"), col("_bmin"), -1))
+      .withColumn("_extr", ext(limR, col("_amax") + lit((w - 1).toLong),
+        col("_bmax") + lit((w - 1).toLong), 1))
+      .select(col("_ida").as("id_a"), col("_idb").as("id_b"),
+        (col("_amin") - col("_extl")).cast("long").as("a_s"),
+        (col("_amax") + (w - 1) + col("_extr")).cast("long").as("a_e"),
+        (col("_bmin") - col("_extl")).cast("long").as("b_s"),
+        (col("_bmax") + (w - 1) + col("_extr")).cast("long").as("b_e"),
+        (col("_amax") - col("_amin") + w + col("_extl") + col("_extr"))
+          .cast("long").as("run_len"),
+        (col("_amax") - col("_amin") + w).cast("long").as("seeded_len"))
+      .where(col("run_len") >= minRun)
+  }
+
   // --- convenience: full annotation pass -----------------------------------
 
   /** One projection adding all text-analysis columns — a single scan, no
