@@ -4,21 +4,19 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.expr.GraftFunctions.ensureRegistered(spark)
+
+  /** The query filter (unset on the driver): comma-separated name
+    * substrings from SPARK_GRAFT_ONLY. */
+  private[graft] def onlyFilter: Option[Seq[String]] =
+    sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+
+  /** Dump every selected query's result for ONE corpus dir plus the
+    * oracle_sql.json the DuckDB compare replays — shared by the driver's
+    * full-testdata run (main below) and the fuzz harness
+    * ([[FuzzVerify]]), so both verify the EXACT production query surface. */
+  private[graft] def dump(spark: SparkSession, sfDir: String, outDir: String,
+      only: Option[Seq[String]]): Unit = {
     new java.io.File(outDir).mkdirs()
-    // Local-iteration filter (unset on the driver): run only queries whose
-    // name contains one of the comma-separated substrings.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.contains)) }
     // Loud subset guard: if the filter leaks into a driver/CI run, the
@@ -70,6 +68,55 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+  }
+
+  private[graft] def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val spark = session()
+    dump(spark, sfDir, outDir, onlyFilter)
+    spark.stop()
+  }
+}
+
+/** Fuzz-verification entry: replay the (filtered) query surface over EVERY
+  * corpus under `<corporaRoot>/<name>/` into `<outRoot>/<name>/` in one
+  * JVM — the fixed-testdata gate cannot catch data-shape-conditional
+  * divergence, so tools/fuzz_diff.py generates randomized corpora (sizes,
+  * unicode planes, whitespace/empty skew, duplicate rates) and DuckDB-
+  * compares each dump with the same oracle_check.py the driver runs. */
+object FuzzVerify {
+  def main(args: Array[String]): Unit = {
+    val Array(corporaRoot, outRoot) = args
+    val spark = Verify.session()
+    val dirs = new java.io.File(corporaRoot).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    require(dirs.nonEmpty, s"no corpus dirs under $corporaRoot")
+    dirs.foreach { name =>
+      // per-corpus rotation: the generator writes _queries.txt (comma-
+      // separated full names) so each corpus replays ITS subset; the
+      // SPARK_GRAFT_ONLY env is the fallback for ad-hoc runs
+      val qfile = Paths.get(s"$corporaRoot/$name/_queries.txt")
+      val filter =
+        if (Files.exists(qfile))
+          Some(Files.readString(qfile).trim.split(",").toSeq)
+        else Verify.onlyFilter
+      System.err.println(s"[fuzz-verify] corpus $name " +
+        s"(${filter.map(_.size.toString).getOrElse("all")} queries)")
+      Verify.dump(spark, s"$corporaRoot/$name", s"$outRoot/$name", filter)
+    }
     spark.stop()
   }
 }

@@ -133,7 +133,11 @@ object TextHash {
         j += 1
       }
     }
-    if (nt < n) fold(0, total)
+    // zero-token text folds NO grams — the signature stays all
+    // Long.MaxValue, the empty-set minhash (mirrors wordNGrams' empty
+    // gram set; sketch consumers drop zero-gram docs before banding)
+    if (nt == 0) ()
+    else if (nt < n) fold(0, total)
     else {
       var w = 0
       while (w <= nt - n) {
@@ -311,6 +315,15 @@ object TextHash {
       pos += blen(t)
       t += 1
     }
+    // zero-token text has NO grams (empty array, not a degenerate ""
+    // gram): a document with no tokens shares nothing, and the DuckDB
+    // oracles agree explicitly (their CASE yields [] at len(t)=0 —
+    // array_to_string([]) is NULL there, so the old "" fallback silently
+    // paired all empty docs on the Spark side only; found by
+    // tools/fuzz_diff.py on an empty-text-skewed corpus)
+    if (nt == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
     if (nt < n)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
         Array[Any](UTF8String.fromBytes(buf, 0, total)))

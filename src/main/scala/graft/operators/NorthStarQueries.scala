@@ -109,8 +109,7 @@ object NorthStarQueries {
     // constants into one codegen'd projection — right for a small coarse
     // quantizer; past that cap use the broadcast-model form
     // (Similarity.ivfAssignModel, exercised at nlist=40 by q75)
-    val centroids = emb
-      .where(pmod(col("vec_id"), lit(50)) === 0 && col("vec_id") < 800)
+    val centroids = graft.ops.SemDedup.idRankSample(emb, "vec_id", 50, 800)
       .orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Double](0).toArray)
     val assigned = emb.withColumn("cid",
@@ -142,8 +141,7 @@ object NorthStarQueries {
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val emb = table(spark, dir, "embeddings")
       .withColumn("embedding", col("embedding").cast("array<double>"))
-    val centroids = emb
-      .where(pmod(col("vec_id"), lit(50)) === 0 && col("vec_id") < 800)
+    val centroids = graft.ops.SemDedup.idRankSample(emb, "vec_id", 50, 800)
       .orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Double](0).toArray)
     val assigned = emb.withColumn("cid",
@@ -177,8 +175,7 @@ object NorthStarQueries {
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val emb = table(spark, dir, "embeddings")
       .withColumn("embedding", col("embedding").cast("array<double>"))
-    val centroids = emb
-      .where(pmod(col("vec_id"), lit(50)) === 0 && col("vec_id") < 800)
+    val centroids = graft.ops.SemDedup.idRankSample(emb, "vec_id", 50, 800)
       .orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Double](0).toArray)
     // persist the assignment: it feeds the query side, the bucket join's
@@ -265,8 +262,7 @@ object NorthStarQueries {
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val emb = table(spark, dir, "embeddings")
       .withColumn("embedding", col("embedding").cast("array<double>"))
-    val centroids = emb
-      .where(pmod(col("vec_id"), lit(20)) === 0 && col("vec_id") < 800)
+    val centroids = graft.ops.SemDedup.idRankSample(emb, "vec_id", 20, 800)
       .orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Double](0).toArray)
     val assigned = emb.withColumn("cid",
@@ -296,8 +292,7 @@ object NorthStarQueries {
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val emb = table(spark, dir, "embeddings")
       .withColumn("embedding", col("embedding").cast("array<double>"))
-    val centroids = emb
-      .where(pmod(col("vec_id"), lit(20)) === 0 && col("vec_id") < 800)
+    val centroids = graft.ops.SemDedup.idRankSample(emb, "vec_id", 20, 800)
       .orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Double](0).toArray)
     val assigned = emb.withColumn("cid",
@@ -333,8 +328,7 @@ object NorthStarQueries {
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val emb = table(spark, dir, "embeddings")
       .withColumn("embedding", col("embedding").cast("array<double>"))
-    val sample = emb
-      .where(pmod(col("vec_id"), lit(50)) === 0 && col("vec_id") < 800)
+    val sample = graft.ops.SemDedup.idRankSample(emb, "vec_id", 50, 800)
       .orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Double](0).toArray)
     val books = Array.tabulate(8)(m => sample.map(_.slice(m * 8, m * 8 + 8)))
@@ -1133,7 +1127,8 @@ object NorthStarQueries {
   /** Shared DuckDB fragments for the word-3-gram pair oracles (q24, q48). */
   private[operators] val gramsCte =
     "toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t FROM documents), " +
-      "grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+      "grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[]) " +
+      "WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
       "ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' ')) END) AS g FROM toks)"
   /** q138/q139 shared replay: uncapped basket edges (the 256 cap cannot
     * bind — ≤ 7 lineitems per order), (degree, id) tuple-ordered
@@ -1258,7 +1253,7 @@ object NorthStarQueries {
   private def ivfOracleSql(centroidEvery: Int, nprobe: Int = 1): String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci, v AS cv " +
-      s"FROM e WHERE vec_id % $centroidEvery = 0 AND vec_id < 800), " +
+      s"FROM (SELECT vec_id, v FROM (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM e) WHERE (rk - 1) % $centroidEvery = 0 AND rk <= 800)), " +
       "sa AS (SELECT e.vec_id, e.v, c.ci, " + cosineAssignSql("e.v", "c.cv") + " AS sim " +
       "FROM e CROSS JOIN cent c), " +
       "rs AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, ci DESC) AS rn FROM sa), " +
@@ -1278,7 +1273,7 @@ object NorthStarQueries {
   private def annRecallOracleSql: String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci, v AS cv " +
-      "FROM e WHERE vec_id % 50 = 0 AND vec_id < 800), " +
+      "FROM (SELECT vec_id, v FROM (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM e) WHERE (rk - 1) % 50 = 0 AND rk <= 800)), " +
       "sa AS (SELECT e.vec_id, e.v, c.ci, " + cosineAssignSql("e.v", "c.cv") + " AS sim " +
       "FROM e CROSS JOIN cent c), " +
       "rs AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, ci DESC) AS rn FROM sa), " +
@@ -1324,7 +1319,7 @@ object NorthStarQueries {
   private def pqOracleSql: String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci, v AS cv " +
-      "FROM e WHERE vec_id % 50 = 0 AND vec_id < 800), " +
+      "FROM (SELECT vec_id, v FROM (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM e) WHERE (rk - 1) % 50 = 0 AND rk <= 800)), " +
       // corpus-side IVF assignment, identical to ivfOracleSql
       "sa AS (SELECT e.vec_id, e.v, c.ci, " + cosineAssignSql("e.v", "c.cv") + " AS sim " +
       "FROM e CROSS JOIN cent c), " +

@@ -404,21 +404,38 @@ object PipelineQueries {
 
   /** q56 — distribution quantiles per language: exact percentiles
     * (interpolated, matching DuckDB quantile_cont) alongside the
-    * fixed-size-sketch approximation (approx_percentile / KLL-style) that a
+    * fixed-size-sketch approximation (approx_percentile / GK-style) that a
     * 100 TB run would use — surfaced like q34's HLL as an `approx_ok`
     * accuracy bound the oracle pins TRUE, since DuckDB cannot reproduce
-    * Spark's sketch internals. */
-  def charQuantiles(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
-      .groupBy("lang")
+    * Spark's sketch internals. The bound is the sketch's actual RANK-error
+    * guarantee (|rank(ap50) − n/2| ≤ n/accuracy + 2), measured by counting
+    * the group's elements on each side of the sketch value — a theorem of
+    * the GK summary, so it holds on ANY distribution. (The earlier
+    * value-distance tolerance |ap50 − p50| ≤ 5%·p50+2 flipped FALSE on
+    * distributions sparse around the median, where the nearest true
+    * element legitimately sits far from the interpolated p50 — a
+    * tools/fuzz_diff.py find.) */
+  def charQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val base = docs.groupBy("lang")
       .agg(
         round(expr("percentile(n_chars, 0.5D)"), 4).as("p50"),
         round(expr("percentile(n_chars, 0.9D)"), 4).as("p90"),
         round(expr("percentile(n_chars, 0.99D)"), 4).as("p99"),
         expr("approx_percentile(n_chars, 0.5D, 10000)").as("_ap50"))
+    docs.select(col("lang"), col("n_chars"))
+      .join(broadcast(base), Seq("lang"))
+      .groupBy("lang")
+      .agg(first("p50").as("p50"), first("p90").as("p90"),
+        first("p99").as("p99"),
+        sum(when(col("n_chars") < col("_ap50"), 1L).otherwise(0L)).as("_below"),
+        sum(when(col("n_chars") > col("_ap50"), 1L).otherwise(0L)).as("_above"),
+        count(lit(1)).as("_n"))
       .select(col("lang"), col("p50"), col("p90"), col("p99"),
-        (abs(col("_ap50") - col("p50")) <= col("p50") * 0.05 + lit(2.0)).as("approx_ok"))
+        (col("_below") <= col("_n") / 2 + col("_n") / 10000 + 2 &&
+          col("_above") <= col("_n") / 2 + col("_n") / 10000 + 2).as("approx_ok"))
       .orderBy("lang")
+  }
 
   /** q57 — vocabulary statistics: top-5 tokens per language by document
     * frequency (each token counted once per document — the inverted-index /
@@ -1115,8 +1132,13 @@ object PipelineQueries {
     * count. Tokens materialize as a column before the bigram transform
     * (lambda-captured expressions re-evaluate per element). */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    // zero-token docs carry no bigrams — excluded on BOTH sides (the
+    // whole-text fallback would otherwise count a "" gram here while the
+    // oracle's list_distinct drops NULLs and reports rep=1.0; a
+    // tools/fuzz_diff.py divergence class)
     val tk = table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("_ts"))
+      .where(size(col("_ts")) > 0)
     val g = tk.withColumn("_grams",
       when(size(col("_ts")) < 2, array(concat_ws(" ", col("_ts"))))
         .otherwise(transform(sequence(lit(0), size(col("_ts")) - 2),
@@ -1510,7 +1532,8 @@ object PipelineQueries {
         |FROM pres JOIN tot USING(source) ORDER BY source""".stripMargin,
     "q80_ngram_novelty" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
-        |grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+        |  WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
         |  ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' ')) END) AS g FROM toks),
         |ex AS (SELECT doc_id, ('0x'||substr(md5(g2),1,15))::BIGINT AS h
         |       FROM (SELECT doc_id, unnest(g) AS g2 FROM grams)),
@@ -1587,7 +1610,7 @@ object PipelineQueries {
         |    CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')]
         |         ELSE [array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))]
         |    END AS grams
-        |  FROM tk),
+        |  FROM tk WHERE len(ts) > 0),
         |r AS (
         |  SELECT lang, len(grams) AS total, len(list_distinct(grams)) AS uniq,
         |    1 - len(list_distinct(grams))::DOUBLE / len(grams) AS rep
@@ -1804,7 +1827,8 @@ object PipelineQueries {
     // oracles); the sketch estimate surfaces only through approx_ok = TRUE
     "q59_source_overlap" ->
       ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t FROM documents), " +
-        "grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[]) " +
+        "WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
         "ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' ')) END) AS g FROM toks), " +
         "sg AS (SELECT DISTINCT d.source, u.gr FROM grams JOIN documents d USING (doc_id), UNNEST(grams.g) AS u(gr)), " +
         "sz AS (SELECT source, count(*) AS n FROM sg GROUP BY source), " +

@@ -280,7 +280,8 @@ object PortableQueries {
       |  FROM $src),
       |g AS (
       |  SELECT doc_id,
-      |    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+      |    CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
+      |         WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
       |         ELSE list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)])
       |    END AS grams
       |  FROM w),
@@ -289,7 +290,7 @@ object PortableQueries {
       |    [list_min([(('0x'||substr(md5(g2),1,15))::BIGINT
       |               + i * (('0x'||substr(md5(g2),17,15))::BIGINT % 72057594037927936)) % 1152921504606846976
       |              for g2 in grams]) for i in range(0,16)] AS sig
-      |  FROM g),
+      |  FROM g WHERE len(grams) > 0),
       |b AS (
       |  SELECT doc_id, band, array_to_string(sig[band*4+1 : band*4+4], ',') AS key
       |  FROM s, (SELECT unnest(range(0,4)) AS band)),
@@ -316,9 +317,11 @@ object PortableQueries {
           |       FROM documents)
           |SELECT cl.rep AS cluster_rep, count(*) AS n_docs,
           |  -- (tokens desc, id asc) arg-max, encoded arithmetically because
-          |  -- DuckDB 1.0 max_by lacks struct keys; exact while doc_id < 10^7
-          |  -- (the Spark side uses the domain-free struct ordering)
-          |  max_by(cl.id, tk.tokens * 10000000 - cl.id) AS keep_doc,
+          |  -- DuckDB max_by lacks struct keys; the HUGEINT 2^64 multiplier
+          |  -- keeps the encoding exact for ANY BIGINT doc_id (the old 10^7
+          |  -- scale flipped the winner at sparse ids — a fuzz_diff find;
+          |  -- the Spark side uses the domain-free struct ordering)
+          |  max_by(cl.id, tk.tokens::HUGEINT * 18446744073709551616::HUGEINT - cl.id) AS keep_doc,
           |  max(tk.tokens) AS keep_tokens
           |FROM cl JOIN tk ON tk.doc_id = cl.id
           |GROUP BY cl.rep ORDER BY cluster_rep""".stripMargin),

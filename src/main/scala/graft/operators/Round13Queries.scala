@@ -815,7 +815,7 @@ object Round13Queries {
     * list_reduce accumulator, the q117 trick — DuckDB's fold accumulator
     * must share the element type) and the same global-dup rollup. */
   private def q171OracleSql: String =
-    s"""WITH $cdcOracleCtes,
+    s"""WITH RECURSIVE $cdcOracleCtes,
        |cnt AS (SELECT h, count(*) AS n FROM hk GROUP BY 1)
        |SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
        |  count(*)::BIGINT AS n_chunks,
@@ -839,6 +839,13 @@ object Round13Queries {
     * for every oracle that needs it (a silent constant/rule divergence
     * between the q171-family and q186 would otherwise only surface as a
     * hash mismatch). */
+  /** Callers must open with `WITH RECURSIVE`: the greedy min-length fold
+    * is a recursive CTE stepping one candidate per round. It replaced a
+    * `list_reduce` string-accumulator fold after tools/fuzz_diff.py caught
+    * DuckDB 1.0 mis-folding one row when the lambda runs over a full
+    * multi-row vector (correct under a one-row filter, wrong values that
+    * appear in NO row's candidate list otherwise) — the recursive form is
+    * plain relational algebra with no lambda state to misalign. */
   private[operators] def cdcOracleCtesFor(srcSql: String): String = {
     val (w, mask, minLen) = (graft.ops.TextOps.CdcW,
       graft.ops.TextOps.CdcMask, graft.ops.TextOps.CdcMinLen)
@@ -849,15 +856,22 @@ object Round13Queries {
        |        i -> CASE WHEN ('0x' || substr(md5(substr(t, i - ${w - 1}, $w)), 1, 15))::BIGINT % $mask = 0 THEN i END),
        |      x -> x IS NOT NULL) ELSE CAST([] AS BIGINT[]) END AS cands
        |  FROM c),
-       |bsr AS (SELECT *, string_split(list_reduce(list_prepend('0',
-       |      list_transform(cands, x -> x::VARCHAR)),
-       |      (acc, x) -> CASE WHEN x::INT - (string_split(acc, '|')[-1])::INT >= $minLen
-       |        THEN acc || '|' || x ELSE acc END), '|') AS bsl
-       |  FROM cd),
+       |fold(doc_id, source, k, lastb, acc) AS (
+       |  SELECT doc_id, source, 0::BIGINT, 0::BIGINT, CAST([] AS BIGINT[]) FROM cd
+       |  UNION ALL
+       |  SELECT f.doc_id, f.source, f.k + 1,
+       |    CASE WHEN cd.cands[(f.k + 1)::INT] - f.lastb >= $minLen
+       |      THEN cd.cands[(f.k + 1)::INT] ELSE f.lastb END,
+       |    CASE WHEN cd.cands[(f.k + 1)::INT] - f.lastb >= $minLen
+       |      THEN list_append(f.acc, cd.cands[(f.k + 1)::INT]) ELSE f.acc END
+       |  FROM fold f JOIN cd ON cd.doc_id = f.doc_id AND cd.source = f.source
+       |  WHERE f.k < len(cd.cands)),
+       |bsr AS (SELECT f.doc_id, f.source, cd.t, cd.L, f.acc FROM fold f
+       |  JOIN cd ON cd.doc_id = f.doc_id AND cd.source = f.source
+       |  WHERE f.k = len(cd.cands)),
        |en AS (SELECT doc_id, source, t,
-       |    CASE WHEN L > (bsl[-1])::INT
-       |      THEN list_append(list_transform(bsl[2:], x -> x::INT), L::INT)
-       |      ELSE list_transform(bsl[2:], x -> x::INT) END AS ends
+       |    CASE WHEN L > coalesce(acc[-1], 0)
+       |      THEN list_append(acc, L::BIGINT) ELSE acc END AS ends
        |  FROM bsr),
        |ch AS (SELECT doc_id, source,
        |    CASE WHEN u.i = 1 THEN 0 ELSE ends[u.i - 1] END AS s0, ends[u.i] AS e0, t
@@ -1007,7 +1021,7 @@ object Round13Queries {
   }
 
   private def q173OracleSql: String =
-    s"""WITH $cdcOracleCtes,
+    s"""WITH RECURSIVE $cdcOracleCtes,
        |cs AS (SELECT DISTINCT doc_id, h FROM hk),
        |sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM cs GROUP BY 1),
        |rare AS (SELECT h FROM (SELECT h, count(*) AS d FROM cs GROUP BY 1)
@@ -1060,7 +1074,7 @@ object Round13Queries {
   }
 
   private def q174OracleSql: String =
-    s"""WITH ${cdcOracleCtesFor("SELECT doc_id, source, text FROM documents")},
+    s"""WITH RECURSIVE ${cdcOracleCtesFor("SELECT doc_id, source, text FROM documents")},
        |cidx AS (SELECT DISTINCT h FROM hk WHERE source NOT IN ('src18','src19')),
        |bch AS (SELECT DISTINCT doc_id, h FROM hk WHERE source IN ('src18','src19')),
        |tot AS (SELECT doc_id, count(*)::BIGINT AS n_chunks FROM bch GROUP BY 1),

@@ -61,7 +61,7 @@ object SelectionQueries {
   private def q91OracleSql: String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci, v AS cv " +
-      s"FROM e WHERE vec_id % $KmInitEvery = 0 AND vec_id < $KmInitMax), " +
+      s"FROM (SELECT vec_id, v FROM (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM e) WHERE (rk - 1) % $KmInitEvery = 0 AND rk <= $KmInitMax)), " +
       assignCte("c0", "a0") + ", " + updateCte("a0", "c1") + ", " +
       assignCte("c1", "a1") + ", " + updateCte("a1", "c2") + ", " +
       assignCte("c2", "a2") + ", " +
@@ -115,7 +115,7 @@ object SelectionQueries {
   private def q155OracleSql: String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci, v AS cv " +
-      s"FROM e WHERE vec_id % $KmInitEvery = 0 AND vec_id < $KmInitMax), " +
+      s"FROM (SELECT vec_id, v FROM (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM e) WHERE (rk - 1) % $KmInitEvery = 0 AND rk <= $KmInitMax)), " +
       assignCte("c0", "a0") + ", " + updateCte("a0", "c1") + ", " +
       assignCte("c1", "a1") + ", " + updateCte("a1", "c2") + ", " +
       // all k cosines per vector against the fitted model, then own/other
@@ -176,7 +176,7 @@ object SelectionQueries {
   private def q119OracleSql: String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci, v AS cv " +
-      s"FROM e WHERE vec_id % $KmInitEvery = 0 AND vec_id < $KmInitMax), " +
+      s"FROM (SELECT vec_id, v FROM (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM e) WHERE (rk - 1) % $KmInitEvery = 0 AND rk <= $KmInitMax)), " +
       assignCte("c0", "a0") + ", " + updateCte("a0", "c1") + ", " +
       assignCte("c1", "a1") + ", " + updateCte("a1", "c2") + ", " +
       assignCte("c2", "a2") + ", " +

@@ -920,7 +920,7 @@ object TrainPrepQueries {
          |      THEN '$TemplateBoiler' || ' ' || source || ' ' || text
          |      ELSE text END AS text
          |  FROM documents""".stripMargin)
-    s"""WITH $ctes,
+    s"""WITH RECURSIVE $ctes,
        |g AS (SELECT h AS chunk_hash, max(clen)::BIGINT AS chunk_len,
        |    count(DISTINCT doc_id)::BIGINT AS n_docs,
        |    count(DISTINCT source)::BIGINT AS n_sources

@@ -59,10 +59,17 @@ object PortableSketch {
     * tokens collapse to one whole-text gram) make every signature total,
     * even for empty text. */
   def minhashSigFromGrams(grams: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(grams, g =>
-        (h60(g) + lit(i.toLong) * (h60b(g) % lit(H2Mod))) % lit(SigMod)))
-    }: _*)
+    // empty gram set → the empty-set minhash (all Long.MaxValue), matching
+    // the fused kernel's fold-of-nothing; array_min over [] would yield
+    // NULL elements instead (pipelines filter zero-gram docs before
+    // signatures — this keeps the two spec-pinned forms element-equal on
+    // ANY input, including zero-token texts)
+    when(size(grams) === 0,
+      array((0 until k).map(_ => lit(Long.MaxValue)): _*))
+      .otherwise(array((0 until k).map { i =>
+        array_min(transform(grams, g =>
+          (h60(g) + lit(i.toLong) * (h60b(g) % lit(H2Mod))) % lit(SigMod)))
+      }: _*))
 
   /** Fused single-pass signature: one reused MessageDigest, one md5 per
     * gram, both 60-bit halves read straight off the digest bytes, k affine
@@ -126,9 +133,15 @@ object PortableSketch {
     // work once per row before the k-permutation loop reads it k times
     // (CollapseProject leaves multi-referenced non-trivial aliases alone)
     graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
+    // zero-gram (zero-token) docs take no part in the sketch relation — a
+    // doc with no content shares nothing (the wordNGrams empty-set rule;
+    // without the filter every empty doc holds the identical fold-of-
+    // nothing signature and they all pair at estimate 1.0, which the
+    // oracle's NULL-signature algebra rejects — a fuzz_diff find)
     val sigs = Partitioning.spread(df)
       .select(col(idCol).as("_id"),
         graft.expr.GraftFunctions.wordNGrams(col(textCol), n).as("_grams"))
+      .where(size(col("_grams")) > 0)
       .select(col("_id"), minhashSigFromGramsFast(col("_grams"), k).as("_sig"))
       .persist() // compact sketch frame; band explode re-derives per branch
     nearDupsFromSigs(sigs, k, bands, threshold, maxBucket)
@@ -399,9 +412,13 @@ object PortableSketch {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rows = k / bands
     graft.expr.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    // zero-gram docs are absent from BOTH sketch sides (minhashNearDups'
+    // rule): an empty batch doc has no witness and stays ADMITTED via the
+    // final anti-join, an empty corpus doc can't witness anything
     def sigs(df: DataFrame): DataFrame = Partitioning.spread(df)
       .select(col(idCol).as("_id"),
         graft.expr.GraftFunctions.wordNGrams(col(textCol), n).as("_grams"))
+      .where(size(col("_grams")) > 0)
       .select(col("_id"), minhashSigFromGramsFast(col("_grams"), k).as("_sig"))
     // shuffled band keys are xxhash64 of the portable string key — same
     // 8-byte narrow-intermediate treatment (and output equivalence

@@ -37,17 +37,35 @@ object SemDedup {
     * labeled centroids after `iters` (assign → update) rounds. Labels are
     * the initial centroid ordinals (0-based, in `idCol` order); a label
     * vanishes if its cluster empties. */
+  /** Deterministic bounded model sample — the rows at 1-based id-RANK 1,
+    * every+1, 2·every+1, … among the `maxRank` smallest ids. This is the
+    * no-RNG, SQL-replayable seed rule behind every coarse/kmeans/PQ model:
+    * rank-based, so ANY id distribution yields the same bounded, non-empty
+    * (for a non-empty input) sample. The historical
+    * `id % every == 0 && id < maxRank` form assumed dense 0-based ids and
+    * matched NOTHING on sparse ids (a tools/fuzz_diff.py corpus class); on
+    * dense 0-based ids both rules pick identical rows, so testdata outputs
+    * are unchanged. Shape: TakeOrdered(maxRank) then a ≤ maxRank-row local
+    * rank — never a corpus-wide window. */
+  def idRankSample(df: DataFrame, idCol: String, every: Int,
+      maxRank: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    df.orderBy(col(idCol)).limit(maxRank)
+      .withColumn("_rk", row_number().over(w))
+      .where(((col("_rk") - 1) % every) === 0).drop("_rk")
+  }
+
   def kmeansFit(df: DataFrame, vecCol: String, idCol: String,
       initEvery: Int, initMax: Long, iters: Int): Seq[(Int, Array[Double])] = {
     graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
     val e = df.select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
-    // Init: every initEvery-th vector below initMax — bounded centroid count
-    // at any corpus scale, no RNG, replayable in SQL.
-    val init = e.where(col("_id") % initEvery === 0 && col("_id") < initMax)
+    // Init: every initEvery-th vector by id-rank below rank initMax —
+    // bounded centroid count at any corpus scale, no RNG, replayable in SQL.
+    val init = idRankSample(e, "_id", initEvery, initMax.toInt)
       .orderBy("_id").select("_v").collect()
       .map(_.getSeq[Double](0).toArray).zipWithIndex.map(_.swap).toSeq
-    require(init.nonEmpty, s"no init centroids: $idCol % $initEvery == 0 && < $initMax matched nothing")
+    require(init.nonEmpty, s"no init centroids: empty input frame")
     var cents = init
     var i = 0
     while (i < iters) {

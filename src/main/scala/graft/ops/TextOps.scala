@@ -55,12 +55,16 @@ object TextOps {
       transform(sequence(lit(1), length(t) - (n - 1)), i => substring(t, i, lit(n))))
   }
 
-  /** Word n-gram shingles (distinct), from whitespace tokens. */
+  /** Word n-gram shingles (distinct), from whitespace tokens. Zero-token
+    * text yields an EMPTY set (no degenerate "" gram — a document with no
+    * tokens shares nothing; the expression kernel and the DuckDB oracles
+    * agree, see TextHash.wordNGrams). */
   def wordShingles(text: Column, n: Int): Column = {
     val ts = tokens(text)
     array_distinct(
-      when(size(ts) < n, array(concat_ws(" ", ts))).otherwise(
-        transform(sequence(lit(0), size(ts) - n),
+      when(size(ts) === 0, typedLit(Seq.empty[String]))
+        .when(size(ts) < n, array(concat_ws(" ", ts)))
+        .otherwise(transform(sequence(lit(0), size(ts) - n),
           i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
   }
 

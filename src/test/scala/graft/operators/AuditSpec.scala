@@ -13,23 +13,28 @@ class AuditSpec extends AnyFunSuite {
   test("q104: probe-2 recovers the cross-boundary neighbors probe-1 misses") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("audit-emb").toString
-    // Two coarse buckets (centroids = vec 0 and vec 50); queries are ids<10.
-    // v1/v52 land in bucket 0, v51 in bucket 1 — each query's single-probe
-    // candidate set is its own bucket only, so the bucket-1 vectors are
-    // reachable only at nprobe=2, while brute force ranks all four others.
-    Seq(
-      (0L, Array(1.0f, 0.0f), 0),    // query + centroid 0
-      (1L, Array(0.8f, 0.6f), 0),    // query, bucket 0 (cos .8 vs .6)
-      (50L, Array(0.0f, 1.0f), 0),   // centroid 1
-      (51L, Array(0.6f, 0.8f), 0),   // bucket 1
-      (52L, Array(0.98f, 0.2f), 0))  // bucket 0
+    // Two coarse buckets: centroids are the id-RANK 1 and 51 vectors (the
+    // distribution-free seed rule) — id 0 (+x) and id 58 (+y), with 48
+    // antipodal (−x) spacer rows at ids 10..57 lifting id 58 to rank 51.
+    // Queries are ids < 10 (0 and 1, both +x-leaning → bucket A); the −x
+    // spacers and the (.6,.8) neighbor assign to bucket B (cos 0 > −1,
+    // .8 > .6), so probe-1 sees only {1, 60} while the exact top-5 truth
+    // crosses the boundary: q0 = {60, 1, 59, 58, 10}, q1 = {59, 60, 0, 58,
+    // 10} (spacer ties at equal cosine break to the smaller id). Hits 2/5
+    // at probe-1; probe-2 reaches both buckets → 5/5.
+    val spacers = (10L until 58L).map(i => (i, Array(-1.0f, 0.0f), 0))
+    (Seq(
+      (0L, Array(1.0f, 0.0f), 0),    // query + centroid A (rank 1)
+      (1L, Array(0.8f, 0.6f), 0)) ++ // query, bucket A (cos .8 vs .6)
+      spacers ++ Seq(
+      (58L, Array(0.0f, 1.0f), 0),   // centroid B (rank 51)
+      (59L, Array(0.6f, 0.8f), 0),   // bucket B — the cross-boundary miss
+      (60L, Array(0.98f, 0.2f), 0))) // bucket A
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val r = NorthStarQueries.annRecall(spark, dir)
       .as[(Long, Long, Long, Double, Double)].collect().toSeq
-    // truth top-5 per query = all 4 non-self vectors; single-probe sees the
-    // 2 same-bucket ones -> recall 2/5, double-probe sees all 4 -> 4/5
-    assert(r == Seq((0L, 2L, 4L, 0.4, 0.8), (1L, 2L, 4L, 0.4, 0.8)))
+    assert(r == Seq((0L, 2L, 5L, 0.4, 1.0), (1L, 2L, 5L, 0.4, 1.0)), s"got $r")
   }
 
   test("q104: one bucket means both probe depths are exact") {
@@ -111,19 +116,25 @@ class AuditSpec extends AnyFunSuite {
   test("q109: lossless codebook makes PQ exact, so recall is the bucket's share") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("audit-pq").toString
-    // every corpus vector EQUALS one of the codebook sample vectors (ids 0
-    // and 50), so PQ encoding is lossless and ADC == exact cosine — the
-    // only recall loss left is the single-probe bucket restriction:
-    // q0/q1 (dir e1, bucket 0) see {1,51}\self -> hits 2; q2 (dir e2,
-    // bucket 1) sees {50} -> hits 1; truth is all 4 others at k=5
+    // every corpus vector EQUALS one of the codebook sample vectors (the
+    // id-RANK 1 and 51 rows: id 0 = e1, id 50 = e2 among dense ids 0..52),
+    // so PQ encoding is lossless and ADC == exact cosine — the only recall
+    // loss left is the single-probe bucket restriction. Queries are ids
+    // < 10: the e1 queries see the whole e1 bucket (ADC ties cut at
+    // top-12 by smallest id still cover the 5 smallest-id truths) → 5/5;
+    // the lone e2 query (id 2) probes bucket B = {50, 51, 52} → hits 3 of
+    // its truth {50, 51, 52, 0, 1} → 3/5.
     val e1 = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
     val e2 = Array.tabulate(64)(i => if (i == 1) 1.0f else 0.0f)
-    Seq((0L, e1, 0), (1L, e1, 0), (2L, e2, 0), (50L, e2, 0), (51L, e1, 0))
-      .toDF("vec_id", "embedding", "label")
+    val rows = (0L until 53L).map { i =>
+      (i, if (i == 2L || i >= 50L) e2 else e1, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val r = NorthStarQueries.pqRecall(spark, dir)
       .as[(Long, Long, Double)].collect().toSeq
-    assert(r == Seq((0L, 2L, 0.4), (1L, 2L, 0.4), (2L, 1L, 0.2)))
+    val want = (0L until 10L).map(q => if (q == 2L) (q, 3L, 0.6) else (q, 5L, 1.0))
+    assert(r == want, s"got $r")
   }
 
   test("q110: NFC composes, controls strip, whitespace collapses — counted by hand") {

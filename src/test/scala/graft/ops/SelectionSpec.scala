@@ -270,49 +270,43 @@ class SelectionSpec extends AnyFunSuite {
 
   test("q119 coreset keeps ceil(sqrt(n)) per cluster by the content-hash order") {
     val dir = java.nio.file.Files.createTempDirectory("coreset-emb").toString
-    // init centroids are ids 0 and 50 (initEvery=50, initMax=800): cluster 0
-    // gets the four +x vectors (quota ceil(sqrt(4)) = 2), cluster 1 the one
-    // +y vector (quota 1)
-    Seq(
-      (0L, Array(1.0f, 0.0f), 0),
-      (1L, Array(0.9f, 0.1f), 0),
-      (2L, Array(0.95f, 0.02f), 0),
-      (3L, Array(1.0f, 0.05f), 0),
-      (50L, Array(0.0f, 1.0f), 0))
+    // init centroids are the id-RANK 1 and 51 vectors (initEvery=50 by
+    // rank — the distribution-free rule): ids 0..49 are a tight +x family
+    // (rank 1 = id 0 seeds +x), id 50 at rank 51 seeds +y. Cluster 0 keeps
+    // ceil(sqrt(50)) = 8, cluster 1 keeps its 1.
+    val xs = (0L until 50L).map(i =>
+      (i, Array(1.0f, Seq(0.0f, 0.02f, 0.05f, 0.1f)((i % 4).toInt)), 0))
+    (xs :+ ((50L, Array(0.0f, 1.0f), 0)))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val got = graft.operators.SelectionQueries.coresetSample(spark, dir)
       .as[(Int, Long, Long, Long, Long)].collect().toSeq
-    // which two +x ids survive: first two under (h60('cs:'+id), id)
+    // which eight +x ids survive: first eight under (h60('cs:'+id), id)
     def h60(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       java.nio.ByteBuffer.wrap(md, 0, 8).getLong >>> 4
     }
-    val kept = Seq(0L, 1L, 2L, 3L).sortBy(id => (h60(s"cs:$id"), id)).take(2)
+    val kept = (0L until 50L).sortBy(id => (h60(s"cs:$id"), id)).take(8)
     assert(got == Seq(
-      (0, 4L, 2L, kept.sum, kept.min),
+      (0, 50L, 8L, kept.sum, kept.min),
       (1, 1L, 1L, 50L, 50L)))
     spark.sharedState.cacheManager.clearCache()
   }
 
   test("q155 cluster quality: tight planted clusters score high cohesion and positive margin") {
     val dir = java.nio.file.Files.createTempDirectory("quality-emb").toString
-    // same init geometry as the q119 fixture: centroids from ids 0 and 50.
-    // cluster 0 = four +x vectors, cluster 1 = two +y vectors — tight and
-    // orthogonal, so every member separates and margins are large.
-    Seq(
-      (0L, Array(1.0f, 0.0f), 0),
-      (1L, Array(0.9f, 0.1f), 0),
-      (2L, Array(0.95f, 0.02f), 0),
-      (3L, Array(1.0f, 0.05f), 0),
-      (50L, Array(0.0f, 1.0f), 0),
-      (51L, Array(0.05f, 1.0f), 0))
+    // same init geometry as the q119 fixture (rank-1 and rank-51 seeds):
+    // cluster 0 = fifty tight +x vectors, cluster 1 = two +y vectors —
+    // tight and orthogonal, so every member separates and margins are wide.
+    val xs = (0L until 50L).map(i =>
+      (i, Array(1.0f, Seq(0.0f, 0.02f, 0.05f, 0.1f)((i % 4).toInt)), 0))
+    (xs ++ Seq((50L, Array(0.0f, 1.0f), 0), (51L, Array(0.05f, 1.0f), 0)))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val got = graft.operators.SelectionQueries.clusterQuality(spark, dir)
       .as[(Int, Long, Double, Double, Double, Long)].collect().toSeq
-    assert(got.map(r => (r._1, r._2, r._6)) == Seq((0, 4L, 4L), (1, 2L, 2L)),
+    assert(got.map(r => (r._1, r._2, r._6)) == Seq((0, 50L, 50L), (1, 2L, 2L)),
       s"membership/separation: $got")
     for (r <- got) {
       assert(r._3 > 0.99, s"cohesion should be near 1 for a tight cluster: $r")
