@@ -956,11 +956,38 @@ object NorthStarQueries {
   }
 
   /** The q133/q134 trusted seed set: every tenth supplier, as graph node
-    * ids. */
+    * ids. (Rate-only is fine HERE: TrustRank/BFS state is min-merged per
+    * node — O(|V|) whatever |seeds| is. Per-seed-state consumers must use
+    * [[calibrationSeeds]] instead.) */
   private[operators] def seedSuppliers(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "supplier")
       .where(pmod(col("s_suppkey"), lit(10)) === 0)
       .select(expr("s_suppkey * 2 + 1").as("node"))
+
+  /** ABSOLUTE cap on every per-seed-state seed set (q157/q166/q167): the
+    * exact side of a calibration carries (seed, node) rows, so |seeds|
+    * must be a CONSTANT, not a rate — the 1%-rate form grew work ∝ sf²
+    * (measured 12.5× at 10× data in the round-14 drill; ~10,000× at
+    * 100×). 64 seeds bound the audit at |ball|·64 rows at any corpus
+    * size; both test SFs sample ≤ 10, so the cap is non-binding there
+    * and testdata outputs are unchanged. */
+  private[operators] val SeedCap = 64
+
+  /** q157/q166's calibration seed set: every 100th supplier, capped to
+    * the [[SeedCap]] smallest node ids — a deterministic TakeOrdered the
+    * oracle replays as ORDER BY node LIMIT n (the SemDedup.idRankSample
+    * discipline applied to graph seeds). */
+  private[operators] def calibrationSeeds(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "supplier")
+      .where(pmod(col("s_suppkey"), lit(100)) === 0)
+      .select(expr("s_suppkey * 2 + 1").as("node"))
+      .orderBy("node").limit(SeedCap)
+
+  /** SQL twin of [[calibrationSeeds]] — the `sd` CTE both graph-audit
+    * oracles open with. */
+  private[operators] val calibrationSeedCte: String =
+    s"sd AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier " +
+      s"WHERE s_suppkey % 100 = 0 ORDER BY node LIMIT $SeedCap)"
 
   private def labelTop20(ranked: DataFrame): DataFrame =
     ranked.orderBy(col("rank_u").desc, col("node")).limit(20)

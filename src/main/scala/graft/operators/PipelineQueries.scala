@@ -423,8 +423,14 @@ object PipelineQueries {
         round(expr("percentile(n_chars, 0.9D)"), 4).as("p90"),
         round(expr("percentile(n_chars, 0.99D)"), 4).as("p99"),
         expr("approx_percentile(n_chars, 0.5D, 10000)").as("_ap50"))
-    docs.select(col("lang"), col("n_chars"))
-      .join(broadcast(base), Seq("lang"))
+    // null-safe rejoin: an equi-join on lang would silently DROP the NULL-
+    // lang group the aggregate (and the oracle's GROUP BY) still reports —
+    // a latent data-shape divergence on corpora with unlabeled rows
+    // (testdata never emits them; the fuzz generators now do).
+    docs.select(col("lang"), col("n_chars")).as("d")
+      .join(broadcast(base.as("b")), col("d.lang") <=> col("b.lang"))
+      .select(col("d.lang").as("lang"), col("n_chars"),
+        col("p50"), col("p90"), col("p99"), col("_ap50"))
       .groupBy("lang")
       .agg(first("p50").as("p50"), first("p90").as("p90"),
         first("p99").as("p99"),
@@ -813,26 +819,58 @@ object PipelineQueries {
       .orderBy("source")
   }
 
-  /** q117 oracle: unrolls all [[BpeRounds]] merge rounds as CTEs; the
-    * re-segment fold runs inside DuckDB's list_reduce with a chr(1)-joined
-    * string accumulator (safe: the testdata corpus is printable ASCII —
-    * verified, the q49-style oracle-scale assumption). */
+  /** Fold-free single-round BPE resegmentation CTE block (reads
+    * `seg${r-1}(w, c, s)` and the round's winning pair `m$r(a, b)`, emits
+    * `seg$r(w, c, s)`). The left-to-right greedy merge-with-state fold is
+    * expressed relationally as gaps-and-islands parity: candidate
+    * positions j (s[j]=a ∧ s[j+1]=b) overlap only in consecutive runs
+    * (which requires a=b), and the fold keeps exactly every OTHER
+    * candidate from each run's head — so `kept` = odd rank within the
+    * island, `consumed` = previous position kept, and the new list is the
+    * non-consumed positions with kept ones emitting a||b. Replaces the
+    * chr(1)-joined `list_reduce` string-accumulator fold, which (a) DuckDB
+    * 1.0 MISFOLDS under full-vector evaluation (the tools/fuzz_diff.py
+    * find that forced the CDC chain to a recursive CTE) and (b) assumed a
+    * chr(1)-free corpus. An empty m$r (early-stopped induction) makes
+    * every cand 0, so seg passes through unchanged — the LEFT JOIN keeps
+    * the last segmentation exactly as the Spark loop does. Validated
+    * against a reference fold on 60 randomized single-letter-alphabet
+    * corpora (overlapping-candidate parity stress) before landing. */
+  private[operators] def bpeResegCtes(r: Int): String =
+    s"""ex$r AS (SELECT w, c, u.i AS j, s[u.i] AS sym
+       |  FROM seg${r - 1}, unnest(generate_series(1, len(s))) AS u(i)),
+       |cd$r AS (SELECT e.w, e.c, e.j, e.sym, m.a AS ma, m.b AS mb,
+       |    CASE WHEN e.sym = m.a
+       |      AND lead(e.sym) OVER (PARTITION BY e.w ORDER BY e.j) = m.b
+       |    THEN 1 ELSE 0 END AS cand
+       |  FROM ex$r e LEFT JOIN m$r m ON true),
+       |il$r AS (SELECT *, CASE WHEN cand = 1
+       |    THEN j - row_number() OVER (PARTITION BY w, cand ORDER BY j) END AS isl
+       |  FROM cd$r),
+       |kp$r AS (SELECT *, CASE WHEN cand = 1 AND
+       |      (row_number() OVER (PARTITION BY w, isl ORDER BY j)) % 2 = 1
+       |    THEN 1 ELSE 0 END AS kept
+       |  FROM il$r),
+       |sg$r AS (SELECT *, coalesce(lag(kept) OVER (PARTITION BY w ORDER BY j), 0)
+       |    AS consumed
+       |  FROM kp$r),
+       |seg$r AS (SELECT w, c,
+       |    list(CASE WHEN kept = 1 THEN ma || mb ELSE sym END ORDER BY j) AS s
+       |  FROM sg$r WHERE consumed = 0 GROUP BY w, c)""".stripMargin
+
+  /** q117 oracle: unrolls all [[BpeRounds]] merge rounds as CTEs; each
+    * round's resegmentation is the fold-free [[bpeResegCtes]] block. */
   private def q117OracleSql: String = {
-    def lastSym(acc: String) = s"list_extract(string_split($acc, chr(1)), -1)"
     val head =
       """tk AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w FROM documents),
         |tf AS (SELECT w, count(*) AS c FROM tk GROUP BY w),
-        |seg0 AS (SELECT c, list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)) AS s FROM tf)""".stripMargin
+        |seg0 AS (SELECT w, c, list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)) AS s FROM tf)""".stripMargin
     val rounds = (1 to BpeRounds).map { r =>
       s"""p$r AS (SELECT t.a, t.b, sum(c)::BIGINT AS cnt FROM (
          |  SELECT c, s[i] AS a, s[i+1] AS b FROM seg${r - 1}, unnest(generate_series(1, len(s)-1)) AS u(i)) t
          |  GROUP BY 1, 2),
          |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-         |seg$r AS (SELECT c, string_split(list_reduce(s, (acc, x) -> CASE
-         |    WHEN ${lastSym("acc")} = m.a AND x = m.b
-         |    THEN substr(acc, 1, len(acc) - len(${lastSym("acc")})) || m.a || m.b
-         |    ELSE acc || chr(1) || x END), chr(1)) AS s
-         |  FROM seg${r - 1}, m$r m)""".stripMargin
+         |${bpeResegCtes(r)}""".stripMargin
     }
     val sel = (1 to BpeRounds)
       .map(r => s"SELECT CAST($r AS INTEGER) AS step, a || ' ' || b AS pair, cnt AS n FROM m$r")
@@ -841,11 +879,10 @@ object PipelineQueries {
   }
 
   /** q118 oracle: the q117 merge chain re-derived with the word carried
-    * through every segmentation round (LEFT JOIN on the per-round merge so
-    * an early-stopped induction keeps the last segmentation, exactly as the
-    * Spark loop does), then the frequency-weighted per-source rollup. */
+    * through every segmentation round ([[bpeResegCtes]]'s LEFT JOIN keeps
+    * an early-stopped induction's last segmentation, exactly as the Spark
+    * loop does), then the frequency-weighted per-source rollup. */
   private def q118OracleSql: String = {
-    def lastSym(acc: String) = s"list_extract(string_split($acc, chr(1)), -1)"
     val head =
       """tk AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w FROM documents),
         |swc AS (SELECT source, w, count(*) AS c FROM tk GROUP BY 1, 2),
@@ -856,12 +893,7 @@ object PipelineQueries {
          |  SELECT c, s[i] AS a, s[i+1] AS b FROM seg${r - 1}, unnest(generate_series(1, len(s)-1)) AS u(i)) t
          |  GROUP BY 1, 2),
          |m$r AS (SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-         |seg$r AS (SELECT w, c, CASE WHEN m.a IS NULL THEN s
-         |    ELSE string_split(list_reduce(s, (acc, x) -> CASE
-         |      WHEN ${lastSym("acc")} = m.a AND x = m.b
-         |      THEN substr(acc, 1, len(acc) - len(${lastSym("acc")})) || m.a || m.b
-         |      ELSE acc || chr(1) || x END), chr(1)) END AS s
-         |  FROM seg${r - 1} LEFT JOIN m$r m ON true)""".stripMargin
+         |${bpeResegCtes(r)}""".stripMargin
     }
     s"""WITH $head,
        |${rounds.mkString(",\n")},
@@ -1424,8 +1456,14 @@ object PipelineQueries {
         |SELECT w.d AS day, coalesce(dau.dau, 0) AS dau, w.wau AS wau,
         |  (coalesce(dau.dau, 0) * 10000) // w.wau AS stickiness_bp
         |FROM wau w LEFT JOIN dau USING (d) ORDER BY day""".stripMargin,
+    // The packed-EWMA chain is inherently sequential, so the oracle folds
+    // it with a recursive CTE stepping one day per round (the
+    // Round13Queries.cdcOracleCtesFor treatment) — the previous
+    // list_reduce form was latently exposed to DuckDB 1.0's full-vector
+    // misfold. Base row = day 1's seeded accumulator; an event_type with
+    // a single day terminates at the base row.
     "q132_ewma_trend" ->
-      """WITH d AS (
+      """WITH RECURSIVE d AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    count(*)::BIGINT AS n
         |  FROM events GROUP BY 1, 2),
@@ -1433,17 +1471,19 @@ object PipelineQueries {
         |  SELECT event_type, count(*)::BIGINT AS n_days,
         |    list(n ORDER BY day) AS ns
         |  FROM d GROUP BY 1),
-        |f AS (
-        |  SELECT event_type, n_days,
-        |    list_reduce(list_prepend(ns[1] * 1000000 * 64, ns[2:]),
-        |      (acc, nn) -> ((3 * nn * 1000000 + 7 * (acc // 64)) // 10) * 64
-        |        + acc % 64
-        |        + CASE WHEN nn * 1000000 > 2 * (acc // 64) THEN 1 ELSE 0 END
-        |    )::BIGINT AS packed
-        |  FROM l)
-        |SELECT event_type, n_days, packed // 64 AS ewma_u,
-        |  packed % 64 AS spike_days
-        |FROM f ORDER BY event_type""".stripMargin,
+        |f(event_type, k, acc) AS (
+        |  SELECT event_type, 1::BIGINT, ns[1] * 1000000 * 64 FROM l
+        |  UNION ALL
+        |  SELECT f.event_type, f.k + 1,
+        |    ((3 * l.ns[(f.k + 1)::INT] * 1000000 + 7 * (f.acc // 64)) // 10) * 64
+        |      + f.acc % 64
+        |      + CASE WHEN l.ns[(f.k + 1)::INT] * 1000000 > 2 * (f.acc // 64)
+        |        THEN 1 ELSE 0 END
+        |  FROM f JOIN l USING (event_type) WHERE f.k < l.n_days)
+        |SELECT l.event_type AS event_type, l.n_days, f.acc // 64 AS ewma_u,
+        |  f.acc % 64 AS spike_days
+        |FROM f JOIN l USING (event_type) WHERE f.k = l.n_days
+        |ORDER BY event_type""".stripMargin,
     "q130_hourly_anomalies" ->
       """WITH h AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,

@@ -20,19 +20,20 @@ object Round12Queries {
   // --- q157: harmonic centrality --------------------------------------------
 
   /** q157 — bounded harmonic centrality over the symmetrized trade graph
-    * from a deterministic 1% seed sample (every 100th supplier): per node,
+    * from a deterministic seed sample (every 100th supplier, capped to
+    * [[NorthStarQueries.SeedCap]] absolute seeds): per node,
     * `Σ_seeds 1e6 div d(seed, node)` within 3 hops — the centrality Common
     * Crawl publishes for its host ranking (harmonic, not PageRank: Boldi &
     * Vigna 2014, it handles disconnection without a reachability fudge).
     * Top 20 by (harmonic_u desc, node). The per-seed BFS relation is
-    * seed-sample-bounded ([[graft.ops.Graph.seedDistances]]); the sample
-    * rate is THE cost lever at scale (the q98 discipline), and ranking
-    * needs no |V|/|S| rescale. Integer micro-units — hash-exact. */
+    * seed-CAP-bounded ([[graft.ops.Graph.seedDistances]] carries (seed,
+    * node) state, so the cap — not a rate — is what keeps the exact side
+    * linear in |V| at any corpus size; round-14's rate-only form measured
+    * 12.5× at 10× data), and ranking needs no |V|/|S| rescale. Integer
+    * micro-units — hash-exact. */
   def harmonicCentrality(spark: SparkSession, dir: String): DataFrame = {
     val edges = NorthStarQueries.tradeEdges(spark, dir)
-    val seeds = table(spark, dir, "supplier")
-      .where(pmod(col("s_suppkey"), lit(100)) === 0)
-      .select(expr("s_suppkey * 2 + 1").as("node"))
+    val seeds = NorthStarQueries.calibrationSeeds(spark, dir)
     graft.ops.Graph.harmonicCentrality(edges, seeds, maxHops = 3)
       .orderBy(col("harmonic_u").desc, col("node")).limit(20)
       .select(when(col("node") % 2 === 0, concat(lit("c:"), expr("node div 2")))
@@ -42,8 +43,8 @@ object Round12Queries {
 
   private def q157OracleSql: String =
     (s"WITH RECURSIVE ${NorthStarQueries.tradeGraphCtes},\n" +
-      """sd AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_suppkey % 100 = 0),
-        |r(seed, node, d) AS (
+      s"${NorthStarQueries.calibrationSeedCte},\n" +
+      """r(seed, node, d) AS (
         |  SELECT node, node, 0 FROM sd
         |  UNION
         |  SELECT r.seed, e.dst, r.d + 1 FROM r JOIN edges e ON e.src = r.node

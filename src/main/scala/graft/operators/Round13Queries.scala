@@ -114,13 +114,15 @@ object Round13Queries {
 
   /** q165 oracle: the q118 merge-chain oracle with seg0 over hex-pair byte
     * symbols (DuckDB `hex(encode(w))` matches Spark's uppercase hex) and
-    * byte totals from octet_length. LEFT JOIN per merge keeps early-stop
-    * semantics identical to the Spark loop. */
+    * byte totals from octet_length. Each round's resegmentation is the
+    * fold-free [[PipelineQueries.bpeResegCtes]] block (the LEFT JOIN keeps
+    * early-stop semantics identical to the Spark loop; the retired
+    * list_reduce fold was latently exposed to the DuckDB 1.0 misfold the
+    * CDC chain hit). */
   /** The shared q165/q187 oracle chain: per-`key` word counts, hex-pair
     * seg0, and the unrolled merge rounds (identical merges whatever the
     * rollup key — the model is corpus-level by construction). */
   private def byteBpeOracleChain(key: String): String = {
-    def lastSym(acc: String) = s"list_extract(string_split($acc, chr(1)), -1)"
     val head =
       s"""tk AS (SELECT $key, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w FROM documents),
          |swc AS (SELECT $key, w, count(*) AS c FROM tk GROUP BY 1, 2),
@@ -132,12 +134,7 @@ object Round13Queries {
          |  SELECT c, s[i] AS a, s[i+1] AS b FROM seg${r - 1}, unnest(generate_series(1, len(s)-1)) AS u(i)) t
          |  GROUP BY 1, 2),
          |m$r AS (SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-         |seg$r AS (SELECT w, c, CASE WHEN m.a IS NULL THEN s
-         |    ELSE string_split(list_reduce(s, (acc, x) -> CASE
-         |      WHEN ${lastSym("acc")} = m.a AND x = m.b
-         |      THEN substr(acc, 1, len(acc) - len(${lastSym("acc")})) || m.a || m.b
-         |      ELSE acc || chr(1) || x END), chr(1)) END AS s
-         |  FROM seg${r - 1} LEFT JOIN m$r m ON true)""".stripMargin
+         |${PipelineQueries.bpeResegCtes(r)}""".stripMargin
     }
     s"""$head,
        |${rounds.mkString(",\n")},
@@ -213,7 +210,7 @@ object Round13Queries {
   /** q166 — ANF CALIBRATION: the measured number behind the q157/q163
     * pair's stated contract ("exact on a seed sample to calibrate,
     * sketches for the full curve" — `ops/Graph.anfSketches` doc). For
-    * every seed in q157's deterministic 1% sample, join the exact ball
+    * every seed in q157's capped deterministic sample, join the exact ball
     * size |{v : d(seed,v) ≤ h}| (from [[graft.ops.Graph.seedDistances]];
     * the trade graph is symmetric, so out-balls equal the in-balls the
     * sketches estimate) against q163's 16-register HLL estimate of the
@@ -222,13 +219,12 @@ object Round13Queries {
     * Error stays integer: rel_u = |est_u − exact·1e6| div exact (already
     * micro-units of relative error); only the final per-hop means divide
     * in float, round(6). Scale: the sketch side is q163's O(|V|·16)
-    * state; the exact side is seed-sample-bounded; the audit join is
-    * |seeds|×hops rows. The seed-sample rate is THE audit cost lever. */
+    * state; the exact side is seed-CAP-bounded (≤ SeedCap seeds at ANY
+    * corpus size — the rate-only form measured 12.5× at 10× data); the
+    * audit join is |seeds|×hops rows. */
   def anfCalibration(spark: SparkSession, dir: String): DataFrame = {
     val edges = NorthStarQueries.tradeEdges(spark, dir)
-    val seeds = table(spark, dir, "supplier")
-      .where(pmod(col("s_suppkey"), lit(100)) === 0)
-      .select(expr("s_suppkey * 2 + 1").as("node"))
+    val seeds = NorthStarQueries.calibrationSeeds(spark, dir)
       .persist() // joined against the sketch frame of every hop
     // exact per-seed ball sizes (self included: dist 0 rows count)
     val dist = graft.ops.Graph.seedDistances(edges, seeds, maxHops = 3)
@@ -282,7 +278,7 @@ object Round13Queries {
         |  SELECT e.dst, r.reach, r.d + 1 FROM r JOIN edges e ON e.src = r.node
         |  WHERE r.d < 3),
         |dmin AS (SELECT node, reach, min(d) AS d FROM r GROUP BY 1, 2),
-        |sd AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_suppkey % 100 = 0),
+        |__SD_CTE__,
         |hops(hop) AS (SELECT unnest([1, 2, 3])),
         |balls AS (SELECT hops.hop, dmin.node, dmin.reach
         |  FROM dmin JOIN hops ON dmin.d <= hops.hop
@@ -319,6 +315,7 @@ object Round13Queries {
         |  round((sum(rel_u)::DOUBLE / count(*)) / 1000000.0, 6) AS mean_rel_err,
         |  round(max(rel_u)::DOUBLE / 1000000.0, 6) AS max_rel_err
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
+      .replace("__SD_CTE__", NorthStarQueries.calibrationSeedCte)
 
   // --- q167: host-reputation composition -------------------------------------
 
@@ -378,12 +375,18 @@ object Round13Queries {
       .groupBy("host")
       .agg(count(lit(1)).as("n_docs"), sum("_keep").as("n_keep"))
       .persist() // feeds the seed set AND the composition join
-    // pinned host-link graph; seeds = every doc-bearing host
+    // pinned host-link graph; seeds = the SeedCap smallest doc-bearing
+    // hosts (every host at test SFs — 20 domains; the cap is what keeps
+    // harmonicCentrality's (seed, node) state |V|-linear when the domain
+    // count grows with the corpus). cent_ok's denominator is the SEED
+    // count for the same reason — "half the seed hosts reach it" must not
+    // dilute as |hosts| outgrows the cap.
     val edges = hostEdges(docs)
     val seeds = hq.select(col("host").as("node"))
+      .orderBy("node").limit(NorthStarQueries.SeedCap)
     val cent = graft.ops.Graph.harmonicCentrality(edges, seeds, maxHops = 3)
       .select(col("node").as("host"), col("harmonic_u"), col("n_seeds_reached"))
-    val nHosts = hq.select(count(lit(1)).as("_nh"))
+    val nHosts = seeds.agg(count(lit(1)).as("_nh"))
     hq.join(broadcast(cent), Seq("host"), "left")
       .crossJoin(broadcast(nHosts))
       .select(col("host"), col("n_docs"), col("n_keep"),
@@ -422,7 +425,7 @@ object Round13Queries {
       |  FROM documents),
       |edges AS (SELECT DISTINCT src, 'src' || (h % 20) || '.example.com' AS dst
       |  FROM eh WHERE (h // 20) % 8 = 0),
-      |seeds AS (SELECT host AS node FROM hq),
+      |seeds AS (SELECT host AS node FROM hq ORDER BY node LIMIT __CAP__),
       |r(seed, node, dd) AS (
       |  SELECT node, node, 0 FROM seeds
       |  UNION
@@ -432,7 +435,7 @@ object Round13Queries {
       |hc AS (SELECT node AS host, sum(1000000 // dd)::BIGINT AS harmonic_u,
       |    count(*)::BIGINT AS n_seeds_reached
       |  FROM dist WHERE dd >= 1 GROUP BY 1),
-      |nh AS (SELECT count(*)::BIGINT AS n FROM hq),
+      |nh AS (SELECT count(*)::BIGINT AS n FROM seeds),
       |comp AS (SELECT h.host, h.n_docs, h.n_keep,
       |    (h.n_keep * 1000000 // h.n_docs)::BIGINT AS qual_rate_u,
       |    coalesce(hc.harmonic_u, 0)::BIGINT AS harmonic_u,
@@ -445,6 +448,7 @@ object Round13Queries {
       |  CASE WHEN qual_rate_u >= 250000 AND n_seeds_reached * 2 >= (SELECT n FROM nh)
       |    THEN (qual_rate_u * harmonic_u) // 1000000 ELSE 0 END::BIGINT AS weight_u
       |FROM comp ORDER BY host""".stripMargin
+      .replace("__CAP__", NorthStarQueries.SeedCap.toString)
 
   // --- q168: phash banding recall audit ---------------------------------------
 
@@ -588,6 +592,24 @@ object Round13Queries {
     * compose unchanged: NB model broadcast + one doc-keyed agg for
     * prediction, vocab²-per-lang count tables + the two-pass rank for the
     * terciles. */
+  /** q169's model hand-off directory: unique PER JVM (the loaded model is
+    * a lazy parquet scan read by the returned plan, so the dir must
+    * outlive the query — but a fixed world-shared /tmp path let two
+    * concurrent Verify/Bench/Fuzz JVMs clobber each other mid-read, and
+    * was predictable on multi-user hosts). Re-runs inside one JVM
+    * overwrite sequentially (no concurrent self-read); a shutdown hook
+    * removes the tree. */
+  private lazy val q169ModelDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_q169_langid_model_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d.toFile)
+    }))
+    d.toAbsolutePath.toString
+  }
+
   def ccnetComposition(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val isTrain =
@@ -601,10 +623,8 @@ object Round13Queries {
     // round-trip parquet exactly, so results are unchanged. In production
     // the saved model is the artifact a separate scoring job (or the
     // streaming mirror via StreamingLangId.modelFromSaved) starts from.
-    val modelDir = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_q169_langid_model").getAbsolutePath
-    graft.ops.LangId.saveModel(fitModel, fitStats, modelDir)
-    val (model, langStats) = graft.ops.LangId.loadModel(spark, modelDir)
+    graft.ops.LangId.saveModel(fitModel, fitStats, q169ModelDir)
+    val (model, langStats) = graft.ops.LangId.loadModel(spark, q169ModelDir)
     val pred = graft.ops.LangId.predict(docs, "text", "doc_id", n = 3,
       model, langStats)
     // persist: the routed frame embeds the whole classifier-scoring plan,

@@ -49,6 +49,10 @@ object SemDedup {
     * rank — never a corpus-wide window. */
   def idRankSample(df: DataFrame, idCol: String, every: Int,
       maxRank: Int): DataFrame = {
+    require(every >= 1 && maxRank >= 1,
+      s"idRankSample: every=$every maxRank=$maxRank must be >= 1 " +
+        "(a Long-to-Int truncation at a call site lands here loudly " +
+        "instead of as a silently empty sample)")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
     df.orderBy(col(idCol)).limit(maxRank)
       .withColumn("_rk", row_number().over(w))
@@ -62,6 +66,9 @@ object SemDedup {
       col(vecCol).cast("array<double>").as("_v"))
     // Init: every initEvery-th vector by id-rank below rank initMax —
     // bounded centroid count at any corpus scale, no RNG, replayable in SQL.
+    require(initMax >= 1 && initMax <= Int.MaxValue,
+      s"kmeansFit: initMax=$initMax outside [1, Int.MaxValue] — the rank " +
+        "cap bounds a driver-side collect and must be a real Int")
     val init = idRankSample(e, "_id", initEvery, initMax.toInt)
       .orderBy("_id").select("_v").collect()
       .map(_.getSeq[Double](0).toArray).zipWithIndex.map(_.swap).toSeq

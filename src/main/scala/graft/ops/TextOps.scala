@@ -447,7 +447,17 @@ object TextOps {
     * MaximalRunSpec pins equality against a plain-Scala diagonal-walk
     * reference on planted and random corpora. */
   def maximalDupRuns(docs: DataFrame, textCol: String, idCol: String,
-      w: Int = 40, stride: Int = 8): DataFrame = {
+      w: Int = 40, stride: Int = 8): DataFrame =
+    maximalDupRunsHandle(docs, textCol, idCol, w, stride)._1
+
+  /** Handle variant of [[maximalDupRuns]] (the StreamingSplit
+    * .assignBatchHandle contract): returns (result, release). The window
+    * relation it persists is O(corpus chars) — by far the largest cached
+    * frame in the engine — so a long-lived session MUST call release()
+    * once the result is materialized; the one-shot [[maximalDupRuns]]
+    * relies on the caller's per-query cache clear (Verify/Bench do). */
+  def maximalDupRunsHandle(docs: DataFrame, textCol: String, idCol: String,
+      w: Int = 40, stride: Int = 8): (DataFrame, () => Unit) = {
     require(w >= 2, s"w=$w must be >= 2")
     require(stride >= 1 && stride < w, s"stride=$stride must be in [1, w)")
     val minRun = w + stride - 1
@@ -514,7 +524,7 @@ object TextOps {
     val limR = least(lit((stride - 1).toLong),
       col("_la") - (col("_amax") + (w - 1)),
       col("_lb") - (col("_bmax") + (w - 1)))
-    verified
+    val result = verified
       .withColumn("_extl", ext(limL, col("_amin"), col("_bmin"), -1))
       .withColumn("_extr", ext(limR, col("_amax") + lit((w - 1).toLong),
         col("_bmax") + lit((w - 1).toLong), 1))
@@ -527,6 +537,7 @@ object TextOps {
           .cast("long").as("run_len"),
         (col("_amax") - col("_amin") + w).cast("long").as("seeded_len"))
       .where(col("run_len") >= minRun)
+    (result, () => { wins.unpersist(); () })
   }
 
   // --- convenience: full annotation pass -----------------------------------
