@@ -39,10 +39,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json")
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS decouples shuffle width from thread
+    // count for scale drills: local[32] pins cpus, but at sf1.0+ the
+    // honest cluster analogue scales partitions ∝ data (a real deployment
+    // sizes spark.sql.shuffle.partitions to the stage volume, not the
+    // box) — the q143 drill measures exactly that knob.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")

@@ -968,26 +968,37 @@ object NorthStarQueries {
     * exact side of a calibration carries (seed, node) rows, so |seeds|
     * must be a CONSTANT, not a rate — the 1%-rate form grew work ∝ sf²
     * (measured 12.5× at 10× data in the round-14 drill; ~10,000× at
-    * 100×). 64 seeds bound the audit at |ball|·64 rows at any corpus
-    * size; both test SFs sample ≤ 10, so the cap is non-binding there
-    * and testdata outputs are unchanged. */
+    * 100×). 64 caps the q167 host seeds (domain-grained — 20 at every
+    * test SF, so non-binding there). */
   private[operators] val SeedCap = 64
 
+  /** The supplier calibration audits (q157/q166) use a tighter cap: their
+    * exact side walks |seeds| simultaneous 3-hop BFS frontiers over the
+    * whole trade graph, so the cap is the entire cost story — 8 seeds
+    * make the exact audit a rounding error against the O(|V|·16) sketch
+    * side it calibrates at any corpus size, while still averaging
+    * mean/max error over 8 balls × 3 hops. Binds from sf0.1 up (10
+    * sampled suppliers → 8), which is exactly what lets the scale drill
+    * measure the capped shape at BOTH drill points; the correctness-gate
+    * SFs sample ≤ 1 seed and are unchanged. Raising the cap is a
+    * deliberate audit-cost decision, never a side effect of data growth. */
+  private[operators] val CalibrationSeedCap = 8
+
   /** q157/q166's calibration seed set: every 100th supplier, capped to
-    * the [[SeedCap]] smallest node ids — a deterministic TakeOrdered the
-    * oracle replays as ORDER BY node LIMIT n (the SemDedup.idRankSample
-    * discipline applied to graph seeds). */
+    * the [[CalibrationSeedCap]] smallest node ids — a deterministic
+    * TakeOrdered the oracle replays as ORDER BY node LIMIT n (the
+    * SemDedup.idRankSample discipline applied to graph seeds). */
   private[operators] def calibrationSeeds(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "supplier")
       .where(pmod(col("s_suppkey"), lit(100)) === 0)
       .select(expr("s_suppkey * 2 + 1").as("node"))
-      .orderBy("node").limit(SeedCap)
+      .orderBy("node").limit(CalibrationSeedCap)
 
   /** SQL twin of [[calibrationSeeds]] — the `sd` CTE both graph-audit
     * oracles open with. */
   private[operators] val calibrationSeedCte: String =
     s"sd AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier " +
-      s"WHERE s_suppkey % 100 = 0 ORDER BY node LIMIT $SeedCap)"
+      s"WHERE s_suppkey % 100 = 0 ORDER BY node LIMIT $CalibrationSeedCap)"
 
   private def labelTop20(ranked: DataFrame): DataFrame =
     ranked.orderBy(col("rank_u").desc, col("node")).limit(20)

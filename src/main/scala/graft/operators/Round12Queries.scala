@@ -21,7 +21,7 @@ object Round12Queries {
 
   /** q157 — bounded harmonic centrality over the symmetrized trade graph
     * from a deterministic seed sample (every 100th supplier, capped to
-    * [[NorthStarQueries.SeedCap]] absolute seeds): per node,
+    * [[NorthStarQueries.CalibrationSeedCap]] absolute seeds): per node,
     * `Σ_seeds 1e6 div d(seed, node)` within 3 hops — the centrality Common
     * Crawl publishes for its host ranking (harmonic, not PageRank: Boldi &
     * Vigna 2014, it handles disconnection without a reachability fudge).

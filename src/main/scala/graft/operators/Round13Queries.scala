@@ -219,9 +219,9 @@ object Round13Queries {
     * Error stays integer: rel_u = |est_u − exact·1e6| div exact (already
     * micro-units of relative error); only the final per-hop means divide
     * in float, round(6). Scale: the sketch side is q163's O(|V|·16)
-    * state; the exact side is seed-CAP-bounded (≤ SeedCap seeds at ANY
-    * corpus size — the rate-only form measured 12.5× at 10× data); the
-    * audit join is |seeds|×hops rows. */
+    * state; the exact side is seed-CAP-bounded (≤ CalibrationSeedCap
+    * seeds at ANY corpus size — the rate-only form measured 12.5× at 10×
+    * data); the audit join is |seeds|×hops rows. */
   def anfCalibration(spark: SparkSession, dir: String): DataFrame = {
     val edges = NorthStarQueries.tradeEdges(spark, dir)
     val seeds = NorthStarQueries.calibrationSeeds(spark, dir)

@@ -2,15 +2,24 @@
 """Randomized differential fuzzing of the query surface against DuckDB.
 
 The fixed-testdata gate can only catch divergence the testdata's shape
-exercises; this harness generates N randomized corpora — sizes, unicode
-planes (ASCII / accented Latin / CJK / astral emoji), whitespace and
-empty-text skew, exact- and near-duplicate rates, sparse vs dense doc ids —
-and replays a rotating subset of SparkEntry.queries on each, comparing
-every result against its DuckDB oracle with the SAME oracle_check.py the
-driver runs.
+exercises; this harness generates N randomized corpora and replays a
+rotating subset of SparkEntry.queries on each, comparing every result
+against its DuckDB oracle with the SAME oracle_check.py the driver runs.
+
+Three corpus FAMILIES, round-robined across the N corpora:
+  docs   — documents+embeddings: sizes, unicode planes (ASCII / accented
+           Latin / CJK / astral emoji), whitespace and empty-text skew,
+           exact- and near-duplicate rates, sparse vs dense doc ids,
+           null-lang rows.
+  events — the event stream: ts ties, empty event types, single-user
+           skew, day-span and id-sparsity variation.
+  graph  — the TPC-H-ish trade/basket tables: uniform / hub-skew /
+           island-disconnected / chain topologies, sparse vs dense keys,
+           degenerate sizes.
 
 Usage:
   tools/fuzz_diff.py [--corpora 10] [--queries 20] [--seed 14]
+                     [--families docs,events,graph]
                      [--workdir /tmp/graft_fuzz] [--keep]
 
 One sbt JVM runs all corpora (graft.FuzzVerify); each corpus carries its
@@ -41,7 +50,8 @@ QUERY_POOL = [
     "q80_ngram_novelty", "q84_bigram_lm", "q85_token_entropy",
     "q90_substring_decontam", "q97_boilerplate", "q102_split_leakage",
     "q105_chunk_dedup", "q107_oov_rate", "q110_normalize_repair",
-    "q117_bpe_merges", "q120_soft_dedup", "q121_repetition_profile",
+    "q117_bpe_merges", "q118_bpe_encode", "q165_byte_bpe",
+    "q187_lang_fertility", "q120_soft_dedup", "q121_repetition_profile",
     "q124_substring_spans", "q125_substring_cut", "q126_char_coverage",
     "q158_language_id", "q161_banding_scurve", "q162_url_canonicalize",
     "q171_cdc_chunk_dedup", "q175_leak_safe_split",
@@ -50,6 +60,29 @@ QUERY_POOL = [
     "q186_template_inventory", "q188_maximal_runs",
     "q20_embedding_prep", "q27_embedding_topk", "q47_embedding_ivf_topk",
     "q104_ann_recall", "q119_coreset_sample",
+]
+
+# Event-stream pool: every oracled query whose only input is the events
+# table (temporal joins, sessionization, funnels, trend/anomaly rollups).
+EVENTS_POOL = [
+    "q53_asof_join", "q54_range_join", "q55_sessionization",
+    "q116_conversion_funnel", "q129_cohort_retention",
+    "q130_hourly_anomalies", "q132_ewma_trend", "q137_rolling_active",
+    "q140_event_transitions", "q141_session_paths",
+    "q147_transition_latency", "q149_weekday_seasonality",
+    "q154_pattern_screen",
+]
+
+# Graph pool: every oracled query over the trade graph (lineitem⋈orders
+# customer↔supplier projection) or the market-basket graph (parts
+# co-ordered), plus the supplier-seeded audits.
+GRAPH_POOL = [
+    "q128_pagerank", "q133_trustrank", "q134_seed_distance",
+    "q135_communities", "q136_copurchase", "q138_triangle_census",
+    "q139_local_clustering", "q143_assoc_rules", "q144_kcore_peel",
+    "q145_link_predict", "q148_hits", "q150_rfm_segments",
+    "q151_degree_profile", "q153_cost_distance",
+    "q157_harmonic_centrality", "q163_anf_curve", "q166_anf_calibration",
 ]
 
 ASCII_VOCAB = ("key agg row scan slow fast table value part hash merge "
@@ -135,10 +168,14 @@ def gen_corpus(rng, out_dir):
             texts.append(t)
             if len(t.split()) >= 40:
                 originals.append(t)
+    # null-lang rows: unlabeled documents are a real corpus shape the
+    # fixed testdata never emits (caught the q56 equi-join NULL drop)
+    null_lang_rate = rng.choice([0.0, 0.0, 0.1])
     docs = pa.table({
         "doc_id": pa.array(ids, pa.int64()),
         "text": pa.array(texts, pa.string()),
-        "lang": pa.array([rng.choice(langs) for _ in ids], pa.string()),
+        "lang": pa.array([None if rng.random() < null_lang_rate
+                          else rng.choice(langs) for _ in ids], pa.string()),
         "source": pa.array([f"src{rng.randrange(n_sources)}" for _ in ids],
                            pa.string()),
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
@@ -154,7 +191,181 @@ def gen_corpus(rng, out_dir):
     })
     pq.write_table(embs, f"{out_dir}/embeddings.parquet")
     return {"n_docs": n_docs, "styles": styles, "dup": dup_rate,
-            "near": near_rate, "empty": empty_rate, "sparse": sparse_ids}
+            "near": near_rate, "empty": empty_rate, "sparse": sparse_ids,
+            "null_lang": null_lang_rate}
+
+
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def gen_events_corpus(rng, out_dir):
+    """Randomized event stream: ts ties (exact-duplicate timestamps stress
+    every tie-break), empty event types, single-user skew, day-span and
+    id-sparsity variation — the shapes the temporal family's oracles
+    (as-of/range joins, sessionization, funnels, EWMA) must agree on."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    n_events = rng.randint(40, 1200)
+    n_users = rng.choice([1, 2, 5, 40])          # 1 = single-user skew
+    span_days = rng.choice([1, 3, 10])
+    tie_rate = rng.choice([0.0, 0.2, 0.6])
+    empty_type_rate = rng.choice([0.0, 0.0, 0.05])
+    sparse_ids = rng.random() < 0.4
+    ids = (sorted(rng.sample(range(10 ** 9), n_events)) if sparse_ids
+           else list(range(n_events)))
+    base_us = 1704067200000000  # 2024-01-01T00:00:00Z in micros
+    ts, prev = [], base_us
+    for _ in range(n_events):
+        if ts and rng.random() < tie_rate:
+            ts.append(prev)                      # exact tie
+        else:
+            prev = base_us + rng.randrange(span_days * 86400000000)
+            ts.append(prev)
+    ts.sort()
+    types = ["" if rng.random() < empty_type_rate else rng.choice(EVENT_TYPES)
+             for _ in range(n_events)]
+    tbl = pa.table({
+        "event_id": pa.array(ids, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([rng.randrange(n_users) for _ in ids], pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array([round(rng.uniform(0, 200), 2) for _ in ids],
+                          pa.float64()),
+        "props": pa.array(['{"k": %d}' % rng.randrange(100) for _ in ids],
+                          pa.string()),
+    })
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(tbl, f"{out_dir}/events.parquet")
+    return {"n_events": n_events, "n_users": n_users, "span_days": span_days,
+            "ties": tie_rate, "empty_type": empty_type_rate,
+            "sparse": sparse_ids}
+
+
+def gen_graph_corpus(rng, out_dir):
+    """Randomized TPC-H-ish trade/basket tables: uniform / hub-skew /
+    island-disconnected / chain topologies, sparse vs dense keys — the
+    shapes the graph family's oracles (PageRank, TrustRank, triangles,
+    k-core, HITS, harmonic/ANF audits, association rules) must agree on.
+    Guarantees one mod-100 supplier WITH an order so the seed families
+    (s_suppkey % 10 / % 100) are never empty in the graph (q133's
+    personalizedPageRank requires a reachable seed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    topology = rng.choice(["uniform", "hub", "islands", "chain"])
+    n_supp = rng.randint(3, 100)
+    n_cust = rng.randint(3, 120)
+    n_orders = rng.randint(10, 500)
+    n_parts = rng.randint(3, 80)
+    sparse_keys = rng.random() < 0.4
+
+    def keys(n):
+        return (sorted(rng.sample(range(10 ** 8), n)) if sparse_keys
+                else list(range(n)))
+
+    s_keys, c_keys, o_keys, p_keys = (keys(n_supp), keys(n_cust),
+                                      keys(n_orders), keys(n_parts))
+    # seed guarantee: at least one supplier key ≡ 0 (mod 100)
+    if not any(k % 100 == 0 for k in s_keys):
+        s_keys[rng.randrange(len(s_keys))] = rng.randrange(10 ** 6) * 100
+        s_keys.sort()
+    seed_supp = next(k for k in s_keys if k % 100 == 0)
+    n_islands = rng.randint(2, 5) if topology == "islands" else 1
+    hub = rng.choice(s_keys) if topology == "hub" else None
+    base_us = 1704067200000000
+    o_cust, o_date, o_total = [], [], []
+    for i, ok in enumerate(o_keys):
+        if topology == "islands":
+            isl = i % n_islands
+            cands = [c for j, c in enumerate(c_keys) if j % n_islands == isl]
+            o_cust.append(rng.choice(cands))
+        elif topology == "chain":
+            o_cust.append(c_keys[min(i % len(c_keys), len(c_keys) - 1)])
+        else:
+            o_cust.append(rng.choice(c_keys))
+        o_date.append(base_us + rng.randrange(365 * 86400000000))
+        o_total.append(round(rng.uniform(100, 40000), 2))
+    li_rows = []
+    for i, ok in enumerate(o_keys):
+        for ln in range(1, rng.randint(1, 8) + 1):
+            if topology == "hub" and rng.random() < 0.5:
+                sk = hub
+            elif topology == "islands":
+                isl = i % n_islands
+                cands = [s for j, s in enumerate(s_keys) if j % n_islands == isl]
+                sk = rng.choice(cands)
+            elif topology == "chain":
+                sk = s_keys[min(i % len(s_keys), len(s_keys) - 1)]
+            else:
+                sk = rng.choice(s_keys)
+            li_rows.append((ok, rng.choice(p_keys), sk, ln,
+                            float(rng.randint(1, 50)),
+                            round(rng.uniform(100, 90000), 2),
+                            round(rng.uniform(0, 0.1), 2),
+                            round(rng.uniform(0, 0.08), 2),
+                            rng.choice("RAN"), rng.choice("OF"),
+                            base_us + rng.randrange(365 * 86400000000)))
+    # seed guarantee: the mod-100 supplier ships at least one lineitem
+    li_rows.append((o_keys[0], rng.choice(p_keys), seed_supp, 99,
+                    1.0, 1000.0, 0.0, 0.0, "N", "O", base_us))
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(s_keys, pa.int64()),
+        "s_name": pa.array([f"Supplier#{k:09d}" for k in s_keys], pa.string()),
+        "s_nationkey": pa.array([rng.randrange(25) for _ in s_keys], pa.int32()),
+        "s_acctbal": pa.array([round(rng.uniform(-999, 9999), 2)
+                               for _ in s_keys], pa.float64()),
+    }), f"{out_dir}/supplier.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(c_keys, pa.int64()),
+        "c_name": pa.array([f"Customer#{k:09d}" for k in c_keys], pa.string()),
+        "c_nationkey": pa.array([rng.randrange(25) for _ in c_keys], pa.int32()),
+        "c_acctbal": pa.array([round(rng.uniform(-999, 9999), 2)
+                               for _ in c_keys], pa.float64()),
+        "c_mktsegment": pa.array([rng.choice(["BUILDING", "MACHINERY",
+                                              "AUTOMOBILE", "FURNITURE",
+                                              "HOUSEHOLD"]) for _ in c_keys],
+                                 pa.string()),
+    }), f"{out_dir}/customer.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(p_keys, pa.int64()),
+        "p_name": pa.array([f"part {k}" for k in p_keys], pa.string()),
+        "p_brand": pa.array([f"Brand#{rng.randrange(1, 6)}{rng.randrange(1, 6)}"
+                             for _ in p_keys], pa.string()),
+        "p_type": pa.array([rng.choice(["STANDARD", "SMALL", "MEDIUM",
+                                        "LARGE", "ECONOMY", "PROMO"])
+                            for _ in p_keys], pa.string()),
+        "p_size": pa.array([rng.randrange(1, 51) for _ in p_keys], pa.int32()),
+        "p_retailprice": pa.array([round(rng.uniform(900, 2000), 2)
+                                   for _ in p_keys], pa.float64()),
+    }), f"{out_dir}/part.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(o_keys, pa.int64()),
+        "o_custkey": pa.array(o_cust, pa.int64()),
+        "o_orderstatus": pa.array([rng.choice("FOP") for _ in o_keys],
+                                  pa.string()),
+        "o_totalprice": pa.array(o_total, pa.float64()),
+        "o_orderdate": pa.array(o_date, pa.timestamp("us")),
+        "o_orderpriority": pa.array([rng.choice(["1-URGENT", "2-HIGH",
+                                                 "3-MEDIUM", "4-NOT SPECIFIED",
+                                                 "5-LOW"]) for _ in o_keys],
+                                    pa.string()),
+    }), f"{out_dir}/orders.parquet")
+    cols = list(zip(*li_rows))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(cols[0], pa.int64()),
+        "l_partkey": pa.array(cols[1], pa.int64()),
+        "l_suppkey": pa.array(cols[2], pa.int64()),
+        "l_linenumber": pa.array(cols[3], pa.int32()),
+        "l_quantity": pa.array(cols[4], pa.float64()),
+        "l_extendedprice": pa.array(cols[5], pa.float64()),
+        "l_discount": pa.array(cols[6], pa.float64()),
+        "l_tax": pa.array(cols[7], pa.float64()),
+        "l_returnflag": pa.array(cols[8], pa.string()),
+        "l_linestatus": pa.array(cols[9], pa.string()),
+        "l_shipdate": pa.array(cols[10], pa.timestamp("us")),
+    }), f"{out_dir}/lineitem.parquet")
+    return {"topology": topology, "n_supp": n_supp, "n_cust": n_cust,
+            "n_orders": n_orders, "n_li": len(li_rows), "sparse": sparse_keys}
 
 
 def main():
@@ -162,6 +373,8 @@ def main():
     ap.add_argument("--corpora", type=int, default=10)
     ap.add_argument("--queries", type=int, default=20)
     ap.add_argument("--seed", type=int, default=14)
+    ap.add_argument("--families", default="docs,events,graph",
+                    help="comma list of corpus families to round-robin")
     ap.add_argument("--workdir", default="/tmp/graft_fuzz")
     ap.add_argument("--keep", action="store_true",
                     help="keep the workdir on success")
@@ -171,12 +384,22 @@ def main():
         shutil.rmtree(args.workdir)
     corpora = os.path.join(args.workdir, "corpora")
     outs = os.path.join(args.workdir, "out")
+    fams = {"docs": (gen_corpus, QUERY_POOL),
+            "events": (gen_events_corpus, EVENTS_POOL),
+            "graph": (gen_graph_corpus, GRAPH_POOL)}
+    picked = [f.strip() for f in args.families.split(",") if f.strip()]
+    unknown = [f for f in picked if f not in fams]
+    if unknown:
+        print(f"[fuzz] unknown families: {unknown} (have {sorted(fams)})")
+        return 2
     shapes = {}
     for i in range(args.corpora):
+        fam = picked[i % len(picked)]
+        gen, pool = fams[fam]
         name = f"c{i:02d}"
         cdir = os.path.join(corpora, name)
-        shapes[name] = gen_corpus(rng, cdir)
-        subset = rng.sample(QUERY_POOL, min(args.queries, len(QUERY_POOL)))
+        shapes[name] = {"family": fam, **gen(rng, cdir)}
+        subset = rng.sample(pool, min(args.queries, len(pool)))
         with open(os.path.join(cdir, "_queries.txt"), "w") as f:
             f.write(",".join(sorted(subset)))
         print(f"[fuzz] {name}: {shapes[name]} queries={len(subset)}")
