@@ -65,7 +65,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => PHash64(args.head)),
     (FunctionIdentifier("graft_phash64any"),
       new ExpressionInfo(classOf[PHash64Any].getName, "graft_phash64any"),
-      (args: Seq[Expression]) => PHash64Any(args.head))
+      (args: Seq[Expression]) => PHash64Any(args.head)),
+    (FunctionIdentifier("graft_cdc_ends"),
+      new ExpressionInfo(classOf[CdcEnds].getName, "graft_cdc_ends"),
+      (args: Seq[Expression]) => CdcEnds(args.head))
   )
 
   /** Idempotently register the fused functions on a live session (no-op when

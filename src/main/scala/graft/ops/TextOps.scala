@@ -341,10 +341,12 @@ object TextOps {
 
   /** CDC parameters, shared verbatim with the SQL oracle: boundary-test
     * window width (chars), boundary modulus (expected gap ≈ mask), and the
-    * greedy minimum chunk length. Expected chunk length ≈ minLen + mask. */
-  val CdcW = 8
-  val CdcMask = 32
-  val CdcMinLen = 16
+    * greedy minimum chunk length. Expected chunk length ≈ minLen + mask.
+    * Single source: [[graft.expr.CdcKernel]] (the fused boundary kernel
+    * reads them at class-load; re-exported here for the oracle builders). */
+  val CdcW: Int = graft.expr.CdcKernel.W
+  val CdcMask: Int = graft.expr.CdcKernel.Mask
+  val CdcMinLen: Int = graft.expr.CdcKernel.MinLen
 
   /** Content-defined chunking: split each row's text at positions where the
     * rolling window's content hash satisfies `h60(window) % CdcMask == 0`,
@@ -366,33 +368,18 @@ object TextOps {
     * document — the honest degenerate case, documented rather than patched
     * with a positional cut that would break the re-sync property.
     *
-    * Shape: pure per-row generator — candidate scan is O(len·W) codegen'd
-    * arithmetic over a projected attribute (one h60 per position), the
-    * greedy fold is a bounded list aggregate, and only (carry, 8-byte
-    * digest, len) rows leave the scan. Streaming-safe: no state, no
-    * shuffle. */
+    * Shape: pure per-row generator — the candidate scan + greedy fold run
+    * inside the fused [[graft.expr.CdcKernel]] expression (one UTF-8 byte
+    * walk, one reused MessageDigest — the per-position substring/hex/conv
+    * expression tree it replaced allocated per CHARACTER and dominated the
+    * sf1.0 CDC drill; CdcKernelSpec pins the kernel against that reference
+    * formulation on adversarial corpora), and only (carry, 8-byte digest,
+    * len) rows leave the scan. Streaming-safe: no state, no shuffle. */
   def cdcChunks(df: DataFrame, textCol: String, carry: Seq[String]): DataFrame = {
     val t = col("_t")
-    // candidate boundary positions: window END positions i in [W, len]
-    // (guarded: sequence(W, len) with len < W would run DESCENDING)
-    val cands = when(length(t) >= CdcW,
-      filter(
-        transform(sequence(lit(CdcW), length(t)),
-          i => when(pmod(PortableSketch.h60(
-            t.substr(i - lit(CdcW - 1), lit(CdcW))), lit(CdcMask)) === 0, i)),
-        x => x.isNotNull))
-      .otherwise(array().cast("array<int>"))
-    // greedy min-length fold; acc carries accepted boundaries, seeded [0]
-    val bs = aggregate(col("_cands"), array(lit(0)),
-      (acc, x) => when(x - element_at(acc, -1) >= CdcMinLen,
-        concat(acc, array(x))).otherwise(acc))
-    val tail = when(length(t) > element_at(col("_bs"), -1),
-      concat(slice(col("_bs"), lit(2), size(col("_bs")) - 1), array(length(t))))
-      .otherwise(slice(col("_bs"), lit(2), size(col("_bs")) - 1))
+    graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
     df.select(carry.map(col) :+ col(textCol).as("_t"): _*)
-      .withColumn("_cands", cands)
-      .withColumn("_bs", bs)
-      .withColumn("_ends", tail)
+      .withColumn("_ends", call_function("graft_cdc_ends", t))
       .where(size(col("_ends")) >= 1)
       .withColumn("_j", explode(sequence(lit(1), size(col("_ends")))))
       .withColumn("_s",
@@ -403,6 +390,29 @@ object TextOps {
         (col("_e") - col("_s")).cast("long").as("chunk_len"),
         PortableSketch.h60(col("_t").substr(col("_s") + 1, col("_e") - col("_s")))
           .as("_h")): _*)
+  }
+
+  /** REFERENCE formulation of the CDC boundary rule — the original
+    * per-position expression tree (sequence → h60-per-window transform →
+    * filter → greedy lambda fold → tail close), kept verbatim so
+    * CdcKernelSpec can pin the fused [[graft.expr.CdcKernel]] against it
+    * on adversarial corpora (the PortableSketch fused-vs-reference
+    * discipline). Semantics contract: chunk END char positions, 1-based;
+    * empty array for empty text. Never used on a hot path. */
+  private[graft] def cdcEndsReference(t: Column): Column = {
+    val cands = when(length(t) >= CdcW,
+      filter(
+        transform(sequence(lit(CdcW), length(t)),
+          i => when(pmod(PortableSketch.h60(
+            t.substr(i - lit(CdcW - 1), lit(CdcW))), lit(CdcMask)) === 0, i)),
+        x => x.isNotNull))
+      .otherwise(array().cast("array<int>"))
+    val bs = aggregate(cands, array(lit(0)),
+      (acc, x) => when(x - element_at(acc, -1) >= CdcMinLen,
+        concat(acc, array(x))).otherwise(acc))
+    when(length(t) > element_at(bs, -1),
+      concat(slice(bs, lit(2), size(bs) - 1), array(length(t))))
+      .otherwise(slice(bs, lit(2), size(bs) - 1))
   }
 
   // --- maximal exact duplicated runs (seed-and-extend ExactSubstr) ----------
