@@ -100,6 +100,85 @@ object CdcKernel {
   }
 }
 
+/** Single-pass sliding-window hash kernel — the stride-1 char-window
+  * relation builder behind the ExactSubstr family (q124/q125 spans/cut,
+  * q188 maximal runs). Reference semantics: for every 1-based start
+  * position p ∈ [1, numChars−w+1], the struct (pos=p, h=h60 of the w-char
+  * window) — exactly `transform(sequence(1, len−w+1), i → struct(i,
+  * h60(substr(i, w))))`, which allocated a substring, a hex rendering and
+  * a base-16 conversion PER POSITION (the pattern the CDC kernel above
+  * retired). One UTF-8 byte walk, code-point offsets as SQL substr counts
+  * chars, one reused MessageDigest. Same md5 ⇒ same hashes ⇒ oracles
+  * untouched; WinHashesSpec pins fused == reference. */
+object WinKernel {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def beLong(d: Array[Byte]): Long =
+    ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+      ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+      ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+
+  def winHashes(s: UTF8String, w: Int): org.apache.spark.sql.catalyst.expressions.UnsafeArrayData = {
+    val bytes = s.getBytes
+    val nBytes = bytes.length
+    var numChars = 0
+    var i = 0
+    while (i < nBytes) {
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      numChars += 1
+    }
+    val count = numChars - w + 1
+    val out = new Array[Long](if (count > 0) count else 0)
+    if (count > 0) {
+      val offs = new Array[Int](numChars + 1)
+      i = 0
+      var c = 0
+      while (i < nBytes) {
+        offs(c) = i
+        i += UTF8String.numBytesForFirstByte(bytes(i))
+        c += 1
+      }
+      offs(numChars) = nBytes
+      val md = mdLocal.get()
+      var p = 0
+      while (p < count) {
+        md.reset()
+        md.update(bytes, offs(p), offs(p + w) - offs(p))
+        val d = md.digest()
+        out(p) = beLong(d) >>> 4
+        p += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** `graft_win_hashes(text, w)` — the h60 of every w-char sliding window,
+  * as a PRIMITIVE long array (element k, 0-based, is the window starting
+  * at 1-based char position k+1 — pair with posexplode; a struct-array
+  * return shape measured SLOWER than the expression tree it replaced,
+  * because per-position row objects out-allocate what the fused digest
+  * saves). Codegen'd; see [[WinKernel]]. */
+case class WinHashes(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(w >= 1, s"graft_win_hashes: w=$w must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_win_hashes"
+  protected override def nullSafeEval(input: Any): Any =
+    WinKernel.winHashes(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.WinKernel.winHashes($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinHashes =
+    copy(child = newChild)
+}
+
 /** `graft_cdc_ends(text)` — chunk END positions (1-based char units) under
   * the CDC boundary rule (codegen'd; see [[CdcKernel]]). */
 case class CdcEnds(child: Expression)

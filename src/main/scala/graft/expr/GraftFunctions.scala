@@ -68,7 +68,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => PHash64Any(args.head)),
     (FunctionIdentifier("graft_cdc_ends"),
       new ExpressionInfo(classOf[CdcEnds].getName, "graft_cdc_ends"),
-      (args: Seq[Expression]) => CdcEnds(args.head))
+      (args: Seq[Expression]) => CdcEnds(args.head)),
+    (FunctionIdentifier("graft_win_hashes"),
+      new ExpressionInfo(classOf[WinHashes].getName, "graft_win_hashes"),
+      (args: Seq[Expression]) => WinHashes(args.head,
+        intArg(args, 1, "graft_win_hashes")))
   )
 
   /** Idempotently register the fused functions on a live session (no-op when

@@ -478,17 +478,21 @@ object CurationQueries {
       .select(col("doc_id"), col("lang"), col("text"),
         length(col("text")).as("_len"))
 
-  private def windowPairs(base: DataFrame): DataFrame =
+  private def windowPairs(base: DataFrame): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(base.sparkSession)
+    // fused window kernel (graft.expr.WinKernel — the per-position
+    // substring/hex/conv tree it replaced dominated this family's scan);
+    // same md5, same hashes, oracle untouched. pos widens int → long,
+    // invisible in every q124/q125 output column (span sums were already
+    // long; the cut fold renders strings).
     base.where(col("_len") >= SubstrW)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), col("_len") - (SubstrW - 1)),
-          i => struct(i.as("pos"),
-            graft.ops.PortableSketch.h60(col("text").substr(i, lit(SubstrW)))
-              .as("h"))))
-          .as("_w"))
-      .select(col("doc_id"), col("_w.pos").as("pos"), col("_w.h").as("_h"))
+        posexplode(call_function("graft_win_hashes", col("text"), lit(SubstrW)))
+          .as(Seq("_p0", "_h")))
+      .select(col("doc_id"), (col("_p0") + 1).cast("long").as("pos"), col("_h"))
       .repartition(col("_h"))
       .persist() // read by the hash agg AND the eligibility join (same key)
+  }
 
   private def mergeSpans(eligible: DataFrame): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
@@ -634,10 +638,13 @@ object CurationQueries {
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("_ivs"))
     base.join(ivs, Seq("doc_id"), "left")
       .withColumn("_rw", when(col("_ivs").isNull, col("text")).otherwise(
-        expr("""aggregate(_ivs, named_struct('p', 1, 'acc', ''),
+        // p seeds as BIGINT: span bounds are long since the fused window
+        // kernel widened pos (substring's positional args cast back)
+        expr("""aggregate(_ivs, named_struct('p', CAST(1 AS BIGINT), 'acc', ''),
           (a, iv) -> named_struct('p', iv.e + 1,
-            'acc', concat(a.acc, substring(text, a.p, iv.s - a.p))),
-          a -> concat(a.acc, substring(text, a.p)))""")))
+            'acc', concat(a.acc,
+              substring(text, CAST(a.p AS INT), CAST(iv.s - a.p AS INT)))),
+          a -> concat(a.acc, substring(text, CAST(a.p AS INT))))""")))
       .groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
         sum(col("_ivs").isNotNull.cast("long")).as("docs_cut"),

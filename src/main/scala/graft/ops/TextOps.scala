@@ -474,13 +474,16 @@ object TextOps {
     val base = Partitioning.spread(docs)
       .select(col(idCol).as("_id"), col(textCol).as("_t"),
         length(col(textCol)).cast("long").as("_len"))
+    graft.expr.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // fused window kernel (graft.expr.WinKernel): one byte walk + one
+    // reused digest per document instead of a substring/hex/conv
+    // expression tree per POSITION — same md5, same hashes, oracle
+    // untouched (WinHashesSpec pins fused == reference)
     val wins = base.where(col("_len") >= w)
-      .select(col("_id"), explode(transform(
-        sequence(lit(1L), col("_len") - (w - 1)),
-        i => struct(i.as("pos"),
-          PortableSketch.h60(col("_t").substr(i.cast("int"), lit(w)))
-            .as("h")))).as("_w"))
-      .select(col("_id"), col("_w.pos").as("_pos"), col("_w.h").as("_h"))
+      .select(col("_id"),
+        posexplode(call_function("graft_win_hashes", col("_t"), lit(w)))
+          .as(Seq("_p0", "_h")))
+      .select(col("_id"), (col("_p0") + 1).cast("long").as("_pos"), col("_h"))
       .repartition(col("_h"))
       .persist() // seeds are a filter of this SAME relation: one exchange
     val seeds = wins.where(((col("_pos") - 1) % stride) === 0)
