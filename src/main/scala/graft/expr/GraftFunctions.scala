@@ -20,11 +20,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
-  private def intArg(args: Seq[Expression], i: Int, fn: String): Int = args(i) match {
-    case Literal(v: Int, _) => v
-    case Literal(v: Long, _) => v.toInt
-    case other => throw new IllegalArgumentException(
-      s"$fn: argument ${i + 1} must be an integer literal, got $other")
+  private def intArg(args: Seq[Expression], i: Int, fn: String): Int = {
+    if (i >= args.length) throw new IllegalArgumentException(
+      s"$fn: expected at least ${i + 1} arguments, got ${args.length}")
+    args(i) match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer literal, got $other")
+    }
   }
 
   val injections: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -46,7 +50,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => Fingerprint64(args.head, intArg(args, 1, "graft_fingerprint64"))),
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        if (args.length != 2) throw new IllegalArgumentException(
+          s"graft_dot: expected 2 arguments, got ${args.length}")
+        DotProduct(args(0), args(1))
+      }),
     (FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
       (args: Seq[Expression]) => Winnow(args.head,

@@ -478,20 +478,27 @@ object CurationQueries {
       .select(col("doc_id"), col("lang"), col("text"),
         length(col("text")).as("_len"))
 
-  private def windowPairs(base: DataFrame): DataFrame = {
+  /** Returns (relation, release): the persisted window relation is
+    * O(corpus chars) — the TextOps.maximalDupRunsHandle contract applies.
+    * A long-lived session must call release() once the consuming query is
+    * materialized; the one-shot [[substringDupSpans]]/[[substringCut]]
+    * forms rely on the caller's per-query cache clear (Verify/Bench both
+    * `cacheManager.clearCache()` between queries). */
+  private def windowPairs(base: DataFrame): (DataFrame, () => Unit) = {
     graft.expr.GraftFunctions.ensureRegistered(base.sparkSession)
     // fused window kernel (graft.expr.WinKernel — the per-position
     // substring/hex/conv tree it replaced dominated this family's scan);
     // same md5, same hashes, oracle untouched. pos widens int → long,
     // invisible in every q124/q125 output column (span sums were already
     // long; the cut fold renders strings).
-    base.where(col("_len") >= SubstrW)
+    val pairs = base.where(col("_len") >= SubstrW)
       .select(col("doc_id"),
         posexplode(call_function("graft_win_hashes", col("text"), lit(SubstrW)))
           .as(Seq("_p0", "_h")))
       .select(col("doc_id"), (col("_p0") + 1).cast("long").as("pos"), col("_h"))
       .repartition(col("_h"))
       .persist() // read by the hash agg AND the eligibility join (same key)
+    (pairs, () => { pairs.unpersist(); () })
   }
 
   private def mergeSpans(eligible: DataFrame): DataFrame = {
@@ -506,9 +513,16 @@ object CurationQueries {
       .agg(min("pos").as("s"), (max("pos") + (SubstrW - 1)).as("e"))
   }
 
-  def substringDupSpans(spark: SparkSession, dir: String): DataFrame = {
+  def substringDupSpans(spark: SparkSession, dir: String): DataFrame =
+    substringDupSpansHandle(spark, dir)._1
+
+  /** Handle variant (the TextOps.maximalDupRunsHandle contract): returns
+    * (result, release). release() unpersists the O(corpus chars) window
+    * relation — long-lived sessions must call it after materializing. */
+  def substringDupSpansHandle(
+      spark: SparkSession, dir: String): (DataFrame, () => Unit) = {
     val base = substrBase(spark, dir)
-    val pairs = windowPairs(base)
+    val (pairs, release) = windowPairs(base)
     val dupHashes = pairs.groupBy("_h").agg(count(lit(1)).as("_c"))
       .where(col("_c") >= 2).select("_h")
     val spans = mergeSpans(pairs.join(dupHashes, Seq("_h"))
@@ -517,7 +531,7 @@ object CurationQueries {
     val perDoc = spans.groupBy("doc_id").agg(
       sum("_spanLen").as("_dup"), count(lit(1)).as("_nspans"),
       max("_spanLen").as("_mx"))
-    base.select("doc_id", "lang", "_len")
+    val result = base.select("doc_id", "lang", "_len")
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("lang"), col("_len"),
         coalesce(col("_dup"), lit(0L)).as("_dup"),
@@ -533,6 +547,7 @@ object CurationQueries {
         sum("_nspans").as("n_spans"),
         max("_mx").as("max_span"))
       .orderBy("lang")
+    (result, release)
   }
 
   /** q126 — CHARACTER COVERAGE: the SentencePiece `character_coverage`
@@ -617,9 +632,16 @@ object CurationQueries {
     * shuffled once on the 8-byte hash, persisted for agg + flag join);
     * the rebuild is a per-doc fold over that doc's merged intervals —
     * bounded by len/W per doc, never corpus-sized. */
-  def substringCut(spark: SparkSession, dir: String): DataFrame = {
+  def substringCut(spark: SparkSession, dir: String): DataFrame =
+    substringCutHandle(spark, dir)._1
+
+  /** Handle variant (the TextOps.maximalDupRunsHandle contract): returns
+    * (result, release). release() unpersists the O(corpus chars) window
+    * relation — long-lived sessions must call it after materializing. */
+  def substringCutHandle(
+      spark: SparkSession, dir: String): (DataFrame, () => Unit) = {
     val base = substrBase(spark, dir)
-    val pairs = windowPairs(base)
+    val (pairs, release) = windowPairs(base)
     // canonical occurrence = corpus-wide min (doc_id, pos). The ENGINE side
     // takes a struct-min — exact at any id scale (no packing overflow);
     // only the ORACLE packs the pair into doc_id·2^32 + pos (same
@@ -636,7 +658,7 @@ object CurationQueries {
       .select("doc_id", "pos"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("_ivs"))
-    base.join(ivs, Seq("doc_id"), "left")
+    val result = base.join(ivs, Seq("doc_id"), "left")
       .withColumn("_rw", when(col("_ivs").isNull, col("text")).otherwise(
         // p seeds as BIGINT: span bounds are long since the fused window
         // kernel widened pos (substring's positional args cast back)
@@ -653,6 +675,7 @@ object CurationQueries {
         sum(graft.ops.PortableSketch.h60(col("_rw")) % 1000000007L)
           .as("cut_checksum"))
       .orderBy("lang")
+    (result, release)
   }
 
   private def q125OracleSql: String =

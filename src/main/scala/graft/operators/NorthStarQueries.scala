@@ -964,12 +964,13 @@ object NorthStarQueries {
       .where(pmod(col("s_suppkey"), lit(10)) === 0)
       .select(expr("s_suppkey * 2 + 1").as("node"))
 
-  /** ABSOLUTE cap on every per-seed-state seed set (q157/q166/q167): the
-    * exact side of a calibration carries (seed, node) rows, so |seeds|
-    * must be a CONSTANT, not a rate — the 1%-rate form grew work ∝ sf²
-    * (measured 12.5× at 10× data in the round-14 drill; ~10,000× at
-    * 100×). 64 caps the q167 host seeds (domain-grained — 20 at every
-    * test SF, so non-binding there). */
+  /** ABSOLUTE cap on the q167 host-reputation seed set. (The q157/q166
+    * calibration audits use the tighter [[CalibrationSeedCap]] = 8, not
+    * this.) The exact side of a per-seed-state audit carries (seed, node)
+    * rows, so |seeds| must be a CONSTANT, not a rate — the 1%-rate form
+    * grew work ∝ sf² (measured 12.5× at 10× data in the round-14 drill;
+    * ~10,000× at 100×). 64 caps the q167 host seeds (domain-grained — 20
+    * at every test SF, so non-binding there). */
   private[operators] val SeedCap = 64
 
   /** The supplier calibration audits (q157/q166) use a tighter cap: their

@@ -321,4 +321,26 @@ class CurationSpec extends AnyFunSuite {
       ("en", 6L, 4L, 410L, 111L, enSum),
       ("fr", 1L, 0L, 56L, 56L, h60(d7) % M)))
   }
+
+  test("q124/q125 handle variants release the persisted window relation") {
+    val common = "abcdefghij" * 4
+    val dir = docsDir(Seq(
+      (0L, common + "0" * 10, "en", "s0"),
+      (1L, "1" * 5 + common + "2" * 5, "en", "s0")))
+    spark.sharedState.cacheManager.clearCache() // isolate the assertion
+    // build one handle at a time: the two window relations share a logical
+    // plan, so eager construction would dedup to ONE cache entry and the
+    // first release() would drop the second handle's cache out from under it
+    for (mk <- Seq(
+        () => CurationQueries.substringDupSpansHandle(spark, dir),
+        () => CurationQueries.substringCutHandle(spark, dir))) {
+      val (res, release) = mk()
+      res.collect()
+      assert(!spark.sharedState.cacheManager.isEmpty,
+        "window relation should be cached while the handle is open")
+      release()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "release() must unpersist the window relation")
+    }
+  }
 }

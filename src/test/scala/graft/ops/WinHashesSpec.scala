@@ -69,4 +69,17 @@ class WinHashesSpec extends AnyFunSuite {
       .as[Seq[Long]].collect()
     assert(sub.head.isEmpty, s"sub-w text must yield []: ${sub.head}")
   }
+
+  test("one-argument call fails with a clear arity error, not an index error") {
+    val s = spark
+    graft.expr.GraftFunctions.ensureRegistered(s)
+    val ex = intercept[Throwable] {
+      s.sql("SELECT graft_win_hashes('abcdefgh')").collect()
+    }
+    val messages = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(m =>
+      m.contains("graft_win_hashes") && m.contains("argument")),
+      s"expected an arity message naming the function, got: $messages")
+  }
 }

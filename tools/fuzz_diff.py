@@ -264,9 +264,15 @@ def gen_graph_corpus(rng, out_dir):
 
     s_keys, c_keys, o_keys, p_keys = (keys(n_supp), keys(n_cust),
                                       keys(n_orders), keys(n_parts))
-    # seed guarantee: at least one supplier key ≡ 0 (mod 100)
+    # seed guarantee: at least one supplier key ≡ 0 (mod 100); the
+    # replacement key must not collide with an existing sampled key, or
+    # the corpus silently stops modeling a unique-key supplier table
     if not any(k % 100 == 0 for k in s_keys):
-        s_keys[rng.randrange(len(s_keys))] = rng.randrange(10 ** 6) * 100
+        existing = set(s_keys)
+        repl = rng.randrange(10 ** 6) * 100
+        while repl in existing:
+            repl = rng.randrange(10 ** 6) * 100
+        s_keys[rng.randrange(len(s_keys))] = repl
         s_keys.sort()
     seed_supp = next(k for k in s_keys if k % 100 == 0)
     n_islands = rng.randint(2, 5) if topology == "islands" else 1
