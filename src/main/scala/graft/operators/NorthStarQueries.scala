@@ -331,7 +331,12 @@ object NorthStarQueries {
     val sample = graft.ops.SemDedup.idRankSample(emb, "vec_id", 50, 800)
       .orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Double](0).toArray)
-    val books = Array.tabulate(8)(m => sample.map(_.slice(m * 8, m * 8 + 8)))
+    // codebooks: seeded from the sample slices, then Lloyd-trained 2
+    // rounds over the corpus (round 16 — lifts q109 recall 0.20 → 0.24 at
+    // sf0.01; the residual IVF-PQ construction was measured WORSE on this
+    // isotropic corpus, see Similarity.pqTrainBooks)
+    val seedBooks = Array.tabulate(8)(m => sample.map(_.slice(m * 8, m * 8 + 8)))
+    val books = Similarity.pqTrainBooks(emb, "embedding", seedBooks, rounds = 2)
     val assigned = emb
       .withColumn("cid", Similarity.ivfAssign(col("embedding"), sample))
       .withColumn("_codes", Similarity.pqEncode(col("embedding"), books))
@@ -624,9 +629,12 @@ object NorthStarQueries {
     * Discipline: the basket caps at 256 suppliers per customer via the
     * skew-safe bottom-k threshold form ([[graft.ops.Sampling
     * .quotaPerKeyAgg]], the q52 operator — no single-task sort), keeping
-    * per-customer fanout ≤ cap²/2 at any scale. The cap is provably
-    * non-binding on this data (max basket 102 at sf0.1, 67 at sf0.01), so
-    * the oracle replays the UNCAPPED projection (the q63/q122 rule).
+    * per-customer fanout ≤ cap²/2 at any scale. The oracle replays the
+    * SAME capped projection (on a distinct (c, s) relation the bottom-k
+    * threshold is exactly `row_number() ≤ quota ORDER BY s`), so the
+    * contract holds whether or not the cap binds — non-binding on this
+    * testdata (max basket 102 at sf0.1), binding and certified on the
+    * round-16 whale corpus (tools/gen_sf.py --whales).
     * Output: top-20 supplier pairs by shared customers. */
   /** The capped projection core over a distinct (c, s) relation — exposed
     * for the spec's whale-basket pin. */
@@ -653,9 +661,9 @@ object NorthStarQueries {
     * where the q136 customer↔supplier projection is complete). Same basket
     * discipline as q136: the per-order basket caps at 256 parts via the
     * skew-safe bottom-k threshold ([[graft.ops.Sampling.quotaPerKeyAgg]]),
-    * bounding per-basket pair fanout at cap²/2 at any scale; the cap is
-    * provably non-binding here (TPC-H orders hold ≤ 7 lineitems), so the
-    * oracle replays the uncapped projection (the q63/q122 rule). */
+    * bounding per-basket pair fanout at cap²/2 at any scale; the oracle
+    * replays the same cap as `row_number() ≤ 256` (valid whether or not
+    * it binds — TPC-H orders hold ≤ 7 lineitems, so here it never does). */
   private[operators] def basketEdges(spark: SparkSession, dir: String): DataFrame = {
     val po = table(spark, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
@@ -722,8 +730,9 @@ object NorthStarQueries {
     * popularity artifacts. Top-20 by the total order (lift, conf, ante,
     * cons) — (ante, cons) is unique, so ranks are deterministic.
     *
-    * Scale: the pair relation is the q136 capped projection (cap provably
-    * non-binding here — the oracle replays uncapped); item counts are one
+    * Scale: the pair relation is the q136 capped projection (the oracle
+    * replays the SAME cap as row_number ≤ 256, so the contract holds on
+    * cap-binding whale data too — certified round 16); item counts are one
     * |items|-row aggregate joined twice (broadcast-able at any realistic
     * vocabulary); N is the one scalar collect (a count, like pageRank's
     * |nodes|). Integer-exact; overflow bound documented on the lift
@@ -1174,7 +1183,10 @@ object NorthStarQueries {
     * orientation, path-closure triangle enumeration. */
   private val basketTriCtes =
     """po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-      |e0 AS (SELECT a.p AS u, b.p AS v FROM po a JOIN po b
+      |pc AS (SELECT o, p FROM (
+      |    SELECT o, p, row_number() OVER (PARTITION BY o ORDER BY p) AS rk FROM po)
+      |  WHERE rk <= 256),
+      |e0 AS (SELECT a.p AS u, b.p AS v FROM pc a JOIN pc b
       |  ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
       |deg AS (SELECT n, count(*)::BIGINT AS d FROM
       |  (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
@@ -1185,16 +1197,20 @@ object NorthStarQueries {
       |  JOIN oe e2 ON e2.s = e1.t
       |  WHERE EXISTS (SELECT 1 FROM oe e3 WHERE e3.s = e1.s AND e3.t = e2.t))""".stripMargin
 
-  /** q144 replay: the same uncapped basket edge set, then 6 unrolled
-    * synchronous k=2 peels — d_r from e_r, e_{r+1} keeps edges whose both
-    * endpoints have d_r ≥ 2; one stats row per round. Every CTE level is
-    * MATERIALIZED: DuckDB otherwise inlines the recursion-shaped chain and
-    * the expanded tree re-opens the parquet exponentially (observed as
-    * "Too many open files" at depth 6). */
+  /** q144 replay: the same CAPPED basket edge set (the basketEdges
+    * quota replayed as row_number ≤ 256 — see the q143 oracle note), then
+    * 6 unrolled synchronous k=2 peels — d_r from e_r, e_{r+1} keeps edges
+    * whose both endpoints have d_r ≥ 2; one stats row per round. Every CTE
+    * level is MATERIALIZED: DuckDB otherwise inlines the recursion-shaped
+    * chain and the expanded tree re-opens the parquet exponentially
+    * (observed as "Too many open files" at depth 6). */
   private def q144OracleSql: String = {
     val sb = new StringBuilder(
       """WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e0 AS MATERIALIZED (SELECT a.p AS u, b.p AS v FROM po a JOIN po b
+        |pc AS MATERIALIZED (SELECT o, p FROM (
+        |    SELECT o, p, row_number() OVER (PARTITION BY o ORDER BY p) AS rk FROM po)
+        |  WHERE rk <= 256),
+        |e0 AS MATERIALIZED (SELECT a.p AS u, b.p AS v FROM pc a JOIN pc b
         |  ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
         |""".stripMargin)
     for (r <- 0 until 6) {
@@ -1349,12 +1365,35 @@ object NorthStarQueries {
       "round(COALESCE(h.c, 0) / 5.0, 6) AS recall_pq " +
       "FROM (SELECT DISTINCT qid FROM bf) b LEFT JOIN h ON h.qid = b.qid ORDER BY 1"
 
-  /** q89 oracle: the full IVF-PQ replication — codebooks re-derived from
-    * the same data sample (subspace slices of every 50th vector), encode
-    * re-run as the same argmax (2·x_m·c − ‖c‖², ties to the higher code),
-    * ADC re-summed per candidate, rounded to 9 dp before the top-12 cut
-    * (the same pre-rank rounding the Spark side applies, so the candidate
-    * set is pinned), then the exact-cosine rerank. */
+  /** The q89 Lloyd rounds unrolled as CTEs: asg_r assigns every vector's
+    * subspace-m slice to its nearest books_{r-1} entry (the pqEncode
+    * argmax — ties to the HIGHER code), mb_r/nb_r rebuild per-(m, code)
+    * mean entries rounded to 6 dp (the Similarity.pqTrainBooks rule), and
+    * books_r keeps the prior entry for empty cells via the LEFT JOIN
+    * COALESCE. */
+  private val PqTrainRounds = 2
+  private def pqTrainCtes: String = (1 to PqTrainRounds).map { r =>
+    s"asg$r AS (SELECT vec_id, m, k AS code FROM (" +
+      "SELECT e.vec_id, b.m, b.k, ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.m ORDER BY " +
+      "2 * list_dot_product(e.v[b.m*8+1 : b.m*8+8], b.bv) - list_dot_product(b.bv, b.bv) DESC, b.k DESC) AS rn " +
+      s"FROM e CROSS JOIN books${r - 1} b) WHERE rn = 1), " +
+      s"mb$r AS (SELECT a.m, a.code AS k, t.j, round(avg(e.v[a.m*8+t.j]), 6) AS x " +
+      s"FROM asg$r a, e, unnest(generate_series(1, 8)) AS t(j) " +
+      "WHERE e.vec_id = a.vec_id GROUP BY a.m, a.code, t.j), " +
+      s"nb$r AS (SELECT m, k, list(x ORDER BY j) AS bv FROM mb$r GROUP BY m, k), " +
+      s"books$r AS (SELECT b.m, b.k, COALESCE(n.bv, b.bv) AS bv " +
+      s"FROM books${r - 1} b LEFT JOIN nb$r n ON n.m = b.m AND n.k = b.k), "
+  }.mkString
+
+  /** q89 oracle: the full IVF-PQ replication — codebooks SEEDED from the
+    * same data sample (subspace slices of every 50th vector) then
+    * Lloyd-trained [[PqTrainRounds]] rounds exactly as
+    * Similarity.pqTrainBooks (6-dp-rounded per-dim means, ties to the
+    * higher code, empty cells keep their seed), encode re-run as the same
+    * argmax (2·x_m·c − ‖c‖², ties to the higher code), ADC re-summed per
+    * candidate, rounded to 9 dp before the top-12 cut (the same pre-rank
+    * rounding the Spark side applies, so the candidate set is pinned),
+    * then the exact-cosine rerank. */
   private def pqOracleSql: String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci, v AS cv " +
@@ -1364,23 +1403,25 @@ object NorthStarQueries {
       "FROM e CROSS JOIN cent c), " +
       "rs AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, ci DESC) AS rn FROM sa), " +
       "assigned AS (SELECT vec_id, v, ci AS cid FROM rs WHERE rn = 1), " +
-      // PQ codebooks: subspace m slice of sample k (same sample as the centroids)
+      // PQ codebook SEED: subspace m slice of sample k (same sample as the
+      // centroids), then the Lloyd training rounds
       "ms AS (SELECT unnest(generate_series(0, 7)) AS m), " +
-      "books AS (SELECT ms.m, cent.ci AS k, cv[ms.m*8+1 : ms.m*8+8] AS bv FROM cent, ms), " +
+      "books0 AS (SELECT ms.m, cent.ci AS k, cv[ms.m*8+1 : ms.m*8+8] AS bv FROM cent, ms), " +
+      pqTrainCtes +
       // encode: argmax 2*x_m·c - ||c||^2, ties to the HIGHER code
       "encsc AS (SELECT e.vec_id, b.m, b.k, " +
       "2 * list_dot_product(e.v[b.m*8+1 : b.m*8+8], b.bv) - list_dot_product(b.bv, b.bv) AS s " +
-      "FROM e CROSS JOIN books b), " +
+      s"FROM e CROSS JOIN books$PqTrainRounds b), " +
       "codes AS (SELECT vec_id, m, k AS code FROM " +
       "(SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY s DESC, k DESC) AS rn FROM encsc) WHERE rn = 1), " +
       "nsq AS (SELECT c.vec_id, sum(list_dot_product(b.bv, b.bv)) AS nsq " +
-      "FROM codes c JOIN books b ON b.m = c.m AND b.k = c.code GROUP BY c.vec_id), " +
+      s"FROM codes c JOIN books$PqTrainRounds b ON b.m = c.m AND b.k = c.code GROUP BY c.vec_id), " +
       "q AS (SELECT vec_id AS qid, v AS qv, cid FROM assigned WHERE vec_id < 10), " +
       "cand AS (SELECT q.qid, a.vec_id AS nid, q.qv, a.v FROM q " +
       "JOIN assigned a ON a.cid = q.cid AND a.vec_id <> q.qid), " +
       // ADC: query subvector dotted with the candidate's reconstructed codes
       "adot AS (SELECT c.qid, c.nid, sum(list_dot_product(c.qv[b.m*8+1 : b.m*8+8], b.bv)) AS adot " +
-      "FROM cand c JOIN codes k2 ON k2.vec_id = c.nid JOIN books b ON b.m = k2.m AND b.k = k2.code " +
+      s"FROM cand c JOIN codes k2 ON k2.vec_id = c.nid JOIN books$PqTrainRounds b ON b.m = k2.m AND b.k = k2.code " +
       "GROUP BY c.qid, c.nid), " +
       "approx AS (SELECT c.qid, c.nid, c.qv, c.v, " +
       "ROUND(CASE WHEN sqrt(list_dot_product(c.qv, c.qv)) * sqrt(n.nsq) = 0 THEN 0.0 " +
@@ -1568,12 +1609,20 @@ object NorthStarQueries {
     "q135_communities" -> q135OracleSql,
     // q136: the oracle replays the UNCAPPED projection — sound because the
     // 256 basket cap cannot bind (max basket 102 at sf0.1, 67 at sf0.01)
+    // q136: the oracle replays the CAPPED projection — on a distinct
+    // (c, s) relation, quotaPerKeyAgg's bottom-k threshold is exactly
+    // row_number() ≤ quota ordered by s, so the replay is valid whether or
+    // not the cap binds (it degenerates to the uncapped projection when no
+    // basket exceeds 256 — the testdata case)
     "q136_copurchase" ->
       """WITH ps AS (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |cap AS (SELECT c, s FROM (
+        |    SELECT c, s, row_number() OVER (PARTITION BY c ORDER BY s) AS rk FROM ps)
+        |  WHERE rk <= 256)
         |SELECT a.s AS s1, b.s AS s2, count(*)::BIGINT AS shared
-        |FROM ps a JOIN ps b ON a.c = b.c AND a.s < b.s
+        |FROM cap a JOIN cap b ON a.c = b.c AND a.s < b.s
         |GROUP BY 1, 2 ORDER BY shared DESC, s1, s2 LIMIT 20""".stripMargin,
     // q134: BFS min-hop via bounded recursive reach (UNION dedups (node,d)
     // pairs and d < 4 bounds the recursion, so cycles terminate); min(d)
@@ -1610,16 +1659,23 @@ object NorthStarQueries {
           |  JOIN documents db ON db.doc_id = idB)
           |SELECT idA, idB, lev, (10000 - (lev * 10000) // ml)::BIGINT AS sim_bp
           |FROM v WHERE lev * 5 <= ml ORDER BY idA, idB""".stripMargin),
-    // q143: uncapped projection replay (the q136 rule); same integer
-    // conf/lift arithmetic — all operands positive so DuckDB `//` == div
+    // q143: CAPPED projection replay (the q136 rule — row_number ≤ 256
+    // over the distinct basket ≡ quotaPerKeyAgg; valid whether or not the
+    // cap binds, certified round 16 on a whale corpus where it does);
+    // item counts and N stay UNCAPPED exactly as the engine computes them.
+    // Same integer conf/lift arithmetic — all operands positive so
+    // DuckDB `//` == div
     "q143_assoc_rules" ->
       """WITH ps AS (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |cap AS (SELECT c, s FROM (
+        |    SELECT c, s, row_number() OVER (PARTITION BY c ORDER BY s) AS rk FROM ps)
+        |  WHERE rk <= 256),
         |nb AS (SELECT count(DISTINCT c)::BIGINT AS n FROM ps),
         |ic AS (SELECT s, count(*)::BIGINT AS cnt FROM ps GROUP BY 1),
         |pr AS (SELECT a.s AS s1, b.s AS s2, count(*)::BIGINT AS shared
-        |  FROM ps a JOIN ps b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2),
+        |  FROM cap a JOIN cap b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2),
         |ru AS (SELECT s1 AS ante, s2 AS cons, shared FROM pr
         |  UNION ALL SELECT s2, s1, shared FROM pr)
         |SELECT ante, cons, shared, ia.cnt AS n_ante, ic2.cnt AS n_cons,
@@ -1629,11 +1685,15 @@ object NorthStarQueries {
         |WHERE shared >= 3
         |ORDER BY lift_bp DESC, conf_bp DESC, ante, cons LIMIT 20""".stripMargin,
     "q144_kcore_peel" -> q144OracleSql,
-    // q145: uncapped wedge replay (max degree 13 ≪ the 256 cap), same
-    // integer resource-allocation arithmetic, one NOT EXISTS for adjacency
+    // q145: capped wedge replay (the shared basket cap as row_number ≤
+    // 256 — see the q143 oracle note), same integer resource-allocation
+    // arithmetic, one NOT EXISTS for adjacency
     "q145_link_predict" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e0 AS (SELECT a.p AS u, b.p AS v FROM po a JOIN po b
+        |pc AS (SELECT o, p FROM (
+        |    SELECT o, p, row_number() OVER (PARTITION BY o ORDER BY p) AS rk FROM po)
+        |  WHERE rk <= 256),
+        |e0 AS (SELECT a.p AS u, b.p AS v FROM pc a JOIN pc b
         |  ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
         |se AS (SELECT u AS w, v AS n FROM e0 UNION ALL SELECT v, u FROM e0),
         |deg AS (SELECT w AS n, count(*)::BIGINT AS d FROM se GROUP BY 1),

@@ -480,6 +480,33 @@ class AuditSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q143: the 256 basket cap binds on a whale customer end-to-end") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("assoc-whale").toString
+    // whale c1 buys suppliers 0..299 (basket 300 > quota 256): the capped
+    // basket keeps the 256 SMALLEST supplier ids, so c1's contribution to
+    // the (0, 299) pair vanishes. c2/c3 buy {0, 299, 400, 401}, c4 buys
+    // {400, 401}. Uncapped, (0, 299) has support 3 (c1+c2+c3) and would
+    // lead the output (lift 13333, ante 0 sorts first); capped, its
+    // support is 2 → pruned, and ONLY the (400, 401) rules survive:
+    // shared 3, n_ante = n_cons = 3, conf 10000, lift 3·1e4·4 div 9 = 13333.
+    val orders = Seq((100L, 1L), (200L, 2L), (300L, 3L), (400L, 4L))
+    orders.toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val li = (0L until 300L).map(s => (100L, s)) ++
+      Seq(200L, 300L).flatMap(o => Seq(0L, 299L, 400L, 401L).map(s => (o, s))) ++
+      Seq((400L, 400L), (400L, 401L))
+    li.toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = NorthStarQueries.associationRules(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (400L, 401L, 3L, 3L, 3L, 10000L, 13333L),
+      (401L, 400L, 3L, 3L, 3L, 10000L, 13333L)),
+      s"capped rules must exclude every whale-only pair: $r")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q146: slice-exclusive tokens out-lift shared ones; the tf floor hides rare") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("distinctive").toString

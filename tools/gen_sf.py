@@ -78,8 +78,16 @@ def gen_events(rng, n, n_users, out):
     pq.write_table(t, f"{out}/events.parquet")
 
 
-def gen_tpch(rng, sf10, out):
-    """sf10 = multiples of the sf0.1 row counts."""
+def gen_tpch(rng, sf10, out, whales=0, whale_frac=0.05):
+    """sf10 = multiples of the sf0.1 row counts.
+
+    whales > 0 plants a power-law basket tail: `whales` customers (ids
+    0..whales-1) receive `whale_frac` of all orders between them, so each
+    whale's distinct-supplier basket far exceeds the engine's 256-per-
+    customer quota (at sf0.1 counts, 5 whales x 5% = 1500 orders x ~4
+    lineitems ~ 6000 supplier draws from 1000 -> ~full vocabulary). This is
+    the corpus where the q136/q143 basket cap BINDS, certifying the capped
+    oracle replay end-to-end (round-16 task #1)."""
     n_cust, n_supp, n_part = 15000 * sf10, 1000 * sf10, 20000 * sf10
     n_ord, n_li = 150000 * sf10, 600000 * sf10
     day0 = np.datetime64("1995-01-01")
@@ -115,9 +123,14 @@ def gen_tpch(rng, sf10, out):
         "p_retailprice": pa.array(np.round(rng.uniform(900, 2100, n_part), 2)),
     }), f"{out}/part.parquet")
     odate = day0 + rng.integers(0, 2404, n_ord).astype("timedelta64[D]")
+    o_cust = rng.integers(0, n_cust, n_ord)
+    if whales > 0:
+        n_whale_orders = int(n_ord * whale_frac)
+        idx = rng.choice(n_ord, n_whale_orders, replace=False)
+        o_cust[idx] = rng.integers(0, whales, n_whale_orders)
     pq.write_table(pa.table({
         "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
-        "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+        "o_custkey": pa.array(o_cust, pa.int64()),
         "o_orderstatus": pa.array(rng.choice(["O", "F", "P"], n_ord,
                                              p=[0.49, 0.49, 0.02]).tolist()),
         "o_totalprice": pa.array(np.round(rng.uniform(850, 560000, n_ord), 2)),
@@ -157,6 +170,11 @@ def main():
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--out", default=None)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--whales", type=int, default=0,
+                    help="plant N whale customers whose baskets exceed the "
+                         "256-supplier quota (cap-binding corpus)")
+    ap.add_argument("--whale-frac", type=float, default=0.05,
+                    help="fraction of all orders assigned to the whales")
     args = ap.parse_args()
     sf10 = max(1, round(args.sf / 0.1))
     out = args.out or os.path.join(
@@ -167,8 +185,9 @@ def main():
     gen_documents(rng, 5000 * sf10, out)
     gen_embeddings(rng, 2000 * sf10, out)
     gen_events(rng, 100000 * sf10, 1500 * sf10, out)
-    gen_tpch(rng, sf10, out)
+    gen_tpch(rng, sf10, out, whales=args.whales, whale_frac=args.whale_frac)
     meta = {"sf": args.sf, "seed": args.seed,
+            "whales": args.whales, "whale_frac": args.whale_frac,
             "rows": {"documents": 5000 * sf10, "embeddings": 2000 * sf10,
                      "events": 100000 * sf10, "lineitem": 600000 * sf10}}
     with open(f"{out}/_GEN.json", "w") as f:
