@@ -205,6 +205,46 @@ object Similarity {
     }.toIndexedSeq: _*)
   }
 
+  /** Lloyd-train the PQ subspace codebooks: `rounds` synchronous k-means
+    * steps per subspace, all M subspaces in ONE corpus pass per round
+    * (posexplode the per-row code array, per-(m, code, dim) means). The
+    * SemDedup (q91) determinism discipline applies verbatim: assignment
+    * ties resolve to the HIGHER code (the [[pqEncode]] rule), per-dim
+    * means ROUND to 6 dp so distributed-sum ulps can never flip a later
+    * assignment in any engine, and an empty cell keeps its seed entry.
+    * The collected model is M×K×subdim doubles (8×16×8 = 1 KB here) —
+    * a documented bounded-model collect, like the IVF centroids.
+    *
+    * Measured round 16 (BASELINE.md): trained RAW codebooks lift q109
+    * recall where the standard IVF-PQ residual construction (encode
+    * x − c_coarse) measurably HURTS on this corpus — the embeddings are
+    * isotropic unit gaussians, so coarse assignment removes no energy
+    * (‖x − c‖ ≈ 1.25 > ‖x‖ = 1) and the constant q·c term compresses
+    * candidate spacing. Residual encoding stays the right construction
+    * for clustered real-world corpora; it is not wired here because the
+    * audit (q109) showed it losing recall on this data. */
+  def pqTrainBooks(emb: DataFrame, vecCol: String,
+      seed: Array[Array[Array[Double]]], rounds: Int): Array[Array[Array[Double]]] = {
+    val subdim = seed(0)(0).length
+    var books = seed
+    for (_ <- 1 to rounds) {
+      val means = emb
+        .select(col(vecCol).as("_v"), pqEncode(col(vecCol), books).as("_codes"))
+        .select(posexplode(col("_codes")).as(Seq("_m", "_k")), col("_v"))
+        .select(col("_m"), col("_k"),
+          posexplode(slice(col("_v"), col("_m") * subdim + 1, lit(subdim)))
+            .as(Seq("_j", "_x")))
+        .groupBy("_m", "_k", "_j").agg(round(avg("_x"), 6).as("_mx"))
+        .collect() // bounded: ≤ M·K·subdim rows
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      books = next
+    }
+    books
+  }
+
   /** Approximate squared norm of a PQ-encoded vector: Σ_m ‖c_{m,code_m}‖² —
     * the reconstruction's norm, precomputed at encode time so search never
     * touches the original floats. */

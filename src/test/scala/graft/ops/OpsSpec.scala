@@ -606,6 +606,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(df._2 == (2.0 * 3.0) + (3.0 * 2.0)) // q·[0,3,2,0] = 6 + 6
   }
 
+  test("pqTrainBooks: one Lloyd round moves entries to 6-dp cluster means; empty cells keep seeds") {
+    // subspace 0: two clusters near the seeds; subspace 1: EVERY vector
+    // nearest code 0, so code 1's cell is empty and must keep its seed
+    val seed: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(1.0, 0.0), Array(100.0, 100.0)))
+    val rows = Seq(
+      (1L, Seq(0.9, 0.1, 1.2, 0.0)),
+      (2L, Seq(1.1, 0.1, 0.8, 0.0)),
+      (3L, Seq(0.1, 0.9, 1.0, 0.3)))
+    val df = rows.toDF("vec_id", "embedding")
+    val trained = Similarity.pqTrainBooks(df, "embedding", seed, rounds = 1)
+    // subspace 0 code 0 <- mean of vecs 1, 2 = (1.0, 0.1); code 1 <- vec 3
+    assert(trained(0)(0).toSeq == Seq(1.0, 0.1))
+    assert(trained(0)(1).toSeq == Seq(0.1, 0.9))
+    // subspace 1 code 0 <- mean of all three = (1.0, 0.1); code 1 unchanged
+    assert(trained(1)(0).toSeq == Seq(1.0, 0.1))
+    assert(trained(1)(1).toSeq == Seq(100.0, 100.0))
+    // determinism: a second run returns identical books
+    val again = Similarity.pqTrainBooks(df, "embedding", seed, rounds = 1)
+    assert(trained.flatten.map(_.toSeq).toSeq == again.flatten.map(_.toSeq).toSeq)
+  }
+
   test("pq ADC ranking finds a planted twin through the codes alone") {
     // corpus = twin of the query + orthogonal noise; the twin's codes
     // reconstruct closest, so ADC must rank it first without reading floats
