@@ -6,7 +6,7 @@ exercises; this harness generates N randomized corpora and replays a
 rotating subset of SparkEntry.queries on each, comparing every result
 against its DuckDB oracle with the SAME oracle_check.py the driver runs.
 
-Three corpus FAMILIES, round-robined across the N corpora:
+Four corpus FAMILIES, round-robined across the N corpora:
   docs   — documents+embeddings: sizes, unicode planes (ASCII / accented
            Latin / CJK / astral emoji), whitespace and empty-text skew,
            exact- and near-duplicate rates, sparse vs dense doc ids,
@@ -14,12 +14,15 @@ Three corpus FAMILIES, round-robined across the N corpora:
   events — the event stream: ts ties, empty event types, single-user
            skew, day-span and id-sparsity variation.
   graph  — the TPC-H-ish trade/basket tables: uniform / hub-skew /
-           island-disconnected / chain topologies, sparse vs dense keys,
-           degenerate sizes.
+           island-disconnected / chain / whale-basket topologies, sparse
+           vs dense keys, degenerate sizes.
+  assets — ASCII-payload documents probing the multimodal decode/fallback
+           boundary (near-valid RIFF/GIF/BMP/AU/AIFF headers, truncated
+           and corrupt-magic variants, runts, planted near-dup streams).
 
 Usage:
   tools/fuzz_diff.py [--corpora 10] [--queries 20] [--seed 14]
-                     [--families docs,events,graph]
+                     [--families docs,events,graph,assets]
                      [--workdir /tmp/graft_fuzz] [--keep]
 
 One sbt JVM runs all corpora (graft.FuzzVerify); each corpus carries its
@@ -60,6 +63,7 @@ QUERY_POOL = [
     "q186_template_inventory", "q188_maximal_runs",
     "q20_embedding_prep", "q27_embedding_topk", "q47_embedding_ivf_topk",
     "q104_ann_recall", "q119_coreset_sample",
+    "q89_embedding_pq_topk", "q109_pq_recall",
 ]
 
 # Event-stream pool: every oracled query whose only input is the events
@@ -83,6 +87,17 @@ GRAPH_POOL = [
     "q145_link_predict", "q148_hits", "q150_rfm_segments",
     "q151_degree_profile", "q153_cost_distance",
     "q157_harmonic_centrality", "q163_anf_curve", "q166_anf_calibration",
+]
+
+# Asset pool: the multimodal/phash family over fakeAssets(documents) —
+# every oracle replays the deterministic FALLBACK decode, so the contract
+# under fuzz is that none of these payloads is claimed by an installed JDK
+# reader (truly-decodable payloads are pinned by MultimodalSpec's
+# real-decode fixtures; the oracle cannot replay ImageIO/javax.sound).
+ASSETS_POOL = [
+    "q31_multimodal_features", "q32_video_frames", "q101_audio_stats",
+    "q122_phash_neardups", "q123_phash_admit", "q127_phash_clusters",
+    "q168_phash_recall",
 ]
 
 ASCII_VOCAB = ("key agg row scan slow fast table value part hash merge "
@@ -195,6 +210,77 @@ def gen_corpus(rng, out_dir):
             "null_lang": null_lang_rate}
 
 
+def gen_assets_corpus(rng, out_dir):
+    """ASCII-payload documents probing the multimodal decode/fallback
+    boundary (the q31/q32/q101/q122/q123/q127/q168 family). fakeAssets
+    carries the text's utf-8 bytes as the payload, and the phash oracles
+    rely on ord(char) == byte, so every payload stays in the printable
+    ASCII subset. Kinds: plain text, near-valid container headers
+    (RIFF/WAVE, GIF87a/89a, BM, .snd, FORM/AIFF), corrupt magics,
+    truncated magics, runts/empties, and planted near-dup byte streams
+    (a few flipped chars) for the banding family. The certified contract:
+    none of these is claimed by a JDK reader — both engines take the
+    deterministic fallback; real-decode behavior is pinned in
+    MultimodalSpec fixtures instead."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    n_docs = rng.randint(40, 160)
+
+    def printable(n):
+        return "".join(chr(rng.randint(0x20, 0x7E)) for _ in range(n))
+
+    def plain():
+        return " ".join(rng.choice(ASCII_VOCAB)
+                        for _ in range(rng.randint(1, 60)))
+
+    def header_stream():
+        magic = rng.choice([
+            "RIFF" + printable(4) + "WAVE",          # wav shape, garbage fmt
+            "RIFF" + printable(4) + "WAVEfmt ",      # deeper wav shape
+            "RIFX" + printable(4) + "WAVE",          # corrupt magic
+            "RIFF" + printable(4) + "WAV0",          # corrupt form type
+            "GIF87a", "GIF89a",                      # gif magics
+            "GIF8", "RIF", "BM", "B",                # truncated magics
+            ".snd" + printable(20),                  # AU header shape
+            "FORM" + printable(4) + "AIFF",          # aiff shape
+        ])
+        return magic + printable(rng.randint(0, 200))
+
+    texts, originals = [], []
+    for _ in range(n_docs):
+        r = rng.random()
+        if originals and r < 0.2:
+            # planted near-dup: flip a few chars of an earlier stream
+            src = list(rng.choice(originals))
+            for _ in range(rng.randint(1, 3)):
+                src[rng.randrange(len(src))] = chr(rng.randint(0x20, 0x7E))
+            texts.append("".join(src))
+        elif r < 0.3:
+            texts.append(rng.choice(["", " ", "x", "BM"]))
+        else:
+            t = header_stream() if rng.random() < 0.6 else plain()
+            texts.append(t)
+            if len(t) >= 40:
+                originals.append(t)
+    ids = list(range(n_docs))
+    docs = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array([rng.choice(["en", "fr", "de"]) for _ in ids],
+                         pa.string()),
+        # include src18/src19 so q123's batch split is non-empty
+        "source": pa.array([f"src{rng.randrange(20)}" for _ in ids],
+                           pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(docs, f"{out_dir}/documents.parquet")
+    return {"n_docs": n_docs,
+            "headers": sum(1 for t in texts
+                           if t[:4] in ("RIFF", "RIFX", "GIF8", ".snd", "FORM")
+                           or t[:2] == "BM")}
+
+
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
 
 
@@ -251,10 +337,13 @@ def gen_graph_corpus(rng, out_dir):
     personalizedPageRank requires a reachable seed)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
-    topology = rng.choice(["uniform", "hub", "islands", "chain"])
-    n_supp = rng.randint(3, 100)
+    topology = rng.choice(["uniform", "hub", "islands", "chain", "whale"])
+    # whale: one customer's distinct-supplier basket EXCEEDS the 256
+    # quota, so the q136/q143 capped projection (and its capped oracle
+    # replay) actually binds — the regime the other topologies can't reach
+    n_supp = rng.randint(300, 500) if topology == "whale" else rng.randint(3, 100)
     n_cust = rng.randint(3, 120)
-    n_orders = rng.randint(10, 500)
+    n_orders = rng.randint(200, 600) if topology == "whale" else rng.randint(10, 500)
     n_parts = rng.randint(3, 80)
     sparse_keys = rng.random() < 0.4
 
@@ -279,6 +368,7 @@ def gen_graph_corpus(rng, out_dir):
     hub = rng.choice(s_keys) if topology == "hub" else None
     base_us = 1704067200000000
     o_cust, o_date, o_total = [], [], []
+    whale_cust = c_keys[0] if topology == "whale" else None
     for i, ok in enumerate(o_keys):
         if topology == "islands":
             isl = i % n_islands
@@ -286,6 +376,8 @@ def gen_graph_corpus(rng, out_dir):
             o_cust.append(rng.choice(cands))
         elif topology == "chain":
             o_cust.append(c_keys[min(i % len(c_keys), len(c_keys) - 1)])
+        elif topology == "whale" and rng.random() < 0.6:
+            o_cust.append(whale_cust)
         else:
             o_cust.append(rng.choice(c_keys))
         o_date.append(base_us + rng.randrange(365 * 86400000000))
@@ -313,6 +405,14 @@ def gen_graph_corpus(rng, out_dir):
     # seed guarantee: the mod-100 supplier ships at least one lineitem
     li_rows.append((o_keys[0], rng.choice(p_keys), seed_supp, 99,
                     1.0, 1000.0, 0.0, 0.0, "N", "O", base_us))
+    # whale guarantee: one order's owner holds ≥ 280 distinct suppliers,
+    # so the 256-per-customer basket quota BINDS on this corpus
+    if topology == "whale":
+        wo = next((ok for ok, c in zip(o_keys, o_cust) if c == whale_cust),
+                  o_keys[0])
+        for sk in s_keys[:280]:
+            li_rows.append((wo, rng.choice(p_keys), sk, 90,
+                            1.0, 1000.0, 0.0, 0.0, "N", "O", base_us))
     os.makedirs(out_dir, exist_ok=True)
     pq.write_table(pa.table({
         "s_suppkey": pa.array(s_keys, pa.int64()),
@@ -379,7 +479,7 @@ def main():
     ap.add_argument("--corpora", type=int, default=10)
     ap.add_argument("--queries", type=int, default=20)
     ap.add_argument("--seed", type=int, default=14)
-    ap.add_argument("--families", default="docs,events,graph",
+    ap.add_argument("--families", default="docs,events,graph,assets",
                     help="comma list of corpus families to round-robin")
     ap.add_argument("--workdir", default="/tmp/graft_fuzz")
     ap.add_argument("--keep", action="store_true",
@@ -392,7 +492,8 @@ def main():
     outs = os.path.join(args.workdir, "out")
     fams = {"docs": (gen_corpus, QUERY_POOL),
             "events": (gen_events_corpus, EVENTS_POOL),
-            "graph": (gen_graph_corpus, GRAPH_POOL)}
+            "graph": (gen_graph_corpus, GRAPH_POOL),
+            "assets": (gen_assets_corpus, ASSETS_POOL)}
     picked = [f.strip() for f in args.families.split(",") if f.strip()]
     unknown = [f for f in picked if f not in fams]
     if unknown:
