@@ -100,6 +100,35 @@ class StreamingStateAuditSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transitions TTL: idle users EVICT — state returns to the active " +
+      "population instead of one-row-per-user-forever") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val out = StreamingTransitions.hops(
+      input.toDS().toDF("user_id", "ts", "event_id", "event_type"),
+      "user_id", "ts", "event_id", "event_type",
+      watermarkDelay = "0 seconds", idleTimeoutMs = Some(60000L))
+    val q = out.writeStream.format("memory").queryName("audit_hops_ttl")
+      .outputMode("append").start()
+    try {
+      // 40 users burst at t≈0, then go idle; one survivor keeps emitting
+      input.addData((1L to 400L).map(i =>
+        (i % 40, ts(i / 40), i, s"ev${i % 3}")): _*)
+      q.processAllAvailable()
+      val before = stateRows(q)
+      assert(before == 40L, s"burst must hold 40 state rows, got $before")
+      // advance the watermark far past every idle user's TTL; two extra
+      // batches so the timed-out keys actually fire and are swept
+      input.addData((0L, ts(600), 1001L, "ev0")); q.processAllAvailable()
+      input.addData((0L, ts(610), 1002L, "ev1")); q.processAllAvailable()
+      input.addData((0L, ts(620), 1003L, "ev2")); q.processAllAvailable()
+      val after = stateRows(q)
+      assert(after <= 2L,
+        s"idle users must evict after the 60 s TTL: $before -> $after state rows")
+    } finally q.stop()
+  }
+
   test("coreset admissions: one quota row per cluster under overfeed; " +
       "idle clusters evict on event-time timeout") {
     import spark.implicits._

@@ -92,4 +92,46 @@ class StreamingTransitionsSpec extends AnyFunSuite {
     val got = run(Seq((9L, ts(10), 1L, "view")), Seq(), "hops_dangling")
     assert(got.isEmpty)
   }
+
+  test("TTL: idle context evicts LOUDLY; the comeback starts fresh and is counted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def runTtl(ttl: Option[Long], qn: String) = {
+      val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+      val query = StreamingTransitions.hops(
+          input.toDS().toDF("user_id", "ts", "event_id", "event_type"),
+          "user_id", "ts", "event_id", "event_type",
+          watermarkDelay = "0 seconds", idleTimeoutMs = ttl)
+        .toDF().select("userId", "srcType", "dstType", "tsu", "eventId", "late")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        val batches = Seq(
+          Seq((1L, ts(10), 1L, "view"), (1L, ts(20), 2L, "cart")),
+          Seq((2L, ts(100), 3L, "view")), // watermark → 100s > 20s + 60s TTL
+          Seq((2L, ts(110), 4L, "exit")), // the timed-out key fires here
+          Seq((1L, ts(120), 5L, "buy")),  // comeback: fresh context
+          Seq((1L, ts(130), 6L, "exit")))
+        batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+        spark.sql(s"SELECT * FROM $qn")
+          .as[(Long, String, String, Long, Long, Long)].collect().toSeq
+          .sortBy(r => (r._1, r._4, r._5))
+      } finally query.stop()
+    }
+    val evicted = runTtl(Some(60000L), "hops_ttl")
+    assert(evicted == Seq(
+      (1L, "view", "cart", 20000000L, 2L, 0L),
+      (1L, "cart", StreamingTransitions.Evicted, 20000000L, 2L, 0L),
+      (1L, "buy", "exit", 130000000L, 6L, 0L),
+      (2L, "view", "exit", 110000000L, 4L, 0L)),
+      s"TTL stream must announce the evicted context and restart fresh: $evicted")
+    // the sentinel rows ARE the lost-comeback accounting: exactly one per
+    // evicted context, so downstream counts them where batch q140 would
+    // have threaded cart → buy
+    assert(evicted.count(_._3 == StreamingTransitions.Evicted) == 1)
+    // without TTL the same stream threads the comeback hop instead
+    val noTtl = runTtl(None, "hops_nottl")
+    assert(noTtl.contains((1L, "cart", "buy", 120000000L, 5L, 0L)) &&
+      !noTtl.exists(_._3 == StreamingTransitions.Evicted), s"no-TTL parity: $noTtl")
+  }
 }
