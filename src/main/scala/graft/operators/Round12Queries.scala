@@ -203,6 +203,11 @@ object Round12Queries {
       .agg(sum("n").as("_nb"), sum(col("n") * col("_nlp_u")).as("_sum_u"))
       .withColumn("avg_u", expr("_sum_u div _nb"))
       .select("doc_id", "lang", "avg_u")
+      // persist: read 3x — globalSequence's range pass, the per-lang
+      // counts collect, and the unscored anti-join (round-16 audit of the
+      // composition quartet; the q164/q169/q181 chain re-derived this
+      // join+agg twice before)
+      .persist()
     val seq = Layout.globalSequence(scored,
       Seq(col("lang"), col("avg_u"), col("doc_id")), "pos")
     // |langs| rows — the bounded-model driver fold the rank offsets need
