@@ -716,6 +716,10 @@ object TrainPrepQueries {
     val (docs, _, assigned) = clusterAssignment(spark, dir)
     val trainIds = assigned.where(col("split") === "train").select("doc_id")
     val probeIds = assigned.where(col("split") =!= "train").select("doc_id")
+    // trainDocs is read twice (contamination grams, clean-stage rebuild)
+    // but deliberately NOT persisted: it is a semi-join over the raw scan
+    // and the cached cluster assignment, and caching the full text column
+    // measured SLOWER than the rescan (7.5 -> 8.4 s at sf0.1, round 16)
     val trainDocs = docs.join(trainIds, Seq("doc_id"), "left_semi")
     val probeDocs = docs.join(probeIds, Seq("doc_id"), "left_semi")
     val flagged = TextOps.contamination(trainDocs, "text", "doc_id",
