@@ -1,0 +1,18 @@
+#!/bin/bash
+# Run a graft main directly on the compiled classes (bypasses the sbt lock;
+# build.sbt's forked-JVM flags reproduced). Usage:
+#   tools/run_main.sh graft.Profile /root/testdata/sf0.1 1
+# Env: SPARK_DRIVER_MEM (default 8g), SPARK_GRAFT_* as usual.
+set -e
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$@"
