@@ -639,7 +639,13 @@ object NorthStarQueries {
   /** The capped projection core over a distinct (c, s) relation — exposed
     * for the spec's whale-basket pin. */
   private[operators] def coPurchaseProjection(ps: DataFrame, quota: Int): DataFrame = {
-    val capped = graft.ops.Sampling.quotaPerKeyAgg(ps, "c", "s", quota)
+    // persist: the self-join references `capped` twice and Catalyst does not
+    // unify the legs — unpersisted, the bottom-k quota aggregation + threshold
+    // join run once per leg (round-16 optimization, guide §2.4: one subtree
+    // materialization instead of two identical ones). The cached relation is
+    // narrow (two longs/row, ≤ quota rows per key).
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val capped = graft.ops.Sampling.quotaPerKeyAgg(ps, "c", "s", quota).persist()
     capped.as("a").join(capped.as("b"),
         col("a.c") === col("b.c") && col("a.s") < col("b.s"))
       .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
@@ -667,7 +673,11 @@ object NorthStarQueries {
   private[operators] def basketEdges(spark: SparkSession, dir: String): DataFrame = {
     val po = table(spark, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val capped = graft.ops.Sampling.quotaPerKeyAgg(po, "o", "p", 256)
+    // persist: both legs of the self-join below read `capped` — cached, the
+    // lineitem scan + distinct + quota aggregation run once instead of twice
+    // (round-16 optimization, guide §2.4). Narrow (long, long) rows.
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val capped = graft.ops.Sampling.quotaPerKeyAgg(po, "o", "p", 256).persist()
     capped.as("a").join(capped.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("u"), col("b.p").as("v"))
@@ -745,7 +755,13 @@ object NorthStarQueries {
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct().persist()
     val nBaskets = ps.select("c").distinct().count()
     val itemCnt = ps.groupBy("s").agg(count(lit(1)).as("cnt"))
-    val pairs = coPurchaseProjection(ps, quota = 256)
+    // persist: `rules` reads the pair relation twice (ante→cons and
+    // cons→ante legs of the unionAll) — unpersisted, the WHOLE capped
+    // projection (quota agg + self-join + pair aggregation) ran once per
+    // leg (round-16 optimization; the plan showed two identical Aggregate
+    // subtrees under the Union). Narrow rows: (long, long, long).
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val pairs = coPurchaseProjection(ps, quota = 256).persist()
     val rules = pairs.select(col("s1").as("ante"), col("s2").as("cons"), col("shared"))
       .unionAll(pairs.select(col("s2").as("ante"), col("s1").as("cons"), col("shared")))
     rules

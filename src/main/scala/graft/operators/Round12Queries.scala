@@ -192,6 +192,14 @@ object Round12Queries {
     val c1 = grouped.groupBy("lang", "w1").agg(sum("n").as("c1"))
     val v = docs.select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
       .groupBy("lang").agg(countDistinct("w").as("_v"))
+    // round-16 optimization note: a model-first reorder (c2 ⋈ c1 ⋈ v into a
+    // bigram-grain model table, then ONE join onto `grouped`) was measured
+    // and REVERTED — q164 fresh-JVM medians 5.3 s → 6.6 s at sf0.1. The
+    // sequential joins below already plan as broadcast hash joins over the
+    // cached `grouped` (no re-shuffle of the per-doc relation at this
+    // scale), so the reorder only added a model build + a wider broadcast.
+    // On a cluster where c2/c1 exceed the broadcast threshold the model
+    // form saves one shuffle of the per-doc relation; revisit then.
     val scored = grouped
       .join(c2, Seq("lang", "w1", "w2"))
       .join(c1, Seq("lang", "w1"))

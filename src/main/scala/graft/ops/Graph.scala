@@ -527,8 +527,13 @@ object Graph {
     val se = edges.select(col("u").as("w"), col("v").as("n"))
       .unionByName(edges.select(col("v").as("w"), col("u").as("n")))
     val deg = degrees(edges)
+    // persist: the wedge self-join references `capped` twice — cached, the
+    // symmetrize + quota aggregation + degree join run once instead of once
+    // per leg (round-16 optimization, guide §2.4). Narrow (long×3) rows,
+    // ≤ cap per center. Ownership: Verify/Bench clear caches per query.
     val capped = Sampling.quotaPerKeyAgg(se, "w", "n", cap)
       .join(deg.select(col("n").as("w"), col("d").as("dw")), "w")
+      .persist()
     capped.as("a").join(capped.as("b"),
         col("a.w") === col("b.w") && col("a.n") < col("b.n"))
       .select(col("a.n").as("u"), col("b.n").as("v"), col("a.dw").as("dw"))
