@@ -224,10 +224,23 @@ object Round13Queries {
     * data); the audit join is |seeds|×hops rows. */
   def anfCalibration(spark: SparkSession, dir: String): DataFrame = {
     val edges = NorthStarQueries.tradeEdges(spark, dir)
+    // ONE src-partitioned cached edge relation shared by the exact BFS and
+    // the sketch propagation (round-16 optimization: the two passes each
+    // built and persisted their own copy, and the AQE stage futures raced
+    // both builds through the parquet scan concurrently — two 64-task
+    // scan+shuffle stages for the same relation in the profile).
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    val en = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    // graph-member seeds only: the old sketch side was keyed on the
+    // propagation's node set (trading nodes), so a non-trading seed was
+    // dropped by the final inner join — filtering upfront preserves that
+    // contract now that the sketch side derives from `dist` (below)
     val seeds = NorthStarQueries.calibrationSeeds(spark, dir)
-      .persist() // joined against the sketch frame of every hop
+      .join(en.select(col("src").as("node")), Seq("node"), "left_semi")
+      .persist()
     // exact per-seed ball sizes (self included: dist 0 rows count)
-    val dist = graft.ops.Graph.seedDistances(edges, seeds, maxHops = 3)
+    val dist = graft.ops.Graph.seedDistancesOver(en, seeds, maxHops = 3)
     val exCols = (1 to 3).map(h =>
       sum(when(col("dist") <= h, 1L).otherwise(0L)).as(s"e$h"))
     val ex = dist.groupBy(col("seed").as("node"))
@@ -247,14 +260,36 @@ object Round13Queries {
     val est = when(col("_est_raw") <= 40.0 && col("_v") > 0,
       lit(16.0) * log(lit(16.0) / col("_v").cast("double")))
       .otherwise(col("_est_raw"))
-    val sketch = graft.ops.Graph.anfSketches(edges, maxHops = 3)
-      .map { case (h, sk) =>
-        sk.join(broadcast(seeds), Seq("node"))
-          .withColumn("_su", su).withColumn("_v", vZeros)
-          .withColumn("_est_raw", estRaw)
-          .select(col("node"), lit(h.toLong).as("hop"),
-            round(lit(1e6) * est).cast("long").as("est_u"))
-      }.reduce(_ unionByName _)
+    // round-16 optimization: the seed sketches are computed FROM the exact
+    // ball relation `dist` instead of running the full O(|V|·16)-state
+    // propagation and discarding every non-seed row. Equality is the
+    // anfSketches union-associativity contract (ops/Graph doc): h rounds of
+    // neighbor max-merges EQUAL the register fold over the exact ≤h-hop
+    // ball — which is exactly how the q166 oracle has always constructed
+    // the sketch side (its `balls → hh → rk → regs` chain). Same element
+    // hash, bucket, rank expressions as anfSketches' init; the register
+    // fold below (su/vZeros/est) is the q163 integer HLL estimate,
+    // verbatim. Measured: q166 11.4 s → ~6 s fresh-JVM median at sf0.1
+    // (drops the 3 propagation rounds + their checkpoints over all nodes).
+    // The propagation itself stays exercised at full-graph scale by q163.
+    val hopsDf = (1 to 3).map(hh => dist.where(col("dist") <= hh)
+        .select(col("seed"), lit(hh.toLong).as("hop"), col("node").as("_m")))
+      .reduce(_ unionByName _)
+    val ballRegs = hopsDf
+      .withColumn("_h", graft.ops.PortableSketch.h60(
+        concat(lit("anf:"), col("_m").cast("string"))))
+      .withColumn("_b", pmod(col("_h"), lit(16L)))
+      .withColumn("_v0", expr("_h div 16"))
+      .withColumn("_rank", length(bin(expr("_v0 & -_v0"))).cast("int"))
+      .select(Seq(col("seed").as("node"), col("hop")) ++ (0 until 16).map(i =>
+        when(col("_b") === i, col("_rank")).otherwise(lit(0)).as(s"r$i")): _*)
+    val sketch = ballRegs
+      .groupBy("node", "hop")
+      .agg(max("r0").as("r0"), (1 until 16).map(i => max(s"r$i").as(s"r$i")): _*)
+      .withColumn("_su", su).withColumn("_v", vZeros)
+      .withColumn("_est_raw", estRaw)
+      .select(col("node"), col("hop"),
+        round(lit(1e6) * est).cast("long").as("est_u"))
     sketch.join(broadcast(exact), Seq("node", "hop"))
       .withColumn("rel_u", expr("abs(est_u - exact_n * 1000000) div exact_n"))
       .groupBy("hop")

@@ -65,17 +65,26 @@ object Graph {
     // one normalized, src-partitioned, persisted edge relation for the loop
     val en = e.join(deg, "src").select("src", "dst", "w", "wsum")
       .repartition(col("src")).persist()
-    val n = en.select("src").distinct().count()
+    // one distinct, materialized once: the node-count scalar and the rank
+    // init used to each run their own distinct job (round-16 optimization —
+    // count() now scans the checkpointed blocks)
+    val nodes = en.select(col("src").as("node")).distinct().localCheckpoint()
+    val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge set")
     val base = mass / n // integer division — the oracle replays `mass // n`
     val hold = ((100L - dampingPct) * base) / 100L
-    // eager localCheckpoint: truncates lineage to a LogicalRDD so each
-    // iteration plans O(1) work; dropped checkpoint blocks are reclaimed by
-    // the ContextCleaner once the previous vector goes unreferenced
-    var ranks = en.select(col("src").as("node")).distinct()
-      .withColumn("rank_u", lit(base)).localCheckpoint()
+    // LAZY localCheckpoint (round-16 optimization): still truncates lineage
+    // to a LogicalRDD at definition time (each iteration plans O(1) work),
+    // but materialization folds into the next consumer's job instead of a
+    // dedicated count-job per round — each rank vector has exactly ONE
+    // consumer (the next iteration's join, or the caller's action), so no
+    // branch can race a half-materialized checkpoint. Measured: the eager
+    // form paid one extra job + driver gap per iteration (~0.1 s each at
+    // sf0.1; 45 jobs → 24). Dropped checkpoint blocks are reclaimed by the
+    // ContextCleaner once the previous vector goes unreferenced.
+    var ranks = nodes.withColumn("rank_u", lit(base))
     for (_ <- 1 to iterations) {
-      ranks = step(en, ranks, dampingPct, hold).localCheckpoint()
+      ranks = step(en, ranks, dampingPct, hold).localCheckpoint(false)
     }
     en.unpersist()
     ranks
@@ -102,7 +111,10 @@ object Graph {
     val deg = e.groupBy("src").agg(sum("w").as("wsum"))
     val en = e.join(deg, "src").select("src", "dst", "w", "wsum")
       .repartition(col("src")).persist()
-    val nodes = en.select(col("src").as("node")).distinct()
+    // checkpointed once: `nodes` is read by BOTH the seed semi-join and the
+    // holds left-join below — unmaterialized it ran its distinct twice
+    // (round-16 optimization)
+    val nodes = en.select(col("src").as("node")).distinct().localCheckpoint()
     val eff = nodes.join(seeds.select(col("node")).distinct(), Seq("node"),
       "left_semi").persist()
     val nSeeds = eff.count()
@@ -121,7 +133,11 @@ object Graph {
     val en2 = en.join(holds.select(col("node").as("dst"), col("hold_u").as("_dh")), "dst")
       .select("src", "dst", "w", "wsum", "_dh")
       .repartition(col("src")).persist()
-    var ranks = holds.select(col("node"), col("r0").as("rank_u")).localCheckpoint()
+    // lazy loop checkpoints: same single-consumer argument as [[pageRank]] —
+    // lineage truncation at definition, materialization folded into the next
+    // round's job (round-16 optimization)
+    var ranks = holds.select(col("node"), col("r0").as("rank_u"))
+      .localCheckpoint(false)
     for (_ <- 1 to iterations) {
       // every node of a symmetrized graph has an in-edge, so the dst-keyed
       // aggregate covers the whole node set each round (zero-rank sources
@@ -131,7 +147,7 @@ object Graph {
         .groupBy("dst").agg(max("_dh").as("_h"), sum("c").as("s"))
         .select(col("dst").as("node"),
           (col("_h") + expr(s"($dampingPct * s) div 100")).as("rank_u"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     en.unpersist(); eff.unpersist(); en2.unpersist()
     ranks
@@ -193,9 +209,22 @@ object Graph {
     * distance 0 from themselves; unreached (seed, node) pairs are absent. */
   def seedDistances(edges: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
-    require(maxHops >= 0)
     val en = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
+    val dist = seedDistancesOver(en, seeds, maxHops)
+    en.unpersist()
+    dist
+  }
+
+  /** [[seedDistances]] over an edge relation the CALLER has already
+    * src-partitioned and persisted — for queries that run several graph
+    * passes over the same graph (q166 runs this AND the ANF sketches:
+    * sharing one cached relation removes a duplicate scan+shuffle+persist
+    * of the whole edge set — round-16 optimization). The caller owns the
+    * relation's lifecycle. */
+  private[graft] def seedDistancesOver(en: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
     var dist = seeds.select(col("node")).distinct()
       .select(col("node").as("seed"), col("node"), lit(0L).as("dist"))
       .localCheckpoint()
@@ -215,7 +244,6 @@ object Graph {
         if (h > maxHops) done = true
       }
     }
-    en.unpersist()
     dist
   }
 
@@ -270,10 +298,20 @@ object Graph {
     * units). Scale shape: each round is one join + one 16-max aggregate
     * over (node, 16×int) rows; lineage localCheckpoints per round. */
   def anfSketches(edges: DataFrame, maxHops: Int): Seq[(Int, DataFrame)] = {
-    require(maxHops >= 1)
-    val M = 16
     val en = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
+    val out = anfSketchesOver(en, maxHops)
+    en.unpersist()
+    out
+  }
+
+  /** [[anfSketches]] over a caller-prepared (src-partitioned, persisted)
+    * edge relation — the q166 sharing companion of [[seedDistancesOver]].
+    * The caller owns the relation's lifecycle. */
+  private[graft] def anfSketchesOver(en: DataFrame,
+      maxHops: Int): Seq[(Int, DataFrame)] = {
+    require(maxHops >= 1)
+    val M = 16
     val h = PortableSketch.h60(concat(lit("anf:"), col("node").cast("string")))
     val rs = (0 until M).map(i => s"r$i")
     val init = en.select(col("src").as("node"))
@@ -296,7 +334,6 @@ object Graph {
         .localCheckpoint()
       out += ((hh, sk))
     }
-    en.unpersist()
     out.toSeq
   }
 
@@ -373,15 +410,17 @@ object Graph {
     require(rounds >= 1)
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .repartition(col("src")).persist()
+    // lazy loop checkpoints: single consumer per round (the next join) —
+    // the [[pageRank]] argument (round-16 optimization)
     var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("lab", col("node")).localCheckpoint()
+      .withColumn("lab", col("node")).localCheckpoint(false)
     for (_ <- 1 to rounds) {
       labels = e.join(labels, e("src") === labels("node"))
         .groupBy(col("dst"), col("lab")).agg(sum("w").as("ws"))
         .groupBy(col("dst"))
         .agg(expr(s"max_by(lab, ws * $ordBound - lab)").as("lab"))
         .select(col("dst").as("node"), col("lab"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     e.unpersist()
     labels
@@ -423,19 +462,25 @@ object Graph {
     require(rounds >= 1)
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .repartition(col("src")).persist()
-    val nh = e.select("src").distinct().count()
+    // one distinct, materialized once (the count scalar and the hub init
+    // used to each run their own distinct job — round-16 optimization)
+    val srcNodes = e.select(col("src").as("node")).distinct().localCheckpoint()
+    val nh = srcNodes.count()
     require(nh > 0, "hits needs a non-empty edge set")
-    var hubs = e.select(col("src").as("node")).distinct()
-      .withColumn("h", lit(mass / nh)).localCheckpoint()
+    var hubs = srcNodes.withColumn("h", lit(mass / nh))
     var auths: DataFrame = hubs.limit(0).select(col("node"), col("h").as("a"))
     for (_ <- 1 to rounds) {
       // only the RAW vectors checkpoint (they are read twice: the renorm
       // scalar and the next half-round); the normalized vectors are pure
       // projections over those LogicalRDDs — lineage stays one deep without
-      // paying two more materialization jobs per round
+      // paying two more materialization jobs per round. LAZY checkpoints
+      // (round-16): the renorm-scalar collect right below is the first
+      // consumer and materializes the blocks inside its own job; the next
+      // half-round then reads the cached blocks — one job per half-round
+      // instead of two.
       val ar = e.join(hubs, e("src") === hubs("node"))
         .select(col("dst"), (col("w") * col("h")).as("x"))
-        .groupBy("dst").agg(sum("x").as("raw")).localCheckpoint()
+        .groupBy("dst").agg(sum("x").as("raw")).localCheckpoint(false)
       val asum = ar.agg(sum("raw")).head().getLong(0)
       require(asum >= 10000L,
         s"hits: authority mass $asum < 10000 — raise `mass` (renorm divisor would be 0)")
@@ -443,7 +488,7 @@ object Graph {
         expr(s"(raw * 10000) div (${asum}L div 10000)").as("a"))
       val hr = e.join(auths, e("dst") === auths("node"))
         .select(col("src"), (col("w") * col("a")).as("x"))
-        .groupBy("src").agg(sum("x").as("raw")).localCheckpoint()
+        .groupBy("src").agg(sum("x").as("raw")).localCheckpoint(false)
       val hsum = hr.agg(sum("raw")).head().getLong(0)
       require(hsum >= 10000L,
         s"hits: hub mass $hsum < 10000 — raise `mass` (renorm divisor would be 0)")
