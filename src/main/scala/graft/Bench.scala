@@ -54,6 +54,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // Driver-housekeeping caps (round-16 optimization, guide §5: the
+      // driver should do almost no data work). The UI is disabled, but the
+      // status stores still retain 1000 SQL executions' full plan graphs +
+      // per-node metrics and up to 100k task wrappers — across a many-query
+      // run that live set grows until GC dominates: measured on q156 alone
+      // (1 JVM, 7 runs, 8 g heap) wall 7.5→13.9 s RISING with GC 0.4→4.0 s
+      // under the defaults, vs a flat 3.7–4.4 s with GC ~0.1 s capped.
+      // Scale-neutral: these stores serve only the (disabled) UI/REST.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.expr.GraftFunctions.ensureRegistered(spark)
