@@ -610,21 +610,31 @@ object Graph {
     * the standard subgraph-of-the-edge-set convention. */
   def kCoreTrace(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
-    def stats(r: Int, e: DataFrame): DataFrame =
-      degrees(e).agg(count(lit(1)).as("n_nodes"),
+    // one degree relation per round, PERSISTED (not checkpointed — an eager
+    // checkpoint per round measured slower, 6.4→7.2 s, because its 7 extra
+    // materialization jobs outweigh the saved re-aggregation): it is read
+    // by BOTH the round's stats aggregate and the NEXT round's keep filter,
+    // which previously re-aggregated degrees(e_r) from scratch twice per
+    // round (round-16 optimization; one (node, long) row per node; lineage
+    // is one agg over the checkpointed edge set, so no truncation needed).
+    // Ownership: Verify/Bench clear the cache after each query's action.
+    def stats(r: Int, deg: DataFrame): DataFrame =
+      deg.agg(count(lit(1)).as("n_nodes"),
           // integer div: sum(d) is exactly 2·|edges|; float division would
           // lose exactness past 2^53 summed degree at full scale
           expr("coalesce(sum(d), 0L) div 2").as("n_edges"))
         .select(lit(r).cast("long").as("round"), col("n_nodes"), col("n_edges"))
     var e = edges.select(col("u"), col("v")).localCheckpoint()
-    var out = stats(0, e)
+    var deg = degrees(e).persist()
+    var out = stats(0, deg)
     for (r <- 1 to rounds) {
-      val keep = degrees(e).where(col("d") >= k).select(col("n"))
+      val keep = deg.where(col("d") >= k).select(col("n"))
       e = e.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint()
-      out = out.unionAll(stats(r, e))
+      deg = degrees(e).persist()
+      out = out.unionAll(stats(r, deg))
     }
     out
   }
