@@ -326,8 +326,13 @@ object NorthStarQueries {
     * cut-boundary ordering without costing discrimination. */
   def embeddingPqTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(spark)
+    // persist: the casted embedding frame is scanned by the codebook-seed
+    // sample, BOTH Lloyd training rounds, and the final encode pass
+    // (round-16 optimization — one parquet decode + cast instead of four).
+    // Ownership: Verify/Bench clear the cache after each query's action.
     val emb = table(spark, dir, "embeddings")
       .withColumn("embedding", col("embedding").cast("array<double>"))
+      .persist()
     val sample = graft.ops.SemDedup.idRankSample(emb, "vec_id", 50, 800)
       .orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Double](0).toArray)
