@@ -47,7 +47,14 @@ class TrainPrepPropertySpec extends Properties("trainPrep") {
     var alloc = tok.map { case (s, _) => s -> budget / ns }
     var capped = tok.map { case (s, _) => s -> (alloc(s) > cap(s)) }
     for (_ <- 2 to 3) {
-      val cw = tok.keys.filter(capped).map(cap).sum
+      // toSeq before the cap lookup: `tok.keys` is a Set, and mapping caps
+      // over a Set COLLAPSES equal values — two capped sources with the
+      // same cap counted once, understating cw and over-allocating the
+      // uncapped sources in the replay (falsified by the shrunk
+      // {245, 218, 218} draw, seed HNBHR8fRbtjCyJy0YAXUyz6nuxPlJsZVngPih
+      // JGd1J=: the ENGINE and its oracle sum per source and were right;
+      // the replay was wrong)
+      val cw = tok.keys.toSeq.filter(capped).map(cap).sum
       val nu = tok.keys.count(s => !capped(s)).toLong
       alloc = tok.map { case (s, _) =>
         s -> (if (capped(s)) cap(s) else (budget - cw) / math.max(nu, 1L)) }
@@ -59,8 +66,7 @@ class TrainPrepPropertySpec extends Properties("trainPrep") {
     }
   }
 
-  property("q177 equals the plain-Scala water-fill; allocations respect " +
-      "caps and the budget") = Prop.forAll(genSources) { tok =>
+  private def q177Prop(tok: Map[String, Long]): Prop = {
     val s = spark
     import s.implicits._
     // one doc per source carrying exactly tok(s) one-char words
@@ -76,6 +82,16 @@ class TrainPrepPropertySpec extends Properties("trainPrep") {
       (got.map(_._3).sum <= budget) :| "total allocation exceeds the budget" &&
       got.forall(r => r._3 <= r._2 * 5 / 2) :| "an allocation exceeds its cap"
   }
+
+  property("q177 equals the plain-Scala water-fill; allocations respect " +
+      "caps and the budget") = Prop.forAll(genSources)(q177Prop)
+
+  // deterministic pin of the round-16 replay bug: two CAPPED sources with
+  // EQUAL caps (218, 218) next to one uncapped source — the replay's old
+  // Set-mapped cap sum collapsed the equal caps and flipped the uncapped
+  // source's flag; random draws only hit this shape occasionally
+  property("q177 capped-weight sum counts equal caps per source") =
+    q177Prop(Map("s00" -> 245L, "s01" -> 218L, "s02" -> 218L))
 
   // --- q183: window-boundary accounting --------------------------------------
 
