@@ -80,7 +80,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_win_hashes"),
       new ExpressionInfo(classOf[WinHashes].getName, "graft_win_hashes"),
       (args: Seq[Expression]) => WinHashes(args.head,
-        intArg(args, 1, "graft_win_hashes")))
+        intArg(args, 1, "graft_win_hashes"))),
+    (FunctionIdentifier("graft_char_gram_h60"),
+      new ExpressionInfo(classOf[CharGramH60].getName, "graft_char_gram_h60"),
+      (args: Seq[Expression]) => CharGramH60(args.head,
+        intArg(args, 1, "graft_char_gram_h60")))
   )
 
   /** Idempotently register the fused functions on a live session (no-op when
@@ -156,6 +160,12 @@ object GraftFunctions {
     * n tokens, first-occurrence distinct order). */
   def wordNGrams(text: Column, n: Int): Column =
     call_function("graft_word_ngrams", text, lit(n))
+
+  /** Fused h60 (md5-prefix) hashes of the LOWERCASED char n-grams, with
+    * multiplicity — the LangId gram-row kernel (lowercasing happens inside
+    * the one fused pass; do NOT pre-lower). */
+  def charGramH60(text: Column, n: Int): Column =
+    call_function("graft_char_gram_h60", text, lit(n))
 
   private val dynamicNames = new java.util.concurrent.atomic.AtomicInteger()
 

@@ -301,9 +301,15 @@ object Round12Queries {
     val train = docs.where(isTrain)
     val test = docs.where(!isTrain)
     val (model, langStats) = LangId.fit(train, "text", "lang", n = 3)
-    val pred = LangId.predict(test, "text", "doc_id", n = 3, model, langStats)
-    test.select(col("doc_id"), col("lang"))
-      .join(pred, Seq("doc_id"))
+    // round-17 kernel fusion (guide §4): the fused LangIdPredict projection
+    // annotates the test half IN PLACE — no doc-gram explode, no scoring
+    // join of pred back onto the labels (predict is a map of the same rows
+    // and doc_id is unique, so join-on-id ≡ in-place projection; null-text
+    // docs drop exactly as the old inner join on the aggregate did).
+    val predCol = LangId.predictColumn(spark, col("text"), n = 3,
+      model = model, langStats = langStats)
+    graft.ops.Partitioning.spread(test.where(col("text").isNotNull))
+      .select(col("lang"), predCol.as("pred"))
       .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred")
   }

@@ -660,16 +660,20 @@ object Round13Queries {
     // streaming mirror via StreamingLangId.modelFromSaved) starts from.
     graft.ops.LangId.saveModel(fitModel, fitStats, q169ModelDir)
     val (model, langStats) = graft.ops.LangId.loadModel(spark, q169ModelDir)
-    val pred = graft.ops.LangId.predict(docs, "text", "doc_id", n = 3,
-      model, langStats)
-    // persist: the routed frame embeds the whole classifier-scoring plan,
-    // and the tercile machinery reads its docs THREE times (bigram counts,
-    // per-lang vocab, the unscored anti-join) — unpersisted, each read
-    // re-runs the broadcast-score pass (measured 24 s vs 13 s at sf0.1).
-    // Ownership: Verify/Bench clear caches per query.
-    val routed = Partitioning.spread(docs.select(col("doc_id"), col("text"))
-      .join(pred, Seq("doc_id"))
-      .select(col("doc_id"), col("pred").as("lang"), col("text")))
+    // round-17 kernel fusion (guide §4): the fused LangIdPredict projection
+    // annotates the docs IN PLACE — no doc-gram explode, no scoring join of
+    // pred back onto the texts (predict is now a map of the same rows, and
+    // doc_id is unique, so join-on-id ≡ in-place projection; null-text docs
+    // are dropped exactly as the old inner join on the aggregate did).
+    // persist: the tercile machinery reads the routed frame THREE times
+    // (bigram counts, per-lang vocab, the unscored anti-join) — unpersisted,
+    // each read re-runs the scoring pass. Ownership: Verify/Bench clear
+    // caches per query.
+    val predCol = graft.ops.LangId.predictColumn(spark, col("text"), n = 3,
+      model = model, langStats = langStats)
+    val routed = Partitioning.spread(
+        docs.where(col("text").isNotNull).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), predCol.as("lang"), col("text"))
       .persist()
     Round12Queries.perplexityBucketsOver(spark, routed)
       .withColumnRenamed("lang", "pred_lang")

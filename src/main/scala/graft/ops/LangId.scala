@@ -65,9 +65,25 @@ object LangId {
         i => t.substr(i, lit(n))))
   }
 
-  /** One row per (carried cols, gram hash): lowercases INTO an attribute
-    * first, then shingles from it — the two-projection discipline. */
+  /** One row per (carried cols, gram hash), via the fused
+    * [[graft.expr.CharGramH60]] kernel: one pass over the UTF8String's
+    * bytes lowers, shingles, and hashes (no per-gram String allocation, a
+    * LONG explode payload instead of gram strings). Hash values equal the
+    * reference formulation `h60(explode(charGrams(lower(text))))` exactly
+    * (pinned in LangIdSpec); [[gramRowsReference]] keeps that formulation
+    * for the parity spec. */
   private def gramRows(docs: DataFrame, textCol: String,
+      carry: Seq[String], n: Int): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(docs.sparkSession)
+    Partitioning.spread(docs)
+      .select(carry.map(col) :+ explode(
+        graft.expr.GraftFunctions.charGramH60(col(textCol), n)).as("_h"): _*)
+  }
+
+  /** The expression-tree reference formulation of [[gramRows]] (lowercase
+    * into an attribute, shingle per the two-projection discipline, h60 each
+    * gram) — test-pinned against the fused kernel, not on the query path. */
+  private[graft] def gramRowsReference(docs: DataFrame, textCol: String,
       carry: Seq[String], n: Int): DataFrame = {
     val t = col("_t")
     val grams = when(length(t) < n, array(t))
@@ -142,19 +158,64 @@ object LangId {
   /** Score a frame: per document, the argmax language under the model.
     * Returns (idCol, pred).
     *
-    * Shape: the |langs| stats rows collect to the driver (bounded-model
-    * exception — they parameterize the plan) and the likelihood table
-    * pivots WIDE (one row per gram hash, one llu column per language), so
-    * scoring is one broadcast join on the gram hash and ONE doc-keyed
-    * aggregate of |langs| parallel sums that partially aggregates
-    * map-side — no |langs|× row fan-out, no (doc, lang) shuffle (the
-    * first shape measured 6× slower at 10× corpus). The argmax stays the
-    * tie-free `score·M − langIdx` total order (M = [[argmaxMultiplier]]
-    * of the fitted language count, so it survives any |langs|), folded
-    * over scalar columns; identical integer results, addition order
-    * immaterial. Oracle SQL must derive the SAME M — the
+    * Shape (round-17 kernel fusion, guide §4): the WHOLE model — not just
+    * the |langs| stats rows — collects to the driver (it is
+    * vocabulary-bounded, the StreamingLangId.Model precedent) and scoring
+    * becomes ONE codegen projection over the documents
+    * ([[graft.expr.LangIdPredict]]): per doc, one pass over the lowercased
+    * bytes folds every gram occurrence's llu (table miss → that language's
+    * OOV floor) into |langs| running sums — no gram explode, no gram-keyed
+    * shuffle, no broadcast join, no doc-keyed aggregate. Integer addition
+    * is order-free, so the per-occurrence fold equals the reference
+    * formulation's per-distinct-gram `sum(cnt·llu)` exactly; the argmax
+    * stays the tie-free `score·M − langIdx` total order
+    * (M = [[argmaxMultiplier]] of the fitted language count). The
+    * relational reference ([[predictReference]]) is pinned equal in
+    * LangIdSpec; oracle SQL derives the SAME M — the
     * `min(1::BIGINT << g) ≥ count(*)` CTE in the q158/q169 oracles. */
   def predict(docs: DataFrame, textCol: String, idCol: String, n: Int,
+      model: DataFrame, langStats: DataFrame): DataFrame = {
+    val predCol = predictColumn(docs.sparkSession, col(textCol), n,
+      model, langStats)
+    // null-text docs produce zero gram rows in the reference formulation
+    // and so vanish from its doc-keyed aggregate — the filter reproduces
+    // that contract on the map-only path. idCol is unique per row (the
+    // documents-table contract), so one row per doc either way.
+    Partitioning.spread(docs.where(col(textCol).isNotNull))
+      .select(col(idCol), predCol.as("pred"))
+  }
+
+  /** The fused scoring column: collect the vocabulary-bounded model (the
+    * StreamingLangId bounded-model exception) and score each document in
+    * ONE codegen projection — no gram explode, no broadcast join, no
+    * doc-keyed aggregate. Exposed so compositions (q169) can annotate
+    * their frame in place instead of joining predictions back on the id. */
+  def predictColumn(spark: org.apache.spark.sql.SparkSession, text: Column,
+      n: Int, model: DataFrame, langStats: DataFrame): Column = {
+    val stats = langStats.select("lang", "lang_idx", "prior_u", "oov_llu")
+      .collect().sortBy(_.getLong(1))
+    require(stats.nonEmpty, "langId.predict: empty model")
+    val mult = argmaxMultiplier(stats.length)
+    val langs = stats.map(_.getString(0))
+    val idx = langs.zipWithIndex.toMap
+    val priorU = stats.map(_.getLong(2))
+    val oov = stats.map(_.getLong(3))
+    val grouped = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    model.select("_h", "lang", "llu").collect().foreach { r =>
+      val arr = grouped.computeIfAbsent(r.getLong(0), _ => oov.clone())
+      arr(idx(r.getString(1))) = r.getLong(2)
+    }
+    val data = graft.expr.LangIdModel.build(langs, priorU, oov, mult, grouped)
+    graft.expr.GraftFunctions.bindExpr(spark, "langid_pred",
+      args => graft.expr.LangIdPredict(args.head, n, data), text)
+  }
+
+  /** The expression-tree reference formulation of [[predict]] (gram-count
+    * rows → broadcast wide-likelihood join → doc-keyed |langs|-sum →
+    * tie-free argmax) — test-pinned against the fused kernel in LangIdSpec,
+    * not on the query path. */
+  private[graft] def predictReference(docs: DataFrame, textCol: String,
+      idCol: String, n: Int,
       model: DataFrame, langStats: DataFrame): DataFrame = {
     val stats = langStats.select("lang", "lang_idx", "prior_u", "oov_llu")
       .collect().sortBy(_.getLong(1))
@@ -182,7 +243,8 @@ object LangId {
       else greatest(stats.indices.map(i => col(s"_k$i")): _*)
     val pred = coalesce(stats.indices.map(i =>
       when(col(s"_k$i") === col("_km"), lit(langs(i)))): _*)
-    docGramCounts(docs, textCol, idCol, n)
+    gramRowsReference(docs, textCol, Seq(idCol), n)
+      .groupBy(idCol, "_h").agg(count(lit(1)).as("_cnt"))
       .join(broadcast(wide), Seq("_h"), "left")
       .groupBy(idCol)
       .agg(scores.head, scores.tail: _*)

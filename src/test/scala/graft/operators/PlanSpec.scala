@@ -311,12 +311,15 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
-  test("q158: the wide likelihood table joins broadcast onto the gram " +
-      "rows (no model-side shuffle of the corpus)") {
+  test("q158: scoring is the fused kernel projection — no gram explode, " +
+      "no scoring join (round-17 kernel fusion)") {
     val p = plan(Round12Queries.languageId(spark, sf))
-    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast\n$p")
+    assert(p.contains("graft_langid_pred"),
+      s"scoring must be the fused LangIdPredict projection\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"scoring must never sort-merge the gram relation\n$p")
+    assert(!p.contains("Generate"),
+      s"the fused scorer must not explode gram rows\n$p")
   }
 
   test("q160: shard packing never plans a single-partition exchange") {

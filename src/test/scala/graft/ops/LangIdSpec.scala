@@ -144,4 +144,66 @@ class LangIdSpec extends AnyFunSuite {
       "the 1-micro-unit edge at langIdx 19 must beat langIdx 8")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  // round-17 kernel-fusion parity: the fused CharGramH60 / LangIdPredict
+  // kernels must reproduce the expression-tree reference formulation
+  // bit-for-bit — multi-byte code points (Spark substr walks code points,
+  // the kernel walks UTF-8 char starts), empty/short texts, whitespace-only
+  // docs, tie scores, all-OOV docs.
+  private def adversarialDocs = Seq(
+    (1L, "aaa bbb aaa"), (2L, "zzz yyy zzz"), (3L, ""), (4L, "ab"),
+    (5L, "ÁÉÍ çüß Ωφλ"), (6L, "日本語のテキストです"), (7L, "aAa BbB aAa"),
+    (8L, "   "), (9L, "ééé combining"), (10L, "🙂🙂🙂 emoji aaa"),
+    (11L, "mixed ascii и кириллица zzz"), (12L, "qqq qqq qqq"),
+    (13L, "a"), (14L, "\t\nx\r y"), (15L, "ZZZ YZZ")
+  ).toDF("doc_id", "text")
+
+  test("CharGramH60 kernel equals h60(charGrams(lower(text))) with " +
+      "multiplicity on an adversarial corpus") {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val kernel = adversarialDocs
+      .select(col("doc_id"),
+        graft.expr.GraftFunctions.charGramH60(col("text"), 3).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val reference = adversarialDocs
+      .select(col("doc_id"), lower(col("text")).as("_t"))
+      .select(col("doc_id"), LangId.charGrams(col("_t"), 3).as("gs"))
+      .select(col("doc_id"),
+        transform(col("gs"), g => conv(substring(md5(g.cast("binary")), 1, 15),
+          16, 10).cast("long")).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(kernel == reference)
+  }
+
+  test("fused LangIdPredict equals the relational reference formulation " +
+      "on an adversarial corpus (unicode, ties, OOV, short texts)") {
+    val train = Seq(
+      ("xx", "aaa bbb aaa"), ("xx", "aab baa aaa"), ("xx", "ÁÉÍ çüß aaa"),
+      ("yy", "zzz yyy zzz"), ("yy", "zzy yzz zzz"), ("yy", "Ωφλ 日本語 zzz"),
+      ("ww", "и кириллица text"), ("ww", "кириллица и text")
+    ).toDF("lang", "text")
+    val (model, stats) = LangId.fit(train, "text", "lang", n = 3)
+    val fused = LangId.predict(adversarialDocs, "text", "doc_id", n = 3,
+      model, stats).as[(Long, String)].collect().toMap
+    val reference = LangId.predictReference(adversarialDocs, "text",
+      "doc_id", n = 3, model, stats).as[(Long, String)].collect().toMap
+    assert(fused == reference)
+    assert(fused.keySet == (1L to 15L).toSet,
+      "every non-null-text doc must receive a prediction on both paths")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("fused predict drops null-text docs exactly like the reference") {
+    val train = Seq(("xx", "aaa"), ("yy", "zzz")).toDF("lang", "text")
+    val (model, stats) = LangId.fit(train, "text", "lang", n = 3)
+    val withNull = Seq((1L, Some("aaa")), (2L, None), (3L, Some("zzz")))
+      .toDF("doc_id", "text")
+    val fused = LangId.predict(withNull, "text", "doc_id", n = 3,
+      model, stats).as[(Long, String)].collect().toMap
+    val reference = LangId.predictReference(withNull, "text", "doc_id",
+      n = 3, model, stats).as[(Long, String)].collect().toMap
+    assert(fused == reference)
+    assert(fused.keySet == Set(1L, 3L))
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
